@@ -1,0 +1,90 @@
+"""Scalar text functions as Spark Column expressions.
+
+Each function returns a *Column* built purely from JVM-side builtins —
+they run inside whole-stage codegen, never in a Python worker.  Every
+function reproduces the exact semantics of the reference (citations into
+/root/reference), and each docstring records the DuckDB-SQL equivalent
+used by the oracle harness so the two stay in lock-step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Reference text.py:8 — keeps '-'/'_'-joined tokens (inc-49217, user_id).
+# We lowercase *first* and match a lowercase pattern; the reference
+# matches mixed-case then lowercases each token — equivalent because the
+# pattern is case-closed under lower().
+TOKEN_PATTERN = r"[a-z0-9]+(?:[-_][a-z0-9]+)*"
+
+
+def tokenize(text: Column | str) -> Column:
+    """Lowercase regex tokenization (reference text.py:11-17).
+
+    DuckDB oracle: ``regexp_extract_all(lower(text), '[a-z0-9]+(?:[-_][a-z0-9]+)*')``
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), F.lit(0))
+
+
+def has_digits(text: Column | str) -> Column:
+    """True iff the string contains a digit (reference text.py:20-21).
+
+    DuckDB oracle: ``regexp_matches(text, '[0-9]')``
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    return text.rlike("[0-9]")
+
+
+def char_ngrams(text: Column | str, n: int = 4) -> Column:
+    """Char n-grams over the whitespace-normalized lowercase string
+    (reference retrievers.py:33-44): collapse ``\\s+`` to one space,
+    strip, lowercase; whole string if shorter than n; [] for empty.
+
+    DuckDB oracle (s = trim(regexp_replace(lower(text),'\\s+',' ','g'))):
+      ``CASE WHEN length(s)=0 THEN [] WHEN length(s)<n THEN [s]
+        ELSE list_transform(range(1, length(s)-n+2), i -> s[i:i+n-1]) END``
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    s = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return (
+        F.when(F.length(s) == 0, F.array().cast("array<string>"))
+        .when(F.length(s) < n, F.array(s))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - (n - 1)),
+                lambda i: F.substring(s, i, n),
+            )
+        )
+    )
+
+
+def join_top_sentences(text: Column | str, max_sentences: int = 2) -> Column:
+    """First ``max_sentences`` sentences re-joined with ". " and a
+    guaranteed terminal punctuation mark (reference text.py:44-49).
+
+    Split on ``[.!?]\\s+``, drop blank parts, keep the first two, join
+    with ". ", append "." unless the result already ends in . ! or ?.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    parts = F.filter(
+        F.transform(F.split(text, r"[.!?]\s+"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    joined = F.concat_ws(". ", F.slice(parts, 1, max_sentences))
+    out = F.trim(joined)
+    return F.when(F.length(out) == 0, F.lit("")).otherwise(
+        F.when(out.rlike(r"[.!?]$"), out).otherwise(F.concat(out, F.lit(".")))
+    )
+
+
+def norm_answer(text: Column | str) -> Column:
+    """Whitespace-collapse + lowercase normalization used by answer
+    exact-match scoring (reference evaluator.py:23-28:
+    ``" ".join(s.lower().split())`` = trim + collapse any whitespace).
+
+    DuckDB oracle: ``trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))``
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

@@ -1,0 +1,214 @@
+"""Batch index construction as DataFrame aggregations.
+
+Re-expresses the reference's index builders (index.py:21-46 build_corpus_stats,
+retrievers.py:57-85 VectorRetriever.build, retrievers.py:117-123
+KeywordRetriever.build) as pure ``groupBy``/``agg`` dataflow:
+
+    documents ──tokenize──> doc_tokens ──explode──┬─> postings(term, doc_id, tf)
+                                                  └─> term_stats(term, df, idf, is_rare)
+              ──char_ngrams──> doc_grams ─────────┬─> gram_stats(gram, df, idf)
+                                                  └─> doc_vec(doc_id, gram, weight)
+                                                      doc_norm(doc_id, norm)
+
+Catalyst performs partial+final hash aggregation (map-side combine) for
+every groupBy here, so the document-frequency counts never shuffle raw
+token streams — only (term, partial_count) pairs.  Corpus-level scalars
+(n_docs, avg_dl) are 1-row DataFrames crossJoin-broadcast into consumers,
+keeping the whole build lazy and cluster-sized (never ``collect()``ed).
+
+The token space and the char-4-gram space are deliberately DISJOINT
+(reference retrievers.py:59-61) — two separate builds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.config import DEFAULT, EngineConfig
+from beyond_vector_search_spark.functions.text import char_ngrams, tokenize
+
+# Smoothed BM25-style idf: ln(1 + (N - df + 0.5)/(df + 0.5))  (index.py:39-41;
+# the same formula is reused for the gram space at retrievers.py:71).
+
+
+def _idf(n_docs: Column, df: Column) -> Column:
+    return F.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def doc_tokens(docs: DataFrame, *, id_col: str = "doc_id", text: Column | str = "text") -> DataFrame:
+    """(doc_id, tokens array<string>) — tokenization of the index text.
+
+    ``text`` may be any Column expression (e.g. ``concat_ws(' ', title, text)``
+    to reproduce the reference's ``title + " " + text`` at index.py:27).
+    """
+    return docs.select(F.col(id_col).alias("doc_id"), tokenize(text).alias("tokens"))
+
+
+def doc_grams(docs: DataFrame, *, id_col: str = "doc_id", text: Column | str = "text", n: int = 4) -> DataFrame:
+    """(doc_id, grams array<string>) — char n-gram shingling."""
+    return docs.select(F.col(id_col).alias("doc_id"), char_ngrams(text, n).alias("grams"))
+
+
+def corpus_scalars(tokens_df: DataFrame) -> DataFrame:
+    """1-row (n_docs, avg_dl): token totals of the corpus (index.py:31-35).
+
+    avg_dl is an exact integer-sum / integer-count division — deterministic
+    across partitionings (int sums are order-independent).
+    """
+    return tokens_df.agg(
+        F.greatest(F.count("*"), F.lit(1)).alias("n_docs"),
+        (F.sum(F.size("tokens")) / F.greatest(F.count("*"), F.lit(1))).alias("avg_dl"),
+    )
+
+
+def build_doc_stats(tokens_df: DataFrame) -> DataFrame:
+    """(doc_id, doc_len) — per-document token count (index.py:28-30)."""
+    return tokens_df.select("doc_id", F.size("tokens").alias("doc_len"))
+
+
+def build_term_stats(
+    tokens_df: DataFrame,
+    *,
+    rare_df_threshold: int = 1,
+) -> DataFrame:
+    """(term, df, idf, is_rare) — document frequency + smoothed idf
+    (index.py:21-46).  df counts documents, not occurrences, hence the
+    ``array_distinct`` before the explode (matches the per-doc ``set(toks)``
+    at index.py:33).
+    """
+    n = corpus_scalars(tokens_df).select("n_docs")
+    per_term = (
+        tokens_df.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    return per_term.crossJoin(F.broadcast(n)).select(
+        "term",
+        "df",
+        _idf(F.col("n_docs"), F.col("df")).alias("idf"),
+        (F.col("df") <= rare_df_threshold).alias("is_rare"),
+    )
+
+
+def build_postings(tokens_df: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) — the inverted index (retrievers.py:117-123's
+    per-doc term-frequency maps, in long format)."""
+    return (
+        tokens_df.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def build_gram_stats(grams_df: DataFrame) -> DataFrame:
+    """(gram, df, idf) — char-n-gram document frequency + idf
+    (retrievers.py:62-71). Same smoothed-idf formula, disjoint space."""
+    n = grams_df.agg(F.greatest(F.count("*"), F.lit(1)).alias("n_docs"))
+    per_gram = (
+        grams_df.select("doc_id", F.explode(F.array_distinct("grams")).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+    )
+    return per_gram.crossJoin(F.broadcast(n)).select(
+        "gram", "df", _idf(F.col("n_docs"), F.col("df")).alias("idf")
+    )
+
+
+def build_doc_vec(grams_df: DataFrame, gram_stats: DataFrame) -> DataFrame:
+    """(doc_id, gram, weight) — sublinear TF-IDF doc vectors in long
+    format (retrievers.py:73-84): weight = (1 + ln(tf)) * idf.
+
+    Long format IS the idiomatic Spark representation of a sparse matrix;
+    the cosine join in retrieval.py is then a plain equi-join.
+    """
+    tf = (
+        grams_df.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.join(gram_stats.select("gram", "idf"), "gram").select(
+        "doc_id", "gram", ((1.0 + F.log("tf")) * F.col("idf")).alias("weight")
+    )
+
+
+def build_doc_norm(doc_vec: DataFrame) -> DataFrame:
+    """(doc_id, norm) — L2 norm with the ``or 1.0`` empty-vector guard
+    (retrievers.py:84)."""
+    return doc_vec.groupBy("doc_id").agg(
+        F.coalesce(
+            F.nullif(F.sqrt(F.sum(F.col("weight") * F.col("weight"))), F.lit(0.0)),
+            F.lit(1.0),
+        ).alias("norm")
+    )
+
+
+@dataclass
+class CorpusIndex:
+    """The persisted index of the engine — six DataFrames.
+
+    Unlike the reference (which rebuilds the whole index on every CLI
+    invocation, run.py:18-23), the index is built once, optionally
+    persisted to parquet partitioned for the scoring joins, and reused.
+    """
+
+    doc_stats: DataFrame   # (doc_id, doc_len)
+    term_stats: DataFrame  # (term, df, idf, is_rare)
+    postings: DataFrame    # (term, doc_id, tf)
+    gram_stats: DataFrame  # (gram, df, idf)
+    doc_vec: DataFrame     # (doc_id, gram, weight)
+    doc_norm: DataFrame    # (doc_id, norm)
+    scalars: DataFrame     # 1 row (n_docs, avg_dl)
+    doc_ids: DataFrame     # (doc_id) — for zero-score restoration
+
+    _FIELDS = ["doc_stats", "term_stats", "postings", "gram_stats", "doc_vec", "doc_norm", "scalars", "doc_ids"]
+
+    def cache(self) -> "CorpusIndex":
+        for f in self._FIELDS:
+            getattr(self, f).cache()
+        return self
+
+    def save(self, path: str) -> None:
+        """Persist to parquet.  postings/doc_vec are the large tables —
+        repartition by join key so scoring joins at read time can use
+        co-located shuffles; at cluster scale use bucketed tables
+        (``bucketBy(term)``) to remove the shuffle entirely."""
+        self.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+        self.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+        self.postings.repartition("term").write.mode("overwrite").parquet(f"{path}/postings")
+        self.gram_stats.write.mode("overwrite").parquet(f"{path}/gram_stats")
+        self.doc_vec.repartition("gram").write.mode("overwrite").parquet(f"{path}/doc_vec")
+        self.doc_norm.write.mode("overwrite").parquet(f"{path}/doc_norm")
+        self.scalars.write.mode("overwrite").parquet(f"{path}/scalars")
+        self.doc_ids.write.mode("overwrite").parquet(f"{path}/doc_ids")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "CorpusIndex":
+        rd = spark.read
+        return cls(**{f: rd.parquet(f"{path}/{f}") for f in cls._FIELDS})
+
+
+def build_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text: Column | str = "text",
+    cfg: EngineConfig = DEFAULT,
+) -> CorpusIndex:
+    """Build the full index lazily from a documents DataFrame."""
+    toks = doc_tokens(docs, id_col=id_col, text=text)
+    grams = doc_grams(docs, id_col=id_col, text=text, n=cfg.ngram_n)
+    gram_stats = build_gram_stats(grams)
+    doc_vec = build_doc_vec(grams, gram_stats)
+    return CorpusIndex(
+        doc_stats=build_doc_stats(toks),
+        term_stats=build_term_stats(toks, rare_df_threshold=cfg.rare_df_threshold),
+        postings=build_postings(toks),
+        gram_stats=gram_stats,
+        doc_vec=doc_vec,
+        doc_norm=build_doc_norm(doc_vec),
+        scalars=corpus_scalars(toks),
+        doc_ids=docs.select(F.col(id_col).alias("doc_id")),
+    )

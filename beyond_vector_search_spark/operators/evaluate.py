@@ -1,0 +1,161 @@
+"""Offline evaluation loop: batch scoring + ordered feedback fold.
+
+Reference evaluate.py:16-116 loops queries sequentially, rebuilding
+nothing but mutating router weights between queries.  The Spark shape
+(SURVEY.md §3.2): ALL heavy work — 3 strategies × all labels scoring,
+answer generation, hit@k / exact-match — runs as ONE batch dataflow;
+the only sequential piece, the K-row winner->weight trajectory, is
+folded on the driver in label order.  1 query and 10M queries are the
+same plan; only the fold's input (one tiny row per labeled query)
+ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.config import DEFAULT, EngineConfig
+from beyond_vector_search_spark.functions.text import norm_answer
+from beyond_vector_search_spark.operators.answer import generate_answers
+from beyond_vector_search_spark.operators.corpus_index import CorpusIndex
+from beyond_vector_search_spark.operators.retrieval import search_all
+from beyond_vector_search_spark.operators.router import (
+    RouterState,
+    choose_with_state,
+    heuristic_columns,
+    query_features,
+    update_from_scores,
+)
+
+HIT_WEIGHT, EM_WEIGHT = 0.7, 0.3  # reference evaluator.py:13-16
+
+
+def strategy_eval(
+    top_k: DataFrame,
+    documents: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    title_col: str | None = "title",
+    text_col: str = "text",
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """(query_id, hit_at_k, exact_match, total, top_doc_ids) for one
+    strategy's top-k relation (reference evaluator.py:19-40)."""
+    queries = labels.select("query_id", "query")
+    ans = generate_answers(
+        top_k, documents, queries, id_col=id_col, title_col=title_col, text_col=text_col, cfg=cfg
+    )
+    j = ans.join(
+        labels.select("query_id", "expected_doc_id", "expected_answer"), "query_id"
+    )
+    hit = F.when(
+        F.array_contains("top_doc_ids", F.col("expected_doc_id").cast("string")), 1.0
+    ).otherwise(0.0)
+    em = F.when(norm_answer("answer") == norm_answer("expected_answer"), 1.0).otherwise(0.0)
+    return j.select(
+        "query_id",
+        hit.alias("hit_at_k"),
+        em.alias("exact_match"),
+        (HIT_WEIGHT * hit + EM_WEIGHT * em).alias("total"),
+        "top_doc_ids",
+    )
+
+
+@dataclass
+class EvalReport:
+    mean_score: float
+    n: int
+    router_state: dict
+    per_query: list[dict] = field(default_factory=list)
+
+    def to_json(self) -> dict:
+        return {
+            "mean_score": self.mean_score,
+            "n": self.n,
+            "router_state": self.router_state,
+            "per_query": self.per_query,
+        }
+
+
+def evaluate_all(
+    labels: DataFrame,
+    documents: DataFrame,
+    index: CorpusIndex,
+    *,
+    state: RouterState | None = None,
+    id_col: str = "doc_id",
+    title_col: str | None = "title",
+    text_col: str = "text",
+    cfg: EngineConfig = DEFAULT,
+    k: int | None = None,
+) -> tuple[EvalReport, RouterState, DataFrame]:
+    """Run the full evaluation; returns (report, final_state, runs_df).
+
+    ``runs_df`` is the telemetry relation (one row per query, reference
+    evaluate.py:71-100) ready for the telemetry sink.  Query order for
+    the feedback fold = ascending query_id (the labels file is ordered
+    Q-001.. so file order == query_id order).
+    """
+    state = state or RouterState()
+    k = k if k is not None else cfg.k
+    queries = labels.select("query_id", "query")
+
+    tops = search_all(queries, index, k=k, cfg=cfg)
+    evals = {
+        s: strategy_eval(
+            tops[s], documents, labels,
+            id_col=id_col, title_col=title_col, text_col=text_col, cfg=cfg,
+        )
+        for s in ("vector", "keyword", "hybrid")
+    }
+    feats = heuristic_columns(query_features(queries, index.term_stats))
+
+    # One tiny row per query: all three arms' scores + routing heuristics.
+    merged = (
+        feats.join(evals["vector"].select("query_id", F.col("total").alias("s_vec"), F.col("top_doc_ids").alias("ids_vec")), "query_id")
+        .join(evals["keyword"].select("query_id", F.col("total").alias("s_key"), F.col("top_doc_ids").alias("ids_key")), "query_id")
+        .join(evals["hybrid"].select("query_id", F.col("total").alias("s_hyb"), F.col("top_doc_ids").alias("ids_hyb")), "query_id")
+        .orderBy("query_id")
+    )
+    rows = merged.collect()
+
+    per_query: list[dict] = []
+    run_rows: list[tuple] = []
+    total = 0.0
+    for r in rows:
+        d = r.asDict()
+        chosen = choose_with_state(d, state)
+        chosen_score = {"vector": d["s_vec"], "keyword": d["s_key"], "hybrid": d["s_hyb"]}[chosen]
+        total += chosen_score
+        state = update_from_scores(
+            state, {"vector": d["s_vec"], "keyword": d["s_key"], "hybrid": d["s_hyb"]}
+        )
+        per_query.append(
+            {
+                "query_id": d["query_id"],
+                "query": d["query"],
+                "chosen": chosen,
+                "chosen_score": chosen_score,
+                "vector_score": d["s_vec"],
+                "keyword_score": d["s_key"],
+                "hybrid_score": d["s_hyb"],
+            }
+        )
+        run_rows.append((d["query"], chosen, chosen_score, d["query_id"]))
+
+    n = len(rows)
+    report = EvalReport(
+        mean_score=total / max(1, n),
+        n=n,
+        router_state=state.to_json(),
+        per_query=per_query,
+    )
+    spark = labels.sparkSession
+    runs_df = spark.createDataFrame(
+        run_rows, "query STRING, strategy STRING, score DOUBLE, query_id STRING"
+    ).withColumn("ts_unix", F.unix_timestamp(F.current_timestamp()).cast("double"))
+    return report, state, runs_df

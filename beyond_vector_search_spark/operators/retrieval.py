@@ -1,0 +1,236 @@
+"""Retrieval scoring as relational joins over the inverted index.
+
+The reference scores every document with per-query Python loops
+(retrievers.py:97,129).  Here scoring is the classic inverted-index join
+shape — a sparse matrix-multiply expressed relationally:
+
+    queries ─tokenize/ngram─> query terms  ⋈ term_stats (idf)   [broadcast]
+                                           ⋈ postings/doc_vec   [the big join]
+                                           groupBy(query_id, doc_id) agg
+
+Only documents sharing at least one term/gram with the query are touched;
+Catalyst broadcasts the (tiny) query side so the postings table never
+shuffles.  Zero-score documents are restored by an outer join against
+``doc_ids`` for exact reference parity (retrievers.py scores ALL docs) —
+a flag drops them at scale, affecting only deep-tail ranks.
+
+All operators take a ``(query_id, query)`` DataFrame: batching N queries
+is the same plan as 1 query, which is how the eval workload (14 labels ×
+3 strategies) runs as one job rather than 42 loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.config import DEFAULT, EngineConfig
+from beyond_vector_search_spark.functions.text import char_ngrams, tokenize
+from beyond_vector_search_spark.operators.corpus_index import CorpusIndex
+
+
+def stable_topk(scored: DataFrame, k: int, *, score_col: str = "score") -> DataFrame:
+    """Top-k per query with the reference's deterministic tie-break
+    (text.py:52-54): score desc, then doc_id asc.  Adds ``rank``.
+
+    ``row_number`` over (partition by query_id) shuffles once on
+    query_id; with AQE the per-query partitions coalesce.  For the
+    unpartitioned single-query case this is still one narrow exchange.
+
+    Ordering uses the score ROUNDED to 10 decimals: documents with
+    identical content have mathematically equal scores, but distributed
+    float aggregation sums in nondeterministic order, producing phantom
+    ~1e-16 differences that would defeat the doc_id tie-break.  Rounding
+    collapses them back into exact ties (the reference, summing each
+    doc's identical dict in identical order, ties them bit-exactly).
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col(score_col), 10)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _restore_zero_docs(scored: DataFrame, queries: DataFrame, doc_ids: DataFrame) -> DataFrame:
+    """All (query, doc) pairs with missing scores as 0.0 (parity mode)."""
+    universe = queries.select("query_id").crossJoin(doc_ids)
+    return universe.join(scored, ["query_id", "doc_id"], "left").select(
+        "query_id", "doc_id", F.coalesce(F.col("score"), F.lit(0.0)).alias("score")
+    )
+
+
+def bm25_scores(
+    queries: DataFrame,
+    index: CorpusIndex,
+    *,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """(query_id, doc_id, score) — classic BM25 (retrievers.py:125-144).
+
+    Per query term t present in the corpus (inner join to term_stats =
+    the OOV drop at retrievers.py:135), per doc containing t:
+
+        idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avg_dl))
+
+    Duplicate query terms count once (reference iterates q_tf.keys(),
+    retrievers.py:134) — hence array_distinct on the query tokens.
+    """
+    q_terms = queries.select(
+        "query_id", F.explode(F.array_distinct(tokenize("query"))).alias("term")
+    )
+    # Tiny side: terms-of-queries ⋈ term_stats — broadcast both ways is
+    # fine; postings is the only large input.
+    q_idf = q_terms.join(index.term_stats.select("term", "idf"), "term")
+    avg_dl = F.coalesce(F.nullif(F.col("avg_dl"), F.lit(0.0)), F.lit(1.0))
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / avg_dl)))
+    )
+    scored = (
+        F.broadcast(q_idf)
+        .join(index.postings, "term")
+        .join(index.doc_stats.withColumnRenamed("doc_len", "dl"), "doc_id")
+        .crossJoin(F.broadcast(index.scalars.select("avg_dl")))
+        .select("query_id", "doc_id", contrib.alias("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    if cfg.include_zero_score_docs:
+        scored = _restore_zero_docs(scored, queries, index.doc_ids)
+    return scored
+
+
+def query_gram_vec(queries: DataFrame, index: CorpusIndex, *, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """(query_id, gram, qw) — sublinear TF-IDF query vector in the char
+    n-gram space, query-side idf taken from the DOC space and unknown
+    grams dropped (retrievers.py:87-95)."""
+    q_tf = (
+        queries.select("query_id", F.explode(char_ngrams("query", cfg.ngram_n)).alias("gram"))
+        .groupBy("query_id", "gram")
+        .agg(F.count("*").alias("tf"))
+    )
+    return q_tf.join(index.gram_stats.select("gram", "idf"), "gram").select(
+        "query_id", "gram", ((1.0 + F.log("tf")) * F.col("idf")).alias("qw")
+    )
+
+
+def vector_scores(
+    queries: DataFrame,
+    index: CorpusIndex,
+    *,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """(query_id, doc_id, score) — char-n-gram TF-IDF cosine
+    (retrievers.py:87-103).
+
+    dot(q, d) via the inverted-index join on gram; then normalized by
+    q_norm * doc_norm with the ``or 1.0`` guards (retrievers.py:84,96).
+    """
+    qv = query_gram_vec(queries, index, cfg=cfg)
+    q_norm = qv.groupBy("query_id").agg(
+        F.coalesce(
+            F.nullif(F.sqrt(F.sum(F.col("qw") * F.col("qw"))), F.lit(0.0)), F.lit(1.0)
+        ).alias("q_norm")
+    )
+    dots = (
+        F.broadcast(qv)
+        .join(index.doc_vec, "gram")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qw") * F.col("weight")).alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(q_norm), "query_id")
+        .join(index.doc_norm, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("dot") / (F.col("q_norm") * F.col("norm"))).alias("score"),
+        )
+    )
+    if cfg.include_zero_score_docs:
+        scored = _restore_zero_docs(scored, queries, index.doc_ids)
+    return scored
+
+
+def minmax_normalize(scored: DataFrame, *, score_col: str = "score") -> DataFrame:
+    """Per-query min-max normalization with the constant-array guard
+    (retrievers.py:169-176: hi <= lo -> all 0.0).
+
+    groupBy + broadcast-join back beats a window here: the agg output is
+    one row per query, so the join is a broadcast and the big score
+    relation is touched exactly once.
+    """
+    bounds = scored.groupBy("query_id").agg(
+        F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi")
+    )
+    return scored.join(F.broadcast(bounds), "query_id").select(
+        "query_id",
+        "doc_id",
+        F.when(F.col("_hi") <= F.col("_lo"), F.lit(0.0))
+        .otherwise((F.col(score_col) - F.col("_lo")) / (F.col("_hi") - F.col("_lo")))
+        .alias("norm_score"),
+    )
+
+
+def hybrid_scores(
+    queries: DataFrame,
+    index: CorpusIndex,
+    *,
+    cfg: EngineConfig = DEFAULT,
+    keyword: DataFrame | None = None,
+    vector: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score) — min-max-normalized blend
+    0.60*keyword + 0.40*vector (retrievers.py:147-188).
+
+    The reference normalizes over scores of ALL docs (it searches with
+    k=len(docs), retrievers.py:165-166); with zero-restored inputs the
+    full outer join + coalesce(0.0) reproduces the missing-doc -> 0.0
+    rule (retrievers.py:183-184).  Pass precomputed ``keyword``/``vector``
+    score DFs to reuse work (the eval loop does).
+    """
+    key_n = minmax_normalize(keyword if keyword is not None else bm25_scores(queries, index, cfg=cfg))
+    vec_n = minmax_normalize(vector if vector is not None else vector_scores(queries, index, cfg=cfg))
+    return (
+        key_n.withColumnRenamed("norm_score", "kn")
+        .join(
+            vec_n.withColumnRenamed("norm_score", "vn"),
+            ["query_id", "doc_id"],
+            "full_outer",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                cfg.alpha_keyword * F.coalesce(F.col("kn"), F.lit(0.0))
+                + cfg.alpha_vector * F.coalesce(F.col("vn"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+
+
+def search_all(
+    queries: DataFrame,
+    index: CorpusIndex,
+    *,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> dict[str, DataFrame]:
+    """Top-k per strategy for a batch of queries:
+    {"vector": df, "keyword": df, "hybrid": df}, each
+    (query_id, doc_id, score, rank).  The keyword/vector score scans are
+    shared into the hybrid blend (computed once, branched twice).
+    """
+    k = k if k is not None else cfg.k
+    key = bm25_scores(queries, index, cfg=cfg)
+    vec = vector_scores(queries, index, cfg=cfg)
+    hyb = hybrid_scores(queries, index, cfg=cfg, keyword=key, vector=vec)
+    return {
+        "vector": stable_topk(vec, k),
+        "keyword": stable_topk(key, k),
+        "hybrid": stable_topk(hyb, k),
+    }

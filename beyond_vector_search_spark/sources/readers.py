@@ -1,0 +1,47 @@
+"""Input sources.
+
+The reference loads line-delimited JSON with hand-rolled loops
+(data.py:20-50); Spark's native JSON reader with an EXPLICIT schema is
+the equivalent (the reference's dataclass constructors make the schema
+fixed — we never rely on inference, which would require an extra pass
+over 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+CORPUS_SCHEMA = "doc_id STRING, title STRING, text STRING"
+LABELS_SCHEMA = "query_id STRING, query STRING, expected_doc_id STRING, expected_answer STRING"
+
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL corpus -> (doc_id, title, text); blank lines dropped natively
+    (reference data.py:20-30)."""
+    return spark.read.schema(CORPUS_SCHEMA).json(path).where("doc_id IS NOT NULL")
+
+
+def load_labels(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL labels -> (query_id, query, expected_doc_id, expected_answer)
+    (reference data.py:33-50)."""
+    return spark.read.schema(LABELS_SCHEMA).json(path).where("query_id IS NOT NULL")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One driver testdata parquet table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views for spark.sql use."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

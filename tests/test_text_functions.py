@@ -1,0 +1,69 @@
+"""Expression-level parity of the scalar text functions vs the reference."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.functions.text import (
+    char_ngrams,
+    join_top_sentences,
+    norm_answer,
+    tokenize,
+)
+from tests.ref_impl import ref_text, ref_retrievers
+
+SAMPLES = [
+    "Need details on INC-49217 now",
+    "pipeline failed for INC-10010 cache stampede",
+    "userid vs user_id mismatch",
+    "Hello   World!  multiple. Sentences here? yes!  ",
+    "",
+    "ab",
+    "UPPER lower 123 mix-ed under_score",
+    "  leading and trailing   ",
+    "one.two.three",  # no whitespace after periods: single token-ish
+    "a! b? c. d. e.",
+]
+
+
+def _run_expr(spark, col_expr, values):
+    df = spark.createDataFrame([(v,) for v in values], "s STRING")
+    return [r[0] for r in df.select(col_expr(F.col("s"))).collect()]
+
+
+def test_tokenize_matches_reference(spark):
+    got = _run_expr(spark, tokenize, SAMPLES)
+    want = [ref_text.tokenize(s) for s in SAMPLES]
+    assert got == want
+
+
+def test_char_ngrams_matches_reference(spark):
+    got = _run_expr(spark, char_ngrams, SAMPLES)
+    want = [ref_retrievers._char_ngrams(s, n=4) for s in SAMPLES]
+    assert got == want
+
+
+def test_join_top_sentences_matches_reference(spark):
+    got = _run_expr(spark, join_top_sentences, SAMPLES)
+    want = [ref_text.join_top_sentences(s, max_sentences=2) for s in SAMPLES]
+    assert got == want
+
+
+def test_norm_answer_matches_reference(spark):
+    def ref_norm(s):
+        return " ".join(s.lower().split())
+
+    got = _run_expr(spark, norm_answer, SAMPLES)
+    want = [ref_norm(s) for s in SAMPLES]
+    assert got == want
+
+
+def test_tokenize_on_corpus(spark, ref_corpus):
+    """Full-corpus tokenization parity (200 docs)."""
+    rows = ref_corpus.select(
+        "doc_id", tokenize(F.concat_ws(" ", "title", "text")).alias("toks")
+    ).collect()
+    docs = {d.doc_id: d for d in ref_corpus.collect()}
+    for r in rows:
+        want = ref_text.tokenize(docs[r.doc_id].title + " " + docs[r.doc_id].text)
+        assert r.toks == want, r.doc_id
