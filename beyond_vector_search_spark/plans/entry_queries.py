@@ -1,0 +1,378 @@
+"""The driver-contract query catalog.
+
+Every operator of SURVEY.md §2 (plus the LLM-data-pipeline extensions)
+is declared here as a pair:
+
+    spark fn  (spark, sf_dir) -> DataFrame        — the engine's plan
+    oracle    ANSI/DuckDB SQL over the same tables — independent truth
+
+Cross-engine determinism rules used throughout (see SURVEY.md §4.2):
+- float values that pass through CROSS-ROW aggregation are rounded to 6
+  decimals in BOTH engines (distributed float sums are order-dependent
+  in the last bits); per-row arithmetic is left unrounded (bit-equal).
+- money-style sums are computed in DECIMAL (exact, order-independent)
+  and cast to DOUBLE at the end.
+- every ranking uses an explicit (rounded score DESC, id ASC) ordering.
+- aggregate/computed columns are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.config import DEFAULT
+from beyond_vector_search_spark.functions.text import TOKEN_PATTERN  # noqa: F401
+from beyond_vector_search_spark.operators import corpus_index as ci
+from beyond_vector_search_spark.operators import retrieval as rt
+from beyond_vector_search_spark.operators import router as rtr
+from beyond_vector_search_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Shared pieces
+# ---------------------------------------------------------------------------
+
+# Fixed query workload for the retrieval-operator checks (words drawn
+# from the synthetic documents vocabulary; q3 exercises digit features).
+QUERY_SET: list[tuple[str, str]] = [
+    ("q1", "spark join performance"),
+    ("q2", "vector hash index scan"),
+    ("q3", "slow query filter value 42"),
+]
+
+TOP_K = 10
+
+_SQL_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9]+(?:[-_][a-z0-9]+)*')"
+
+_QUERIES_CTE = "queries(query_id, query) AS (VALUES " + ", ".join(
+    f"('{qid}', '{q}')" for qid, q in QUERY_SET
+) + ")"
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, "
+    + _SQL_TOKENIZE.format(col="text")
+    + " AS tokens FROM documents)"
+)
+
+_SCALARS_CTE = (
+    "scalars AS (SELECT greatest(count(*), 1) AS n_docs, "
+    "CAST(sum(len(tokens)) AS DOUBLE) / greatest(count(*), 1) AS avg_dl FROM toks)"
+)
+
+_EXPLODED_CTE = "exploded AS (SELECT doc_id, unnest(tokens) AS term FROM toks)"
+
+_TERM_STATS_CTE = (
+    "term_stats AS (SELECT term, count(DISTINCT doc_id) AS df FROM exploded GROUP BY term), "
+    "term_idf AS (SELECT term, df, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, "
+    "df <= 1 AS is_rare FROM term_stats, scalars)"
+)
+
+_POSTINGS_CTE = (
+    "postings AS (SELECT term, doc_id, count(*) AS tf FROM exploded GROUP BY term, doc_id)"
+)
+
+# char 4-grams of the whitespace-normalized lowercased text
+_GRAMS_CTE = (
+    "normed AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents), "
+    "grams AS (SELECT doc_id, CASE WHEN length(s) = 0 THEN CAST([] AS VARCHAR[]) "
+    "WHEN length(s) < 4 THEN [s] "
+    "ELSE list_transform(range(1, length(s) - 2), i -> substring(s, i, 4)) END AS grams FROM normed)"
+)
+
+_GRAM_STATS_CTE = (
+    "gn AS (SELECT greatest(count(*), 1) AS n_docs FROM grams), "
+    "gexploded AS (SELECT doc_id, unnest(grams) AS gram FROM grams), "
+    "gram_df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM gexploded GROUP BY gram), "
+    "gram_idf AS (SELECT gram, df, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf FROM gram_df, gn)"
+)
+
+_DOC_VEC_CTE = (
+    "gram_tf AS (SELECT doc_id, gram, count(*) AS tf FROM gexploded GROUP BY doc_id, gram), "
+    "doc_vec AS (SELECT t.doc_id, t.gram, (1 + ln(t.tf)) * i.idf AS weight "
+    "FROM gram_tf t JOIN gram_idf i USING (gram)), "
+    "doc_norm AS (SELECT doc_id, coalesce(nullif(sqrt(sum(weight * weight)), 0.0), 1.0) AS norm "
+    "FROM doc_vec GROUP BY doc_id)"
+)
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(QUERY_SET, "query_id STRING, query STRING")
+
+
+def _docs_index(spark: SparkSession, sf_dir: str) -> ci.CorpusIndex:
+    return ci.build_index(load_table(spark, sf_dir, "documents"), text="text")
+
+
+def _round6(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+def _ranked(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Oracle-facing top-k: rank AND returned score at 6 decimals so the
+    two engines order identically (cross-row float sums)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+_RANK_SQL = (
+    ", ranked AS (SELECT query_id, doc_id, round(score, 6) AS score, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank "
+    "FROM allpairs) "
+    f"SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {TOP_K} "
+)
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[SparkFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: SparkFn) -> SparkFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# --------------------------- index build (A1-A3) ---------------------------
+
+
+@register(
+    "doc_stats",
+    f"WITH {_TOKS_CTE} SELECT doc_id, CAST(len(tokens) AS BIGINT) AS doc_len FROM toks",
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _docs_index(spark, sf_dir)
+    return idx.doc_stats.select("doc_id", F.col("doc_len").cast("long").alias("doc_len"))
+
+
+@register(
+    "term_stats",
+    f"WITH {_TOKS_CTE}, {_SCALARS_CTE}, {_EXPLODED_CTE}, {_TERM_STATS_CTE} "
+    "SELECT term, CAST(df AS BIGINT) AS df, round(idf, 6) AS idf, is_rare FROM term_idf",
+)
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _docs_index(spark, sf_dir)
+    return idx.term_stats.select(
+        "term", F.col("df").cast("long").alias("df"), F.round("idf", 6).alias("idf"), "is_rare"
+    )
+
+
+@register(
+    "postings",
+    f"WITH {_TOKS_CTE}, {_EXPLODED_CTE}, {_POSTINGS_CTE} "
+    "SELECT term, doc_id, CAST(tf AS BIGINT) AS tf FROM postings",
+)
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _docs_index(spark, sf_dir)
+    return idx.postings.select("term", "doc_id", F.col("tf").cast("long").alias("tf"))
+
+
+@register(
+    "gram_stats",
+    f"WITH {_GRAMS_CTE}, {_GRAM_STATS_CTE} "
+    "SELECT gram, CAST(df AS BIGINT) AS df, round(idf, 6) AS idf FROM gram_idf",
+)
+def q_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _docs_index(spark, sf_dir)
+    return idx.gram_stats.select(
+        "gram", F.col("df").cast("long").alias("df"), F.round("idf", 6).alias("idf")
+    )
+
+
+@register(
+    "doc_norms",
+    f"WITH {_GRAMS_CTE}, {_GRAM_STATS_CTE}, {_DOC_VEC_CTE} "
+    "SELECT doc_id, round(norm, 6) AS norm FROM doc_norm",
+)
+def q_doc_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _docs_index(spark, sf_dir)
+    return idx.doc_norm.select("doc_id", F.round("norm", 6).alias("norm"))
+
+
+# ------------------------- retrieval scoring (J1-J3) ------------------------
+
+_BM25_SCORED_CTE = (
+    "qterms AS (SELECT query_id, unnest(list_distinct("
+    + _SQL_TOKENIZE.format(col="query")
+    + ")) AS term FROM queries), "
+    "contrib AS (SELECT q.query_id, p.doc_id, "
+    "i.idf * (p.tf * (1.5 + 1.0)) / (p.tf + 1.5 * (1.0 - 0.75 + 0.75 * (d.dl / "
+    "coalesce(nullif(s.avg_dl, 0.0), 1.0)))) AS c "
+    "FROM qterms q JOIN term_idf i USING (term) JOIN postings p USING (term) "
+    "JOIN (SELECT doc_id, CAST(len(tokens) AS DOUBLE) AS dl FROM toks) d ON p.doc_id = d.doc_id, scalars s), "
+    "scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id), "
+    "allpairs AS (SELECT q.query_id, dd.doc_id, coalesce(s.score, 0.0) AS score "
+    "FROM (SELECT DISTINCT query_id FROM queries) q "
+    "CROSS JOIN (SELECT doc_id FROM documents) dd "
+    "LEFT JOIN scored s ON s.query_id = q.query_id AND s.doc_id = dd.doc_id)"
+)
+
+
+@register(
+    "bm25_topk",
+    f"WITH {_QUERIES_CTE}, {_TOKS_CTE}, {_SCALARS_CTE}, {_EXPLODED_CTE}, "
+    f"{_TERM_STATS_CTE}, {_POSTINGS_CTE}, {_BM25_SCORED_CTE} {_RANK_SQL}",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _docs_index(spark, sf_dir)
+    scored = rt.bm25_scores(_queries_df(spark), idx)
+    return _ranked(scored)
+
+
+_VEC_QUERY_CTE = (
+    "qnorm AS (SELECT query_id, trim(regexp_replace(lower(query), '\\s+', ' ', 'g')) AS s FROM queries), "
+    "qgrams AS (SELECT query_id, CASE WHEN length(s) = 0 THEN CAST([] AS VARCHAR[]) "
+    "WHEN length(s) < 4 THEN [s] "
+    "ELSE list_transform(range(1, length(s) - 2), i -> substring(s, i, 4)) END AS grams FROM qnorm), "
+    "qg_tf AS (SELECT query_id, gram, count(*) AS tf FROM (SELECT query_id, unnest(grams) AS gram FROM qgrams) GROUP BY query_id, gram), "
+    "qvec AS (SELECT t.query_id, t.gram, (1 + ln(t.tf)) * i.idf AS qw FROM qg_tf t JOIN gram_idf i USING (gram)), "
+    "qvnorm AS (SELECT query_id, coalesce(nullif(sqrt(sum(qw * qw)), 0.0), 1.0) AS q_norm FROM qvec GROUP BY query_id)"
+)
+
+_VEC_SCORED_CTE = (
+    "dots AS (SELECT q.query_id, v.doc_id, sum(q.qw * v.weight) AS dot "
+    "FROM qvec q JOIN doc_vec v USING (gram) GROUP BY q.query_id, v.doc_id), "
+    "scored AS (SELECT d.query_id, d.doc_id, d.dot / (n.q_norm * dn.norm) AS score "
+    "FROM dots d JOIN qvnorm n USING (query_id) JOIN doc_norm dn USING (doc_id)), "
+    "allpairs AS (SELECT q.query_id, dd.doc_id, coalesce(s.score, 0.0) AS score "
+    "FROM (SELECT DISTINCT query_id FROM queries) q "
+    "CROSS JOIN (SELECT doc_id FROM documents) dd "
+    "LEFT JOIN scored s ON s.query_id = q.query_id AND s.doc_id = dd.doc_id)"
+)
+
+
+@register(
+    "vector_topk",
+    f"WITH {_QUERIES_CTE}, {_GRAMS_CTE}, {_GRAM_STATS_CTE}, {_DOC_VEC_CTE}, "
+    f"{_VEC_QUERY_CTE}, {_VEC_SCORED_CTE} {_RANK_SQL}",
+)
+def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _docs_index(spark, sf_dir)
+    scored = rt.vector_scores(_queries_df(spark), idx)
+    return _ranked(scored)
+
+
+_HYBRID_CTE = (
+    # keyword side -> kfull, vector side -> vfull, both minmax-normalized
+    "kbounds AS (SELECT query_id, min(score) AS lo, max(score) AS hi FROM kfull GROUP BY query_id), "
+    "knorm AS (SELECT f.query_id, f.doc_id, CASE WHEN b.hi <= b.lo THEN 0.0 "
+    "ELSE (f.score - b.lo) / (b.hi - b.lo) END AS kn FROM kfull f JOIN kbounds b USING (query_id)), "
+    "vbounds AS (SELECT query_id, min(score) AS lo, max(score) AS hi FROM vfull GROUP BY query_id), "
+    "vnorm AS (SELECT f.query_id, f.doc_id, CASE WHEN b.hi <= b.lo THEN 0.0 "
+    "ELSE (f.score - b.lo) / (b.hi - b.lo) END AS vn FROM vfull f JOIN vbounds b USING (query_id)), "
+    "allpairs AS (SELECT k.query_id, k.doc_id, 0.60 * coalesce(k.kn, 0.0) + 0.40 * coalesce(v.vn, 0.0) AS score "
+    "FROM knorm k FULL OUTER JOIN vnorm v USING (query_id, doc_id))"
+)
+
+
+@register(
+    "hybrid_topk",
+    f"WITH {_QUERIES_CTE}, {_TOKS_CTE}, {_SCALARS_CTE}, {_EXPLODED_CTE}, "
+    f"{_TERM_STATS_CTE}, {_POSTINGS_CTE}, "
+    + _BM25_SCORED_CTE.replace("scored AS", "kscored AS")
+    .replace("LEFT JOIN scored s", "LEFT JOIN kscored s")
+    .replace("allpairs AS", "kfull AS")
+    + f", {_GRAMS_CTE}, {_GRAM_STATS_CTE}, {_DOC_VEC_CTE}, {_VEC_QUERY_CTE}, "
+    + _VEC_SCORED_CTE.replace("scored AS", "vscored AS")
+    .replace("LEFT JOIN scored s", "LEFT JOIN vscored s")
+    .replace("allpairs AS", "vfull AS")
+    + f", {_HYBRID_CTE} {_RANK_SQL}",
+)
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _docs_index(spark, sf_dir)
+    scored = rt.hybrid_scores(_queries_df(spark), idx)
+    return _ranked(scored)
+
+
+# ------------------------------ routing (R1) --------------------------------
+
+_FEATS_CTE = (
+    "qtoks AS (SELECT query_id, "
+    + _SQL_TOKENIZE.format(col="query")
+    + " AS tokens FROM queries), "
+    "qexp AS (SELECT query_id, unnest(tokens) AS term FROM qtoks), "
+    "counts AS (SELECT q.query_id, count(*) AS n, "
+    "sum(CASE WHEN regexp_matches(q.term, '[0-9]') THEN 1 ELSE 0 END) AS n_digit, "
+    "sum(CASE WHEN t.term IS NULL THEN 1 ELSE 0 END) AS n_oov, "
+    "sum(CASE WHEN coalesce(t.is_rare, FALSE) THEN 1 ELSE 0 END) AS n_rare "
+    "FROM qexp q LEFT JOIN term_idf t ON q.term = t.term GROUP BY q.query_id), "
+    "feats AS (SELECT q.query_id, q.query, "
+    "CAST(coalesce(c.n, 0) AS INTEGER) AS n_tokens, "
+    "coalesce(CAST(c.n_digit AS DOUBLE) / c.n, 0.0) AS digit_ratio, "
+    "coalesce(CAST(c.n_oov AS DOUBLE) / c.n, 0.0) AS oov_ratio, "
+    "coalesce(CAST(c.n_rare AS DOUBLE) / c.n, 0.0) AS rare_ratio "
+    "FROM queries q LEFT JOIN counts c USING (query_id))"
+)
+
+
+@register(
+    "router_features",
+    f"WITH {_QUERIES_CTE}, {_TOKS_CTE}, {_SCALARS_CTE}, {_EXPLODED_CTE}, {_TERM_STATS_CTE}, {_FEATS_CTE} "
+    "SELECT query_id, n_tokens, round(digit_ratio, 6) AS digit_ratio, "
+    "round(oov_ratio, 6) AS oov_ratio, round(rare_ratio, 6) AS rare_ratio FROM feats",
+)
+def q_router_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _docs_index(spark, sf_dir)
+    feats = rtr.query_features(_queries_df(spark), idx.term_stats)
+    return _round6(
+        feats.select("query_id", "n_tokens", "digit_ratio", "oov_ratio", "rare_ratio"),
+        "digit_ratio", "oov_ratio", "rare_ratio",
+    )
+
+
+_ROUTE_CTE = (
+    "heur AS (SELECT query_id, n_tokens, digit_ratio, oov_ratio, rare_ratio, "
+    "1.25 * digit_ratio + 1.00 * oov_ratio + 1.25 * rare_ratio + "
+    "CASE WHEN n_tokens <= 3 THEN 0.10 ELSE 0.0 END AS hk, "
+    "0.50 * (1.0 - least(1.0, oov_ratio + rare_ratio)) AS hv FROM feats), "
+    "heur2 AS (SELECT *, 0.45 * hk + 0.45 * hv + 0.10 * (1.0 - abs(oov_ratio - rare_ratio)) + "
+    "CASE WHEN digit_ratio >= 0.12 AND n_tokens >= 5 THEN 0.45 "
+    "WHEN digit_ratio > 0.0 AND n_tokens >= 4 THEN 0.25 ELSE 0.0 END AS hh FROM heur)"
+)
+
+
+@register(
+    "router_choice",
+    f"WITH {_QUERIES_CTE}, {_TOKS_CTE}, {_SCALARS_CTE}, {_EXPLODED_CTE}, {_TERM_STATS_CTE}, "
+    f"{_FEATS_CTE}, {_ROUTE_CTE} "
+    "SELECT query_id, CASE WHEN hh >= hk AND hh >= hv THEN 'hybrid' "
+    "WHEN hk >= hv THEN 'keyword' ELSE 'vector' END AS strategy, "
+    "round(hk, 6) AS heuristic_keyword, round(hv, 6) AS heuristic_vector, "
+    "round(hh, 6) AS heuristic_hybrid FROM heur2",
+)
+def q_router_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _docs_index(spark, sf_dir)
+    routed = rtr.route(
+        rtr.query_features(_queries_df(spark), idx.term_stats), rtr.RouterState()
+    )
+    return routed.select(
+        "query_id",
+        "strategy",
+        F.round("heuristic_keyword", 6).alias("heuristic_keyword"),
+        F.round("heuristic_vector", 6).alias("heuristic_vector"),
+        F.round("heuristic_hybrid", 6).alias("heuristic_hybrid"),
+    )
+
+
+def all_queries() -> dict[str, SparkFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None}
