@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall time of the headline suite.  Each query is
+timed as: build the plan, execute, materialize the result count (the
+result sets themselves are small — top-k rows or grouped aggregates).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The headline suite: the engine's core retrieval path plus the heavy
+# relational / pipeline operators — chosen to exercise scans, shuffles,
+# joins, windows, and per-row codegen at the bench scale factor.
+HEADLINE = [
+    "bm25_topk",
+    "vector_topk",
+    "hybrid_topk",
+    "tpch_q1",
+    "tpch_q3_topk",
+    "tpch_q5_region_volume",
+    "events_sessions",
+    "minhash_signatures",
+    "simhash64",
+    "knn_cosine_topk",
+]
+
+
+def main() -> None:
+    from beyond_vector_search_spark.plans.entry_queries import all_queries
+    from beyond_vector_search_spark.session import get_spark
+
+    spark = get_spark("bvs-bench")
+    queries = all_queries()
+
+    # Warm the JVM, parquet readers, and the whole-stage-codegen class
+    # cache by running the suite once at the smallest scale factor —
+    # compiled codegen classes are data-size independent, so the timed
+    # sf runs measure execution, not javac.
+    spark.range(1).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
+        for name in HEADLINE:
+            try:
+                queries[name](spark, warm_dir).count()
+            except Exception as e:  # noqa: BLE001
+                print(f"# warmup {name} failed: {e}", file=sys.stderr)
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

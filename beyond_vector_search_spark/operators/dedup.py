@@ -1,0 +1,187 @@
+"""Deduplication operators for training-data pipelines.
+
+All signature computation is PER-ROW (inside whole-stage codegen, no
+shuffle): a document's shingles, MinHash signature, and SimHash are
+derived from its own text.  Only the candidate-pair discovery shuffles,
+and it shuffles *band buckets* (tiny keys), never raw text — the shape
+that survives 100 TB:
+
+    docs ──map──> signatures ──explode bands──> bucket join ──> pairs ──> verify
+
+Hashes are MD5-derived (functions/hashing.py) so the DuckDB oracle
+reproduces them byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.functions.hashing import hash64, md5_hex, minhash_signature
+from beyond_vector_search_spark.functions.text import tokenize
+
+
+def word_shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of an ALREADY-projected tokens
+    column (plain column reference — see char_ngrams_from_normed for why
+    expressions must not be inlined into the per-shingle lambda).
+
+    DuckDB: ``list_distinct(list_transform(range(1, len(toks)-n+2),
+    i -> array_to_string(toks[i:i+n-1], ' ')))`` (empty/short -> []).
+    """
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+
+
+def _doc_shingles(
+    df: DataFrame, *, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, shingles) with tokens materialized as a column first."""
+    toked = df.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
+    return toked.select("doc_id", word_shingles_from_tokens("toks", n).alias("shingles"))
+
+
+def exact_dedup_map(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, content_hash, keeper_id) — exact dedup by content hash;
+    the keeper is the minimum id in each hash group (deterministic).
+
+    min(id) over a hash-partitioned window = one shuffle on the hash key
+    with map-side partial min; at scale this is the cheapest exact dedup.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"), md5_hex(F.col(text_col)).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash")
+    return hashed.withColumn("keeper_id", F.min("doc_id").over(w))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig array<string>) — per-row MinHash over word shingles."""
+    sh = _doc_shingles(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    return sh.select("doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, *, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded LSH: docs agreeing on
+    ALL rows of at least one band.
+
+    Band keys are md5 of the band slice, so the bucket join shuffles
+    32-char strings regardless of signature width.  Self-join is on
+    (band_id, band_key) — with b*r hashes, collision probability follows
+    the usual (1-(1-s^r)^b) S-curve.
+    """
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(
+                        F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact shingle-set Jaccard similarity.
+
+    Computed via the inverted shingle join (only pairs SHARING a shingle
+    are ever materialized — docs with empty intersections never meet),
+    then |A∩B| / (|A| + |B| - |A∩B|).  Intersection/union counts are
+    integers => cross-engine exact; jaccard is one exact division.
+    Pass ``candidates`` (e.g. LSH output) to verify only those pairs.
+    """
+    sh = _doc_shingles(df, id_col=id_col, text_col=text_col, n=shingle_n).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def simhash64(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(doc_id, simhash) — SimHash over the distinct-token set.
+
+    Per-row, integer-exact, portable: token hash = 60-bit md5-derived
+    int; bit j of the fingerprint is 1 iff sum over tokens of
+    (2*bit_j(h)-1) is positive.  32 bits keeps the per-row work
+    (tokens × bits) cheap while remaining a real near-dup fingerprint.
+
+    DuckDB mirror uses the same md5 hash and the same bit fold.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(F.array_distinct(tokenize(F.col(text_col))), lambda t: hash64(t)).alias("hs"),
+    )
+    # SQL lambdas: the shift amount is itself a lambda variable, which the
+    # python DSL's shiftright() does not accept — the >> operator in a SQL
+    # expression does.  bit j of the fingerprint = majority vote of bit j
+    # across token hashes; fingerprint = fold over bits 31..0 of acc*2+bit.
+    fingerprint = F.expr(
+        f"""aggregate(
+              transform(sequence({bits - 1}, 0, -1), j ->
+                CASE WHEN aggregate(hs, 0L,
+                       (acc, h) -> acc + (CAST((h >> j) & 1 AS BIGINT) * 2 - 1)) > 0
+                     THEN 1L ELSE 0L END),
+              0L, (acc, bit) -> acc * 2 + bit)"""
+    )
+    return hashed.select("doc_id", fingerprint.alias("simhash"))

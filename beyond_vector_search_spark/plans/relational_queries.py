@@ -1,0 +1,227 @@
+"""Relational operator coverage (SURVEY.md §2.8) over the TPC-H-ish
+testdata: joins, aggregation, rollup, windows, set ops, sessionization,
+JSON extraction — the built-in Spark surface the engine exposes.
+
+Where the two dialects agree, ONE SQL string serves both Spark
+(`spark.sql` over registered temp views) and the DuckDB oracle —
+identical text, zero drift.  Engine-side plans rely on Catalyst:
+filters push to the parquet scan, dimension joins broadcast, decimal
+aggregates use partial+final hash aggregation.
+
+Cross-engine float policy (module docstring of entry_queries):
+money sums in DECIMAL (exact) cast to DOUBLE; free doubles rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from beyond_vector_search_spark.plans.entry_queries import register
+from beyond_vector_search_spark.sources.readers import register_testdata_views
+
+
+def _sql_fn(sql: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_testdata_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return fn
+
+
+def register_shared_sql(name: str, sql: str) -> None:
+    register(name, sql)(_sql_fn(sql))
+
+
+# --- TPC-H Q1-style pricing summary (filter -> groupBy agg, decimal-exact)
+TPCH_Q1 = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  count(*) AS count_order,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# --- TPC-H Q3-style shipping priority (3-way join -> agg -> top-k)
+TPCH_Q3 = """
+WITH revenue AS (
+  SELECT
+    o.o_orderkey,
+    CAST(o.o_orderdate AS STRING) AS o_orderdate,
+    o.o_orderpriority,
+    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+  GROUP BY o.o_orderkey, CAST(o.o_orderdate AS STRING), o.o_orderpriority
+)
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue,
+       CAST(row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS INTEGER) AS rank
+FROM revenue
+ORDER BY rank
+LIMIT 10
+"""
+
+# --- TPC-H Q5-style local-supplier volume (6-way join through region)
+TPCH_Q5 = """
+SELECT
+  n.n_name,
+  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+# --- window ranking: top-3 customers by balance per nation
+WINDOW_TOP_CUSTOMERS = """
+WITH ranked AS (
+  SELECT
+    n.n_name,
+    c.c_custkey,
+    c.c_name,
+    c.c_acctbal,
+    CAST(row_number() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS INTEGER) AS rank
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name, c_custkey, c_name, c_acctbal, rank FROM ranked WHERE rank <= 3
+"""
+
+# --- rollup aggregation over orders
+ORDERS_ROLLUP = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+# --- anti join: customers with no orders in 1995 (time-scoped so the
+#     result is non-empty in the synthetic data, where every customer
+#     has *some* order)
+CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+)
+"""
+
+# --- semi join + agg: per-customer order stats (only customers with orders)
+CUSTOMER_ORDER_STATS = """
+SELECT
+  c.c_custkey,
+  count(*) AS n_orders,
+  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+  CAST(max(o.o_orderdate) AS STRING) AS last_order
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+# --- set operation: customers active in 1995 but not in 2001 (EXCEPT)
+EXCEPT_CUSTKEYS = """
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+"""
+
+# --- tumbling-window aggregation over the events stream table
+EVENTS_HOURLY = """
+SELECT
+  CAST(date_trunc('hour', ts) AS STRING) AS hour,
+  event_type,
+  count(*) AS n_events,
+  round(sum(value), 4) AS sum_value,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM events
+GROUP BY CAST(date_trunc('hour', ts) AS STRING), event_type
+"""
+
+# --- sessionization: 30-minute-gap sessions per user (template: the
+#     epoch-milliseconds function differs between dialects)
+_EVENTS_SESSIONS_TMPL = """
+WITH ordered AS (
+  SELECT
+    user_id,
+    event_id,
+    {EPOCH_MS} AS ts_ms,
+    lag({EPOCH_MS}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_ms,
+    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, event_id,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM per_session
+GROUP BY user_id
+"""
+
+EVENTS_SESSIONS_SPARK = _EVENTS_SESSIONS_TMPL.format(EPOCH_MS="unix_millis(ts)")
+EVENTS_SESSIONS_DUCKDB = _EVENTS_SESSIONS_TMPL.format(EPOCH_MS="epoch_ms(ts)")
+
+# --- JSON extraction + aggregation over event props
+_EVENTS_JSON_TMPL = """
+WITH parsed AS (
+  SELECT event_type, CAST({EXTRACT} AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       sum(k) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM parsed
+GROUP BY event_type
+"""
+
+EVENTS_JSON_SPARK = _EVENTS_JSON_TMPL.format(EXTRACT="get_json_object(props, '$.k')")
+EVENTS_JSON_DUCKDB = _EVENTS_JSON_TMPL.format(EXTRACT="json_extract(props, 'k')")
+
+
+def register_all() -> None:
+    register_shared_sql("tpch_q1", TPCH_Q1)
+    register_shared_sql("tpch_q3_topk", TPCH_Q3)
+    register_shared_sql("tpch_q5_region_volume", TPCH_Q5)
+    register_shared_sql("window_top_customers", WINDOW_TOP_CUSTOMERS)
+    register_shared_sql("orders_rollup", ORDERS_ROLLUP)
+    register_shared_sql("customers_without_orders", CUSTOMERS_WITHOUT_ORDERS)
+    register_shared_sql("customer_order_stats", CUSTOMER_ORDER_STATS)
+    register_shared_sql("except_custkeys", EXCEPT_CUSTKEYS)
+    register_shared_sql("events_hourly", EVENTS_HOURLY)
+    register("events_sessions", EVENTS_SESSIONS_DUCKDB)(_sql_fn(EVENTS_SESSIONS_SPARK))
+    register("events_json_stats", EVENTS_JSON_DUCKDB)(_sql_fn(EVENTS_JSON_SPARK))

@@ -33,8 +33,22 @@ def load_labels(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One driver testdata parquet table (TESTDATA.md)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """One driver testdata parquet table (TESTDATA.md).
+
+    The testdata parquet stores nanosecond timestamps, which Spark only
+    reads with the legacy flag (as TIMESTAMP_NTZ, truncated to micros —
+    the same truncation DuckDB applies).  Set per-call: the driver may
+    hand us a session we didn't build.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) -> read as nanos BIGINT; convert
+        # to a real timestamp truncated to micros (what DuckDB yields).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
