@@ -1,0 +1,128 @@
+"""CLI entry points (reference run.py:76-84, evaluate.py:119-125).
+
+    python -m beyond_vector_search_spark.cli run --query "INC-49217 details" \
+        --corpus /root/reference/data/corpus.jsonl --labels /root/reference/data/labels.jsonl
+    python -m beyond_vector_search_spark.cli evaluate --corpus ... --labels ...
+
+Unlike the reference (which rebuilds its index on every invocation), an
+``--index-dir`` can persist/reuse the built index between invocations.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.operators.answer import generate_answers
+from beyond_vector_search_spark.operators.corpus_index import CorpusIndex, build_index
+from beyond_vector_search_spark.operators.evaluate import evaluate_all
+from beyond_vector_search_spark.operators.retrieval import search_all
+from beyond_vector_search_spark.operators.router import (
+    STATE_KEY,
+    RouterState,
+    query_features,
+    route,
+)
+from beyond_vector_search_spark.sources.readers import load_corpus, load_labels
+from beyond_vector_search_spark.sources.telemetry import TelemetryStore
+from beyond_vector_search_spark.session import get_spark
+
+DEFAULT_CORPUS = "/root/reference/data/corpus.jsonl"
+DEFAULT_LABELS = "/root/reference/data/labels.jsonl"
+
+
+def _index(spark, corpus_df, index_dir: str | None) -> CorpusIndex:
+    if index_dir and os.path.isdir(os.path.join(index_dir, "term_stats")):
+        return CorpusIndex.load(spark, index_dir)
+    idx = build_index(corpus_df, text=F.concat_ws(" ", "title", "text"))
+    if index_dir:
+        idx.save(index_dir)
+        return CorpusIndex.load(spark, index_dir)
+    return idx
+
+
+def cmd_run(args) -> dict:
+    spark = get_spark("bvs-run")
+    docs = load_corpus(spark, args.corpus).cache()
+    labels = load_labels(spark, args.labels)
+    idx = _index(spark, docs, args.index_dir)
+    store = TelemetryStore(spark, args.db or tempfile.mkdtemp(prefix="bvs_telemetry_"))
+
+    state = RouterState.from_json(store.get_state(STATE_KEY, RouterState().to_json()))
+    queries = spark.createDataFrame([("q", args.query)], "query_id STRING, query STRING")
+    routed = route(query_features(queries, idx.term_stats), state).collect()[0]
+
+    tops = search_all(queries, idx, k=args.k)[routed.strategy]
+    ans = generate_answers(tops, docs, queries).collect()[0]
+    top_rows = sorted(tops.collect(), key=lambda r: r.rank)
+
+    lab = {r.query: r for r in labels.collect()}.get(args.query)
+    score = 0.0
+    if lab is not None:
+        hit = 1.0 if lab.expected_doc_id in ans.top_doc_ids else 0.0
+        em = 1.0 if " ".join(ans.answer.lower().split()) == " ".join(lab.expected_answer.lower().split()) else 0.0
+        score = 0.7 * hit + 0.3 * em
+
+    store.log_run(
+        query=args.query,
+        strategy=routed.strategy,
+        score=score,
+        meta={"k": args.k, "top_doc_ids": list(ans.top_doc_ids)},
+    )
+    out = {
+        "query": args.query,
+        "strategy": routed.strategy,
+        "top_k": [{"doc_id": r.doc_id, "score": r.score} for r in top_rows],
+        "answer": ans.answer,
+        "score": score,
+        "labeled": lab is not None,
+    }
+    if lab is not None:
+        out["expected_doc_id"] = lab.expected_doc_id
+    return out
+
+
+def cmd_evaluate(args) -> dict:
+    spark = get_spark("bvs-evaluate")
+    docs = load_corpus(spark, args.corpus).cache()
+    labels = load_labels(spark, args.labels).cache()
+    idx = _index(spark, docs, args.index_dir)
+    store = TelemetryStore(spark, args.db or tempfile.mkdtemp(prefix="bvs_telemetry_"))
+
+    state = RouterState.from_json(store.get_state(STATE_KEY, RouterState().to_json()))
+    report, final_state, runs_df = evaluate_all(labels, docs, idx, state=state, k=args.k)
+    store.set_state(STATE_KEY, final_state.to_json())
+    store.log_runs(runs_df.drop("query_id"))
+    return report.to_json()
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="beyond-vector-search-spark CLI")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="single query end-to-end")
+    pr.add_argument("--query", required=True)
+    pr.add_argument("--k", type=int, default=5)
+    pr.add_argument("--corpus", default=DEFAULT_CORPUS)
+    pr.add_argument("--labels", default=DEFAULT_LABELS)
+    pr.add_argument("--db", default=None, help="telemetry directory")
+    pr.add_argument("--index-dir", default=None, help="persist/reuse the index here")
+
+    pe = sub.add_parser("evaluate", help="evaluate all labels, update router weights")
+    pe.add_argument("--k", type=int, default=5)
+    pe.add_argument("--corpus", default=DEFAULT_CORPUS)
+    pe.add_argument("--labels", default=DEFAULT_LABELS)
+    pe.add_argument("--db", default=None)
+    pe.add_argument("--index-dir", default=None)
+
+    args = p.parse_args()
+    out = cmd_run(args) if args.cmd == "run" else cmd_evaluate(args)
+    print(json.dumps(out, indent=2, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

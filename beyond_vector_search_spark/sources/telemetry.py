@@ -1,0 +1,109 @@
+"""Telemetry sinks: the runs log and the router-state KV store.
+
+Reference (telemetry.py:37-92) uses SQLite/Postgres UPSERTs; the Spark
+shapes are:
+
+- ``runs`` -> an APPEND-ONLY parquet log.  A global autoincrement
+  run_id is an anti-pattern on a cluster; identity is (ts_unix, seq
+  within batch) and ``monotonically_increasing_id`` supplies a
+  collision-free surrogate per batch.
+- ``router_state`` -> append + LAST-WRITER-WINS view (row_number over
+  key ordered by version desc).  With a Delta/Iceberg table this would
+  be ``MERGE INTO``; plain parquet gets the same read semantics from
+  the LWW view without table-format dependencies.
+
+Both sinks partition nothing at this size; at scale, ``runs`` is
+date-partitioned (``.partitionBy(run_date)``) so the drift queries
+prune partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+RUNS_SCHEMA = (
+    "run_id BIGINT, ts_unix DOUBLE, query STRING, strategy STRING, "
+    "score DOUBLE, meta_json STRING"
+)
+STATE_SCHEMA = "key STRING, value_json STRING, version BIGINT"
+
+
+class TelemetryStore:
+    """Parquet-backed telemetry with the reference's three operations
+    (log_run / get_state / set_state, telemetry.py:70-92)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._runs = os.path.join(path, "runs")
+        self._state = os.path.join(path, "router_state")
+
+    # -- runs ---------------------------------------------------------------
+
+    def log_runs(self, df: DataFrame) -> None:
+        """Append a batch of runs.  ``df``: (query, strategy, score[,
+        ts_unix][, meta_json])."""
+        cols = df.columns
+        out = df
+        if "ts_unix" not in cols:
+            out = out.withColumn("ts_unix", F.lit(time.time()))
+        if "meta_json" not in cols:
+            out = out.withColumn("meta_json", F.lit("{}"))
+        out = out.select(
+            F.monotonically_increasing_id().alias("run_id"),
+            F.col("ts_unix").cast("double"),
+            "query",
+            "strategy",
+            F.col("score").cast("double"),
+            "meta_json",
+        )
+        out.write.mode("append").parquet(self._runs)
+
+    def log_run(self, *, query: str, strategy: str, score: float, meta: dict | None = None) -> None:
+        df = self.spark.createDataFrame(
+            [(query, strategy, float(score), time.time(), json.dumps(meta or {}, sort_keys=True))],
+            "query STRING, strategy STRING, score DOUBLE, ts_unix DOUBLE, meta_json STRING",
+        )
+        self.log_runs(df)
+
+    def runs(self) -> DataFrame:
+        if not os.path.isdir(self._runs):
+            return self.spark.createDataFrame([], RUNS_SCHEMA)
+        return self.spark.read.parquet(self._runs)
+
+    # -- state KV -----------------------------------------------------------
+
+    def set_state(self, key: str, value: dict) -> None:
+        df = self.spark.createDataFrame(
+            [(key, json.dumps(value, sort_keys=True), time.time_ns())],
+            STATE_SCHEMA,
+        )
+        df.write.mode("append").parquet(self._state)
+
+    def _state_view(self) -> DataFrame:
+        if not os.path.isdir(self._state):
+            return self.spark.createDataFrame([], STATE_SCHEMA)
+        w = Window.partitionBy("key").orderBy(F.desc("version"))
+        return (
+            self.spark.read.parquet(self._state)
+            .withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+            .drop("_rn")
+        )
+
+    def get_state(self, key: str, default: dict | None = None) -> dict:
+        rows = self._state_view().where(F.col("key") == key).collect()
+        if not rows:
+            return default if default is not None else {}
+        return json.loads(rows[0].value_json)
+
+    # -- the demo notebook's ad-hoc SQL surface (reference demo.py:315,383) --
+
+    def register_views(self) -> None:
+        self.runs().createOrReplaceTempView("runs")
+        self._state_view().createOrReplaceTempView("router_state")

@@ -1,0 +1,171 @@
+"""Unit tests: dedup, similarity, text analysis, multimodal, telemetry,
+streaming drift."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.operators import dedup as dd
+from beyond_vector_search_spark.operators import multimodal as mm
+from beyond_vector_search_spark.operators import similarity as sim
+from beyond_vector_search_spark.sources.telemetry import TelemetryStore
+from beyond_vector_search_spark.streaming.drift import routing_drift
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),          # near dup
+        (4, "completely different content about spark engines"),
+        (5, ""),                                                      # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: r.keeper_id for r in dd.exact_dedup_map(docs).collect()}
+    assert out[1] == 1 and out[2] == 1          # dup group keeps min id
+    assert out[3] == 3 and out[4] == 4
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = dd.minhash_signatures(docs, num_hashes=16, shingle_n=2)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dd.lsh_candidate_pairs(sigs, bands=8, rows_per_band=2).collect()
+    }
+    assert (1, 2) in pairs                       # identical -> must collide
+    assert all(a < b for a, b in pairs)
+
+
+def test_jaccard_pairs_exact(docs):
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in dd.jaccard_pairs(docs, shingle_n=1, threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0                    # identical token sets
+    # doc3 differs from doc1 by one token (jumps->leaps): |A|=8,|B|=8,|A∩B|=7
+    assert math.isclose(out[(1, 3)], 7 / 9)
+    assert (1, 5) not in out                     # empty doc shares nothing
+
+
+def test_simhash_similarity_structure(docs):
+    out = {r.doc_id: r.simhash for r in dd.simhash64(docs).collect()}
+    assert out[1] == out[2]                      # identical text -> same hash
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    # near-dup closer than unrelated
+    assert hamming(out[1], out[3]) < hamming(out[1], out[4])
+    assert out[5] == 0                           # empty -> all-zero votes
+
+
+def test_knn_bruteforce_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    q = emb.where("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    out = sorted(sim.knn_bruteforce(emb, q, k=2).collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in out] == [1, 2]
+    assert math.isclose(out[0].cos, 0.9 / math.sqrt(0.81 + 0.01), abs_tol=1e-6)
+
+
+def test_assign_centroids(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (10, [0.9, 0.1]), (11, [0.1, 0.9])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    cents = emb.where("vec_id < 2").select(F.col("vec_id").alias("centroid_id"), "embedding")
+    out = {r.vec_id: r.centroid_id for r in sim.assign_centroids(emb, cents).collect()}
+    assert out[10] == 0 and out[11] == 1
+    assert out[0] == 0 and out[1] == 1
+
+
+def test_multimodal_image_features(spark):
+    imgs = mm.synthetic_media(spark, 8)
+    feats = mm.image_features(imgs, feature_dim=4).collect()
+    assert len(feats) == 8
+    for r in feats:
+        assert len(r.feature) == 4
+        assert 0 <= r.mean_intensity <= 255
+        assert math.isclose(sum(r.feature), 1.0, rel_tol=1e-9)  # histogram normalized
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    imgs = mm.synthetic_media(spark, 6)
+    resized = mm.resize_images(imgs, max_side=16).collect()
+    for r in resized:
+        assert max(r.meta.width, r.meta.height) <= 16
+        assert len(r.content) == r.meta.width * r.meta.height  # raw8 bytes
+
+    videos = spark.createDataFrame(
+        [(1, b"x" * 1000, {"format": "fakevid", "n_frames": 30, "width": 4, "height": 4})],
+        "media_id BIGINT, content BINARY, meta STRUCT<format: STRING, n_frames: INT, width: INT, height: INT>",
+    )
+    frames = mm.frame_sample(videos, every_n=10).collect()
+    assert [f.media_id for f in frames] == [100000, 100010, 100020]
+
+
+def test_telemetry_roundtrip(spark):
+    with tempfile.TemporaryDirectory() as td:
+        store = TelemetryStore(spark, td)
+        assert store.get_state("k", {"d": 1}) == {"d": 1}        # default on miss
+        store.set_state("k", {"v": 1})
+        store.set_state("k", {"v": 2})                            # LWW
+        assert store.get_state("k") == {"v": 2}
+        store.log_run(query="q", strategy="keyword", score=0.7, meta={"a": 1})
+        store.log_run(query="q2", strategy="vector", score=1.0)
+        runs = store.runs()
+        assert runs.count() == 2
+        store.register_views()
+        top = spark.sql(
+            "SELECT strategy, score FROM runs ORDER BY ts_unix DESC, run_id DESC LIMIT 1"
+        ).collect()[0]
+        assert top.strategy == "vector"
+
+
+def test_routing_drift_batch(spark):
+    rows = [
+        (1, 1000.0, "q", "keyword", 1.0, "{}"),
+        (2, 1100.0, "q", "keyword", 0.5, "{}"),
+        (3, 1000.0, "q", "vector", 0.7, "{}"),
+        (4, 4000.0, "q", "keyword", 0.0, "{}"),
+    ]
+    runs = spark.createDataFrame(
+        rows, "run_id BIGINT, ts_unix DOUBLE, query STRING, strategy STRING, score DOUBLE, meta_json STRING"
+    )
+    out = routing_drift(runs, window="10 minutes").collect()
+    by_key = {((r.window_start.hour, r.window_start.minute), r.strategy): r for r in out}
+    assert by_key[((0, 10), "keyword")].n_runs == 2               # 1000s,1100s in [600,1200)
+    assert math.isclose(by_key[((0, 10), "keyword")].mean_score, 0.75)
+    assert by_key[((0, 10), "vector")].n_runs == 1
+    assert by_key[((1, 0), "keyword")].n_runs == 1                # 4000s in [3600,4200)
+
+
+def test_routing_drift_streaming(spark, tmp_path):
+    """Same aggregation as a real micro-batch stream over the parquet log."""
+    from beyond_vector_search_spark.streaming.drift import stream_drift_from_parquet
+
+    store = TelemetryStore(spark, str(tmp_path))
+    store.log_run(query="q1", strategy="keyword", score=1.0)
+    store.log_run(query="q2", strategy="vector", score=0.5)
+
+    drift = stream_drift_from_parquet(spark, str(tmp_path / "runs"))
+    q = (
+        drift.writeStream.format("memory")
+        .queryName("drift_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM drift_test").collect()
+    assert {r.strategy for r in rows} == {"keyword", "vector"}
+    assert all(r.n_runs == 1 for r in rows)
