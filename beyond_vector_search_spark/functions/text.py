@@ -13,19 +13,26 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Reference text.py:8 — keeps '-'/'_'-joined tokens (inc-49217, user_id).
-# We lowercase *first* and match a lowercase pattern; the reference
-# matches mixed-case then lowercases each token — equivalent because the
-# pattern is case-closed under lower().
-TOKEN_PATTERN = r"[a-z0-9]+(?:[-_][a-z0-9]+)*"
+# Match MIXED-case on the original text, then lowercase each token —
+# exactly the reference's order.  Lowercasing the whole string first is
+# NOT equivalent under Unicode: e.g. 'İ' (U+0130) lowercases to
+# 'i' + combining dot, minting a phantom [a-z] token that the reference
+# never sees (found by hypothesis).  Matched tokens are pure ASCII, so
+# the per-token lower() is locale-safe.
+TOKEN_PATTERN = r"[A-Za-z0-9]+(?:[-_][A-Za-z0-9]+)*"
 
 
 def tokenize(text: Column | str) -> Column:
     """Lowercase regex tokenization (reference text.py:11-17).
 
-    DuckDB oracle: ``regexp_extract_all(lower(text), '[a-z0-9]+(?:[-_][a-z0-9]+)*')``
+    DuckDB oracle: ``list_transform(regexp_extract_all(text,
+    '[A-Za-z0-9]+(?:[-_][A-Za-z0-9]+)*'), t -> lower(t))``
     """
     text = F.col(text) if isinstance(text, str) else text
-    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), F.lit(0))
+    return F.transform(
+        F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)),
+        lambda t: F.lower(t),
+    )
 
 
 def has_digits(text: Column | str) -> Column:
@@ -41,7 +48,7 @@ def normalize_ws(text: Column | str) -> Column:
     """Whitespace-collapse + lowercase + trim (the n-gram prenormalize
     of reference retrievers.py:42)."""
     text = F.col(text) if isinstance(text, str) else text
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(text), r"(?U)\s+", " "))
 
 
 def char_ngrams_from_normed(s: Column | str, n: int = 4) -> Column:
@@ -92,12 +99,15 @@ def join_top_sentences(text: Column | str, max_sentences: int = 2) -> Column:
     with ". ", append "." unless the result already ends in . ! or ?.
     """
     text = F.col(text) if isinstance(text, str) else text
+    # Python str.strip() trims UNICODE whitespace — Spark's trim() only
+    # ASCII; use a (?U) regex trim for part-level stripping.
+    utrim = lambda p: F.regexp_replace(p, r"(?U)^\s+|\s+$", "")  # noqa: E731
     parts = F.filter(
-        F.transform(F.split(text, r"[.!?]\s+"), lambda p: F.trim(p)),
+        F.transform(F.split(text, r"(?U)[.!?]\s+"), utrim),
         lambda p: p != "",
     )
     joined = F.concat_ws(". ", F.slice(parts, 1, max_sentences))
-    out = F.trim(joined)
+    out = utrim(joined)
     return F.when(F.length(out) == 0, F.lit("")).otherwise(
         F.when(out.rlike(r"[.!?]$"), out).otherwise(F.concat(out, F.lit(".")))
     )
@@ -111,4 +121,4 @@ def norm_answer(text: Column | str) -> Column:
     DuckDB oracle: ``trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))``
     """
     text = F.col(text) if isinstance(text, str) else text
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(text), r"(?U)\s+", " "))

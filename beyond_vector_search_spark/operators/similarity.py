@@ -58,6 +58,76 @@ def knn_bruteforce(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank) — IVF approximate top-k.
+
+    The scale path for similarity search: candidates are pre-bucketed by
+    nearest centroid (assign_centroids — one map pass, persisted in
+    practice); each query probes only its ``nprobe`` closest centroid
+    buckets, so the scan touches ~nprobe/K of the corpus instead of all
+    of it.  Both the bucketing and the probe order are deterministic
+    (rounded cos + id tie-breaks), so the approximation itself is
+    reproducible — the DuckDB oracle computes the identical result.
+    """
+    assigned = assign_centroids(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    q = queries.select("query_id", as_double_array(F.col("embedding")).alias("qv"))
+    c = centroids.select("centroid_id", as_double_array(F.col("embedding")).alias("cv"))
+    q_probe = _with_cos(F.broadcast(q).crossJoin(F.broadcast(c)))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 6)), F.asc("centroid_id")
+    )
+    probed = (
+        q_probe.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cands = probed.join(assigned.select(F.col("vec_id").alias("neighbor_id"), "centroid_id"), "centroid_id")
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+    )
+    scored = _with_cos(cands.join(e, "neighbor_id")).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+) -> DataFrame:
+    """(id_a, id_b, cos) — embedding-cosine near-duplicate pairs.
+
+    Brute-force O(n^2) over the given (pre-filtered/bucketed) set; the
+    production path first blocks candidates via :func:`assign_centroids`
+    or LSH and runs this verify inside buckets only.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), as_double_array(F.col(vec_col)).alias("qv"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), as_double_array(F.col(vec_col)).alias("cv"))
+    pairs = _with_cos(a.crossJoin(b)).where(F.col("id_a") < F.col("id_b"))
+    return pairs.where(F.round(F.col("cos"), 6) >= threshold).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
 def assign_centroids(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -44,7 +44,10 @@ QUERY_SET: list[tuple[str, str]] = [
 
 TOP_K = 10
 
-_SQL_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9]+(?:[-_][a-z0-9]+)*')"
+_SQL_TOKENIZE = (
+    "list_transform(regexp_extract_all({col}, "
+    "'[A-Za-z0-9]+(?:[-_][A-Za-z0-9]+)*'), t -> lower(t))"
+)
 
 _QUERIES_CTE = "queries(query_id, query) AS (VALUES " + ", ".join(
     f"('{qid}', '{q}')" for qid, q in QUERY_SET
@@ -401,10 +404,12 @@ def q_router_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _load_extensions() -> None:
     """Import the extension catalogs (they self-register)."""
     from beyond_vector_search_spark.plans import pipeline_queries  # noqa: F401
-    from beyond_vector_search_spark.plans import relational_queries
+    from beyond_vector_search_spark.plans import coverage_queries, relational_queries
 
     if "tpch_q1" not in REGISTRY:
         relational_queries.register_all()
+    if "cube_orders" not in REGISTRY:
+        coverage_queries.register_all()
 
 
 def all_queries() -> dict[str, SparkFn]:

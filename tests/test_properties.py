@@ -1,0 +1,104 @@
+"""Property-based invariants (hypothesis) for the expression library —
+the determinism rules every ranking depends on."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.ref_impl import ref_retrievers, ref_text
+
+TEXTS = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"), max_codepoint=0x2FF
+    ),
+    max_size=200,
+)
+
+
+class _Bank:
+    """Collect many hypothesis examples, evaluate them in ONE Spark job
+    (per-example Spark round-trips would take minutes)."""
+
+    def __init__(self):
+        self.samples: list[str] = []
+
+    def add(self, s: str) -> None:
+        self.samples.append(s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTS)
+def _collect(bank, s):
+    bank.add(s)
+
+
+def _batch(spark, samples, col_fn):
+    df = spark.createDataFrame([(s,) for s in samples], "s STRING")
+    from pyspark.sql import functions as F
+
+    return [r[0] for r in df.select(col_fn(F.col("s"))).collect()]
+
+
+def test_tokenize_property_parity(spark):
+    from beyond_vector_search_spark.functions.text import tokenize
+
+    bank = _Bank()
+    _collect(bank)
+    samples = bank.samples or [""]
+    got = _batch(spark, samples, tokenize)
+    for s, g in zip(samples, got):
+        assert g == ref_text.tokenize(s), repr(s)
+
+
+def test_char_ngrams_property_parity(spark):
+    from beyond_vector_search_spark.functions.text import char_ngrams
+
+    bank = _Bank()
+    _collect(bank)
+    samples = bank.samples or [""]
+    got = _batch(spark, samples, char_ngrams)
+    for s, g in zip(samples, got):
+        assert g == ref_retrievers._char_ngrams(s, n=4), repr(s)
+
+
+def test_join_top_sentences_property_parity(spark):
+    from beyond_vector_search_spark.functions.text import join_top_sentences
+
+    bank = _Bank()
+    _collect(bank)
+    samples = bank.samples or [""]
+    got = _batch(spark, samples, join_top_sentences)
+    for s, g in zip(samples, got):
+        assert g == ref_text.join_top_sentences(s, max_sentences=2), repr(s)
+
+
+def test_stable_topk_tie_break_invariant(spark):
+    """For any score multiset, stable_topk orders by (score desc, id asc)
+    and equal-score groups are id-sorted — the reference's text.py:52-54
+    rule that every golden output depends on."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.retrieval import stable_topk
+
+    rng = random.Random(7)
+    rows = []
+    for qid in range(20):
+        for doc in range(50):
+            rows.append((f"q{qid}", doc, rng.choice([0.0, 0.25, 0.5, 0.75, 1.0])))
+    df = spark.createDataFrame(rows, "query_id STRING, doc_id BIGINT, score DOUBLE")
+    out = stable_topk(df, 10).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    expected = {}
+    for qid, doc, score in rows:
+        expected.setdefault(qid, []).append((score, doc))
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        want = sorted(expected[qid], key=lambda t: (-t[0], t[1]))[:10]
+        assert [(r.score, r.doc_id) for r in rs] == want, qid
