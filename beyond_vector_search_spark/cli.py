@@ -28,7 +28,7 @@ from beyond_vector_search_spark.operators.router import (
     route,
 )
 from beyond_vector_search_spark.sources.readers import load_corpus, load_labels
-from beyond_vector_search_spark.sources.telemetry import TelemetryStore
+from beyond_vector_search_spark.sources.telemetry import telemetry_from_env
 from beyond_vector_search_spark.session import get_spark
 
 DEFAULT_CORPUS = "/root/reference/data/corpus.jsonl"
@@ -50,7 +50,7 @@ def cmd_run(args) -> dict:
     docs = load_corpus(spark, args.corpus).cache()
     labels = load_labels(spark, args.labels)
     idx = _index(spark, docs, args.index_dir)
-    store = TelemetryStore(spark, args.db or tempfile.mkdtemp(prefix="bvs_telemetry_"))
+    store = telemetry_from_env(spark, args.db or tempfile.mkdtemp(prefix="bvs_telemetry_"))
 
     state = RouterState.from_json(store.get_state(STATE_KEY, RouterState().to_json()))
     queries = spark.createDataFrame([("q", args.query)], "query_id STRING, query STRING")
@@ -91,7 +91,7 @@ def cmd_evaluate(args) -> dict:
     docs = load_corpus(spark, args.corpus).cache()
     labels = load_labels(spark, args.labels).cache()
     idx = _index(spark, docs, args.index_dir)
-    store = TelemetryStore(spark, args.db or tempfile.mkdtemp(prefix="bvs_telemetry_"))
+    store = telemetry_from_env(spark, args.db or tempfile.mkdtemp(prefix="bvs_telemetry_"))
 
     state = RouterState.from_json(store.get_state(STATE_KEY, RouterState().to_json()))
     report, final_state, runs_df = evaluate_all(labels, docs, idx, state=state, k=args.k)

@@ -315,6 +315,43 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantiles_lineitem",
+    # DuckDB spelling of the same exact-interpolation percentiles
+    "SELECT l_returnflag, "
+    "round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty, "
+    "round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price, "
+    "round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price, "
+    "round(min(l_extendedprice), 6) AS min_price, "
+    "round(max(l_extendedprice), 6) AS max_price "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`), rounded 6 for the interpolation's last-bit
+    arithmetic differences."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+        F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+    )
+
+
+@register("approx_distinct_parts", None)  # approximate by design -> rows-only
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts — approximate, engine-specific
+    sketches, so no cross-engine oracle; the driver records rows-only.
+    The exact variant is oracled as `distinct_aggs`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
 def register_all() -> None:
     register_shared_sql("cube_orders", CUBE_ORDERS)
     register_shared_sql("distinct_aggs", DISTINCT_AGGS)

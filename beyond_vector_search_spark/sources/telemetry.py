@@ -107,3 +107,47 @@ class TelemetryStore:
     def register_views(self) -> None:
         self.runs().createOrReplaceTempView("runs")
         self._state_view().createOrReplaceTempView("router_state")
+
+
+class JdbcTelemetryStore(TelemetryStore):
+    """JDBC-backed runs log (the reference's Postgres backend,
+    telemetry.py:95-186, as ``df.write.jdbc``).  The state KV stays on
+    parquet (JDBC has no portable upsert through the DataFrame API).
+
+    Requires a JDBC driver jar on the Spark classpath — constructing
+    the store does not; only the first write touches the database.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, *, url: str, table: str = "runs", properties: dict | None = None):
+        super().__init__(spark, path)
+        self.url = url
+        self.table = table
+        self.properties = properties or {}
+
+    def log_runs(self, df: DataFrame) -> None:
+        out = df
+        if "ts_unix" not in df.columns:
+            out = out.withColumn("ts_unix", F.lit(time.time()))
+        if "meta_json" not in out.columns:
+            out = out.withColumn("meta_json", F.lit("{}"))
+        out.select("ts_unix", "query", "strategy", "score", "meta_json").write.mode(
+            "append"
+        ).jdbc(self.url, self.table, properties=self.properties)
+
+    def runs(self) -> DataFrame:
+        return self.spark.read.jdbc(self.url, self.table, properties=self.properties)
+
+
+def telemetry_from_env(spark: SparkSession, path: str) -> TelemetryStore:
+    """Backend dispatch (reference telemetry.py:189-209, env
+    ``BVS_TELEMETRY``): default parquet store; ``jdbc`` selects the
+    JDBC runs log with ``BVS_JDBC_URL``/``BVS_JDBC_TABLE``."""
+    backend = os.environ.get("BVS_TELEMETRY", "parquet").lower()
+    if backend == "jdbc":
+        url = os.environ.get("BVS_JDBC_URL")
+        if not url:
+            raise ValueError("BVS_TELEMETRY=jdbc requires BVS_JDBC_URL")
+        return JdbcTelemetryStore(
+            spark, path, url=url, table=os.environ.get("BVS_JDBC_TABLE", "runs")
+        )
+    return TelemetryStore(spark, path)
