@@ -155,7 +155,32 @@ def evaluate_all(
         per_query=per_query,
     )
     spark = labels.sparkSession
-    runs_df = spark.createDataFrame(
+    chosen_df = spark.createDataFrame(
         run_rows, "query STRING, strategy STRING, score DOUBLE, query_id STRING"
-    ).withColumn("ts_unix", F.unix_timestamp(F.current_timestamp()).cast("double"))
+    )
+    # Rich telemetry meta (reference evaluate.py:71-100) built JVM-side
+    # with to_json(struct(...)) — features, per-arm scores, top doc ids.
+    meta = F.to_json(
+        F.struct(
+            F.lit(True).alias("eval"),
+            F.col("query_id"),
+            F.struct(
+                F.col("n_tokens"), F.col("digit_ratio"), F.col("oov_ratio"), F.col("rare_ratio")
+            ).alias("features"),
+            F.struct(F.col("s_vec").alias("score_total"), F.col("ids_vec").alias("top_doc_ids")).alias("vector"),
+            F.struct(F.col("s_key").alias("score_total"), F.col("ids_key").alias("top_doc_ids")).alias("keyword"),
+            F.struct(F.col("s_hyb").alias("score_total"), F.col("ids_hyb").alias("top_doc_ids")).alias("hybrid"),
+        )
+    )
+    runs_df = (
+        chosen_df.join(merged, ["query_id", "query"])
+        .select(
+            "query",
+            "strategy",
+            "score",
+            "query_id",
+            meta.alias("meta_json"),
+        )
+        .withColumn("ts_unix", F.unix_timestamp(F.current_timestamp()).cast("double"))
+    )
     return report, state, runs_df

@@ -352,7 +352,70 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_error_purchase",
+    # DuckDB has native ASOF JOIN — the oracle is the real thing.
+    "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value FROM events), "
+    "errors AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'error'), "
+    "purchases AS (SELECT user_id, ts_ms, event_id AS purchase_event, round(value, 6) AS purchase_value FROM e WHERE event_type = 'purchase') "
+    "SELECT l.user_id, l.event_id, l.ts_ms, r.purchase_event, r.purchase_value "
+    "FROM errors l ASOF LEFT JOIN purchases r "
+    "ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no Spark builtin): for each error event, the user's
+    most recent purchase at or before it.  union+window composition —
+    one shuffle, no inequality-join explosion."""
+    from beyond_vector_search_spark.operators.timeseries import asof_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "event_type", "value"
+    )
+    errors = e.where("event_type = 'error'").select("user_id", "event_id", "ts_ms")
+    purchases = e.where("event_type = 'purchase'").select(
+        "user_id", "ts_ms", F.col("event_id").alias("purchase_event"),
+        F.round("value", 6).alias("purchase_value"),
+    )
+    return asof_join(errors, purchases, on="ts_ms", by="user_id")
+
+
+@register(
+    "range_join_events",
+    # clicks followed by a purchase within 10 minutes, same user
+    "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events), "
+    "clicks AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'click'), "
+    "purch AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'purchase') "
+    "SELECT c.user_id, c.event_id, c.ts_ms, p.event_id AS event_id_right, p.ts_ms AS ts_ms_right "
+    "FROM clicks c JOIN purch p ON c.user_id = p.user_id "
+    "AND p.ts_ms - c.ts_ms >= 1000 AND p.ts_ms - c.ts_ms <= 600000",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join via time-bucket equi-join + residual predicate
+    (hash join, not nested-loop)."""
+    from beyond_vector_search_spark.operators.timeseries import range_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "event_type"
+    )
+    clicks = e.where("event_type = 'click'").select("user_id", "event_id", "ts_ms")
+    purch = e.where("event_type = 'purchase'").select("user_id", "event_id", "ts_ms")
+    return range_join(
+        clicks, purch, by="user_id", left_time="ts_ms", right_time="ts_ms",
+        lower_ms=1000, upper_ms=600000,
+    )
+
+
+INTERSECT_CUSTKEYS = """
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+"""
+
+
 def register_all() -> None:
+    register_shared_sql("intersect_custkeys", INTERSECT_CUSTKEYS)
     register_shared_sql("cube_orders", CUBE_ORDERS)
     register_shared_sql("distinct_aggs", DISTINCT_AGGS)
     register_shared_sql("orders_by_month", ORDERS_BY_MONTH)
