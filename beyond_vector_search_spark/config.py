@@ -41,6 +41,13 @@ class EngineConfig:
     # score 0.0.  Exact parity needs them; at 100 TB you turn this off —
     # it only changes deep-tail ranks.
     include_zero_score_docs: bool = True
+    # max_gram_df_ratio: drop char-grams appearing in more than this
+    # fraction of documents from the vector index (stopword-grade grams
+    # are the hot keys of the cosine join — the classic skew source at
+    # scale).  None = keep all (exact reference parity).  Pruned grams
+    # carry the least idf weight, so ranking impact is minimal and the
+    # join skew disappears at the source.
+    max_gram_df_ratio: float | None = None
     shuffle_partitions: int = 32
 
 

@@ -258,6 +258,13 @@ def build_index(
         .crossJoin(F.broadcast(n))
         .select("gram", "df", _idf(F.col("n_docs"), F.col("df")).alias("idf"))
     )
+    if cfg.max_gram_df_ratio is not None:
+        # skew guard: stopword-grade grams are the hot keys of the
+        # cosine join; dropping them here prunes doc_vec via the inner
+        # join below (and query vectors via their gram_stats join)
+        gram_stats = gram_stats.crossJoin(F.broadcast(n.withColumnRenamed("n_docs", "_n"))).where(
+            F.col("df") <= cfg.max_gram_df_ratio * F.col("_n")
+        ).drop("_n")
     doc_vec = gram_tf.join(F.broadcast(gram_stats.select("gram", "idf")), "gram").select(
         "doc_id", "gram", ((1.0 + F.log("tf")) * F.col("idf")).alias("weight")
     )

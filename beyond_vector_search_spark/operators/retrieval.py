@@ -54,9 +54,15 @@ def stable_topk(scored: DataFrame, k: int, *, score_col: str = "score") -> DataF
 
 
 def _restore_zero_docs(scored: DataFrame, queries: DataFrame, doc_ids: DataFrame) -> DataFrame:
-    """All (query, doc) pairs with missing scores as 0.0 (parity mode)."""
+    """All (query, doc) pairs with missing scores as 0.0 (parity mode —
+    see EngineConfig.include_zero_score_docs; a 100 TB run disables it).
+
+    The scored relation is broadcast: in parity mode it is bounded by
+    |queries| x |matched docs|, always the small side of this join, and
+    the hint turns a two-sided shuffle (SortMergeJoin) into a map-side
+    broadcast join over the query x doc universe."""
     universe = queries.select("query_id").crossJoin(doc_ids)
-    return universe.join(scored, ["query_id", "doc_id"], "left").select(
+    return universe.join(F.broadcast(scored), ["query_id", "doc_id"], "left").select(
         "query_id", "doc_id", F.coalesce(F.col("score"), F.lit(0.0)).alias("score")
     )
 

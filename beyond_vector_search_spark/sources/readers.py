@@ -41,6 +41,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hand us a session we didn't build.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp->string casts (oracle-facing) must be TZ-stable even if
+    # the caller's session didn't set a timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # right-size shuffles for callers running Spark's 200-partition
+    # default against these small-SF tables (AQE coalesces, but the
+    # initial partitioning still costs task overhead)
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) -> read as nanos BIGINT; convert

@@ -61,8 +61,11 @@ class TelemetryStore:
             "strategy",
             F.col("score").cast("double"),
             "meta_json",
+            # date partitioning: drift/inspection queries over a time
+            # range prune partitions instead of scanning the full log
+            F.to_date(F.to_timestamp(F.col("ts_unix"))).alias("run_date"),
         )
-        out.write.mode("append").parquet(self._runs)
+        out.write.mode("append").partitionBy("run_date").parquet(self._runs)
 
     def log_run(self, *, query: str, strategy: str, score: float, meta: dict | None = None) -> None:
         df = self.spark.createDataFrame(
