@@ -17,6 +17,7 @@ from beyond_vector_search_spark.plans.entry_queries import (
     _POSTINGS_CTE,
     _QUERIES_CTE,
     _SCALARS_CTE,
+    _SQL_TOKENIZE,
     _TERM_STATS_CTE,
     _TOKS_CTE,
     _docs_index,
@@ -412,6 +413,62 @@ INTERSECT
 SELECT o_custkey AS c_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
 """
+
+
+@register(
+    "curation_pipeline",
+    # The composite training-data curation flow, end to end:
+    # quality-filter -> fingerprint-dedup -> join embeddings ->
+    # centroid-assign -> per-(lang, centroid) corpus stats.
+    f"WITH {'toks AS (SELECT doc_id, ' + _SQL_TOKENIZE.format(col='text') + ' AS tokens FROM documents)'}, "
+    "quality AS (SELECT d.doc_id, d.lang, length(d.text) AS n_chars, t.tokens, "
+    "CASE WHEN length(d.text) = 0 THEN 0.0 ELSE "
+    "CAST(length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / length(d.text) END AS alpha_ratio "
+    "FROM documents d JOIN toks t USING (doc_id)), "
+    "kept AS (SELECT doc_id, lang, n_chars, "
+    "md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fp "
+    "FROM quality WHERE alpha_ratio >= 0.7 AND n_chars >= 50), "
+    "deduped AS (SELECT doc_id, lang, n_chars FROM ("
+    "SELECT doc_id, lang, n_chars, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1), "
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8), "
+    f"assigned0 AS (SELECT e.vec_id, c.centroid_id, {_COS_SQL.replace('qv', 'e.v').replace('cv', 'c.cv')} AS cos FROM e CROSS JOIN cents c), "
+    "assigned AS (SELECT vec_id, centroid_id FROM ("
+    "SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY round(cos, 6) DESC, centroid_id ASC) AS rn "
+    "FROM assigned0) WHERE rn = 1) "
+    "SELECT d.lang, a.centroid_id, count(*) AS n_docs, "
+    "CAST(sum(d.n_chars) AS BIGINT) AS total_chars "
+    "FROM deduped d JOIN assigned a ON a.vec_id = d.doc_id "
+    "GROUP BY d.lang, a.centroid_id",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pipeline: the engine's operators chained the way a real
+    training-data curation job runs them.  Each stage is the operator
+    module's public function — this is composition, not reimplementation."""
+    from beyond_vector_search_spark.operators.text_analysis import doc_fingerprint, quality_score
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).where("alpha_ratio >= 0.7 AND n_chars >= 50")
+    fp = doc_fingerprint(docs)
+    kept = q.select("doc_id", "n_chars").join(fp, "doc_id").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn", "fingerprint")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where("vec_id < 8").select(F.col("vec_id").alias("centroid_id"), "embedding")
+    assigned = sim.assign_centroids(emb, centroids).select("vec_id", "centroid_id")
+    return (
+        deduped.join(assigned, deduped.doc_id == assigned.vec_id)
+        .groupBy("lang", "centroid_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
 
 
 def register_all() -> None:
