@@ -232,6 +232,56 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "deterministic_sample",
+    # hash-based sampling: reproducible across engines, runs, and
+    # cluster sizes (unlike rand()-based sample) — the only kind of
+    # sampling a training-data pipeline should use.  ~20% of docs,
+    # stratum label carried for audit.
+    "WITH hashed AS (SELECT doc_id, lang, n_chars, "
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket "
+    "FROM documents) "
+    "SELECT doc_id, lang, n_chars, CAST(bucket AS BIGINT) AS bucket FROM hashed WHERE bucket < 20",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beyond_vector_search_spark.functions.hashing import hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(hash64(F.col("doc_id")), F.lit(100)).cast("long")
+    return docs.select("doc_id", "lang", "n_chars", bucket.alias("bucket")).where(
+        F.col("bucket") < 20
+    )
+
+
+@register(
+    "token_histogram",
+    # corpus vocabulary analysis: top-50 tokens by document frequency,
+    # ties broken by token for a deterministic cut
+    f"WITH {_TOKS}, "
+    "ex AS (SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM toks), "
+    "df AS (SELECT term, count(*) AS doc_freq FROM ex GROUP BY term), "
+    "ranked AS (SELECT term, doc_freq, "
+    "CAST(row_number() OVER (ORDER BY doc_freq DESC, term ASC) AS INTEGER) AS rank FROM df) "
+    "SELECT term, doc_freq, rank FROM ranked WHERE rank <= 50",
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    idx = _docs_index_pipeline(spark, sf_dir)
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("term"))
+    return (
+        idx.term_stats.select("term", F.col("df").alias("doc_freq"))
+        .withColumn("rank", F.row_number().over(w))
+        .where("rank <= 50")
+    )
+
+
+def _docs_index_pipeline(spark, sf_dir):
+    from beyond_vector_search_spark.plans.entry_queries import _docs_index
+
+    return _docs_index(spark, sf_dir)
+
+
+@register(
     "ivf_assign",
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings), "
     "c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 8), "
