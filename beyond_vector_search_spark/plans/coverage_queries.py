@@ -471,6 +471,56 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "zscore_doclen_by_lang",
+    # grouped-map applyInPandas kernel, oracled by the pure-SQL z-score
+    "WITH stats AS (SELECT lang, avg(n_chars) AS mu, stddev_samp(n_chars) AS sd, count(*) AS n "
+    "FROM documents GROUP BY lang) "
+    "SELECT d.lang, d.doc_id, CAST(d.n_chars AS DOUBLE) AS n_chars, "
+    "round(CASE WHEN s.n < 2 OR s.sd = 0 THEN 0.0 ELSE (d.n_chars - s.mu) / s.sd END, 6) AS zscore "
+    "FROM documents d JOIN stats s USING (lang)",
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score via a pandas grouped-map kernel — the oracle is
+    the independent SQL formulation, proving the Python kernel computes
+    the same thing the relational algebra would."""
+    from beyond_vector_search_spark.functions.udfs import zscore_by_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    out = zscore_by_group(docs, group_col="lang", value_col="n_chars")
+    return out.select("lang", "doc_id", "n_chars", F.round("zscore", 6).alias("zscore"))
+
+
+@register("events_gini_udaf", None)  # custom Python UDAF -> rows-only
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of event values per type via a grouped-agg
+    pandas UDAF (needs the full sorted group — no built-in equivalent,
+    and numpy float reductions don't hash-match cross-engine, so
+    rows-only)."""
+    from beyond_vector_search_spark.functions.udfs import gini
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(gini(F.col("value")).alias("gini_value"))
+
+
+@register(
+    "top_terms_per_doc",
+    # the mapInPandas UDTF vs a pure-SQL top-n-per-group formulation
+    f"WITH {'toks2 AS (SELECT doc_id, ' + _SQL_TOKENIZE.format(col='text') + ' AS tokens FROM documents WHERE doc_id < 100)'}, "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tokens) AS term FROM toks2) GROUP BY doc_id, term), "
+    "ranked AS (SELECT doc_id, term, tf, CAST(row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS INTEGER) AS rank FROM tf) "
+    "SELECT doc_id, term, tf, rank FROM ranked WHERE rank <= 3",
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beyond_vector_search_spark.functions.udfs import top_terms_udtf
+
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 100")
+    return top_terms_udtf(docs, n=3)
+
+
 def register_all() -> None:
     register_shared_sql("intersect_custkeys", INTERSECT_CUSTKEYS)
     register_shared_sql("cube_orders", CUBE_ORDERS)
