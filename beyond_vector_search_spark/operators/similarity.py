@@ -107,6 +107,61 @@ def ivf_topk(
     )
 
 
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(query_id, neighbor_id, dist, rank) — approximate NN via MLlib's
+    BucketedRandomProjectionLSH (random-hyperplane bucketing, Euclidean
+    distance).
+
+    The MLlib alternative to :func:`ivf_topk`: index build is a fit()
+    producing random projections; the similarity join only compares
+    vectors sharing a hash bucket.  Deterministic given the seed, but
+    the hash family is Spark-internal — no cross-engine oracle
+    (rows-only in the catalog).  Candidates may miss true neighbors
+    (tune bucket_length/num_hash_tables for recall).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        array_to_vector(as_double_array(F.col(vec_col))).alias("features"),
+    )
+    q = queries.select(
+        "query_id", array_to_vector(as_double_array(F.col("embedding"))).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(corpus)
+    joined = model.approxSimilarityJoin(q, corpus, float("inf"), distCol="dist").select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.neighbor_id").alias("neighbor_id"),
+        F.col("dist"),
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc(F.round(F.col("dist"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rank")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     *,

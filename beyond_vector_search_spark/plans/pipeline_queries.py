@@ -281,6 +281,17 @@ def _docs_index_pipeline(spark, sf_dir):
     return _docs_index(spark, sf_dir)
 
 
+@register("ann_lsh_topk", None)  # Spark-internal LSH hash family -> rows-only
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approximate NN (seeded,
+    deterministic within Spark, but the hash family is engine-internal
+    so there is no cross-engine oracle; exact paths are oracled as
+    knn_cosine_topk / ivf_topk_probe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    return sim.lsh_ann_topk(emb, queries, k=5)
+
+
 @register(
     "ivf_assign",
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings), "
