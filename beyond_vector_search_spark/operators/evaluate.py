@@ -92,6 +92,7 @@ def evaluate_all(
     text_col: str = "text",
     cfg: EngineConfig = DEFAULT,
     k: int | None = None,
+    tops: dict[str, DataFrame] | None = None,
 ) -> tuple[EvalReport, RouterState, DataFrame]:
     """Run the full evaluation; returns (report, final_state, runs_df).
 
@@ -99,12 +100,15 @@ def evaluate_all(
     evaluate.py:71-100) ready for the telemetry sink.  Query order for
     the feedback fold = ascending query_id (the labels file is ordered
     Q-001.. so file order == query_id order).
+
+    Pass precomputed ``tops`` ({strategy: top-k DataFrame}) to reuse
+    cached score relations across callers.
     """
     state = state or RouterState()
     k = k if k is not None else cfg.k
     queries = labels.select("query_id", "query")
 
-    tops = search_all(queries, index, k=k, cfg=cfg)
+    tops = tops or search_all(queries, index, k=k, cfg=cfg)
     evals = {
         s: strategy_eval(
             tops[s], documents, labels,

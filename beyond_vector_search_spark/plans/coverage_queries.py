@@ -298,7 +298,16 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(top1.select("query_id", F.col("doc_id").cast("string").alias("expected_doc_id")), "query_id")
         .join(ans.select("query_id", F.col("answer").alias("expected_answer")), "query_id")
     )
-    report, state, _runs = evaluate_all(labels, docs, idx, title_col=None)
+    from beyond_vector_search_spark.operators.retrieval import hybrid_scores
+
+    key = _scores(spark, sf_dir, "keyword")
+    vec = _scores(spark, sf_dir, "vector")
+    tops = {
+        "keyword": stable_topk(key, 5),
+        "vector": stable_topk(vec, 5),
+        "hybrid": stable_topk(hybrid_scores(_queries_df(spark), idx, keyword=key, vector=vec), 5),
+    }
+    report, state, _runs = evaluate_all(labels, docs, idx, title_col=None, tops=tops)
     rows = [
         (
             q["query_id"], q["chosen"], float(q["chosen_score"]),

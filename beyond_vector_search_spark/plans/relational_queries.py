@@ -88,6 +88,19 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """
 
+# --- TPC-H Q6-style revenue-change forecast (pure filter + agg —
+#     the pushdown showcase: every predicate reaches the parquet scan)
+TPCH_Q6 = """
+SELECT
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24
+"""
+
 # --- window ranking: top-3 customers by balance per nation
 WINDOW_TOP_CUSTOMERS = """
 WITH ranked AS (
@@ -217,6 +230,7 @@ def register_all() -> None:
     register_shared_sql("tpch_q1", TPCH_Q1)
     register_shared_sql("tpch_q3_topk", TPCH_Q3)
     register_shared_sql("tpch_q5_region_volume", TPCH_Q5)
+    register_shared_sql("tpch_q6_forecast", TPCH_Q6)
     register_shared_sql("window_top_customers", WINDOW_TOP_CUSTOMERS)
     register_shared_sql("orders_rollup", ORDERS_ROLLUP)
     register_shared_sql("customers_without_orders", CUSTOMERS_WITHOUT_ORDERS)
