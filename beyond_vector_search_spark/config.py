@@ -49,6 +49,15 @@ class EngineConfig:
     # join skew disappears at the source.
     max_gram_df_ratio: float | None = None
     shuffle_partitions: int = 32
+    # index_kernel: how the (doc_id, term/gram, tf) relations are built.
+    # "arrow"  — mapInPandas counting kernels (functions/kernels.py):
+    #            ~4x faster than the expression path because Spark
+    #            evaluates higher-order-function lambdas interpreted,
+    #            per element.  Narrow transformation; scale-safe.
+    # "expr"   — pure Column expressions + explode + groupBy (the
+    #            semantic definition; mirrors the DuckDB oracle SQL).
+    # Tests assert both produce identical relations.
+    index_kernel: str = "arrow"
 
 
 DEFAULT = EngineConfig()

@@ -227,8 +227,35 @@ def build_index(
     Caches use Spark's default MEMORY_AND_DISK; at cluster scale the
     same intermediates would be persisted parquet (CorpusIndex.save).
     """
-    toks = doc_tokens(docs, id_col=id_col, text=text).cache()
-    postings = build_postings(toks).cache()
+    arrow = cfg.index_kernel == "arrow"
+    if arrow:
+        # Arrow counting kernels (functions/kernels.py): tokenize/shingle
+        # + per-doc tf in one narrow pass; doc_stats/scalars derive from
+        # the aggregated postings (sum(tf) per doc == token count), so
+        # the corpus text is scanned exactly twice (tokens + grams).
+        from beyond_vector_search_spark.functions import kernels
+
+        postings = (
+            kernels.term_tf_frame(docs, id_col=id_col, text=text)
+            .select("term", "doc_id", "tf")
+            .cache()
+        )
+        doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+        # left join restores zero-token docs (they have no postings rows)
+        doc_stats = (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(doc_len, "doc_id", "left")
+            .select("doc_id", F.coalesce("doc_len", F.lit(0)).alias("doc_len"))
+        )
+        scalars = doc_stats.agg(
+            F.greatest(F.count("*"), F.lit(1)).alias("n_docs"),
+            (F.sum("doc_len") / F.greatest(F.count("*"), F.lit(1))).alias("avg_dl"),
+        )
+    else:
+        toks = doc_tokens(docs, id_col=id_col, text=text).cache()
+        postings = build_postings(toks).cache()
+        doc_stats = build_doc_stats(toks)
+        scalars = corpus_scalars(toks)
     n = docs.agg(F.greatest(F.count("*"), F.lit(1)).alias("n_docs"))
     term_stats = (
         postings.groupBy("term")
@@ -242,16 +269,21 @@ def build_index(
         )
     )
 
-    # cached: the explode below carries an inferred size(grams)>0 filter
-    # that would otherwise inline the shingling expression 2 extra times
-    # per row (see docstring)
-    grams = doc_grams(docs, id_col=id_col, text=text, n=cfg.ngram_n).cache()
-    gram_tf = (
-        grams.select("doc_id", F.explode("grams").alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("tf"))
-        .cache()
-    )
+    if arrow:
+        from beyond_vector_search_spark.functions import kernels
+
+        gram_tf = kernels.gram_tf_frame(docs, id_col=id_col, text=text, n=cfg.ngram_n).cache()
+    else:
+        # cached: the explode below carries an inferred size(grams)>0
+        # filter that would otherwise inline the shingling expression 2
+        # extra times per row (see docstring)
+        grams = doc_grams(docs, id_col=id_col, text=text, n=cfg.ngram_n).cache()
+        gram_tf = (
+            grams.select("doc_id", F.explode("grams").alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("tf"))
+            .cache()
+        )
     gram_stats = (
         gram_tf.groupBy("gram")
         .agg(F.count("*").alias("df"))
@@ -269,12 +301,12 @@ def build_index(
         "doc_id", "gram", ((1.0 + F.log("tf")) * F.col("idf")).alias("weight")
     )
     return CorpusIndex(
-        doc_stats=build_doc_stats(toks),
+        doc_stats=doc_stats,
         term_stats=term_stats,
         postings=postings,
         gram_stats=gram_stats,
         doc_vec=doc_vec,
         doc_norm=build_doc_norm(doc_vec),
-        scalars=corpus_scalars(toks),
+        scalars=scalars,
         doc_ids=docs.select(F.col(id_col).alias("doc_id")),
     )

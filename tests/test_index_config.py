@@ -37,3 +37,67 @@ def test_include_zero_score_docs_flag(spark):
     scale = bm25_scores(q, idx, cfg=replace(DEFAULT, include_zero_score_docs=False))
     assert scale.count() == 1                        # only matching docs
     assert scale.collect()[0].doc_id == 1
+
+
+def test_arrow_and_expr_kernels_identical(spark):
+    """The Arrow counting kernels (functions/kernels.py) and the pure
+    expression path must build bit-identical postings/gram_tf relations,
+    including on unicode whitespace / mixed-case / short-string edges."""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.functions import kernels
+    from beyond_vector_search_spark.functions.text import char_ngrams, tokenize
+
+    rows = [
+        (1, "Need details on INC-49217 now"),
+        (2, "a"),
+        (3, ""),
+        (4, None),
+        (5, "ab"),
+        (6, "abcd"),
+        (7, "Tabs\tand\nnewlines nbsp   runs"),
+        (8, "MiXeD CaSe user_id INC-10010 cache-stampede"),
+        (9, "x" * 7),
+        (10, "spark spark spark spark"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    expr_terms = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    arrow_terms = kernels.term_tf_frame(docs, text="text")
+    assert expr_terms.exceptAll(arrow_terms).count() == 0
+    assert arrow_terms.exceptAll(expr_terms).count() == 0
+
+    expr_grams = (
+        docs.select("doc_id", F.explode(char_ngrams("text", 4)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("tf"))
+    )
+    arrow_grams = kernels.gram_tf_frame(docs, text="text")
+    assert expr_grams.exceptAll(arrow_grams).count() == 0
+    assert arrow_grams.exceptAll(expr_grams).count() == 0
+
+
+def test_build_index_kernel_paths_agree(spark, ref_corpus):
+    """build_index(index_kernel='arrow') == build_index('expr') on the
+    reference corpus (string ids, concat_ws text expression)."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.config import DEFAULT
+    from beyond_vector_search_spark.operators.corpus_index import build_index
+
+    text = F.concat_ws(" ", "title", "text")
+    a = build_index(ref_corpus, text=text, cfg=replace(DEFAULT, index_kernel="arrow"))
+    e = build_index(ref_corpus, text=text, cfg=replace(DEFAULT, index_kernel="expr"))
+    for field in ("postings", "doc_stats", "term_stats", "gram_stats"):
+        da, de = getattr(a, field), getattr(e, field)
+        assert da.exceptAll(de).count() == 0, field
+        assert de.exceptAll(da).count() == 0, field
+    ra, re_ = a.scalars.collect()[0], e.scalars.collect()[0]
+    assert ra.n_docs == re_.n_docs
+    assert abs(ra.avg_dl - re_.avg_dl) < 1e-12
