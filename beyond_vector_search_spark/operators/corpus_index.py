@@ -197,6 +197,44 @@ class CorpusIndex:
         rd = spark.read
         return cls(**{f: rd.parquet(f"{path}/{f}") for f in cls._FIELDS})
 
+    # Bucketed persistence: the cluster-scale index layout.  The large
+    # relations are written as catalog tables bucketed on their join/agg
+    # key, so readers get a HashPartitioning-reporting scan and Catalyst
+    # drops the Exchange for groupBys and co-bucketed joins on that key
+    # (postings: term_stats derivation + scoring joins; doc_vec: norm
+    # rebuild + cosine dot).  Small dims stay plain tables (broadcast).
+    _BUCKETED = {  # field -> (bucket col, sort col)
+        "postings": ("term", "term"),
+        "doc_vec": ("gram", "gram"),
+        "doc_stats": ("doc_id", "doc_id"),
+        "doc_norm": ("doc_id", "doc_id"),
+    }
+
+    def save_bucketed(self, spark, db: str = "bvs_index", *, buckets: int = 32) -> None:
+        """Persist as bucketed catalog tables under database ``db``.
+
+        Bucket count is a layout contract: pick it for the TARGET scale
+        (files of ~128 MB-1 GB per bucket at 100 TB that's thousands;
+        here 32 matches local parallelism) — all co-bucketed readers
+        must agree, which the catalog enforces.
+        """
+        from beyond_vector_search_spark.operators.scale import save_bucketed_index
+
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        for f in self._FIELDS:
+            df = getattr(self, f)
+            if f in self._BUCKETED:
+                bucket_col, sort_col = self._BUCKETED[f]
+                save_bucketed_index(
+                    df, f"{db}.{f}", bucket_col=bucket_col, buckets=buckets, sort_col=sort_col
+                )
+            else:
+                df.write.mode("overwrite").format("parquet").saveAsTable(f"{db}.{f}")
+
+    @classmethod
+    def load_bucketed(cls, spark, db: str = "bvs_index") -> "CorpusIndex":
+        return cls(**{f: spark.table(f"{db}.{f}") for f in cls._FIELDS})
+
 
 def build_index(
     docs: DataFrame,

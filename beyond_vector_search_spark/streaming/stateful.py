@@ -70,3 +70,68 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def _make_event_time_update(gap_ms: int):
+    """Event-time variant of :func:`_update`: the state's timeout is the
+    session deadline (last event + gap) in EVENT time, so a session
+    closes exactly when the watermark passes its gap — late data inside
+    the watermark still extends the right session, and eviction is
+    data-driven, not wall-clock-driven."""
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n_events, n_sessions, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, n_events, n_sessions, last_ms, True)],
+                columns=["user_id", "n_events", "n_sessions", "last_ms", "closed"],
+            )
+            return
+
+        n_events, n_sessions, last_ms = state.get if state.exists else (0, 0, None)
+        for pdf in pdfs:
+            # ts arrives as pandas datetime64[ns] (TIMESTAMP column)
+            for ts_ms in sorted(int(t.value // 1_000_000) for t in pdf["ts"]):
+                if last_ms is None or ts_ms - last_ms > gap_ms:
+                    n_sessions += 1
+                last_ms = ts_ms
+                n_events += 1
+        state.update((n_events, n_sessions, last_ms))
+        # close when the WATERMARK (not the clock) passes the gap
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(
+            [(user_id, n_events, n_sessions, last_ms, False)],
+            columns=["user_id", "n_events", "n_sessions", "last_ms", "closed"],
+        )
+
+    return update
+
+
+def sessionize_event_time(
+    events: DataFrame,
+    *,
+    gap_ms: int = 30 * 60 * 1000,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time sessionization over a stream of (user_id, ts TIMESTAMP)
+    with watermark-based state eviction.
+
+    The watermark bounds both late data admission and state size: each
+    user's state lives until the watermark passes their last event +
+    gap, then the closed session is emitted and the state removed —
+    bounded state at any input scale, the property that makes this safe
+    on an unbounded 100 TB/day stream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_event_time_update(gap_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

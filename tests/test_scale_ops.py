@@ -95,3 +95,89 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert rows[1].n_events == 3 and rows[1].n_sessions == 2
     assert rows[2].n_events == 1 and rows[2].n_sessions == 1
     assert not rows[1].closed
+
+
+def test_corpus_index_bucketed_roundtrip(spark, ref_corpus, ref_index):
+    """CorpusIndex.save_bucketed/load_bucketed: identical search results,
+    and the bucketed postings aggregate by term without an Exchange."""
+    import contextlib
+    import io
+    import re
+
+    from beyond_vector_search_spark.operators.corpus_index import CorpusIndex
+    from beyond_vector_search_spark.operators.retrieval import search_all
+
+    ref_index.save_bucketed(spark, "bvs_index_test", buckets=8)
+    loaded = CorpusIndex.load_bucketed(spark, "bvs_index_test")
+
+    # groupBy on the bucket key reuses the scan's HashPartitioning
+    agg = loaded.postings.groupBy("term").agg(F.sum("tf").alias("tf"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        agg.explain("formatted")
+    assert not re.search(r"\(\d+\) Exchange", buf.getvalue()), buf.getvalue()
+
+    q = spark.createDataFrame(
+        [("q1", "INC-49217 details")], "query_id STRING, query STRING"
+    )
+    want = [
+        (r.doc_id, round(r.score, 6))
+        for r in search_all(q, ref_index, k=5)["keyword"].orderBy("rank").collect()
+    ]
+    got = [
+        (r.doc_id, round(r.score, 6))
+        for r in search_all(q, loaded, k=5)["keyword"].orderBy("rank").collect()
+    ]
+    assert got == want and want[0][0] == "DOC-190"
+    for f in CorpusIndex._FIELDS:
+        spark.sql(f"DROP TABLE IF EXISTS bvs_index_test.{f}")
+    spark.sql("DROP DATABASE IF EXISTS bvs_index_test")
+
+
+def test_event_time_sessionize_watermark_eviction(spark, tmp_path):
+    """Event-time sessionization: a later file advances the watermark
+    past user 1's session gap, closing (and evicting) that session."""
+    from datetime import datetime, timezone
+
+    from beyond_vector_search_spark.streaming.stateful import sessionize_event_time
+
+    def ts(minute):
+        return datetime(2026, 1, 1, minute // 60, minute % 60, tzinfo=timezone.utc)
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [(1, ts(0)), (1, ts(10))], "user_id BIGINT, ts TIMESTAMP"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(2, ts(120))], "user_id BIGINT, ts TIMESTAMP"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    spark.createDataFrame(
+        [(3, ts(300))], "user_id BIGINT, ts TIMESTAMP"
+    ).coalesce(1).write.parquet(str(src / "f3"))
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = sessionize_event_time(stream, gap_ms=30 * 60 * 1000, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_evt")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM sess_evt").collect()
+    closed = {r.user_id: r for r in rows if r.closed}
+    # user 1 (events at 00:00/00:10) closed once the watermark from the
+    # 02:00 file passed 00:10 + 30min
+    assert 1 in closed and closed[1].n_events == 2 and closed[1].n_sessions == 1
+    # user 2 closed by the 05:00 file's watermark
+    assert 2 in closed and closed[2].n_events == 1
+    # user 3's session never times out (stream ends) — open row only
+    assert 3 not in closed
+    assert any(r.user_id == 3 and not r.closed for r in rows)
