@@ -265,12 +265,68 @@ def build_index(
     Caches use Spark's default MEMORY_AND_DISK; at cluster scale the
     same intermediates would be persisted parquet (CorpusIndex.save).
     """
+    return index_from_delta(build_delta(docs, id_col=id_col, text=text, cfg=cfg), cfg=cfg)
+
+
+@dataclass
+class IndexDelta:
+    """The idf-independent per-document relations of the index — the
+    result of ONE scan over the document text, with no global statistic
+    baked in.
+
+    This is the unit of incremental ingest: postings/gram_tf/doc_ids
+    rows belong to exactly one document, so deltas over DISJOINT doc_id
+    sets merge by plain union — appending a batch of new documents costs
+    one scan of the NEW text plus the (cheap, already-aggregated)
+    global-stat re-derivation in :func:`index_from_delta`.  The
+    reference rebuilds its whole index per run (run.py:18-23); at 100 TB
+    a full rebuild per ingest batch is the difference between minutes
+    and days, hence this split.
+    """
+
+    postings: DataFrame  # (term, doc_id, tf)
+    gram_tf: DataFrame   # (doc_id, gram, tf)
+    doc_ids: DataFrame   # (doc_id)
+
+    _FIELDS = ["postings", "gram_tf", "doc_ids"]
+
+    def union(self, other: "IndexDelta") -> "IndexDelta":
+        """Merge with another delta.  doc_id sets must be disjoint
+        (append-only ingest); replacing a changed document = anti-join
+        its doc_id out of every relation first."""
+        return IndexDelta(
+            postings=self.postings.unionByName(other.postings),
+            gram_tf=self.gram_tf.unionByName(other.gram_tf),
+            doc_ids=self.doc_ids.unionByName(other.doc_ids),
+        )
+
+    def cache(self) -> "IndexDelta":
+        for f in self._FIELDS:
+            getattr(self, f).cache()
+        return self
+
+    def save(self, path: str) -> None:
+        for f in self._FIELDS:
+            getattr(self, f).write.mode("overwrite").parquet(f"{path}/{f}")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IndexDelta":
+        return cls(**{f: spark.read.parquet(f"{path}/{f}") for f in cls._FIELDS})
+
+
+def build_delta(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text: Column | str = "text",
+    cfg: EngineConfig = DEFAULT,
+) -> IndexDelta:
+    """One scan of the corpus text -> per-document tf relations."""
     arrow = cfg.index_kernel == "arrow"
     if arrow:
         # Arrow counting kernels (functions/kernels.py): tokenize/shingle
-        # + per-doc tf in one narrow pass; doc_stats/scalars derive from
-        # the aggregated postings (sum(tf) per doc == token count), so
-        # the corpus text is scanned exactly twice (tokens + grams).
+        # + per-doc tf in one narrow pass per term space, so the corpus
+        # text is scanned exactly twice (tokens + grams).
         from beyond_vector_search_spark.functions import kernels
 
         postings = (
@@ -278,23 +334,47 @@ def build_index(
             .select("term", "doc_id", "tf")
             .cache()
         )
-        doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-        # left join restores zero-token docs (they have no postings rows)
-        doc_stats = (
-            docs.select(F.col(id_col).alias("doc_id"))
-            .join(doc_len, "doc_id", "left")
-            .select("doc_id", F.coalesce("doc_len", F.lit(0)).alias("doc_len"))
-        )
-        scalars = doc_stats.agg(
-            F.greatest(F.count("*"), F.lit(1)).alias("n_docs"),
-            (F.sum("doc_len") / F.greatest(F.count("*"), F.lit(1))).alias("avg_dl"),
-        )
+        gram_tf = kernels.gram_tf_frame(docs, id_col=id_col, text=text, n=cfg.ngram_n).cache()
     else:
         toks = doc_tokens(docs, id_col=id_col, text=text).cache()
         postings = build_postings(toks).cache()
-        doc_stats = build_doc_stats(toks)
-        scalars = corpus_scalars(toks)
-    n = docs.agg(F.greatest(F.count("*"), F.lit(1)).alias("n_docs"))
+        # cached: the explode below carries an inferred size(grams)>0
+        # filter that would otherwise inline the shingling expression 2
+        # extra times per row (see docstring)
+        grams = doc_grams(docs, id_col=id_col, text=text, n=cfg.ngram_n).cache()
+        gram_tf = (
+            grams.select("doc_id", F.explode("grams").alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("tf"))
+            .cache()
+        )
+    return IndexDelta(
+        postings=postings,
+        gram_tf=gram_tf,
+        doc_ids=docs.select(F.col(id_col).alias("doc_id")),
+    )
+
+
+def index_from_delta(delta: IndexDelta, *, cfg: EngineConfig = DEFAULT) -> CorpusIndex:
+    """Derive the full index (all global statistics) from tf relations.
+
+    Everything here aggregates ALREADY-AGGREGATED rows — document
+    frequencies from postings, norms from doc_vec — so re-deriving after
+    an incremental union touches no document text.  Pure groupBy/agg:
+    Catalyst's partial+final aggregation applies throughout.
+    """
+    postings, gram_tf = delta.postings, delta.gram_tf
+    n = delta.doc_ids.agg(F.greatest(F.count("*"), F.lit(1)).alias("n_docs"))
+    doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    # left join restores zero-token docs (they have no postings rows)
+    doc_stats = (
+        delta.doc_ids.join(doc_len, "doc_id", "left")
+        .select("doc_id", F.coalesce("doc_len", F.lit(0)).alias("doc_len"))
+    )
+    scalars = doc_stats.agg(
+        F.greatest(F.count("*"), F.lit(1)).alias("n_docs"),
+        (F.sum("doc_len") / F.greatest(F.count("*"), F.lit(1))).alias("avg_dl"),
+    )
     term_stats = (
         postings.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -306,22 +386,6 @@ def build_index(
             (F.col("df") <= cfg.rare_df_threshold).alias("is_rare"),
         )
     )
-
-    if arrow:
-        from beyond_vector_search_spark.functions import kernels
-
-        gram_tf = kernels.gram_tf_frame(docs, id_col=id_col, text=text, n=cfg.ngram_n).cache()
-    else:
-        # cached: the explode below carries an inferred size(grams)>0
-        # filter that would otherwise inline the shingling expression 2
-        # extra times per row (see docstring)
-        grams = doc_grams(docs, id_col=id_col, text=text, n=cfg.ngram_n).cache()
-        gram_tf = (
-            grams.select("doc_id", F.explode("grams").alias("gram"))
-            .groupBy("doc_id", "gram")
-            .agg(F.count("*").alias("tf"))
-            .cache()
-        )
     gram_stats = (
         gram_tf.groupBy("gram")
         .agg(F.count("*").alias("df"))
@@ -346,5 +410,5 @@ def build_index(
         doc_vec=doc_vec,
         doc_norm=build_doc_norm(doc_vec),
         scalars=scalars,
-        doc_ids=docs.select(F.col(id_col).alias("doc_id")),
+        doc_ids=delta.doc_ids,
     )

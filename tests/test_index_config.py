@@ -101,3 +101,43 @@ def test_build_index_kernel_paths_agree(spark, ref_corpus):
     ra, re_ = a.scalars.collect()[0], e.scalars.collect()[0]
     assert ra.n_docs == re_.n_docs
     assert abs(ra.avg_dl - re_.avg_dl) < 1e-12
+
+
+def test_incremental_delta_union_equals_full_build(spark, ref_corpus, ref_index):
+    """Incremental ingest: building deltas over two disjoint halves of
+    the corpus and unioning them derives the SAME index as one full
+    build — global stats (df, idf, avg_dl) re-derive correctly from the
+    merged per-document tf relations."""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.corpus_index import (
+        build_delta,
+        index_from_delta,
+    )
+    from beyond_vector_search_spark.operators.retrieval import search_all
+
+    text = F.concat_ws(" ", "title", "text")
+    half_a = ref_corpus.where("doc_id < 'DOC-100'")
+    half_b = ref_corpus.where("doc_id >= 'DOC-100'")
+    assert half_a.count() + half_b.count() == ref_corpus.count()
+
+    merged = build_delta(half_a, text=text).union(build_delta(half_b, text=text))
+    idx = index_from_delta(merged)
+
+    for field in ("postings", "doc_stats", "term_stats", "gram_stats", "doc_norm"):
+        inc, full = getattr(idx, field), getattr(ref_index, field)
+        assert inc.exceptAll(full).count() == 0, field
+        assert full.exceptAll(inc).count() == 0, field
+
+    q = spark.createDataFrame(
+        [("q1", "INC-49217 details")], "query_id STRING, query STRING"
+    )
+    got = [
+        (r.doc_id, round(r.score, 6))
+        for r in search_all(q, idx, k=5)["keyword"].orderBy("rank").collect()
+    ]
+    want = [
+        (r.doc_id, round(r.score, 6))
+        for r in search_all(q, ref_index, k=5)["keyword"].orderBy("rank").collect()
+    ]
+    assert got == want
