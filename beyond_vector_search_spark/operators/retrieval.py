@@ -201,21 +201,23 @@ def hybrid_scores(
     """
     key_n = minmax_normalize(keyword if keyword is not None else bm25_scores(queries, index, cfg=cfg))
     vec_n = minmax_normalize(vector if vector is not None else vector_scores(queries, index, cfg=cfg))
+    # Blend as union + re-aggregation rather than a full-outer join:
+    # same semantics (a doc missing from one arm contributes 0.0 to the
+    # sum, exactly the coalesce(.,0.0) of retrievers.py:183-184), but
+    # ONE hash-aggregate shuffle over the combined rows instead of a
+    # two-sided sort-merge join — no sort, and partial aggregation
+    # halves the shuffled volume map-side.
     return (
-        key_n.withColumnRenamed("norm_score", "kn")
-        .join(
-            vec_n.withColumnRenamed("norm_score", "vn"),
-            ["query_id", "doc_id"],
-            "full_outer",
+        key_n.select(
+            "query_id", "doc_id", (cfg.alpha_keyword * F.col("norm_score")).alias("part")
         )
-        .select(
-            "query_id",
-            "doc_id",
-            (
-                cfg.alpha_keyword * F.coalesce(F.col("kn"), F.lit(0.0))
-                + cfg.alpha_vector * F.coalesce(F.col("vn"), F.lit(0.0))
-            ).alias("score"),
+        .unionByName(
+            vec_n.select(
+                "query_id", "doc_id", (cfg.alpha_vector * F.col("norm_score")).alias("part")
+            )
         )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("score"))
     )
 
 

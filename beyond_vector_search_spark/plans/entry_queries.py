@@ -205,6 +205,27 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_term_stats",
+    # same oracle as term_stats: the incremental path must derive the
+    # exact same global statistics as a monolithic build
+    f"WITH {_TOKS_CTE}, {_SCALARS_CTE}, {_EXPLODED_CTE}, {_TERM_STATS_CTE} "
+    "SELECT term, CAST(df AS BIGINT) AS df, round(idf, 6) AS idf, is_rare FROM term_idf",
+)
+def q_incremental_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest check: build tf deltas over two disjoint
+    halves of `documents`, union them, re-derive global stats
+    (corpus_index.build_delta / index_from_delta) — df/idf must match a
+    monolithic build, which is what the shared oracle SQL computes."""
+    docs = load_table(spark, sf_dir, "documents")
+    half_a = ci.build_delta(docs.where("doc_id % 2 = 0"), text="text")
+    half_b = ci.build_delta(docs.where("doc_id % 2 = 1"), text="text")
+    idx = ci.index_from_delta(half_a.union(half_b))
+    return idx.term_stats.select(
+        "term", F.col("df").cast("long").alias("df"), F.round("idf", 6).alias("idf"), "is_rare"
+    )
+
+
+@register(
     "postings",
     f"WITH {_TOKS_CTE}, {_EXPLODED_CTE}, {_POSTINGS_CTE} "
     "SELECT term, doc_id, CAST(tf AS BIGINT) AS tf FROM postings",
