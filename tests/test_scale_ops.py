@@ -181,3 +181,43 @@ def test_event_time_sessionize_watermark_eviction(spark, tmp_path):
     # user 3's session never times out (stream ends) — open row only
     assert 3 not in closed
     assert any(r.user_id == 3 and not r.closed for r in rows)
+
+
+def test_streaming_index_ingest_matches_batch_build(spark, tmp_path, ref_corpus, ref_index):
+    """Stream the reference corpus through the foreachBatch ingest in
+    two micro-batches; the index derived from the accumulated delta
+    store must equal the monolithic batch build."""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.corpus_index import (
+        CorpusIndex,
+        IndexDelta,
+        index_from_delta,
+    )
+    from beyond_vector_search_spark.streaming.ingest import start_index_ingest
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    ref_corpus.where("doc_id < 'DOC-100'").coalesce(1).write.parquet(str(src / "f1"))
+    ref_corpus.where("doc_id >= 'DOC-100'").coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(ref_corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    store = str(tmp_path / "delta_store")
+    q = start_index_ingest(
+        stream,
+        store,
+        text=F.concat_ws(" ", "title", "text"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+
+    idx = index_from_delta(IndexDelta.load(spark, store))
+    assert idx.doc_ids.count() == ref_corpus.count()
+    for field in ("postings", "term_stats", "gram_stats", "doc_stats"):
+        inc, full = getattr(idx, field), getattr(ref_index, field)
+        assert inc.exceptAll(full).count() == 0, field
+        assert full.exceptAll(inc).count() == 0, field
