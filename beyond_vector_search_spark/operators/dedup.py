@@ -185,3 +185,96 @@ def simhash64(
               0L, (acc, bit) -> acc * 2 + bit)"""
     )
     return hashed.select("doc_id", fingerprint.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) — connected components of the near-dup pair
+    graph; component = min node id reachable.  THE dedup-clustering
+    primitive: LSH emits pairwise matches, but "keep one doc per
+    duplicate CLUSTER" needs the transitive closure of those pairs.
+
+    Iterative min-label propagation as DataFrame dataflow: each round
+    every node adopts the smallest label among itself and its
+    neighbors; converged when no label changes.  Rounds are bounded by
+    the cluster diameter — near-dup clusters are dense and shallow
+    (2-4 rounds in practice); for adversarially long chains switch to
+    the large-star/small-star formulation ("Connected Components in
+    MapReduce and Beyond", Kiveris et al., SOCC'14 — public), which
+    converges in O(log n) rounds with the same join+agg shape.
+
+    Scale notes:
+    - ``localCheckpoint(eager)`` per round truncates the exponentially
+      growing lineage (on a cluster: checkpoint to reliable storage).
+    - The per-round cost is one broadcast-or-shuffle join (edges x
+      labels) + one groupBy(node) min — both partial-agg friendly.
+    - The convergence probe is an aggregated count, never collected
+      data.
+
+    Not expressible in one SQL statement on Spark (no recursive CTE
+    fixpoint over aggregates) — the DuckDB oracle uses a recursive
+    reachability CTE instead.
+    """
+    # undirected: both directions, plus self-loops so isolated partners
+    # keep their own label
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .select(F.col("u").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where("n.component <> o.component")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical) — every document labeled with
+    its duplicate cluster (singletons cluster with themselves); keep
+    ``is_canonical`` rows for the deduplicated corpus."""
+    comps = connected_components(pairs, src=src, dst=dst)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comps, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )

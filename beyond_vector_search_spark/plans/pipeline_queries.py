@@ -95,6 +95,36 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
 
 
+@register(
+    "dedup_clusters",
+    # transitive closure of the LSH pair graph via a recursive
+    # reachability CTE (Spark side: iterative min-label propagation —
+    # dedup.connected_components)
+    "WITH RECURSIVE "
+    f"{_NEARDUP_BASE_SQL}, {_NEARDUP_TOKS_SQL}, {_SHINGLES_SQL}, {_SIG_SQL}, {_BANDS_SQL}, "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+    "JOIN bands b ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+    "edges AS (SELECT doc_a AS u, doc_b AS v FROM cand UNION SELECT doc_b, doc_a FROM cand), "
+    "reach(node, r) AS (SELECT u, u FROM edges "
+    "UNION SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u), "
+    "comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node) "
+    "SELECT b.doc_id, coalesce(c.component, b.doc_id) AS cluster_id, "
+    "b.doc_id = coalesce(c.component, b.doc_id) AS is_canonical "
+    "FROM base b LEFT JOIN comp c ON b.doc_id = c.node",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering end-to-end: LSH candidate pairs -> connected
+    components -> one canonical doc per duplicate cluster."""
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 50")
+    perturbed = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" extra token tail")).alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionByName(perturbed)
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(base), bands=4, rows_per_band=4)
+    return dd.dedup_clusters(base, pairs)
+
+
 # --------------------------------- SimHash ---------------------------------
 
 

@@ -169,3 +169,28 @@ def test_routing_drift_streaming(spark, tmp_path):
     rows = spark.sql("SELECT * FROM drift_test").collect()
     assert {r.strategy for r in rows} == {"keyword", "vector"}
     assert all(r.n_runs == 1 for r in rows)
+
+
+def test_connected_components_and_clusters(spark):
+    """Min-label propagation: chain, triangle-with-bridge, self-loop,
+    and isolated documents (no pairs) -> singleton clusters."""
+    from beyond_vector_search_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter > 1 forces multiple rounds), pair 10-11,
+        # self-loop 20, cross-link 5-3 merging into the chain cluster
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20), (5, 3)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    comps = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20, 99]], "doc_id BIGINT")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in dedup_clusters(docs, pairs).collect()}
+    assert out[99] == (99, True)          # isolated doc: own singleton cluster
+    assert out[1] == (1, True) and out[5] == (1, False)
+    canonical = [d for d, (_, keep) in out.items() if keep]
+    assert sorted(canonical) == [1, 10, 20, 99]
