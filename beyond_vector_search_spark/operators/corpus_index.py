@@ -313,6 +313,33 @@ class IndexDelta:
     def load(cls, spark, path: str) -> "IndexDelta":
         return cls(**{f: spark.read.parquet(f"{path}/{f}") for f in cls._FIELDS})
 
+    def compact(self, path: str, *, partitions: int | None = None) -> "IndexDelta":
+        """Rewrite the delta store at ``path`` with each relation
+        repartitioned on its primary key (postings by term, gram_tf by
+        gram — the scoring-join keys), collapsing the per-batch append
+        files a streaming ingest accumulates.  Ordinary parquet
+        maintenance: run it off the ingest path, then reload.
+
+        Writes to ``path + '.compact'`` then swaps, so a crash leaves
+        the original store intact."""
+        import os
+        import shutil
+
+        spark = self.postings.sparkSession
+        tmp = path + ".compact"
+        keys = {"postings": "term", "gram_tf": "gram", "doc_ids": "doc_id"}
+        for f in self._FIELDS:
+            df = getattr(self, f)
+            df = df.repartition(*(x for x in [partitions, keys[f]] if x is not None))
+            df.write.mode("overwrite").parquet(f"{tmp}/{f}")
+        for f in self._FIELDS:
+            final = f"{path}/{f}"
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.replace(f"{tmp}/{f}", final)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return IndexDelta.load(spark, path)
+
 
 def build_delta(
     docs: DataFrame,

@@ -293,19 +293,22 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _docs_index(spark, sf_dir)
     top1 = stable_topk(_scores(spark, sf_dir, "keyword"), 5).where("rank = 1")
     ans = generate_answers(top1, docs, _queries_df(spark), title_col=None)
+    # labels is a tiny relation whose plan embeds a full answers
+    # subtree; without the cache each of the three strategy_eval
+    # branches below re-executes it (measured 3x ~1.3s at sf0.01)
     labels = (
         _queries_df(spark)
         .join(top1.select("query_id", F.col("doc_id").cast("string").alias("expected_doc_id")), "query_id")
         .join(ans.select("query_id", F.col("answer").alias("expected_answer")), "query_id")
-    )
+    ).cache()
     from beyond_vector_search_spark.operators.retrieval import hybrid_scores
 
     key = _scores(spark, sf_dir, "keyword")
     vec = _scores(spark, sf_dir, "vector")
     tops = {
-        "keyword": stable_topk(key, 5),
-        "vector": stable_topk(vec, 5),
-        "hybrid": stable_topk(hybrid_scores(_queries_df(spark), idx, keyword=key, vector=vec), 5),
+        "keyword": stable_topk(key, 5).cache(),
+        "vector": stable_topk(vec, 5).cache(),
+        "hybrid": stable_topk(hybrid_scores(_queries_df(spark), idx, keyword=key, vector=vec), 5).cache(),
     }
     report, state, _runs = evaluate_all(labels, docs, idx, title_col=None, tops=tops)
     rows = [

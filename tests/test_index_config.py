@@ -141,3 +141,28 @@ def test_incremental_delta_union_equals_full_build(spark, ref_corpus, ref_index)
         for r in search_all(q, ref_index, k=5)["keyword"].orderBy("rank").collect()
     ]
     assert got == want
+
+
+def test_delta_store_compact_preserves_relations(spark, ref_corpus, tmp_path):
+    """compact() collapses append files without changing any relation."""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.corpus_index import IndexDelta, build_delta
+
+    text = F.concat_ws(" ", "title", "text")
+    store = str(tmp_path / "store")
+    # simulate two ingest appends
+    for pred in ("doc_id < 'DOC-100'", "doc_id >= 'DOC-100'"):
+        d = build_delta(ref_corpus.where(pred), text=text)
+        for f in IndexDelta._FIELDS:
+            getattr(d, f).write.mode("append").parquet(f"{store}/{f}")
+
+    before = IndexDelta.load(spark, store)
+    counts = {f: getattr(before, f).count() for f in IndexDelta._FIELDS}
+    tf_sum = before.postings.agg(F.sum("tf")).collect()[0][0]
+    after = before.compact(store, partitions=4)
+    # (``before`` is now stale by design — compact swapped its files)
+    for f in IndexDelta._FIELDS:
+        assert getattr(after, f).count() == counts[f], f
+    # content (not just counts) survived
+    assert after.postings.agg(F.sum("tf")).collect()[0][0] == tf_sum
