@@ -64,3 +64,37 @@ def save_bucketed_index(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    seed: int | None = None,
+) -> DataFrame:
+    """Deterministic fixed-N-per-stratum sample: rows rank within their
+    stratum by a portable hash of the key; the first N win.
+
+    The only sampling a training-data pipeline should use: reproducible
+    across engines, runs, and cluster sizes (``rand()``-based sampling
+    is none of those), and per-stratum quotas hold exactly, unlike
+    ``sampleBy`` fractions.  One shuffle (the window partition); at
+    scale, strata are usually low-cardinality — if one stratum is
+    hot, pre-aggregate candidates per partition first (top-N per
+    partition then global re-rank, same result, bounded skew).
+
+    Adds ``sample_rank`` (1..N within stratum).
+    """
+    from pyspark.sql import Window
+
+    from beyond_vector_search_spark.functions.hashing import hash64
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash64(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("integer"))
+        .where(F.col("sample_rank") <= n_per_stratum)
+    )

@@ -283,6 +283,31 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample_lang",
+    # fixed-N per stratum: 10 docs per language, ranked by the portable
+    # md5-derived hash of doc_id (seeded), doc_id tie-break
+    "WITH hashed AS (SELECT doc_id, lang, "
+    "CAST('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h "
+    "FROM documents), "
+    "ranked AS (SELECT doc_id, lang, "
+    "CAST(row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS INTEGER) AS sample_rank "
+    "FROM hashed) "
+    "SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= 10",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beyond_vector_search_spark.operators.scale import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang"),
+        strata_col="lang",
+        key_col="doc_id",
+        n_per_stratum=10,
+        seed=7,
+    )
+
+
+@register(
     "token_histogram",
     # corpus vocabulary analysis: top-50 tokens by document frequency,
     # ties broken by token for a deterministic cut

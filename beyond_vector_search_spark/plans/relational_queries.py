@@ -101,6 +101,49 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_quantity < 24
 """
 
+# --- TPC-H Q10-style returned-item reporting: which customers returned
+#     the most revenue (join fact->dims, filter on flag, agg, top-k with
+#     deterministic tie-break)
+TPCH_Q10 = """
+WITH returns AS (
+  SELECT
+    c.c_custkey,
+    c.c_name,
+    n.n_name,
+    CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY c.c_custkey, c.c_name, n.n_name, CAST(c.c_acctbal AS DOUBLE)
+)
+SELECT c_custkey, c_name, n_name, c_acctbal, revenue,
+       CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS INTEGER) AS rank
+FROM returns
+ORDER BY rank
+LIMIT 20
+"""
+
+# --- TPC-H Q14-style promotion share: conditional aggregation inside a
+#     fact->dim join (CASE WHEN in a decimal-exact sum)
+TPCH_Q14 = """
+SELECT
+  CAST(CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+        THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+    * 100.0 AS DOUBLE) AS promo_revenue_pct,
+  count(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
 # --- window ranking: top-3 customers by balance per nation
 WINDOW_TOP_CUSTOMERS = """
 WITH ranked AS (
@@ -231,6 +274,8 @@ def register_all() -> None:
     register_shared_sql("tpch_q3_topk", TPCH_Q3)
     register_shared_sql("tpch_q5_region_volume", TPCH_Q5)
     register_shared_sql("tpch_q6_forecast", TPCH_Q6)
+    register_shared_sql("tpch_q10_returns", TPCH_Q10)
+    register_shared_sql("tpch_q14_promo", TPCH_Q14)
     register_shared_sql("window_top_customers", WINDOW_TOP_CUSTOMERS)
     register_shared_sql("orders_rollup", ORDERS_ROLLUP)
     register_shared_sql("customers_without_orders", CUSTOMERS_WITHOUT_ORDERS)
