@@ -208,3 +208,85 @@ def assign_centroids(
         .where(F.col("rn") == 1)
         .select("vec_id", "centroid_id", F.round("cos", 6).alias("cos"))
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, qvec array<int>, scale) — symmetric per-vector int8
+    quantization: scale = max|v|/127, q_i = round(v_i/scale).
+
+    The storage/bandwidth lever of a 100 TB similarity corpus: 4x
+    smaller vectors (int8 vs float32), and the integer dot product is
+    SIMD-friendly.  Cosine is scale-invariant, so ranking by quantized
+    cosine only pays the rounding error (~1/254 per component).
+    Zero vectors quantize to zeros with scale 0.
+    """
+    v = as_double_array(F.col(vec_col))
+    scale = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))) / F.lit(127.0)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0).cast("int")))
+        .otherwise(F.transform(v, lambda x: F.round(x / scale).cast("int")))
+        .alias("qvec"),
+        scale.alias("scale"),
+    )
+
+
+def knn_quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank) — brute-force top-k over
+    int8-quantized vectors: exact integer dot/norms per pair, one float
+    division at the end.  Same shape as knn_bruteforce; the quantized
+    corpus is what a 100 TB deployment would actually scan."""
+    qe = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cv")
+    )
+    qq = quantize_int8(queries, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qv")
+    )
+    # integer-exact dot and norms (bigint accumulation), float only at
+    # the final normalization — bit-reproducible across engines
+    idot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a * b).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    inorm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: (x * x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(qq)
+        .crossJoin(qe)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(
+                (inorm(F.col("qv")) == 0) | (inorm(F.col("cv")) == 0), F.lit(0.0)
+            )
+            .otherwise(
+                idot / (F.sqrt(inorm(F.col("qv")).cast("double")) * F.sqrt(inorm(F.col("cv")).cast("double")))
+            )
+            .alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )

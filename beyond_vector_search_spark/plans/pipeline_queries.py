@@ -261,6 +261,43 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_bruteforce(emb, queries, k=5)
 
 
+_QUANT_SQL = (
+    # symmetric per-vector int8: scale = max|v|/127, q = round(v/scale)
+    "SELECT vec_id, CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 "
+    "THEN list_transform(v, x -> 0) "
+    "ELSE list_transform(v, x -> CAST(round(x / (list_max(list_transform(v, y -> abs(y))) / 127.0)) AS INTEGER)) END AS qv "
+    "FROM {src}"
+)
+
+
+@register(
+    "knn_quantized_topk",
+    # int8-quantized cosine: integer-exact dot and norms, one float
+    # division — both engines do identical integer arithmetic
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "qe AS (" + _QUANT_SQL.format(src="e") + "), "
+    "q AS (SELECT vec_id AS query_id, qv AS qa FROM qe WHERE vec_id < 5), "
+    "c AS (SELECT vec_id AS neighbor_id, qv AS qb FROM qe), "
+    "scored AS (SELECT query_id, neighbor_id, "
+    "list_sum(list_transform(range(1, len(qa) + 1), i -> qa[CAST(i AS INTEGER)] * qb[CAST(i AS INTEGER)])) AS dot, "
+    "list_sum(list_transform(qa, x -> x * x)) AS na, "
+    "list_sum(list_transform(qb, x -> x * x)) AS nb "
+    "FROM q CROSS JOIN c WHERE query_id <> neighbor_id), "
+    "ranked AS (SELECT query_id, neighbor_id, "
+    "round(CASE WHEN na = 0 OR nb = 0 THEN 0.0 "
+    "ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END, 6) AS cos, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+    "round(CASE WHEN na = 0 OR nb = 0 THEN 0.0 "
+    "ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END, 6) DESC, "
+    "neighbor_id ASC) AS INTEGER) AS rank FROM scored) "
+    "SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5",
+)
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 5")
+    return sim.knn_quantized_topk(emb, queries, k=5)
+
+
 @register(
     "deterministic_sample",
     # hash-based sampling: reproducible across engines, runs, and

@@ -194,3 +194,29 @@ def test_connected_components_and_clusters(spark):
     assert out[1] == (1, True) and out[5] == (1, False)
     canonical = [d for d, (_, keep) in out.items() if keep]
     assert sorted(canonical) == [1, 10, 20, 99]
+
+
+def test_quantize_int8_properties(spark):
+    """int8 quantization: values bounded by 127, scale-invariant cosine
+    (a 2x-scaled twin quantizes to the same qvec), zero vectors safe."""
+    from beyond_vector_search_spark.operators.similarity import (
+        knn_quantized_topk,
+        quantize_int8,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, -2.0, 3.0]),
+            (1, [2.0, -4.0, 6.0]),   # 2x twin of 0 -> identical qvec
+            (2, [0.0, 0.0, 0.0]),    # zero vector
+            (3, [-0.5, 0.25, 0.1]),
+        ],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    q = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    assert q[0].qvec == q[1].qvec
+    assert max(abs(x) for x in q[0].qvec) == 127
+    assert q[2].qvec == [0, 0, 0] and q[2].scale == 0.0
+
+    top = knn_quantized_topk(emb, emb.where("vec_id = 0"), k=2).orderBy("rank").collect()
+    assert top[0].neighbor_id == 1 and top[0].cos == 1.0
