@@ -35,7 +35,16 @@ DEFAULT_CORPUS = "/root/reference/data/corpus.jsonl"
 DEFAULT_LABELS = "/root/reference/data/labels.jsonl"
 
 
-def _index(spark, corpus_df, index_dir: str | None) -> CorpusIndex:
+def _index(spark, corpus_df, index_dir: str | None, index_format: str = "parquet") -> CorpusIndex:
+    if index_format == "bucketed":
+        # catalog tables bucketed on the join keys (zero-Exchange
+        # reloads); ``index_dir`` names the database, not a directory
+        db = (index_dir or "bvs_index").replace("/", "_").strip("_")
+        if spark.catalog.tableExists(f"{db}.term_stats"):
+            return CorpusIndex.load_bucketed(spark, db)
+        idx = build_index(corpus_df, text=F.concat_ws(" ", "title", "text"))
+        idx.save_bucketed(spark, db)
+        return CorpusIndex.load_bucketed(spark, db)
     if index_dir and os.path.isdir(os.path.join(index_dir, "term_stats")):
         return CorpusIndex.load(spark, index_dir)
     idx = build_index(corpus_df, text=F.concat_ws(" ", "title", "text"))
@@ -46,10 +55,10 @@ def _index(spark, corpus_df, index_dir: str | None) -> CorpusIndex:
 
 
 def cmd_run(args) -> dict:
-    spark = get_spark("bvs-run")
+    spark = get_spark("bvs-run", hive=args.index_format == "bucketed")
     docs = load_corpus(spark, args.corpus).cache()
     labels = load_labels(spark, args.labels)
-    idx = _index(spark, docs, args.index_dir)
+    idx = _index(spark, docs, args.index_dir, args.index_format)
     store = telemetry_from_env(spark, args.db or tempfile.mkdtemp(prefix="bvs_telemetry_"))
 
     state = RouterState.from_json(store.get_state(STATE_KEY, RouterState().to_json()))
@@ -87,10 +96,10 @@ def cmd_run(args) -> dict:
 
 
 def cmd_evaluate(args) -> dict:
-    spark = get_spark("bvs-evaluate")
+    spark = get_spark("bvs-evaluate", hive=args.index_format == "bucketed")
     docs = load_corpus(spark, args.corpus).cache()
     labels = load_labels(spark, args.labels).cache()
-    idx = _index(spark, docs, args.index_dir)
+    idx = _index(spark, docs, args.index_dir, args.index_format)
     store = telemetry_from_env(spark, args.db or tempfile.mkdtemp(prefix="bvs_telemetry_"))
 
     state = RouterState.from_json(store.get_state(STATE_KEY, RouterState().to_json()))
@@ -111,6 +120,8 @@ def main() -> None:
     pr.add_argument("--labels", default=DEFAULT_LABELS)
     pr.add_argument("--db", default=None, help="telemetry directory")
     pr.add_argument("--index-dir", default=None, help="persist/reuse the index here")
+    pr.add_argument("--index-format", default="parquet", choices=["parquet", "bucketed"],
+                    help="bucketed = catalog tables bucketed on join keys")
 
     pe = sub.add_parser("evaluate", help="evaluate all labels, update router weights")
     pe.add_argument("--k", type=int, default=5)
@@ -118,6 +129,7 @@ def main() -> None:
     pe.add_argument("--labels", default=DEFAULT_LABELS)
     pe.add_argument("--db", default=None)
     pe.add_argument("--index-dir", default=None)
+    pe.add_argument("--index-format", default="parquet", choices=["parquet", "bucketed"])
 
     args = p.parse_args()
     out = cmd_run(args) if args.cmd == "run" else cmd_evaluate(args)

@@ -19,7 +19,12 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive: bool = False,
 ) -> SparkSession:
+    """``hive=True`` backs the table catalog with the Hive metastore so
+    bucketed index tables (CorpusIndex.save_bucketed) survive across
+    processes; the default in-memory catalog loses table metadata at
+    session exit (the warehouse files remain but are unaddressable)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
@@ -45,4 +50,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    if hive:
+        b = b.config("spark.sql.catalogImplementation", "hive").enableHiveSupport()
     return b.getOrCreate()
