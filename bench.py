@@ -60,6 +60,22 @@ def main() -> None:
 
     times: dict[str, float] = {}
     total = 0.0
+
+    # Index build is timed as its own entry: in deployment the index is
+    # built once and persisted (CorpusIndex.save), while queries are
+    # served many times — folding the one-off build into the first
+    # retrieval query's latency would misstate both.
+    from beyond_vector_search_spark.plans.entry_queries import _docs_index
+
+    t0 = time.time()
+    idx = _docs_index(spark, SF_DIR)
+    for rel in ("postings", "term_stats", "doc_stats", "gram_stats", "doc_vec", "doc_norm", "scalars"):
+        getattr(idx, rel).count()
+    dt = time.time() - t0
+    times["index_build"] = round(dt, 3)
+    total += dt
+    print(f"# index_build: {dt:.2f}s", file=sys.stderr)
+
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.time()
