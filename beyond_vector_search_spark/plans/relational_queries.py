@@ -158,6 +158,20 @@ WITH ranked AS (
 SELECT n_name, c_custkey, c_name, c_acctbal, rank FROM ranked WHERE rank <= 3
 """
 
+# --- explicit GROUPING SETS (finer control than rollup/cube: exactly
+#     the wanted combinations, with grouping() to tag the set)
+GROUPING_SETS_ORDERS = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+  CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+  count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
 # --- rollup aggregation over orders
 ORDERS_ROLLUP = """
 SELECT
@@ -278,6 +292,7 @@ def register_all() -> None:
     register_shared_sql("tpch_q14_promo", TPCH_Q14)
     register_shared_sql("window_top_customers", WINDOW_TOP_CUSTOMERS)
     register_shared_sql("orders_rollup", ORDERS_ROLLUP)
+    register_shared_sql("grouping_sets_orders", GROUPING_SETS_ORDERS)
     register_shared_sql("customers_without_orders", CUSTOMERS_WITHOUT_ORDERS)
     register_shared_sql("customer_order_stats", CUSTOMER_ORDER_STATS)
     register_shared_sql("except_custkeys", EXCEPT_CUSTKEYS)
