@@ -244,6 +244,20 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
 
 
+@register("ivf_kmeans_topk", None)  # MLlib kmeans|| trajectory -> rows-only
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probing over KMeans-TRAINED centroids (the production ANN
+    front half): train on the corpus, assign, probe top-2 buckets per
+    query.  Deterministic given the seed but not SQL-expressible (the
+    kmeans|| init + Lloyd iterations are Spark-internal), so the driver
+    records a rows-only check; recall vs exact kNN is pinned in
+    tests/test_pipeline_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = sim.train_ivf_centroids(emb, n_centroids=8)
+    queries = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    return sim.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+
+
 @register(
     "routing_drift_10min",
     # The streaming drift aggregation in batch mode, oracle'd with

@@ -220,3 +220,38 @@ def test_quantize_int8_properties(spark):
 
     top = knn_quantized_topk(emb, emb.where("vec_id = 0"), k=2).orderBy("rank").collect()
     assert top[0].neighbor_id == 1 and top[0].cos == 1.0
+
+
+def test_ivf_kmeans_recall_vs_exact(spark):
+    """KMeans-trained IVF with nprobe=2 of 4 centroids recovers most of
+    the exact top-3 on a clusterable synthetic set, and is deterministic
+    across runs (fixed seed)."""
+    import math
+
+    from beyond_vector_search_spark.operators.similarity import (
+        ivf_topk,
+        knn_bruteforce,
+        train_ivf_centroids,
+    )
+
+    # four well-separated direction clusters on a ring, 10 vectors each
+    rows = []
+    for c in range(4):
+        base = c * (math.pi / 2)
+        for i in range(10):
+            ang = base + (i - 5) * 0.02
+            rows.append((c * 10 + i, [math.cos(ang), math.sin(ang)]))
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    queries = emb.where("vec_id IN (0, 10, 20, 30)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    cents = train_ivf_centroids(emb, n_centroids=4, seed=42)
+    assert cents.count() == 4
+    approx = ivf_topk(emb, queries, cents, k=3, nprobe=2)
+    exact = knn_bruteforce(emb, queries, k=3)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.9          # recall on separated clusters
+    a2 = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, train_ivf_centroids(emb, n_centroids=4, seed=42), k=3, nprobe=2).collect()}
+    assert a2 == a                              # deterministic given seed
