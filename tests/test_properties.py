@@ -102,3 +102,38 @@ def test_stable_topk_tie_break_invariant(spark):
         rs = sorted(rs, key=lambda r: r.rank)
         want = sorted(expected[qid], key=lambda t: (-t[0], t[1]))[:10]
         assert [(r.score, r.doc_id) for r in rs] == want, qid
+
+
+def test_arrow_kernels_property_parity(spark):
+    """Hypothesis sweep: the Arrow counting kernels (functions/kernels)
+    agree with the expression path on random unicode-ish text — the
+    Python-vs-JVM lower()/\\s+ semantics are the risk surface."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.functions import kernels
+    from beyond_vector_search_spark.functions.text import char_ngrams, tokenize
+
+    bank = _Bank()
+    _collect(bank)
+    samples = bank.samples or [""]
+    docs = spark.createDataFrame(list(enumerate(samples)), "doc_id LONG, text STRING")
+
+    def counts(df, key):
+        out: dict[int, Counter] = {}
+        for r in df.collect():
+            out.setdefault(r.doc_id, Counter())[r[key]] = r.tf
+        return out
+
+    expr_terms = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    assert counts(kernels.term_tf_frame(docs, text="text"), "term") == counts(expr_terms, "term")
+
+    expr_grams = (
+        docs.select("doc_id", F.explode(char_ngrams("text", 4)).alias("gram"))
+        .groupBy("doc_id", "gram").agg(F.count("*").alias("tf"))
+    )
+    assert counts(kernels.gram_tf_frame(docs, text="text"), "gram") == counts(expr_grams, "gram")
