@@ -126,6 +126,34 @@ def q_eval_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pivot_status_priority",
+    # DataFrame pivot() — reshape long->wide; the oracle is the
+    # equivalent conditional aggregation
+    "SELECT o_orderstatus, "
+    "CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent, "
+    "CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium, "
+    "CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low "
+    "FROM orders GROUP BY o_orderstatus",
+)
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit pivot values — naming them skips
+    Spark's extra distinct-values collection job AND fixes the output
+    schema (unlisted values would otherwise add surprise columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .count()
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
+            F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
+            F.coalesce(F.col("5-LOW"), F.lit(0)).alias("low"),
+        )
+    )
+
+
 # ----------------------------- grouping / dates -----------------------------
 
 CUBE_ORDERS = """
