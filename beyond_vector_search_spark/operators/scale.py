@@ -12,6 +12,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def global_topk_ranked(
+    df: DataFrame,
+    k: int,
+    *order_by,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Global top-k with a positional rank, WITHOUT a global window.
+
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject — each task
+    keeps its local top-k and only those survivors merge — so the full
+    relation is never shuffled to one partition.  A global
+    ``row_number() OVER (ORDER BY ...)`` window, by contrast, moves
+    EVERYTHING to a single partition (WindowExec warns exactly that):
+    fine at 10k rows, fatal on a billion-term vocabulary.  The <= k
+    survivors are then ranked by position on one sorted partition
+    (monotonically_increasing_id on partition 0 numbers rows in sort
+    order).  Keep the window form in DuckDB oracle SQL only.
+    """
+    top = df.orderBy(*order_by).limit(k)
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(*order_by)
+        .withColumn(rank_col, (F.monotonically_increasing_id() + 1).cast("integer"))
+    )
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
@@ -30,7 +56,18 @@ def salted_join(
     Use when AQE's skew-join splitting isn't available (e.g. the skew
     is in an aggregation feeding the join) or the skew factor is known
     up front.  Output columns = large ∪ small minus the helper salt.
+
+    Only ``inner`` and ``left`` (large-side-preserving) joins are
+    valid: the small side is exploded ``salt`` times, so any join kind
+    that preserves unmatched small-side rows ('right'/'full'/...)
+    would emit each of them once per salt value.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the small side is exploded per salt, so small-side-preserving "
+            "joins would duplicate unmatched small rows"
+        )
     salted_large = large.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt))
     )

@@ -106,7 +106,10 @@ def range_join(
             )
         ),
     )
-    r = right.withColumn("_b", (F.col(right_time) / bucket_ms).cast("bigint"))
+    # F.floor to match the left side: a bare bigint cast truncates
+    # toward zero, which disagrees with floor for negative epoch-millis
+    # and silently drops boundary pairs.
+    r = right.withColumn("_b", F.floor(F.col(right_time) / bucket_ms).cast("bigint"))
     cond = (
         (F.col(f"r.{right_time}") - F.col(f"l.{left_time}") >= lower_ms)
         & (F.col(f"r.{right_time}") - F.col(f"l.{left_time}") <= upper_ms)

@@ -356,14 +356,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT term, doc_freq, rank FROM ranked WHERE rank <= 50",
 )
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # At 100 TB the vocabulary is billions of terms: a global
+    # row_number() window would move them all to one partition.
+    # global_topk_ranked keeps per-task top-k (TakeOrderedAndProject)
+    # and numbers only the 50 survivors.
+    from beyond_vector_search_spark.operators.scale import global_topk_ranked
 
     idx = _docs_index_pipeline(spark, sf_dir)
-    w = Window.orderBy(F.desc("doc_freq"), F.asc("term"))
-    return (
-        idx.term_stats.select("term", F.col("df").alias("doc_freq"))
-        .withColumn("rank", F.row_number().over(w))
-        .where("rank <= 50")
+    return global_topk_ranked(
+        idx.term_stats.select("term", F.col("df").alias("doc_freq")),
+        50,
+        F.desc("doc_freq"),
+        F.asc("term"),
     )
 
 

@@ -48,9 +48,13 @@ WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
-# --- TPC-H Q3-style shipping priority (3-way join -> agg -> top-k)
-TPCH_Q3 = """
-WITH revenue AS (
+# --- TPC-H Q3-style shipping priority (3-way join -> agg -> top-k).
+# The aggregate CTE is shared text; the final top-k differs by engine:
+# the DuckDB oracle keeps the global row_number() window (fine single-
+# node), while the Spark plan uses orderBy+LIMIT (TakeOrderedAndProject
+# — per-task top-k, no single-partition shuffle of the full relation)
+# and ranks only the k survivors (operators.scale.global_topk_ranked).
+TPCH_Q3_REVENUE = """
   SELECT
     o.o_orderkey,
     CAST(o.o_orderdate AS STRING) AS o_orderdate,
@@ -63,6 +67,11 @@ WITH revenue AS (
     AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
     AND l.l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
   GROUP BY o.o_orderkey, CAST(o.o_orderdate AS STRING), o.o_orderpriority
+"""
+
+TPCH_Q3 = f"""
+WITH revenue AS (
+{TPCH_Q3_REVENUE}
 )
 SELECT o_orderkey, o_orderdate, o_orderpriority, revenue,
        CAST(row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS INTEGER) AS rank
@@ -70,6 +79,16 @@ FROM revenue
 ORDER BY rank
 LIMIT 10
 """
+
+
+def q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.scale import global_topk_ranked
+
+    register_testdata_views(spark, sf_dir)
+    revenue = spark.sql(TPCH_Q3_REVENUE)
+    return global_topk_ranked(revenue, 10, F.desc("revenue"), F.asc("o_orderkey"))
 
 # --- TPC-H Q5-style local-supplier volume (6-way join through region)
 TPCH_Q5 = """
@@ -104,8 +123,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 # --- TPC-H Q10-style returned-item reporting: which customers returned
 #     the most revenue (join fact->dims, filter on flag, agg, top-k with
 #     deterministic tie-break)
-TPCH_Q10 = """
-WITH returns AS (
+TPCH_Q10_RETURNS = """
   SELECT
     c.c_custkey,
     c.c_name,
@@ -120,6 +138,11 @@ WITH returns AS (
     AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
     AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
   GROUP BY c.c_custkey, c.c_name, n.n_name, CAST(c.c_acctbal AS DOUBLE)
+"""
+
+TPCH_Q10 = f"""
+WITH returns AS (
+{TPCH_Q10_RETURNS}
 )
 SELECT c_custkey, c_name, n_name, c_acctbal, revenue,
        CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS INTEGER) AS rank
@@ -127,6 +150,19 @@ FROM returns
 ORDER BY rank
 LIMIT 20
 """
+
+
+def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side top-k like q_tpch_q3_topk: TakeOrderedAndProject
+    instead of a global single-partition window (oracle keeps the
+    window text)."""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.scale import global_topk_ranked
+
+    register_testdata_views(spark, sf_dir)
+    returns = spark.sql(TPCH_Q10_RETURNS)
+    return global_topk_ranked(returns, 20, F.desc("revenue"), F.asc("c_custkey"))
 
 # --- TPC-H Q14-style promotion share: conditional aggregation inside a
 #     fact->dim join (CASE WHEN in a decimal-exact sum)
@@ -285,10 +321,10 @@ EVENTS_JSON_DUCKDB = _EVENTS_JSON_TMPL.format(EXTRACT="json_extract(props, 'k')"
 
 def register_all() -> None:
     register_shared_sql("tpch_q1", TPCH_Q1)
-    register_shared_sql("tpch_q3_topk", TPCH_Q3)
+    register("tpch_q3_topk", TPCH_Q3)(q_tpch_q3_topk)
     register_shared_sql("tpch_q5_region_volume", TPCH_Q5)
     register_shared_sql("tpch_q6_forecast", TPCH_Q6)
-    register_shared_sql("tpch_q10_returns", TPCH_Q10)
+    register("tpch_q10_returns", TPCH_Q10)(q_tpch_q10_returns)
     register_shared_sql("tpch_q14_promo", TPCH_Q14)
     register_shared_sql("window_top_customers", WINDOW_TOP_CUSTOMERS)
     register_shared_sql("orders_rollup", ORDERS_ROLLUP)
