@@ -58,29 +58,46 @@ def _project(docs: DataFrame, id_col: str, text: Column | str) -> tuple[DataFram
     # A small corpus often arrives as ONE parquet split (128 MB
     # maxPartitionBytes), which would run the kernel single-threaded.
     # Fan out to the session's parallelism; at real scale the scan
-    # already has >= cores partitions and this is a no-op.
+    # already has >= cores partitions and this is a no-op.  File count
+    # is the cheap proxy for split count (``.rdd.getNumPartitions()``
+    # forces a Python-RDD conversion, ~0.3 s of pure plan overhead);
+    # non-file sources (createDataFrame, views) fall back to the RDD.
     parallelism = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
+    try:
+        n_parts = len(src.inputFiles()) or None
+    except Exception:  # noqa: BLE001
+        n_parts = None
+    if n_parts is None:
+        n_parts = src.rdd.getNumPartitions()
+    if n_parts < parallelism:
         src = src.repartition(parallelism)
     id_type = src.schema["doc_id"].dataType.simpleString()
     return src, id_type
 
 
-def _emit(pdf, ids: list, keys: list, tfs: list, key_name: str):
+def _emit(pdf, ids: list, keys: list, tfs: list, key_name: str, dls: list | None = None):
     import pandas as pd
 
-    return pd.DataFrame(
-        {
-            "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
-            key_name: pd.Series(keys, dtype="object"),
-            "tf": pd.Series(tfs, dtype="int64"),
-        }
-    )
+    out = {
+        "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+        key_name: pd.Series(keys, dtype="object"),
+        "tf": pd.Series(tfs, dtype="int64"),
+    }
+    if dls is not None:
+        out["dl"] = pd.Series(dls, dtype="int64")
+    return pd.DataFrame(out)
 
 
 def term_tf_frame(docs: DataFrame, *, id_col: str = "doc_id", text: Column | str = "text") -> DataFrame:
-    """(doc_id, term, tf) — per-document token term frequencies
-    (reference index.py:49-53 term_freq over text.py:8-17 tokenize)."""
+    """(doc_id, term, tf, dl) — per-document token term frequencies
+    (reference index.py:49-53 term_freq over text.py:8-17 tokenize).
+
+    ``dl`` is the document's total token count, denormalized onto every
+    posting row — the classic search-index layout: BM25 needs dl per
+    scored posting, and carrying it here removes a postings ⋈ doc_stats
+    join (one broadcast build + one stage) from every query plan.  It
+    is derivable per document inside this one kernel pass, so it costs
+    no extra scan."""
     src, id_type = _project(docs, id_col, text)
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -88,15 +105,18 @@ def term_tf_frame(docs: DataFrame, *, id_col: str = "doc_id", text: Column | str
             ids: list = []
             terms: list = []
             tfs: list = []
+            dls: list = []
             for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
                 counts = Counter(t.lower() for t in _TOKEN_RE.findall(txt or ""))
+                dl = sum(counts.values())
                 for term, tf in counts.items():
                     ids.append(doc_id)
                     terms.append(term)
                     tfs.append(tf)
-            yield _emit(pdf, ids, terms, tfs, "term")
+                    dls.append(dl)
+            yield _emit(pdf, ids, terms, tfs, "term", dls)
 
-    return src.mapInPandas(kernel, f"doc_id {id_type}, term string, tf long")
+    return src.mapInPandas(kernel, f"doc_id {id_type}, term string, tf long, dl long")
 
 
 def gram_tf_frame(

@@ -102,12 +102,17 @@ def build_term_stats(
 
 
 def build_postings(tokens_df: DataFrame) -> DataFrame:
-    """(term, doc_id, tf) — the inverted index (retrievers.py:117-123's
-    per-doc term-frequency maps, in long format)."""
+    """(term, doc_id, tf, dl) — the inverted index (retrievers.py:117-123's
+    per-doc term-frequency maps, in long format).  ``dl`` = the doc's
+    total token count, denormalized per posting row so BM25 scoring
+    needs no doc_stats join (see kernels.term_tf_frame)."""
     return (
-        tokens_df.select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id")
+        tokens_df.select(
+            "doc_id", F.size("tokens").cast("long").alias("dl"), F.explode("tokens").alias("term")
+        )
+        .groupBy("term", "doc_id", "dl")
         .agg(F.count("*").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
     )
 
 
@@ -164,9 +169,9 @@ class CorpusIndex:
 
     doc_stats: DataFrame   # (doc_id, doc_len)
     term_stats: DataFrame  # (term, df, idf, is_rare)
-    postings: DataFrame    # (term, doc_id, tf)
+    postings: DataFrame    # (term, doc_id, tf, dl) — dl denormalized for BM25
     gram_stats: DataFrame  # (gram, df, idf)
-    doc_vec: DataFrame     # (doc_id, gram, weight)
+    doc_vec: DataFrame     # (doc_id, gram, weight, norm) — norm denormalized for cosine
     doc_norm: DataFrame    # (doc_id, norm)
     scalars: DataFrame     # 1 row (n_docs, avg_dl)
     doc_ids: DataFrame     # (doc_id) — for zero-score restoration
@@ -177,6 +182,40 @@ class CorpusIndex:
         for f in self._FIELDS:
             getattr(self, f).cache()
         return self
+
+    # Dependency waves for eager materialization: every relation in a
+    # wave only reads relations from earlier waves (or the delta), so
+    # concurrent jobs within a wave never race to compute a shared
+    # uncached parent twice.
+    _WAVES = [
+        ["postings", "term_stats", "doc_stats", "gram_stats", "scalars", "doc_ids"],
+        ["doc_norm"],
+        ["doc_vec"],
+    ]
+
+    def materialize(self) -> "CorpusIndex":
+        """Force every cached relation to be built NOW, running each
+        dependency wave as concurrent Spark jobs (thread-per-count; the
+        scheduler interleaves their stages across cores).  A sequential
+        7-count loop leaves most cores idle between tiny stages — at
+        sf0.1 this cuts index materialization roughly in half."""
+        import concurrent.futures as cf
+
+        for wave in self._WAVES:
+            with cf.ThreadPoolExecutor(max_workers=len(wave)) as ex:
+                list(ex.map(lambda f: getattr(self, f).count(), wave))
+        return self
+
+    def scalar_values(self) -> tuple[int, float]:
+        """(n_docs, avg_dl) as Python values — a one-time 1-row collect,
+        memoized per index.  Scoring folds these in as literals, which
+        removes a BroadcastNestedLoopJoin stage from every query plan;
+        the values are exact (integer sum / count), so query results are
+        bit-identical to the join form."""
+        if getattr(self, "_scalar_vals", None) is None:
+            row = self.scalars.first()
+            self._scalar_vals = (int(row["n_docs"]), float(row["avg_dl"]))
+        return self._scalar_vals
 
     def save(self, path: str) -> None:
         """Persist to parquet.  postings/doc_vec are the large tables —
@@ -284,7 +323,7 @@ class IndexDelta:
     and days, hence this split.
     """
 
-    postings: DataFrame  # (term, doc_id, tf)
+    postings: DataFrame  # (term, doc_id, tf, dl)
     gram_tf: DataFrame   # (doc_id, gram, tf)
     doc_ids: DataFrame   # (doc_id)
 
@@ -304,6 +343,30 @@ class IndexDelta:
         for f in self._FIELDS:
             getattr(self, f).cache()
         return self
+
+    def checkpoint(self) -> "IndexDelta":
+        """Materialize eagerly via ``localCheckpoint`` (concurrent jobs)
+        and truncate lineage.
+
+        Two effects, both measured at sf0.1:
+        - each tokenize/shingle kernel runs EXACTLY once (a lazy cache
+          can be raced into double computation by sibling consumers);
+        - every derived index relation becomes a shallow plan over the
+          checkpointed blocks, so Catalyst analysis/canonicalization of
+          downstream plans (which walks the full tree on every
+          ``.cache()`` and every query) drops from seconds to
+          milliseconds.
+
+        The cluster equivalent is persisting the delta to parquet
+        (``save``) and reading it back — same lineage cut; use that for
+        multi-job pipelines, this for within-session serving."""
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=len(self._FIELDS)) as ex:
+            futs = {
+                f: ex.submit(getattr(self, f).localCheckpoint) for f in self._FIELDS
+            }
+            return IndexDelta(**{f: fut.result() for f, fut in futs.items()})
 
     def save(self, path: str) -> None:
         for f in self._FIELDS:
@@ -347,33 +410,38 @@ def build_delta(
     id_col: str = "doc_id",
     text: Column | str = "text",
     cfg: EngineConfig = DEFAULT,
+    cache: bool = True,
 ) -> IndexDelta:
-    """One scan of the corpus text -> per-document tf relations."""
+    """One scan of the corpus text -> per-document tf relations.
+
+    ``cache=False`` skips the lazy caches — for callers that
+    immediately ``.checkpoint()`` the delta (eager materialization
+    makes the caches dead weight: one more canonicalization pass per
+    relation for blocks that will never be read)."""
     arrow = cfg.index_kernel == "arrow"
+    keep = (lambda df: df.cache()) if cache else (lambda df: df)
     if arrow:
         # Arrow counting kernels (functions/kernels.py): tokenize/shingle
         # + per-doc tf in one narrow pass per term space, so the corpus
         # text is scanned exactly twice (tokens + grams).
         from beyond_vector_search_spark.functions import kernels
 
-        postings = (
+        postings = keep(
             kernels.term_tf_frame(docs, id_col=id_col, text=text)
-            .select("term", "doc_id", "tf")
-            .cache()
+            .select("term", "doc_id", "tf", "dl")
         )
-        gram_tf = kernels.gram_tf_frame(docs, id_col=id_col, text=text, n=cfg.ngram_n).cache()
+        gram_tf = keep(kernels.gram_tf_frame(docs, id_col=id_col, text=text, n=cfg.ngram_n))
     else:
         toks = doc_tokens(docs, id_col=id_col, text=text).cache()
-        postings = build_postings(toks).cache()
+        postings = keep(build_postings(toks))
         # cached: the explode below carries an inferred size(grams)>0
         # filter that would otherwise inline the shingling expression 2
         # extra times per row (see docstring)
         grams = doc_grams(docs, id_col=id_col, text=text, n=cfg.ngram_n).cache()
-        gram_tf = (
+        gram_tf = keep(
             grams.select("doc_id", F.explode("grams").alias("gram"))
             .groupBy("doc_id", "gram")
             .agg(F.count("*").alias("tf"))
-            .cache()
         )
     return IndexDelta(
         postings=postings,
@@ -426,16 +494,27 @@ def index_from_delta(delta: IndexDelta, *, cfg: EngineConfig = DEFAULT) -> Corpu
         gram_stats = gram_stats.crossJoin(F.broadcast(n.withColumnRenamed("n_docs", "_n"))).where(
             F.col("df") <= cfg.max_gram_df_ratio * F.col("_n")
         ).drop("_n")
-    doc_vec = gram_tf.join(F.broadcast(gram_stats.select("gram", "idf")), "gram").select(
+    # doc_vec carries the document L2 norm on every row (the ``or 1.0``
+    # empty-vector guard, retrievers.py:84): cosine scoring then needs
+    # no doc_norm join — one broadcast fewer per query, and the
+    # persisted layout (save/save_bucketed) serves cold without
+    # re-deriving norms.  The fold is a join against the (tiny, one row
+    # per doc) doc_norm aggregate — partial aggregation + a broadcast
+    # at this scale; at cluster scale doc_norm exceeds the broadcast
+    # threshold and the join co-partitions on doc_id, which the
+    # kernel-output clustering already provides.
+    doc_vec_raw = gram_tf.join(F.broadcast(gram_stats.select("gram", "idf")), "gram").select(
         "doc_id", "gram", ((1.0 + F.log("tf")) * F.col("idf")).alias("weight")
     )
+    doc_norm = build_doc_norm(doc_vec_raw)
+    doc_vec = doc_vec_raw.join(doc_norm, "doc_id")
     return CorpusIndex(
         doc_stats=doc_stats,
         term_stats=term_stats,
         postings=postings,
         gram_stats=gram_stats,
         doc_vec=doc_vec,
-        doc_norm=build_doc_norm(doc_vec),
+        doc_norm=doc_norm,
         scalars=scalars,
         doc_ids=delta.doc_ids,
     )

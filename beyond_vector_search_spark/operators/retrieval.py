@@ -89,18 +89,23 @@ def bm25_scores(
     # Tiny side: terms-of-queries ⋈ term_stats — broadcast both ways is
     # fine; postings is the only large input.
     q_idf = q_terms.join(index.term_stats.select("term", "idf"), "term")
-    avg_dl = F.coalesce(F.nullif(F.col("avg_dl"), F.lit(0.0)), F.lit(1.0))
+    # avg_dl folded in as a literal (one memoized 1-row collect on the
+    # index) — the alternative crossJoin(broadcast(scalars)) adds a
+    # BroadcastNestedLoopJoin stage to every query plan for one number.
+    _, avg_dl_val = index.scalar_values()
+    avg_dl = F.lit(avg_dl_val if avg_dl_val != 0.0 else 1.0)
     k1, b = cfg.bm25_k1, cfg.bm25_b
     contrib = (
         F.col("idf")
         * (F.col("tf") * (k1 + 1.0))
         / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / avg_dl)))
     )
+    # postings carries dl denormalized (corpus_index.build_postings), so
+    # the whole score is one broadcast join + one aggregation — no
+    # doc_stats join, no scalar crossJoin.
     scored = (
         F.broadcast(q_idf)
         .join(index.postings, "term")
-        .join(index.doc_stats.withColumnRenamed("doc_len", "dl"), "doc_id")
-        .crossJoin(F.broadcast(index.scalars.select("avg_dl")))
         .select("query_id", "doc_id", contrib.alias("contrib"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib").alias("score"))
@@ -137,20 +142,27 @@ def vector_scores(
     q_norm * doc_norm with the ``or 1.0`` guards (retrievers.py:84,96).
     """
     qv = query_gram_vec(queries, index, cfg=cfg)
-    q_norm = qv.groupBy("query_id").agg(
+    # q_norm as a window over the (tiny) query-vector relation — no
+    # separate agg + broadcast-join round trip.  doc_vec carries the
+    # document norm denormalized (corpus_index.index_from_delta), so the
+    # whole cosine is one broadcast join + one aggregation.
+    w_q = Window.partitionBy("query_id")
+    qv = qv.withColumn(
+        "q_norm",
         F.coalesce(
-            F.nullif(F.sqrt(F.sum(F.col("qw") * F.col("qw"))), F.lit(0.0)), F.lit(1.0)
-        ).alias("q_norm")
+            F.nullif(F.sqrt(F.sum(F.col("qw") * F.col("qw")).over(w_q)), F.lit(0.0)),
+            F.lit(1.0),
+        ),
     )
-    dots = (
+    scored = (
         F.broadcast(qv)
         .join(index.doc_vec, "gram")
         .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.col("qw") * F.col("weight")).alias("dot"))
-    )
-    scored = (
-        dots.join(F.broadcast(q_norm), "query_id")
-        .join(index.doc_norm, "doc_id")
+        .agg(
+            F.sum(F.col("qw") * F.col("weight")).alias("dot"),
+            F.first("q_norm").alias("q_norm"),
+            F.first("norm").alias("norm"),
+        )
         .select(
             "query_id",
             "doc_id",

@@ -36,7 +36,7 @@ _BM25_STACK = (
 _RANKED5 = (
     ", ranked AS (SELECT query_id, doc_id, round(score, 6) AS score, "
     "row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank "
-    "FROM allpairs)"
+    "FROM kscored)"
 )
 
 # snippet = join_top_sentences(text): split [.!?]\s+, trim, drop blanks,

@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE right-size shuffles INSIDE cached plans too: by default
+        # cached plans pin their output partitioning, so a tiny cached
+        # aggregate keeps all `shuffle.partitions` partitions and every
+        # downstream stage pays that task count forever.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Dimension tables (term stats, router state, centroids) are small;
         # broadcast aggressively so scoring joins never shuffle the index.

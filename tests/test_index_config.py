@@ -63,9 +63,14 @@ def test_arrow_and_expr_kernels_identical(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     expr_terms = (
-        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
-        .groupBy("doc_id", "term")
+        docs.select(
+            "doc_id",
+            F.size(tokenize("text")).cast("long").alias("dl"),
+            F.explode(tokenize("text")).alias("term"),
+        )
+        .groupBy("doc_id", "term", "dl")
         .agg(F.count("*").alias("tf"))
+        .select("doc_id", "term", "tf", "dl")
     )
     arrow_terms = kernels.term_tf_frame(docs, text="text")
     assert expr_terms.exceptAll(arrow_terms).count() == 0

@@ -1,0 +1,157 @@
+#!/usr/bin/env python3
+"""Crossover benchmark: this engine vs the single-process reference on
+the SAME corpus at growing document counts.
+
+The sf0.1 retrieval bench measures a 5,000-doc corpus, where Spark's
+fixed per-action overhead (plan analysis, stage scheduling, broadcast
+builds) dominates and the single-process reference wins on latency.
+That gap is constant, not asymptotic: the reference's index build and
+its score-every-doc queries are O(corpus) on one core, while the Spark
+plans are O(corpus / cores) with a fixed floor.  This tool measures
+both engines on corpora derived from the driver's own documents table
+(the sf0.1 table concatenated N times with offset doc_ids — no new
+content is synthesized) and prints the per-scale comparison, locating
+the crossover point.
+
+Reference timing executes /root/reference (public, untrusted) the same
+way BASELINE.md's measurements did: in-process, stdlib only.
+
+Usage:  python3 tools/crossover_bench.py [copies ...]   (default: 1 4 10)
+Output: one JSON line per scale + a summary table on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = 10
+
+
+def load_texts() -> list[tuple[int, str]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def time_reference(rows: list[tuple[int, str]], queries: list[str]) -> dict:
+    """Build + query timings for the reference engine (one process)."""
+    sys.path.insert(0, "/root/reference/src")
+    from beyond_vector_search.index import build_corpus_stats
+    from beyond_vector_search.retrievers import (
+        HybridRetriever,
+        KeywordRetriever,
+        VectorRetriever,
+    )
+    from beyond_vector_search.types import Document
+
+    docs = [Document(doc_id=str(i), title="", text=t or "") for i, t in rows]
+    t0 = time.time()
+    stats = build_corpus_stats(docs)
+    vec = VectorRetriever.build(docs, stats)
+    kw = KeywordRetriever.build(docs, stats)
+    hyb = HybridRetriever(docs=docs, vector=vec, keyword=kw)
+    t_build = time.time() - t0
+
+    out = {"index_build": round(t_build, 3)}
+    for name, r in (("bm25_topk", kw), ("vector_topk", vec), ("hybrid_topk", hyb)):
+        t0 = time.time()
+        for q in queries:
+            r.search(q, k=K)
+        out[name] = round(time.time() - t0, 3)
+    out["total"] = round(sum(out.values()), 3)
+    return out
+
+
+def time_spark(spark, copies: int, queries_df) -> dict:
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators import corpus_index as ci
+    from beyond_vector_search_spark.operators import retrieval as rt
+    from beyond_vector_search_spark.plans.entry_queries import _CFG, _ranked
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    scaled = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            base.select((F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"), "text")
+            for i in range(copies)
+        ],
+    )
+    t0 = time.time()
+    idx = ci.index_from_delta(
+        ci.build_delta(scaled, text="text", cache=False).checkpoint()
+    ).cache().materialize()
+    out = {"index_build": round(time.time() - t0, 3)}
+
+    t0 = time.time()
+    kw = rt.bm25_scores(queries_df, idx, cfg=_CFG).cache()
+    _ranked(kw).count()
+    out["bm25_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    vec = rt.vector_scores(queries_df, idx, cfg=_CFG).cache()
+    _ranked(vec).count()
+    out["vector_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _ranked(rt.hybrid_scores(queries_df, idx, cfg=_CFG, keyword=kw, vector=vec)).count()
+    out["hybrid_topk"] = round(time.time() - t0, 3)
+    out["total"] = round(sum(out.values()), 3)
+
+    # release executor memory between scales
+    for f in idx._FIELDS:
+        getattr(idx, f).unpersist()
+    kw.unpersist()
+    vec.unpersist()
+    return out
+
+
+def main() -> int:
+    scales = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+    rows = load_texts()
+
+    from beyond_vector_search_spark.plans.entry_queries import QUERY_SET
+    from beyond_vector_search_spark.session import get_spark
+
+    spark = get_spark("crossover-bench")
+    spark.range(1).count()
+    queries_df = spark.createDataFrame(QUERY_SET, "query_id STRING, query STRING")
+    # warm codegen/kernels at the smallest scale factor
+    time_spark(spark, 1, queries_df)
+
+    results = []
+    for c in scales:
+        scaled_rows = [
+            (i + k * 10_000_000, t) for k in range(c) for i, t in rows
+        ]
+        ref = time_reference(scaled_rows, [q for _, q in QUERY_SET])
+        eng = time_spark(spark, c, queries_df)
+        rec = {
+            "n_docs": len(scaled_rows),
+            "copies": c,
+            "reference": ref,
+            "spark": eng,
+            "ratio_spark_over_ref": round(eng["total"] / ref["total"], 2),
+        }
+        results.append(rec)
+        print(json.dumps(rec))
+        print(
+            f"# {len(scaled_rows):>7} docs: reference {ref['total']:.2f}s, "
+            f"spark {eng['total']:.2f}s, ratio {rec['ratio_spark_over_ref']:.2f}x",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
