@@ -374,7 +374,18 @@ class IndexDelta:
 
     @classmethod
     def load(cls, spark, path: str) -> "IndexDelta":
-        return cls(**{f: spark.read.parquet(f"{path}/{f}") for f in cls._FIELDS})
+        """Load a delta store.  Streaming ingest writes each batch into
+        a ``batch_id=N`` partition directory (retry-idempotent
+        overwrites — streaming/ingest.py); partition discovery surfaces
+        that as a ``batch_id`` column, which is storage layout, not
+        index data — dropped here."""
+        out = {}
+        for f in cls._FIELDS:
+            df = spark.read.parquet(f"{path}/{f}")
+            if "batch_id" in df.columns:
+                df = df.drop("batch_id")
+            out[f] = df
+        return cls(**out)
 
     def compact(self, path: str, *, partitions: int | None = None) -> "IndexDelta":
         """Rewrite the delta store at ``path`` with each relation

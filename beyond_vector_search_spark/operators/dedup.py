@@ -78,7 +78,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, *, bands: int = 4, rows_per_band: int = 4
+    sigs: DataFrame,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from banded LSH: docs agreeing on
     ALL rows of at least one band.
@@ -87,6 +91,15 @@ def lsh_candidate_pairs(
     32-char strings regardless of signature width.  Self-join is on
     (band_id, band_key) — with b*r hashes, collision probability follows
     the usual (1-(1-s^r)^b) S-curve.
+
+    ``max_bucket_size`` is the hot-bucket guard: a bucket of m docs
+    emits m^2/2 pairs, so one degenerate band key (near-empty docs
+    sharing a trivial signature) goes quadratic at corpus scale.
+    Buckets above the cap are dropped BEFORE the self-join (a window
+    count on the join key — same shuffle the join needs anyway).  Docs
+    in a dropped bucket still pair through their other, more selective
+    bands; fully identical documents are the exact-dedup pass's job
+    (exact_dedup_map), not LSH's.  ``None`` disables the cap.
     """
     banded = sigs.select(
         "doc_id",
@@ -102,6 +115,13 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        banded = (
+            banded.withColumn("_bucket_n", F.count("*").over(w))
+            .where(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -123,6 +143,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    max_shingle_df: int | None = 100_000,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — exact shingle-set Jaccard similarity.
 
@@ -131,10 +152,26 @@ def jaccard_pairs(
     then |A∩B| / (|A| + |B| - |A∩B|).  Intersection/union counts are
     integers => cross-engine exact; jaccard is one exact division.
     Pass ``candidates`` (e.g. LSH output) to verify only those pairs.
+
+    ``max_shingle_df`` is the hot-key guard, mirroring the gram space's
+    ``max_gram_df_ratio`` (corpus_index): a shingle present in m docs
+    contributes m^2/2 join rows, so boilerplate shingles go quadratic
+    at corpus scale.  Shingles above the df cap are removed from BOTH
+    the intersection join and the per-doc sizes, i.e. the result is
+    exact Jaccard over the filtered shingle space (stopword-removal
+    semantics, not an underestimate).  ``None`` disables.
     """
     sh = _doc_shingles(df, id_col=id_col, text_col=text_col, n=shingle_n).select(
         "doc_id", F.explode("shingles").alias("sh")
     )
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -43,6 +43,16 @@ def stable_topk(scored: DataFrame, k: int, *, score_col: str = "score") -> DataF
     ~1e-16 differences that would defeat the doc_id tie-break.  Rounding
     collapses them back into exact ties (the reference, summing each
     doc's identical dict in identical order, ties them bit-exactly).
+
+    Tie-break caveat: the reference breaks exact ties by POSITION IN
+    THE CORPUS LIST (text.py:52-54); this engine uses doc_id ascending.
+    The two agree whenever corpus file order equals doc_id order — true
+    for the shipped corpus and the driver testdata, not guaranteed for
+    arbitrary inputs.  For a corpus whose file order differs, add an
+    explicit ordinal column and pass it as the tie-break instead.  The
+    10-decimal rounding can also merge scores the reference would rank
+    as distinct (it compares full doubles); no such case exists in the
+    shipped data.
     """
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col(score_col), 10)), F.asc("doc_id")

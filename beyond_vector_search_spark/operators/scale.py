@@ -103,6 +103,29 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def deterministic_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    fraction: float,
+    seed: int | None = None,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows by a portable hash of ``key_col``.
+
+    Unlike ``df.sample()`` (rand()-based: different rows per run, per
+    partitioning, per engine), the kept set is a pure function of the
+    key — reproducible across engines, runs, and cluster sizes, and
+    stable under re-partitioning.  This is the only sampling a
+    training-data pipeline should use.
+    """
+    from beyond_vector_search_spark.functions.hashing import hash64
+
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    cut = int(fraction * 1_000_000)
+    return df.where(F.pmod(hash64(F.col(key_col), seed), F.lit(1_000_000)) < cut)
+
+
 def stratified_sample(
     df: DataFrame,
     *,

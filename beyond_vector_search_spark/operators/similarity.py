@@ -300,6 +300,8 @@ def train_ivf_centroids(
     n_centroids: int = 8,
     seed: int = 42,
     max_iter: int = 20,
+    max_train_rows: int = 100_000,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """(centroid_id, embedding array<double>) — KMeans-trained IVF
     centroids via MLlib (Lloyd's with k-means|| init).
@@ -307,11 +309,16 @@ def train_ivf_centroids(
     The production front half of :func:`ivf_topk`: trained centroids
     track the data distribution, so bucket sizes stay balanced and
     probing nprobe/K of the corpus loses far less recall than with
-    arbitrary fixed centroids.  Training is a few passes over a SAMPLE
-    of the corpus (KMeans scales linearly; at 100 TB you fit on ~1%
-    deterministic-hash sample), assignment stays the one-map-pass
-    assign_centroids.  Deterministic given the seed, but the kmeans||
-    trajectory is Spark-internal — rows-only in the oracle catalog.
+    arbitrary fixed centroids.  Training fits on a deterministic-hash
+    SAMPLE of the corpus (centroid quality needs distribution shape,
+    not every row; KMeans at 100 TB must not scan the full table per
+    iteration): ``train_fraction`` if given, else auto-sized so at most
+    ``max_train_rows`` vectors are fitted.  The sampled id set is a
+    pure function of (id, seed) — reproducible across cluster sizes
+    (operators.scale.deterministic_sample).  Assignment stays the
+    one-map-pass assign_centroids over the FULL corpus.  Deterministic
+    given the seed, but the kmeans|| trajectory is Spark-internal —
+    rows-only in the oracle catalog.
 
     centroid_id = position in MLlib's cluster-center array (stable for
     a given fit).
@@ -319,6 +326,15 @@ def train_ivf_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from beyond_vector_search_spark.operators.scale import deterministic_sample
+
+    if train_fraction is None:
+        n = embeddings.count()
+        train_fraction = min(1.0, max_train_rows / max(n, 1))
+    if train_fraction < 1.0:
+        embeddings = deterministic_sample(
+            embeddings, key_col=id_col, fraction=train_fraction, seed=seed
+        )
     train = embeddings.select(
         array_to_vector(as_double_array(F.col(vec_col))).alias("features")
     )

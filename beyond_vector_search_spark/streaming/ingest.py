@@ -47,16 +47,27 @@ def append_delta_batch(
     text: Column | str = "text",
     cfg: EngineConfig = DEFAULT,
 ) -> bool:
-    """Scan ONE micro-batch of documents and append its tf delta to the
-    delta store at ``path``.  Idempotent per batch_id (retried batches
-    are skipped), which upgrades foreachBatch's at-least-once to
-    effectively-once appends.  Returns False on skip."""
+    """Scan ONE micro-batch of documents and write its tf delta into the
+    delta store at ``path``.  Returns False on skip.
+
+    Idempotence comes from the LAYOUT, not the marker: each relation is
+    written with ``overwrite`` into its own ``batch_id=N`` partition
+    directory, so a retried batch (foreachBatch is at-least-once)
+    rewrites the same directories instead of appending duplicate rows —
+    a crash between the three relation writes cannot double tf counts.
+    The marker file is a fast-skip optimization AND the replay guard
+    after ``IndexDelta.compact`` (which folds batch directories into
+    flat files, after which an overwrite would re-add the batch); it
+    lives under ``path`` itself, i.e. on the same storage as the data.
+    """
     marker = _batch_marker(path, batch_id)
     if os.path.exists(marker):
         return False
     delta = build_delta(docs_batch, id_col=id_col, text=text, cfg=cfg)
     for f in IndexDelta._FIELDS:
-        getattr(delta, f).write.mode("append").parquet(os.path.join(path, f))
+        getattr(delta, f).write.mode("overwrite").parquet(
+            os.path.join(path, f, f"batch_id={batch_id}")
+        )
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as fh:
         json.dump({"batch_id": batch_id, "n_docs": docs_batch.count()}, fh)

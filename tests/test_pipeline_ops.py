@@ -255,3 +255,105 @@ def test_ivf_kmeans_recall_vs_exact(spark):
     assert len(a & e) / len(e) >= 0.9          # recall on separated clusters
     a2 = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, train_ivf_centroids(emb, n_centroids=4, seed=42), k=3, nprobe=2).collect()}
     assert a2 == a                              # deterministic given seed
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    """MLlib BucketedRandomProjectionLSH ANN (similarity.lsh_ann_topk)
+    with the catalog's default parameters recovers most of the exact
+    cosine top-5 on the driver embeddings table — pins that the default
+    bucket_length/num_hash_tables are adequate, not just runnable."""
+    from beyond_vector_search_spark.operators.similarity import (
+        knn_bruteforce,
+        lsh_ann_topk,
+    )
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = {(r.query_id, r.neighbor_id) for r in lsh_ann_topk(emb, queries, k=5).collect()}
+    exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(emb, queries, k=5).collect()}
+    # NOTE: LSH ranks by Euclidean distance, exact by cosine — on the
+    # driver embeddings (unnormalized) the two orderings mostly agree;
+    # recall@5 >= 0.6 pins the defaults as useful, deterministic given
+    # the fixed seed.
+    assert len(ann) == len(exact) == 25
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.6, f"lsh_ann recall@5 = {recall}"
+    ann2 = {(r.query_id, r.neighbor_id) for r in lsh_ann_topk(emb, queries, k=5).collect()}
+    assert ann2 == ann
+
+
+def test_dedup_hot_bucket_caps(spark):
+    """Degenerate corpus (1k near-identical short docs): the LSH band
+    buckets and the shingle inverted index are both quadratic bombs
+    without the caps.  With the caps the candidate generation completes
+    without materializing the m^2 bucket, and docs in dropped buckets
+    are the exact-dedup pass's job."""
+    from beyond_vector_search_spark.operators.dedup import (
+        exact_dedup_map,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical short document body shared by everyone").alias("text"),
+    )
+    sigs = minhash_signatures(docs)
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=50)
+    assert capped.count() == 0  # every bucket is hot -> all dropped
+    # ... and the identical docs are still deduplicated by the exact pass
+    keepers = exact_dedup_map(docs).where("doc_id = keeper_id").count()
+    assert keepers == 1
+
+    # jaccard: every shingle is in all 1000 docs; with the df cap the
+    # inverted join materializes zero rows instead of ~shingles*10^6
+    assert jaccard_pairs(docs, max_shingle_df=100).count() == 0
+    # cap off, smaller slice: identical docs pair with jaccard 1.0
+    some = jaccard_pairs(docs.where("doc_id < 5"), max_shingle_df=None, threshold=0.99)
+    assert some.count() == 10  # C(5,2)
+
+
+def test_deterministic_sample_stability(spark):
+    """deterministic_sample keeps the same id set regardless of
+    partitioning, and train_ivf_centroids' auto-sampling keeps the
+    recall of the full fit on well-separated clusters."""
+    import math
+
+    from beyond_vector_search_spark.operators.scale import deterministic_sample
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    a = {r.k for r in deterministic_sample(df, key_col="k", fraction=0.2, seed=3).collect()}
+    b = {
+        r.k
+        for r in deterministic_sample(
+            df.repartition(7), key_col="k", fraction=0.2, seed=3
+        ).collect()
+    }
+    assert a == b
+    assert 0.1 < len(a) / 2000 < 0.3
+
+    from beyond_vector_search_spark.operators.similarity import (
+        ivf_topk,
+        knn_bruteforce,
+        train_ivf_centroids,
+    )
+
+    rows = []
+    for c in range(4):
+        base = c * (math.pi / 2)
+        for i in range(50):
+            ang = base + (i - 25) * 0.004
+            rows.append((c * 50 + i, [math.cos(ang), math.sin(ang)]))
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    queries = emb.where("vec_id IN (0, 50, 100, 150)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # force the sampling path: fit on ~half the corpus
+    cents = train_ivf_centroids(emb, n_centroids=4, seed=42, max_train_rows=100)
+    approx = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, cents, k=3, nprobe=2).collect()}
+    exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(emb, queries, k=3).collect()}
+    assert len(approx & exact) / len(exact) >= 0.9
