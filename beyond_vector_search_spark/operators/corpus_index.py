@@ -178,9 +178,19 @@ class CorpusIndex:
 
     _FIELDS = ["doc_stats", "term_stats", "postings", "gram_stats", "doc_vec", "doc_norm", "scalars", "doc_ids"]
 
-    def cache(self) -> "CorpusIndex":
+    def cache(self, *, skip: tuple = ()) -> "CorpusIndex":
+        """Cache the index relations.  ``skip`` names fields to leave
+        uncached — the serving profile built over a checkpointed delta
+        skips (a) postings/doc_ids, already eagerly materialized by the
+        checkpoint (caching them again would store a second, columnar
+        copy of the same rows), and (b) doc_vec, which is cheaper to
+        re-derive per query (one scan of checkpointed gram_tf + two
+        broadcast joins) than to write as a second 100%-of-corpus cache
+        — measured at sf0.1: caching doc_vec costs ~2s of build for
+        ~0.2s/query of savings."""
         for f in self._FIELDS:
-            getattr(self, f).cache()
+            if f not in skip:
+                getattr(self, f).cache()
         return self
 
     # Dependency waves for eager materialization: every relation in a
@@ -194,16 +204,23 @@ class CorpusIndex:
     ]
 
     def materialize(self) -> "CorpusIndex":
-        """Force every cached relation to be built NOW, running each
+        """Force every CACHED relation to be built NOW, running each
         dependency wave as concurrent Spark jobs (thread-per-count; the
         scheduler interleaves their stages across cores).  A sequential
         7-count loop leaves most cores idle between tiny stages — at
-        sf0.1 this cuts index materialization roughly in half."""
+        sf0.1 this cuts index materialization roughly in half.
+        Uncached fields are skipped: they are either already eager
+        (checkpointed delta relations) or deliberately served as views
+        (see ``cache(skip=...)``); counting them would compute and
+        discard."""
         import concurrent.futures as cf
 
         for wave in self._WAVES:
-            with cf.ThreadPoolExecutor(max_workers=len(wave)) as ex:
-                list(ex.map(lambda f: getattr(self, f).count(), wave))
+            todo = [f for f in wave if getattr(self, f).is_cached]
+            if not todo:
+                continue
+            with cf.ThreadPoolExecutor(max_workers=len(todo)) as ex:
+                list(ex.map(lambda f: getattr(self, f).count(), todo))
         return self
 
     def scalar_values(self) -> tuple[int, float]:

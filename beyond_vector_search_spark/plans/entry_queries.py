@@ -128,7 +128,11 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> ci.CorpusIndex:
         delta = ci.build_delta(
             load_table(spark, sf_dir, "documents"), text="text", cache=False
         ).checkpoint()
-        _INDEX_CACHE[key] = ci.index_from_delta(delta).cache()
+        # serving profile: checkpointed relations and doc_vec stay
+        # uncached (see CorpusIndex.cache docstring)
+        _INDEX_CACHE[key] = ci.index_from_delta(delta).cache(
+            skip=("postings", "doc_ids", "doc_vec")
+        )
     return _INDEX_CACHE[key]
 
 

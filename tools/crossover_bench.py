@@ -90,7 +90,7 @@ def time_spark(spark, copies: int, queries_df) -> dict:
     t0 = time.time()
     idx = ci.index_from_delta(
         ci.build_delta(scaled, text="text", cache=False).checkpoint()
-    ).cache().materialize()
+    ).cache(skip=("postings", "doc_ids", "doc_vec")).materialize()
     out = {"index_build": round(time.time() - t0, 3)}
 
     t0 = time.time()
