@@ -361,7 +361,7 @@ class IndexDelta:
             getattr(self, f).cache()
         return self
 
-    def checkpoint(self) -> "IndexDelta":
+    def checkpoint(self, *, target_partitions: int | None = None) -> "IndexDelta":
         """Materialize eagerly via ``localCheckpoint`` (concurrent jobs)
         and truncate lineage.
 
@@ -374,6 +374,16 @@ class IndexDelta:
           ``.cache()`` and every query) drops from seconds to
           milliseconds.
 
+        ``target_partitions`` coalesces the checkpointed blocks for
+        downstream readers (narrow — no shuffle, kernel parallelism
+        during the checkpoint itself is untouched).  The kernels fan out
+        to the session's full parallelism so a small corpus still
+        shingles on every core, but that leaves a small delta stored as
+        ``parallelism`` slivers, and every derived aggregation then
+        launches ``parallelism`` tasks to scan a few MB — pure scheduler
+        overhead.  This is the same right-sizing AQE applies to shuffle
+        outputs, applied to materialized blocks (which AQE cannot see).
+
         The cluster equivalent is persisting the delta to parquet
         (``save``) and reading it back — same lineage cut; use that for
         multi-job pipelines, this for within-session serving."""
@@ -383,7 +393,12 @@ class IndexDelta:
             futs = {
                 f: ex.submit(getattr(self, f).localCheckpoint) for f in self._FIELDS
             }
-            return IndexDelta(**{f: fut.result() for f, fut in futs.items()})
+            out = {f: fut.result() for f, fut in futs.items()}
+        if target_partitions is not None:
+            # coalesce never increases a partition count, so a target
+            # above the checkpointed count is a no-op — no need to probe
+            out = {f: df.coalesce(max(1, target_partitions)) for f, df in out.items()}
+        return IndexDelta(**out)
 
     def save(self, path: str) -> None:
         for f in self._FIELDS:

@@ -125,9 +125,16 @@ _INDEX_CACHE: dict[tuple[int, str], ci.CorpusIndex] = {}
 def _docs_index(spark: SparkSession, sf_dir: str) -> ci.CorpusIndex:
     key = (id(spark), sf_dir)
     if key not in _INDEX_CACHE:
-        delta = ci.build_delta(
-            load_table(spark, sf_dir, "documents"), text="text", cache=False
-        ).checkpoint()
+        docs = load_table(spark, sf_dir, "documents")
+        # Right-size the checkpointed delta for downstream scans: the
+        # count is parquet-metadata-only (footer row counts), and ~2.5k
+        # docs per partition keeps derived-aggregation stages at a task
+        # count proportional to the data instead of the core count.
+        n_docs = docs.count()
+        target = -(-n_docs // 2500)  # ceil
+        delta = ci.build_delta(docs, text="text", cache=False).checkpoint(
+            target_partitions=target
+        )
         # serving profile: checkpointed relations and doc_vec stay
         # uncached (see CorpusIndex.cache docstring)
         _INDEX_CACHE[key] = ci.index_from_delta(delta).cache(
@@ -145,9 +152,23 @@ _SCORES_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 def _scores(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
     key = (id(spark), sf_dir, strategy)
     if key not in _SCORES_CACHE:
+        # Both strategies' score relations are always consumed by the
+        # suite (their own top-k + the hybrid blend), so build BOTH on
+        # first request and materialize the two caches as concurrent
+        # jobs — the scheduler interleaves their tiny stages, so the
+        # pair costs ~max, not sum (same trick as
+        # CorpusIndex.materialize's dependency waves).
+        import concurrent.futures as cf
+
         idx = _docs_index(spark, sf_dir)
-        fn = rt.bm25_scores if strategy == "keyword" else rt.vector_scores
-        _SCORES_CACHE[key] = fn(_queries_df(spark), idx, cfg=_CFG).cache()
+        qdf = _queries_df(spark)
+        pair = {
+            (id(spark), sf_dir, "keyword"): rt.bm25_scores(qdf, idx, cfg=_CFG).cache(),
+            (id(spark), sf_dir, "vector"): rt.vector_scores(qdf, idx, cfg=_CFG).cache(),
+        }
+        with cf.ThreadPoolExecutor(max_workers=2) as ex:
+            list(ex.map(lambda df: df.count(), pair.values()))
+        _SCORES_CACHE.update(pair)
     return _SCORES_CACHE[key]
 
 

@@ -87,19 +87,26 @@ def time_spark(spark, copies: int, queries_df) -> dict:
             for i in range(copies)
         ],
     )
+    n_docs = base.count() * copies
     t0 = time.time()
     idx = ci.index_from_delta(
-        ci.build_delta(scaled, text="text", cache=False).checkpoint()
+        ci.build_delta(scaled, text="text", cache=False).checkpoint(
+            target_partitions=-(-n_docs // 2500)
+        )
     ).cache(skip=("postings", "doc_ids", "doc_vec")).materialize()
     out = {"index_build": round(time.time() - t0, 3)}
 
     t0 = time.time()
     kw = rt.bm25_scores(queries_df, idx, cfg=_CFG).cache()
+    vec = rt.vector_scores(queries_df, idx, cfg=_CFG).cache()
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(lambda df: df.count(), (kw, vec)))
     _ranked(kw).count()
     out["bm25_topk"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    vec = rt.vector_scores(queries_df, idx, cfg=_CFG).cache()
     _ranked(vec).count()
     out["vector_topk"] = round(time.time() - t0, 3)
 
