@@ -93,6 +93,7 @@ def evaluate_all(
     cfg: EngineConfig = DEFAULT,
     k: int | None = None,
     tops: dict[str, DataFrame] | None = None,
+    evals: dict[str, DataFrame] | None = None,
 ) -> tuple[EvalReport, RouterState, DataFrame]:
     """Run the full evaluation; returns (report, final_state, runs_df).
 
@@ -102,20 +103,24 @@ def evaluate_all(
     Q-001.. so file order == query_id order).
 
     Pass precomputed ``tops`` ({strategy: top-k DataFrame}) to reuse
-    cached score relations across callers.
+    cached score relations across callers, or precomputed ``evals``
+    ({strategy: strategy_eval output}) to skip the answer/hit/EM
+    derivation entirely (callers that serve the loop repeatedly cache
+    those three tiny relations — plans/coverage_queries.q_eval_loop).
     """
     state = state or RouterState()
     k = k if k is not None else cfg.k
     queries = labels.select("query_id", "query")
 
-    tops = tops or search_all(queries, index, k=k, cfg=cfg)
-    evals = {
-        s: strategy_eval(
-            tops[s], documents, labels,
-            id_col=id_col, title_col=title_col, text_col=text_col, cfg=cfg,
-        )
-        for s in ("vector", "keyword", "hybrid")
-    }
+    if evals is None:
+        tops = tops or search_all(queries, index, k=k, cfg=cfg)
+        evals = {
+            s: strategy_eval(
+                tops[s], documents, labels,
+                id_col=id_col, title_col=title_col, text_col=text_col, cfg=cfg,
+            )
+            for s in ("vector", "keyword", "hybrid")
+        }
     feats = heuristic_columns(query_features(queries, index.term_stats))
 
     # One tiny row per query: all three arms' scores + routing heuristics.
