@@ -1,0 +1,315 @@
+"""Pretraining-corpus preparation operators: decontamination, PII
+scrubbing, repetition-based quality flags, sequence packing, and
+deterministic sharding.
+
+These are the steps a large-scale LLM training-data pipeline runs
+between raw text and tokenized shards (the public recipes: C4, Gopher
+Rae et al. 2021 appendix A, RefinedWeb, Dolma).  The reference engine
+(mick2004/beyond-vector-search) stops at retrieval; these extend the
+same corpus model (id + text) to corpus curation, all as JVM-side
+DataFrame plans:
+
+- decontamination: token-n-gram overlap against a benchmark set — the
+  standard "13-gram collision" check, benchmark side broadcast;
+- PII scrub: regex count + redact inside whole-stage codegen;
+- repetition flags: Gopher-style top-word / top-bigram fractions from
+  one explode + two partial-aggregation passes;
+- sequence packing: contiguous greedy packing per deterministic hash
+  shard (a partitioned-window cumsum — never a global window);
+- sharding: portable-hash shard assignment + partitioned parquet write.
+
+Nothing here touches a Python UDF; every ratio is a per-row division of
+exact integer aggregates, so results are engine-portable (the DuckDB
+oracles in plans/pretrain_queries.py hash-match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.functions.hashing import hash64
+from beyond_vector_search_spark.functions.text import tokenize
+from beyond_vector_search_spark.operators.dedup import word_shingles_from_tokens
+
+# Redaction patterns: Java regex (Spark) and RE2 (DuckDB) agree on this
+# subset (character classes, bounded repetition, \b, \d — no
+# backreferences or lookaround).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{2}-\d{3}-\d{3}-\d{4}\b"  # TPC-H c_phone shape
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shared) — corpus documents sharing at least one token
+    ``n``-gram with any benchmark document.
+
+    The standard pre-training decontamination check (GPT-3 appendix C /
+    Gopher appendix A use 13-gram collisions; ``n`` is a knob).  Shape:
+
+        benchmark shingles ──distinct──> broadcast   (eval sets are
+        corpus shingles    ──explode──┐               small by
+                                      ⋈ (map-side)    definition)
+                                      groupBy(doc_id) count
+
+    The corpus side is touched exactly once, map-side only — no
+    shuffle of corpus text; the only exchange is the final per-doc
+    count (already partially aggregated).  If the benchmark outgrows
+    the broadcast threshold, Catalyst falls back to a hashed join
+    keyed on the shingle — still never wider than the collision set.
+    """
+    def shingles(df: DataFrame) -> DataFrame:
+        toked = df.select(
+            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+        )
+        return toked.select(
+            "doc_id", F.explode(word_shingles_from_tokens("toks", n)).alias("sh")
+        )
+
+    bench_sh = shingles(benchmark).select("sh").distinct()
+    return (
+        shingles(corpus)
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+def pii_scrub(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_emails, n_phones, n_ips, clean_text) — count and redact
+    the classic PII regex families (emails, dashed phone numbers,
+    IPv4 addresses), the C4/Dolma-style scrub pass.
+
+    Pure ``regexp_count``/``regexp_replace`` expressions — whole-stage
+    codegen, one narrow map over the corpus, embarrassingly parallel at
+    any scale.  Emails are replaced first so their domains can never be
+    re-matched by the looser patterns.
+    """
+    text = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(PHONE_RE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(IPV4_RE),
+        F.lit("<IP>"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(text, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        clean.alias("clean_text"),
+    )
+
+
+def repetition_flags(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_word_threshold: float = 0.20,
+    top_bigram_threshold: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021, appendix A quality heuristics):
+
+    (doc_id, n_tokens, distinct_ratio, top_word_frac, top_bigram_frac,
+     mean_word_len, flag_repetitive)
+
+    - top_word_frac / top_bigram_frac: fraction of the doc occupied by
+      its most frequent token / token bigram;
+    - flag_repetitive: either fraction over its threshold (Gopher drops
+      docs whose top 2-gram exceeds 0.18 of the text).
+
+    Shape: one explode per n-gram order, each into a
+    (doc, gram) -> tf partial aggregation and a per-doc rollup — two
+    shuffle pairs of already-aggregated rows, no Python, no windows.
+    Ratios are divisions of exact integer sums, so they are
+    bit-identical across engines and partitionings (rounded to 6 only
+    as presentation).
+    """
+    toked = df.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
+
+    wtf = (
+        toked.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    wagg = wtf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.sum(F.length("term") * F.col("tf")).cast("long").alias("sum_len"),
+    )
+
+    # non-distinct bigrams (frequency matters — word_shingles_from_tokens
+    # dedups, so build them inline; toks is a projected column, keeping
+    # the tokenize regex out of the per-gram lambda)
+    bigrams = F.when(
+        F.size("toks") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
+        )
+    )
+    btf = (
+        toked.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("tf"))
+    )
+    bagg = btf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("total_bi"),
+        F.max("tf").cast("long").alias("max_bi"),
+    )
+
+    top_word = F.round(F.col("max_tf") / F.col("n_tokens"), 6)
+    top_bigram = F.round(
+        F.coalesce(F.col("max_bi") / F.col("total_bi"), F.lit(0.0)), 6
+    )
+    return (
+        wagg.join(bagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+            top_word.alias("top_word_frac"),
+            top_bigram.alias("top_bigram_frac"),
+            F.round(F.col("sum_len") / F.col("n_tokens"), 6).alias("mean_word_len"),
+            # compare the ROUNDED fractions so both engines flag
+            # identically at threshold boundaries
+            (
+                (top_word > top_word_threshold) | (top_bigram > top_bigram_threshold)
+            ).alias("flag_repetitive"),
+        )
+    )
+
+
+def assign_shards(
+    df: DataFrame, *, id_col: str = "doc_id", n_shards: int = 8, seed: int | None = None
+) -> DataFrame:
+    """Add a deterministic ``shard`` column: portable-md5-hash of the id
+    modulo ``n_shards``.  A pure function of the key — reproducible
+    across engines, runs, and cluster sizes (functions.hashing.hash64),
+    which is what makes training-data shards re-creatable byte-for-byte.
+    """
+    return df.withColumn(
+        "shard", F.pmod(hash64(F.col(id_col), seed), F.lit(n_shards)).cast("bigint")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """(doc_id, n_tokens, shard, start_offset, seq_id) — contiguous
+    greedy packing of documents into fixed-``seq_len`` training
+    sequences, per deterministic hash shard.
+
+    The "concatenate then chunk" packing every LLM data loader uses:
+    within a shard, documents are laid out in id order; a document's
+    ``start_offset`` is the running token count before it, and it
+    starts inside sequence ``floor(start_offset / seq_len)``.
+
+    Scale shape: the cumulative sum is a window PARTITIONED by shard —
+    never a global window (a single-partition cumsum over the corpus is
+    the classic scale-killer; sharding first bounds every partition to
+    corpus/n_shards).  At 100 TB you'd raise ``n_shards`` to O(cluster
+    cores); packing quality is unaffected because sequences never cross
+    shards anyway.
+    """
+    counts = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    sharded = assign_shards(counts, id_col="doc_id", n_shards=n_shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return sharded.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        start.alias("start_offset"),
+        F.floor(start / seq_len).cast("long").alias("seq_id"),
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int | None = None,
+) -> None:
+    """Write the corpus as ``shard=N/`` parquet partitions with
+    deterministic membership (assign_shards).  ``repartition`` on the
+    shard column first so each shard is one writer task's output —
+    without it every input task writes a sliver into every shard
+    directory (the small-files problem at cluster scale).
+    """
+    (
+        assign_shards(df, id_col=id_col, n_shards=n_shards, seed=seed)
+        .repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, n_shingles, novelty) — the fraction of a document's
+    distinct token ``n``-gram shingles whose FIRST corpus occurrence
+    (minimum doc_id) is this document.
+
+    A cheap cross-document redundancy score: near-1.0 documents are
+    fresh content, near-0.0 documents restate earlier ones — the
+    aggregate view of what pairwise shingle-Jaccard (dedup.jaccard_pairs)
+    measures pairwise, at one groupBy instead of a candidate join.
+
+    Shape: explode distinct shingles once; ``min(doc_id)`` per shingle
+    is a partial aggregation; the join back is keyed on the shingle,
+    co-partitioned with the aggregation's own shuffle.  Documents with
+    fewer than ``n`` tokens have no shingles and are absent from the
+    output (nothing to score).
+    """
+    toked = df.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
+    ex = toked.select(
+        "doc_id", F.explode(word_shingles_from_tokens("toks", n)).alias("sh")
+    )
+    first = ex.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.round(
+                F.avg((F.col("doc_id") == F.col("first_doc")).cast("double")), 6
+            ).alias("novelty"),
+        )
+    )

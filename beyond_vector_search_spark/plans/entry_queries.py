@@ -455,6 +455,7 @@ def q_router_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _load_extensions() -> None:
     """Import the extension catalogs (they self-register)."""
     from beyond_vector_search_spark.plans import pipeline_queries  # noqa: F401
+    from beyond_vector_search_spark.plans import pretrain_queries  # noqa: F401
     from beyond_vector_search_spark.plans import coverage_queries, relational_queries
 
     if "tpch_q1" not in REGISTRY:
@@ -482,6 +483,12 @@ _CHECK_ORDER_TAIL = [
     "customer_order_stats",    # join+agg; TPC-H queries cover it
     "orders_by_month",         # date_trunc agg
     "distinct_aggs",           # count(distinct)
+    "tpch_q14_promo",          # join+agg ratio; q5/q6 cover the family
+    "grouping_sets_orders",    # orders_rollup covers multi-grouping aggs
+    "cube_orders",             # ditto
+    "customers_without_orders",  # anti join; except_custkeys is the set-op twin
+    "top_terms_per_doc",       # partitioned window top-k; window_top_customers covers it
+    "lineitem_frames",         # window frames; window_top_customers covers windows
     # rows-only entries (no cross-engine oracle by design)
     "ann_lsh_topk",
     "ivf_kmeans_topk",

@@ -1,0 +1,243 @@
+"""Pretraining-pipeline query catalog: decontamination, PII scrub,
+repetition flags, sequence packing, shard stats, shingle novelty —
+each as an engine plan (operators/pretrain.py) + DuckDB oracle.
+
+The PII entry synthesizes its input INSIDE the query (deterministic
+contact strings derived from customer keys) because the driver testdata
+carries no PII columns — both engines see byte-identical text, same
+pattern as pipeline_queries' derived near-dup corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.functions.text import tokenize
+from beyond_vector_search_spark.operators import pretrain as pt
+from beyond_vector_search_spark.plans.entry_queries import _SQL_TOKENIZE, register
+from beyond_vector_search_spark.sources.readers import load_table
+
+_TOKS = (
+    "toks AS (SELECT doc_id, "
+    + _SQL_TOKENIZE.format(col="text")
+    + " AS tokens FROM documents)"
+)
+
+
+# --------------------------- decontamination -------------------------------
+
+# The corpus side carries INJECTED leaks — benchmark texts re-appearing
+# with an id offset and a suffix (the realistic contamination shape:
+# an eval answer pasted into a crawled page).  Natural 8-gram
+# collisions in the synthetic testdata are zero, so the injected rows
+# are exactly what the sweep must find; both engines derive them
+# identically (same pattern as pipeline_queries' near-dup base).
+_CONTAM_CORPUS_SQL = (
+    "corpus(doc_id, text) AS ("
+    "SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0 "
+    "UNION ALL SELECT doc_id + 100000, text || ' leaked benchmark copy' "
+    "FROM documents WHERE doc_id % 97 = 0)"
+)
+
+_CONTAM_TOKS_SQL = (
+    "btoks AS (SELECT doc_id, "
+    + _SQL_TOKENIZE.format(col="text")
+    + " AS tokens FROM documents WHERE doc_id % 97 = 0), "
+    "ctoks AS (SELECT doc_id, "
+    + _SQL_TOKENIZE.format(col="text")
+    + " AS tokens FROM corpus)"
+)
+
+
+def _sh8(src: str) -> str:
+    return (
+        f"(SELECT doc_id, CASE WHEN len(tokens) < 8 THEN CAST([] AS VARCHAR[]) "
+        "ELSE list_distinct(list_transform(range(1, len(tokens) - 6), "
+        f"i -> array_to_string(tokens[i:i+7], ' '))) END AS shingles FROM {src})"
+    )
+
+
+@register(
+    "benchmark_contamination",
+    f"WITH {_CONTAM_CORPUS_SQL}, {_CONTAM_TOKS_SQL}, "
+    f"bsh AS {_sh8('btoks')}, csh AS {_sh8('ctoks')}, "
+    "bex AS (SELECT DISTINCT unnest(shingles) AS sh FROM bsh), "
+    "cex AS (SELECT doc_id, unnest(shingles) AS sh FROM csh) "
+    "SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared "
+    "FROM cex c JOIN bex USING (sh) GROUP BY c.doc_id",
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: every ~97th document plays the held-out
+    benchmark; the corpus (with deterministically injected leaks of
+    benchmark text) is checked for 8-token-gram collisions against it
+    (operators/pretrain.benchmark_contamination)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    leaks = bench.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" leaked benchmark copy")).alias("text"),
+    )
+    corpus = docs.where(F.col("doc_id") % 97 != 0).unionByName(leaks)
+    return pt.benchmark_contamination(corpus, bench, n=8)
+
+
+# ------------------------------- PII scrub ---------------------------------
+
+# Deterministic synthetic contact text from customer keys — identical
+# string construction in both engines.
+_PII_TEXT_SQL = (
+    "pii(c_custkey, text) AS (SELECT c_custkey, "
+    "'Contact ' || c_name || ' <user' || CAST(c_custkey AS VARCHAR) || "
+    "'@example.com> segment ' || c_mktsegment || ' phone ' || "
+    "lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' || "
+    "lpad(CAST((c_custkey * 3) % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') || "
+    "' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' || "
+    "CAST((c_custkey * 3) % 256 AS VARCHAR) || '.' || "
+    "CAST((c_custkey * 7) % 256 AS VARCHAR) "
+    "FROM customer)"
+)
+
+_EMAIL = pt.EMAIL_RE
+_PHONE = pt.PHONE_RE
+_IPV4 = pt.IPV4_RE
+
+
+def _pii_text_col() -> F.Column:
+    c = F.col("c_custkey").cast("bigint")
+
+    def pad(expr, width):
+        return F.lpad(expr.cast("string"), width, "0")
+
+    return F.concat(
+        F.lit("Contact "), F.col("c_name"),
+        F.lit(" <user"), c.cast("string"), F.lit("@example.com> segment "),
+        F.col("c_mktsegment"), F.lit(" phone "),
+        pad(c % 100, 2), F.lit("-"),
+        pad((c * 3) % 1000, 3), F.lit("-"),
+        pad((c * 7) % 1000, 3), F.lit("-"),
+        pad((c * 13) % 10000, 4),
+        F.lit(" ip 10."), (c % 256).cast("string"), F.lit("."),
+        ((c * 3) % 256).cast("string"), F.lit("."),
+        ((c * 7) % 256).cast("string"),
+    )
+
+
+@register(
+    "pii_scrub_customers",
+    f"WITH {_PII_TEXT_SQL} SELECT c_custkey, "
+    f"CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS BIGINT) AS n_emails, "
+    f"CAST(len(regexp_extract_all(text, '{_PHONE}')) AS BIGINT) AS n_phones, "
+    f"CAST(len(regexp_extract_all(text, '{_IPV4}')) AS BIGINT) AS n_ips, "
+    f"regexp_replace(regexp_replace(regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'), "
+    f"'{_PHONE}', '<PHONE>', 'g'), '{_IPV4}', '<IP>', 'g') AS clean_text "
+    "FROM pii",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pii = cust.select("c_custkey", _pii_text_col().alias("text"))
+    return pt.pii_scrub(pii, id_col="c_custkey", text_col="text")
+
+
+# --------------------------- repetition flags ------------------------------
+
+_REP_SQL = (
+    f"WITH {_TOKS}, "
+    "w AS (SELECT doc_id, unnest(tokens) AS term FROM toks), "
+    "wtf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term), "
+    "wagg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+    "CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(tf) AS BIGINT) AS max_tf, "
+    "CAST(sum(length(term) * tf) AS BIGINT) AS sum_len FROM wtf GROUP BY doc_id), "
+    "bg AS (SELECT doc_id, unnest(CASE WHEN len(tokens) < 2 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(range(1, len(tokens)), i -> array_to_string(tokens[i:i+1], ' ')) END) AS b FROM toks), "
+    "btf AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY doc_id, b), "
+    "bagg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_bi, "
+    "CAST(max(tf) AS BIGINT) AS max_bi FROM btf GROUP BY doc_id) "
+    "SELECT wagg.doc_id, n_tokens, "
+    "round(n_distinct / n_tokens, 6) AS distinct_ratio, "
+    "round(max_tf / n_tokens, 6) AS top_word_frac, "
+    "round(coalesce(max_bi / total_bi, 0.0), 6) AS top_bigram_frac, "
+    "round(sum_len / n_tokens, 6) AS mean_word_len, "
+    "(round(max_tf / n_tokens, 6) > 0.20 OR "
+    "round(coalesce(max_bi / total_bi, 0.0), 6) > 0.18) AS flag_repetitive "
+    "FROM wagg LEFT JOIN bagg USING (doc_id)"
+)
+
+
+@register("repetition_flags", _REP_SQL)
+def q_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pt.repetition_flags(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------- sequence packing ------------------------------
+
+_HASH_SHARD_SQL = (
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8"
+)
+
+_COUNTS_SQL = (
+    "counts AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens FROM toks), "
+    f"sharded AS (SELECT doc_id, n_tokens, {_HASH_SHARD_SQL} AS shard FROM counts)"
+)
+
+
+@register(
+    "pack_sequences",
+    f"WITH {_TOKS}, {_COUNTS_SQL}, "
+    "packed AS (SELECT doc_id, n_tokens, shard, "
+    "CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset "
+    "FROM sharded) "
+    "SELECT doc_id, n_tokens, shard, start_offset, "
+    "CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id FROM packed",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pt.pack_sequences(
+        load_table(spark, sf_dir, "documents"), seq_len=512, n_shards=8
+    )
+
+
+@register(
+    "shard_stats",
+    f"WITH {_TOKS}, {_COUNTS_SQL} "
+    "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM sharded GROUP BY shard",
+)
+def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    sharded = pt.assign_shards(counts, id_col="doc_id", n_shards=8)
+    return sharded.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+# --------------------------- shingle novelty -------------------------------
+
+_SH3_SQL = (
+    "sh AS (SELECT doc_id, CASE WHEN len(tokens) < 3 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_distinct(list_transform(range(1, len(tokens) - 1), "
+    "i -> array_to_string(tokens[i:i+2], ' '))) END AS shingles FROM toks)"
+)
+
+
+@register(
+    "shingle_novelty",
+    f"WITH {_TOKS}, {_SH3_SQL}, "
+    "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), "
+    "first AS (SELECT sh, min(doc_id) AS first_doc FROM ex GROUP BY sh) "
+    "SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+    "round(avg(CASE WHEN ex.doc_id = f.first_doc THEN 1.0 ELSE 0.0 END), 6) AS novelty "
+    "FROM ex JOIN first f USING (sh) GROUP BY ex.doc_id",
+)
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pt.shingle_novelty(load_table(spark, sf_dir, "documents"), n=3)
+
+
+def register_all() -> None:
+    """Import side effect already registered everything."""

@@ -1,0 +1,135 @@
+"""Unit tests: pretraining-corpus operators (decontamination, PII
+scrub, repetition flags, packing, sharding, novelty)."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.operators import pretrain as pt
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven twelve"),
+        (3, "spark spark spark spark spark other words here spark spark"),  # repetitive
+        (4, "short doc"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_benchmark_contamination_finds_leak(spark, corpus):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r.n_shared for r in pt.benchmark_contamination(corpus, bench, n=8).collect()}
+    # doc 1 contains the benchmark's full 8-token span (+2 extra tokens
+    # -> 3 corpus shingles, 1 of which is the benchmark's single shingle)
+    assert out == {1: 1}
+
+
+def test_benchmark_contamination_no_false_positives(spark, corpus):
+    bench = spark.createDataFrame(
+        [(100, "unrelated words that never appear anywhere at all")],
+        "doc_id BIGINT, text STRING",
+    )
+    assert pt.benchmark_contamination(corpus, bench, n=8).count() == 0
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user@example.com or b@x.org phone 25-989-741-2988 ip 10.0.0.1"),
+            (2, "no pii here"),
+            (3, ""),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in pt.pii_scrub(df).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (2, 1, 1)
+    assert out[1].clean_text == "mail <EMAIL> or <EMAIL> phone <PHONE> ip <IP>"
+    assert (out[2].n_emails, out[2].n_phones, out[2].n_ips) == (0, 0, 0)
+    assert out[2].clean_text == "no pii here"
+    assert out[3].clean_text == ""
+
+
+def test_repetition_flags(spark, corpus):
+    out = {r.doc_id: r for r in pt.repetition_flags(corpus).collect()}
+    # doc 3: 'spark' x7 of 10 tokens -> top_word_frac 0.7, flagged
+    assert math.isclose(out[3].top_word_frac, 0.7)
+    assert out[3].flag_repetitive
+    # 'spark spark' bigram appears 5x of 9 bigrams
+    assert math.isclose(out[3].top_bigram_frac, round(5 / 9, 6))
+    # doc 1: all-distinct tokens -> ratio 1.0, not flagged
+    assert math.isclose(out[1].distinct_ratio, 1.0)
+    assert not out[1].flag_repetitive
+    # doc 4: one bigram; doc 5 has no tokens -> absent
+    assert out[4].n_tokens == 2
+    assert 5 not in out
+
+
+def test_pack_sequences_contiguous(spark):
+    # single shard (n_shards=1) makes offsets easy to check
+    rows = [(i, " ".join(["tok"] * 100)) for i in range(1, 6)]  # 5 docs x 100 tokens
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = sorted(
+        pt.pack_sequences(df, seq_len=256, n_shards=1).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [r.start_offset for r in out] == [0, 100, 200, 300, 400]
+    assert [r.seq_id for r in out] == [0, 0, 0, 1, 1]
+    assert all(r.shard == 0 for r in out)
+
+
+def test_pack_sequences_shard_partitioned(spark, corpus):
+    out = pt.pack_sequences(corpus, seq_len=8, n_shards=4).collect()
+    # offsets restart per shard: every shard's minimum offset is 0
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.start_offset)
+    assert all(min(v) == 0 for v in by_shard.values())
+
+
+def test_assign_shards_deterministic_and_stable(spark, corpus):
+    a = {r.doc_id: r.shard for r in pt.assign_shards(corpus, n_shards=8).collect()}
+    b = {
+        r.doc_id: r.shard
+        for r in pt.assign_shards(corpus.repartition(7), n_shards=8).collect()
+    }
+    assert a == b  # pure function of the key, not the partitioning
+    assert all(0 <= s < 8 for s in a.values())
+
+
+def test_write_shards_roundtrip(spark, corpus):
+    with tempfile.TemporaryDirectory() as tmp:
+        pt.write_shards(corpus, f"{tmp}/shards", n_shards=4)
+        back = spark.read.parquet(f"{tmp}/shards")
+        assert back.count() == corpus.count()
+        assert "shard" in back.columns
+        # membership matches assign_shards exactly
+        expect = {r.doc_id: r.shard for r in pt.assign_shards(corpus, n_shards=4).collect()}
+        got = {r.doc_id: int(r.shard) for r in back.collect()}
+        assert got == expect
+
+
+def test_shingle_novelty(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),          # pure restatement of doc 1
+            (3, "x y z w v"),          # all-fresh content
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in pt.shingle_novelty(df, n=3).collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0
+    assert out[3].novelty == 1.0
+    assert out[1].n_shingles == 3
