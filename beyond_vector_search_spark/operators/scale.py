@@ -126,6 +126,38 @@ def deterministic_sample(
     return df.where(F.pmod(hash64(F.col(key_col), seed), F.lit(1_000_000)) < cut)
 
 
+def mixture_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    default: float = 0.0,
+    seed: int | None = None,
+) -> DataFrame:
+    """Deterministic weighted domain mixture: keep each stratum at its
+    own hash fraction — the data-mixing step of a pretraining pipeline
+    (up-/down-weighting sources or languages to a target mixture, as in
+    the published Pile/Gopher/LLaMA mixture tables).
+
+    ``weights`` maps stratum value -> keep fraction in [0, 1]; unlisted
+    strata keep ``default``.  Mixtures have a handful of domains, so
+    the fractions fold in as a literal CASE chain evaluated inside
+    codegen against the portable md5 hash of ``key_col`` — no join, no
+    shuffle, and membership is a pure function of the key: reproducible
+    across engines, runs, cluster sizes, and re-partitionings.
+    """
+    from beyond_vector_search_spark.functions.hashing import hash64
+
+    for k, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {k!r} must be in [0, 1], got {w}")
+    cut = F.lit(int(default * 1_000_000))
+    for k, w in weights.items():
+        cut = F.when(F.col(strata_col) == k, F.lit(int(w * 1_000_000))).otherwise(cut)
+    return df.where(F.pmod(hash64(F.col(key_col), seed), F.lit(1_000_000)) < cut)
+
+
 def stratified_sample(
     df: DataFrame,
     *,

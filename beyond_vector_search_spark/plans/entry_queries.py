@@ -484,6 +484,7 @@ _CHECK_ORDER_TAIL = [
     "orders_by_month",         # date_trunc agg
     "distinct_aggs",           # count(distinct)
     "tpch_q14_promo",          # join+agg ratio; q5/q6 cover the family
+    "tpch_q6_forecast",        # single-table filter+agg; q1 covers it
     "grouping_sets_orders",    # orders_rollup covers multi-grouping aggs
     "cube_orders",             # ditto
     "customers_without_orders",  # anti join; except_custkeys is the set-op twin

@@ -119,6 +119,35 @@ def test_write_shards_roundtrip(spark, corpus):
         assert got == expect
 
 
+def test_mixture_sample_weights_and_stability(spark):
+    from beyond_vector_search_spark.operators.scale import mixture_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING")
+    out = mixture_sample(
+        df, strata_col="lang", key_col="doc_id",
+        weights={"en": 1.0, "zh": 0.25},
+    )
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["en"] == 1000                      # fraction 1.0 keeps all
+    assert 150 <= by_lang.get("zh", 0) <= 350         # ~0.25 of 1000
+    # membership is a pure function of the key: repartitioning changes nothing
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in mixture_sample(
+            df.repartition(13), strata_col="lang", key_col="doc_id",
+            weights={"en": 1.0, "zh": 0.25},
+        ).collect()
+    }
+    assert a == b
+    # unlisted strata default to dropped
+    df2 = spark.createDataFrame([(1, "xx")], "doc_id BIGINT, lang STRING")
+    assert mixture_sample(df2, strata_col="lang", key_col="doc_id", weights={"en": 1.0}).count() == 0
+    with pytest.raises(ValueError):
+        mixture_sample(df, strata_col="lang", key_col="doc_id", weights={"en": 1.5})
+
+
 def test_shingle_novelty(spark):
     df = spark.createDataFrame(
         [

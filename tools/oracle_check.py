@@ -8,12 +8,18 @@ names), and an order-insensitive value hash.
 Usage:
     python3 tools/oracle_check.py              # all queries
     python3 tools/oracle_check.py bm25_topk …  # subset
+    python3 tools/oracle_check.py --json CORRECTNESS_LOCAL.json   # + artifact
     SPARK_GRAFT_SF_DIR_ORACLE=/root/testdata/sf0.001 python3 tools/oracle_check.py
+
+``--json PATH`` writes a driver-format artifact (one record per query:
+rows/schema/hash matches) covering the ENTIRE catalog — the standing
+evidence for entries past the driver's ~50-entry correctness cap.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -56,7 +62,14 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)
+    records: dict[str, dict] = {}
 
     import __spark_entry__ as entry
 
@@ -84,6 +97,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name:28s} spark error: {e}")
             failures.append(name)
+            records[name] = {"rows_match": False, "err": f"spark: {e}"}
             continue
         sql = oracles.get(name)
         if sql is None:
@@ -91,6 +105,10 @@ def main() -> int:
                   f"  [{time.time()-t0:.1f}s]")
             if len(srows) == 0:
                 print(f"      WARNING: {name} returned 0 rows")
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             orel = con.execute(sql)
@@ -99,6 +117,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name:28s} duckdb error: {e}")
             failures.append(name)
+            records[name] = {"rows_match": False, "err": f"duckdb: {e}"}
             continue
 
         problems = []
@@ -126,6 +145,19 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"OK    {name:28s} rows={len(srows)}  [{time.time()-t0:.1f}s]")
+        records[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(scols) == sorted(ocols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": None if not problems else "; ".join(problems[:2]),
+        }
+
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {json_path} ({len(records)} records)")
 
     print()
     if failures:
