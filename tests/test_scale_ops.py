@@ -183,6 +183,51 @@ def test_event_time_sessionize_watermark_eviction(spark, tmp_path):
     assert any(r.user_id == 3 and not r.closed for r in rows)
 
 
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Duplicate documents re-delivered in later micro-batches are
+    dropped by the watermark-bounded stateful dedup; each content
+    survives exactly once."""
+    import datetime as dt
+
+    from beyond_vector_search_spark.streaming.dedup import dedup_doc_stream
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    b1 = [(1, "alpha beta", t0), (2, "gamma delta", t0), (3, "alpha beta", t0)]
+    b2 = [(4, "alpha beta", t0 + dt.timedelta(minutes=1)),       # re-delivery
+          (5, "epsilon zeta", t0 + dt.timedelta(minutes=1))]
+    b3 = [(6, "gamma delta", t0 + dt.timedelta(minutes=2))]      # re-delivery
+    schema = "doc_id BIGINT, text STRING, ts TIMESTAMP"
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out: list = []
+    q = (
+        dedup_doc_stream(stream, text="text", ts_col="ts", watermark="30 minutes")
+        .writeStream.foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    texts = sorted(r.text for r in out)
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+    # streaming hash key matches the batch operator's exact-dedup key
+    from beyond_vector_search_spark.operators import dedup as dd
+
+    batch = spark.createDataFrame(b1 + b2 + b3, schema)
+    batch_hashes = {r.content_hash for r in dd.exact_dedup_map(batch).collect()}
+    assert {r.content_hash for r in out} <= batch_hashes
+
+
 def test_streaming_index_ingest_matches_batch_build(spark, tmp_path, ref_corpus, ref_index):
     """Stream the reference corpus through the foreachBatch ingest in
     two micro-batches; the index derived from the accumulated delta
