@@ -148,6 +148,57 @@ def test_mixture_sample_weights_and_stability(spark):
         mixture_sample(df, strata_col="lang", key_col="doc_id", weights={"en": 1.5})
 
 
+def test_pack_sequences_property_vs_python(spark):
+    """Random corpora: the Spark packing equals a pure-Python packer
+    (grouped by the same portable hash shard, id-ordered cumsum)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    corpora: list[list[tuple[int, int]]] = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 10_000), st.integers(0, 40)),
+            min_size=1, max_size=25, unique_by=lambda t: t[0],
+        )
+    )
+    def collect(rows):
+        corpora.append(rows)
+
+    collect()
+
+    def py_shard(doc_id: int, n_shards: int) -> int:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % n_shards
+
+    # evaluate every example in ONE Spark job (batched, like
+    # test_properties._Bank): offset each corpus into its own id space;
+    # the shard cumsum runs over the COMBINED table, so the Python
+    # model does too (packing is per-shard/id-order, corpus-agnostic)
+    all_ids: list[tuple[int, int]] = []
+    for ci, corpus in enumerate(corpora):
+        base = ci * 1_000_000
+        all_ids += [(base + i, n) for i, n in corpus]
+    all_ids.sort()
+    expected, per_shard = {}, {}
+    for doc_id, n in all_ids:
+        s = py_shard(doc_id, 4)
+        start = per_shard.get(s, 0)
+        expected[doc_id] = (n, s, start, start // 128)
+        per_shard[s] = start + n
+    rows = [(doc_id, " ".join(["tok"] * n)) for doc_id, n in all_ids]
+
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        r.doc_id: (r.n_tokens, r.shard, r.start_offset, r.seq_id)
+        for r in pt.pack_sequences(df, seq_len=128, n_shards=4).collect()
+    }
+    assert got == expected
+
+
 def test_shingle_novelty(spark):
     df = spark.createDataFrame(
         [
