@@ -163,6 +163,106 @@ def frame_sample(
     return videos.mapInPandas(kernel, schema=IMAGE_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "media_id BIGINT, content BINARY, "
+    "meta STRUCT<format: STRING, sample_rate: INT, n_samples: INT>"
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id BIGINT, sample_rate INT, n_samples INT, duration_s DOUBLE, "
+    "rms DOUBLE, zero_crossing_rate DOUBLE, peak INT, loudness ARRAY<DOUBLE>"
+)
+
+
+def _decode_audio(content: bytes, n_samples: int) -> np.ndarray:
+    """STUB DECODER — deterministic fake.
+
+    Real implementation: ``librosa.load(BytesIO(content))`` /
+    ``soundfile.read``.  The container has no audio codec, so decode
+    derives a deterministic int16 waveform from the payload bytes
+    (little-endian pairs, tiled to n_samples).  Keeps every downstream
+    shape/statistic real.
+    """
+    if n_samples <= 0:
+        raise NotImplementedError(
+            "real audio decode requires librosa/soundfile (not in this "
+            "container); metadata must carry n_samples for the stub"
+        )
+    usable = len(content) - (len(content) % 2)
+    buf = (
+        np.frombuffer(content[:usable], dtype="<i2")
+        if usable
+        else np.zeros(1, dtype="<i2")
+    )
+    reps = int(np.ceil(n_samples / buf.size))
+    return np.tile(buf, reps)[:n_samples].astype(np.int64)
+
+
+def audio_features(audios: DataFrame, *, n_windows: int = 8) -> DataFrame:
+    """Decode + per-clip acoustic statistics in Arrow batches: duration,
+    RMS, zero-crossing rate, peak, and an ``n_windows``-bucket loudness
+    (windowed RMS) contour — the audio analogue of image_features, same
+    mapInPandas batching, numpy-vectorized per clip.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                sr, n = int(meta["sample_rate"]), int(meta["n_samples"])
+                wave = _decode_audio(content, n)
+                signs = np.sign(wave)
+                nz = signs != 0
+                zc = (
+                    float(np.mean(np.abs(np.diff(signs[nz])) > 0))
+                    if nz.sum() > 1
+                    else 0.0
+                )
+                bounds = np.linspace(0, wave.size, n_windows + 1).astype(int)
+                loud = [
+                    float(np.sqrt(np.mean(np.square(wave[a:b], dtype=np.float64))))
+                    if b > a
+                    else 0.0
+                    for a, b in zip(bounds[:-1], bounds[1:])
+                ]
+                out.append(
+                    (
+                        int(mid), sr, n, n / sr,
+                        float(np.sqrt(np.mean(np.square(wave, dtype=np.float64)))),
+                        zc,
+                        int(np.abs(wave).max()),
+                        loud,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_s",
+                    "rms", "zero_crossing_rate", "peak", "loudness",
+                ],
+            )
+
+    return audios.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def synthetic_audio(spark, n: int = 32, *, seed: int = 11, sample_rate: int = 8000) -> DataFrame:
+    """Deterministic fake audio table for tests/demos (no codec needed)."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("media_id"),
+            F.to_binary(
+                F.repeat(F.md5(F.concat(F.lit(seed), F.col("id"))), 16), F.lit("hex")
+            ).alias("content"),
+            F.struct(
+                F.lit("fake-pcm16").alias("format"),
+                F.lit(sample_rate).cast("int").alias("sample_rate"),
+                ((F.col("id") % 4 + 1) * sample_rate).cast("int").alias("n_samples"),
+            ).alias("meta"),
+        )
+    )
+
+
 def synthetic_media(spark, n: int = 32, *, seed: int = 7) -> DataFrame:
     """Deterministic fake image table for tests/demos (no codec needed).
 

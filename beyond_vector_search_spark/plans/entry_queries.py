@@ -136,9 +136,11 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> ci.CorpusIndex:
             target_partitions=target
         )
         # serving profile: checkpointed relations and doc_vec stay
-        # uncached (see CorpusIndex.cache docstring)
+        # uncached (see CorpusIndex.cache docstring); scalars is a
+        # 1-row aggregate consumed only through the memoized
+        # scalar_values() collect — caching it buys one wasted job
         _INDEX_CACHE[key] = ci.index_from_delta(delta).cache(
-            skip=("postings", "doc_ids", "doc_vec")
+            skip=("postings", "doc_ids", "doc_vec", "scalars")
         )
     return _INDEX_CACHE[key]
 

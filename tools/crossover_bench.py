@@ -93,7 +93,7 @@ def time_spark(spark, copies: int, queries_df) -> dict:
         ci.build_delta(scaled, text="text", cache=False).checkpoint(
             target_partitions=-(-n_docs // 2500)
         )
-    ).cache(skip=("postings", "doc_ids", "doc_vec")).materialize()
+    ).cache(skip=("postings", "doc_ids", "doc_vec", "scalars")).materialize()
     out = {"index_build": round(time.time() - t0, 3)}
 
     t0 = time.time()
