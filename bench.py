@@ -35,6 +35,10 @@ HEADLINE = [
     "minhash_signatures",
     "simhash64",
     "knn_cosine_topk",
+    # pretraining-pipeline flagships (operators/pretrain.py)
+    "benchmark_contamination",
+    "repetition_flags",
+    "pack_sequences",
 ]
 
 
