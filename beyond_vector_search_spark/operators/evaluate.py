@@ -65,6 +65,80 @@ def strategy_eval(
     )
 
 
+def fold_weights_windowed(merged: DataFrame, state: RouterState) -> DataFrame:
+    """The eval feedback fold (reference evaluate.py:59-69 +
+    router.py:120-164) as COLUMN EXPRESSIONS — no driver loop.
+
+    Key fact making this exact: ``update_from_scores`` deltas depend
+    only on that row's three eval scores, never on the current weights
+    (winner is argmax of scores; winner +lr, each loser −lr/2; all-tied
+    → no-op).  So the weights query i routes with are
+
+        w0 + Σ deltas of rows < i   (prefix sum in query_id order)
+
+    — a window aggregate — and the routing choice at row i is the same
+    CASE chain as :func:`router.route` applied to (heuristics + those
+    prefix weights).  The winner's argmax tie-break "alphabetical by
+    name" is exactly the hybrid ≥ keyword ≥ vector precedence chain
+    (hybrid < keyword < vector alphabetically).
+
+    Scale note: the window is a global ORDER BY over ONE skinny row per
+    label — the classic bounded case (the corpus never enters).  At
+    extreme label counts, replace with the two-pass range-partitioned
+    prefix sum; the driver fold in :func:`evaluate_all` remains the
+    reference semantics.
+
+    Adds: winner, d_vector/d_keyword/d_hybrid (this row's deltas),
+    w_vector/w_keyword/w_hybrid (weights BEFORE this row), chosen,
+    chosen_score.
+    """
+    from pyspark.sql import Window
+
+    s = {"vector": F.col("s_vec"), "keyword": F.col("s_key"), "hybrid": F.col("s_hyb")}
+    winner = (
+        F.when((s["hybrid"] >= s["keyword"]) & (s["hybrid"] >= s["vector"]), "hybrid")
+        .when(s["keyword"] >= s["vector"], "keyword")
+        .otherwise("vector")
+    )
+    all_eq = (s["vector"] == s["keyword"]) & (s["keyword"] == s["hybrid"])
+    df = merged.withColumn("winner", winner)
+    for name in ("vector", "keyword", "hybrid"):
+        df = df.withColumn(
+            f"d_{name}",
+            F.when(all_eq, F.lit(0.0)).otherwise(
+                F.when(F.col("winner") == name, F.lit(state.lr)).otherwise(
+                    F.lit(-state.lr / 2.0)
+                )
+            ),
+        )
+    before = Window.orderBy("query_id").rowsBetween(Window.unboundedPreceding, -1)
+    w0 = {
+        "vector": state.weight_vector,
+        "keyword": state.weight_keyword,
+        "hybrid": state.weight_hybrid,
+    }
+    for name in ("vector", "keyword", "hybrid"):
+        df = df.withColumn(
+            f"w_{name}",
+            F.lit(w0[name]) + F.coalesce(F.sum(f"d_{name}").over(before), F.lit(0.0)),
+        )
+    sk = F.col("heuristic_keyword") + F.col("w_keyword")
+    sv = F.col("heuristic_vector") + F.col("w_vector")
+    sh = F.col("heuristic_hybrid") + F.col("w_hybrid")
+    chosen = (
+        F.when((sh >= sk) & (sh >= sv), "hybrid")
+        .when(sk >= sv, "keyword")
+        .otherwise("vector")
+    )
+    df = df.withColumn("chosen", chosen)
+    return df.withColumn(
+        "chosen_score",
+        F.when(F.col("chosen") == "vector", s["vector"])
+        .when(F.col("chosen") == "keyword", s["keyword"])
+        .otherwise(s["hybrid"]),
+    )
+
+
 @dataclass
 class EvalReport:
     mean_score: float
@@ -94,6 +168,7 @@ def evaluate_all(
     k: int | None = None,
     tops: dict[str, DataFrame] | None = None,
     evals: dict[str, DataFrame] | None = None,
+    fold: str = "driver",
 ) -> tuple[EvalReport, RouterState, DataFrame]:
     """Run the full evaluation; returns (report, final_state, runs_df).
 
@@ -107,6 +182,14 @@ def evaluate_all(
     ({strategy: strategy_eval output}) to skip the answer/hit/EM
     derivation entirely (callers that serve the loop repeatedly cache
     those three tiny relations — plans/coverage_queries.q_eval_loop).
+
+    ``fold="driver"`` replays the weight trajectory as a sequential
+    driver fold (the reference semantics, one tiny row per label);
+    ``fold="windowed"`` computes the identical trajectory as window
+    expressions (:func:`fold_weights_windowed`) — the fully
+    distributed form for label sets too large to fold on the driver.
+    Both produce bit-identical reports (pinned by
+    tests/test_eval_parity.py).
     """
     state = state or RouterState()
     k = k if k is not None else cfg.k
@@ -130,19 +213,35 @@ def evaluate_all(
         .join(evals["hybrid"].select("query_id", F.col("total").alias("s_hyb"), F.col("top_doc_ids").alias("ids_hyb")), "query_id")
         .orderBy("query_id")
     )
-    rows = merged.collect()
+    if fold == "windowed":
+        # trajectory computed engine-side; the collect returns RESULTS
+        # (chosen arm + weights), not a sequential dependency
+        rows = fold_weights_windowed(merged, state).orderBy("query_id").collect()
+    else:
+        rows = merged.collect()
 
     per_query: list[dict] = []
     run_rows: list[tuple] = []
     total = 0.0
     for r in rows:
         d = r.asDict()
-        chosen = choose_with_state(d, state)
-        chosen_score = {"vector": d["s_vec"], "keyword": d["s_key"], "hybrid": d["s_hyb"]}[chosen]
-        total += chosen_score
-        state = update_from_scores(
-            state, {"vector": d["s_vec"], "keyword": d["s_key"], "hybrid": d["s_hyb"]}
-        )
+        if fold == "windowed":
+            chosen = d["chosen"]
+            chosen_score = d["chosen_score"]
+            total += chosen_score
+            state = RouterState(
+                weight_vector=d["w_vector"] + d["d_vector"],
+                weight_keyword=d["w_keyword"] + d["d_keyword"],
+                weight_hybrid=d["w_hybrid"] + d["d_hybrid"],
+                lr=state.lr,
+            )
+        else:
+            chosen = choose_with_state(d, state)
+            chosen_score = {"vector": d["s_vec"], "keyword": d["s_key"], "hybrid": d["s_hyb"]}[chosen]
+            total += chosen_score
+            state = update_from_scores(
+                state, {"vector": d["s_vec"], "keyword": d["s_key"], "hybrid": d["s_hyb"]}
+            )
         per_query.append(
             {
                 "query_id": d["query_id"],

@@ -63,3 +63,67 @@ def test_pass2_final_state(two_passes):
 def test_state_roundtrip():
     s = RouterState(weight_vector=0.5, weight_keyword=-0.25, weight_hybrid=-0.25)
     assert RouterState.from_json(s.to_json()) == s
+
+
+def test_windowed_fold_matches_driver_fold(ref_labels, ref_corpus, ref_index):
+    """fold='windowed' (prefix-sum trajectory as window expressions)
+    reproduces the driver fold bit-for-bit across both passes."""
+    rd1, sd1, _ = evaluate_all(ref_labels, ref_corpus, ref_index)
+    rw1, sw1, _ = evaluate_all(ref_labels, ref_corpus, ref_index, fold="windowed")
+    assert [q["chosen"] for q in rw1.per_query] == [q["chosen"] for q in rd1.per_query]
+    assert rw1.mean_score == rd1.mean_score
+    assert sw1 == sd1
+    rd2, sd2, _ = evaluate_all(ref_labels, ref_corpus, ref_index, state=sd1)
+    rw2, sw2, _ = evaluate_all(ref_labels, ref_corpus, ref_index, state=sw1, fold="windowed")
+    assert [q["chosen"] for q in rw2.per_query] == [q["chosen"] for q in rd2.per_query]
+    assert sw2 == sd2
+
+
+def test_windowed_fold_random_trajectories(spark):
+    """The windowed fold equals the sequential fold on randomized score
+    tables (including exact ties and all-equal no-op rows)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.evaluate import fold_weights_windowed
+    from beyond_vector_search_spark.operators.router import (
+        choose_with_state,
+        update_from_scores,
+    )
+
+    rng = random.Random(42)
+    vals = [0.0, 0.3, 0.7, 1.0]
+    rows = []
+    for i in range(60):
+        s_vec, s_key, s_hyb = (rng.choice(vals) for _ in range(3))
+        hk, hv, hh = (round(rng.uniform(0, 1), 3) for _ in range(3))
+        rows.append((f"Q-{i:03d}", s_vec, s_key, s_hyb, hk, hv, hh))
+    rows.append(("Q-900", 0.5, 0.5, 0.5, 0.1, 0.2, 0.3))  # all-equal no-op
+
+    df = spark.createDataFrame(
+        rows,
+        "query_id STRING, s_vec DOUBLE, s_key DOUBLE, s_hyb DOUBLE, "
+        "heuristic_keyword DOUBLE, heuristic_vector DOUBLE, heuristic_hybrid DOUBLE",
+    )
+    state = RouterState(weight_vector=0.1, weight_keyword=-0.2, weight_hybrid=0.05)
+    got = fold_weights_windowed(df, state).orderBy("query_id").collect()
+
+    st = state
+    for r in got:
+        d = r.asDict()
+        assert d["chosen"] == choose_with_state(d | {
+            "heuristic_keyword": d["heuristic_keyword"],
+            "heuristic_vector": d["heuristic_vector"],
+            "heuristic_hybrid": d["heuristic_hybrid"],
+        }, st)
+        assert math.isclose(d["w_vector"], st.weight_vector, abs_tol=1e-12)
+        assert math.isclose(d["w_keyword"], st.weight_keyword, abs_tol=1e-12)
+        assert math.isclose(d["w_hybrid"], st.weight_hybrid, abs_tol=1e-12)
+        st = update_from_scores(
+            st, {"vector": d["s_vec"], "keyword": d["s_key"], "hybrid": d["s_hyb"]}
+        )
+    last = got[-1].asDict()
+    assert math.isclose(last["w_vector"] + last["d_vector"], st.weight_vector, abs_tol=1e-12)
+    assert math.isclose(last["w_keyword"] + last["d_keyword"], st.weight_keyword, abs_tol=1e-12)
+    assert math.isclose(last["w_hybrid"] + last["d_hybrid"], st.weight_hybrid, abs_tol=1e-12)
