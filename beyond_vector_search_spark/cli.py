@@ -103,7 +103,9 @@ def cmd_evaluate(args) -> dict:
     store = telemetry_from_env(spark, args.db or tempfile.mkdtemp(prefix="bvs_telemetry_"))
 
     state = RouterState.from_json(store.get_state(STATE_KEY, RouterState().to_json()))
-    report, final_state, runs_df = evaluate_all(labels, docs, idx, state=state, k=args.k)
+    report, final_state, runs_df = evaluate_all(
+        labels, docs, idx, state=state, k=args.k, fold=args.fold
+    )
     store.set_state(STATE_KEY, final_state.to_json())
     store.log_runs(runs_df.drop("query_id"))
     return report.to_json()
@@ -130,6 +132,9 @@ def main() -> None:
     pe.add_argument("--db", default=None)
     pe.add_argument("--index-dir", default=None)
     pe.add_argument("--index-format", default="parquet", choices=["parquet", "bucketed"])
+    pe.add_argument("--fold", default="driver", choices=["driver", "windowed"],
+                    help="weight-trajectory fold: sequential driver replay or "
+                         "the distributed window form (identical results)")
 
     args = p.parse_args()
     out = cmd_run(args) if args.cmd == "run" else cmd_evaluate(args)

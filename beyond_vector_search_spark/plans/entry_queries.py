@@ -490,6 +490,7 @@ _CHECK_ORDER_TAIL = [
     "grouping_sets_orders",    # orders_rollup covers multi-grouping aggs
     "cube_orders",             # ditto
     "customers_without_orders",  # anti join; except_custkeys is the set-op twin
+    "ivf_assign",              # subsumed by ivf_topk_probe (assign is its stage 1)
     "top_terms_per_doc",       # partitioned window top-k; window_top_customers covers it
     "lineitem_frames",         # window frames; window_top_customers covers windows
     # rows-only entries (no cross-engine oracle by design)

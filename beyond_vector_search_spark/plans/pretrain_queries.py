@@ -143,8 +143,8 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------- repetition flags ------------------------------
 
-_REP_SQL = (
-    f"WITH {_TOKS}, "
+# reusable CTE block: per-doc word/bigram aggregates (over `toks`)
+_REP_CTES = (
     "w AS (SELECT doc_id, unnest(tokens) AS term FROM toks), "
     "wtf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term), "
     "wagg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
@@ -154,15 +154,22 @@ _REP_SQL = (
     "ELSE list_transform(range(1, len(tokens)), i -> array_to_string(tokens[i:i+1], ' ')) END) AS b FROM toks), "
     "btf AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY doc_id, b), "
     "bagg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_bi, "
-    "CAST(max(tf) AS BIGINT) AS max_bi FROM btf GROUP BY doc_id) "
-    "SELECT wagg.doc_id, n_tokens, "
+    "CAST(max(tf) AS BIGINT) AS max_bi FROM btf GROUP BY doc_id), "
+    "rep AS (SELECT wagg.doc_id, n_tokens, n_distinct, max_tf, sum_len, total_bi, max_bi, "
+    "(round(max_tf / n_tokens, 6) > 0.20 OR "
+    "round(coalesce(max_bi / total_bi, 0.0), 6) > 0.18) AS flag_repetitive "
+    "FROM wagg LEFT JOIN bagg USING (doc_id))"
+)
+
+_REP_SQL = (
+    f"WITH {_TOKS}, {_REP_CTES} "
+    "SELECT doc_id, n_tokens, "
     "round(n_distinct / n_tokens, 6) AS distinct_ratio, "
     "round(max_tf / n_tokens, 6) AS top_word_frac, "
     "round(coalesce(max_bi / total_bi, 0.0), 6) AS top_bigram_frac, "
     "round(sum_len / n_tokens, 6) AS mean_word_len, "
-    "(round(max_tf / n_tokens, 6) > 0.20 OR "
-    "round(coalesce(max_bi / total_bi, 0.0), 6) > 0.18) AS flag_repetitive "
-    "FROM wagg LEFT JOIN bagg USING (doc_id)"
+    "flag_repetitive "
+    "FROM rep"
 )
 
 
@@ -260,6 +267,76 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return mixture_sample(
         docs, strata_col="lang", key_col="doc_id", weights=_MIX_WEIGHTS
+    )
+
+
+# ------------------- end-to-end corpus preparation -------------------------
+
+_PIPE_SQL = (
+    f"WITH {_TOKS}, "
+    # 1. exact dedup: keep the min-id doc per content hash
+    "keepers AS (SELECT doc_id FROM (SELECT doc_id, "
+    "min(doc_id) OVER (PARTITION BY md5(text)) AS k FROM documents) WHERE doc_id = k), "
+    # 2. benchmark held out (every ~97th doc); corpus = kept non-benchmark docs
+    "base AS (SELECT d.doc_id, d.lang FROM documents d JOIN keepers USING (doc_id) "
+    "WHERE d.doc_id % 97 <> 0), "
+    f"bsh AS {_sh8('(SELECT doc_id, tokens FROM toks WHERE doc_id % 97 = 0)')}, "
+    "bex AS (SELECT DISTINCT unnest(shingles) AS sh FROM bsh), "
+    f"csh AS {_sh8('(SELECT t.doc_id, t.tokens FROM toks t JOIN base USING (doc_id))')}, "
+    "contaminated AS (SELECT DISTINCT c.doc_id FROM "
+    "(SELECT doc_id, unnest(shingles) AS sh FROM csh) c JOIN bex USING (sh)), "
+    "clean AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)), "
+    # 3. repetition + minimum-length quality gate
+    f"{_REP_CTES}, "
+    "kept AS (SELECT c.doc_id, c.lang, r.n_tokens FROM clean c JOIN rep r USING (doc_id) "
+    "WHERE NOT r.flag_repetitive AND r.n_tokens >= 5), "
+    # 4. language mixture
+    "mixed AS (SELECT doc_id, lang, n_tokens FROM (SELECT *, "
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS h, "
+    "CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000 WHEN 'fr' THEN 500000 "
+    "WHEN 'es' THEN 250000 WHEN 'zh' THEN 250000 ELSE 0 END AS cut FROM kept) WHERE h < cut), "
+    # 5. pack into 512-token sequences per hash shard
+    "sharded AS (SELECT doc_id, lang, n_tokens, "
+    f"{_HASH_SHARD_SQL} AS shard FROM mixed), "
+    "packed AS (SELECT doc_id, lang, n_tokens, shard, "
+    "CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset "
+    "FROM sharded) "
+    "SELECT doc_id, lang, n_tokens, shard, start_offset, "
+    "CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id FROM packed"
+)
+
+
+@register("pretrain_corpus_pipeline", _PIPE_SQL)
+def q_pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-preparation flow, operators chained end to end:
+    exact dedup -> benchmark decontamination -> repetition/length
+    filter -> language mixture -> sequence packing.  Composition of
+    the module's public operators, not a reimplementation — the shape
+    a real pretraining data job runs nightly."""
+    from beyond_vector_search_spark.operators import dedup as dd
+    from beyond_vector_search_spark.operators.scale import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    keepers = (
+        dd.exact_dedup_map(docs)
+        .where(F.col("doc_id") == F.col("keeper_id"))
+        .select("doc_id")
+    )
+    base = docs.join(keepers, "doc_id").where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    contaminated = pt.benchmark_contamination(base, bench, n=8).select("doc_id")
+    clean = base.join(contaminated, "doc_id", "left_anti")
+    rep = pt.repetition_flags(docs).select("doc_id", "n_tokens", "flag_repetitive")
+    kept = (
+        clean.join(rep, "doc_id")
+        .where(~F.col("flag_repetitive") & (F.col("n_tokens") >= 5))
+        .select("doc_id", "text", "lang")
+    )
+    mixed = mixture_sample(kept, strata_col="lang", key_col="doc_id", weights=_MIX_WEIGHTS)
+    packed = pt.pack_sequences(mixed, seq_len=512, n_shards=8)
+    return packed.join(mixed.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_tokens", "shard", "start_offset", "seq_id"
     )
 
 
