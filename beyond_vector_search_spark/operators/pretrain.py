@@ -196,6 +196,51 @@ def repetition_flags(
     )
 
 
+def unigram_logppl(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, logppl) — per-document unigram log-perplexity
+    under the corpus's own unigram distribution:
+
+        logppl(d) = Σ_t tf_d(t) · −ln( ctf(t) / N ) / |d|
+
+    The CCNet-style LM-quality signal (Wenzek et al. 2020 use a KenLM
+    5-gram; the unigram form is the same shape with the LM replaced by
+    corpus term frequencies): low = docs made of common words, high =
+    rare-token-heavy docs — used as a quality bucket for filtering or
+    mixture weighting.
+
+    Shape: one explode into (doc, term, tf) partial aggregation; the
+    term-probability table is a term-keyed aggregate joined back on
+    term (co-partitioned with its own shuffle; broadcast while the
+    vocabulary is small); the per-doc rollup is a partial agg.  Every
+    input to the float sum is exact (integer tf × ln of an exact
+    ratio); the cross-row float aggregation is rounded to 6 decimals,
+    the catalog's determinism rule.
+    """
+    toked = df.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
+    wtf = (
+        toked.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    ctf = wtf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    n = ctf.agg(F.sum("ctf").alias("n"))
+    probs = ctf.crossJoin(F.broadcast(n)).select(
+        "term", (F.col("ctf") / F.col("n")).alias("p")
+    )
+    return (
+        wtf.join(probs, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * -F.log("p")) / F.sum("tf"), 6
+            ).alias("logppl"),
+        )
+    )
+
+
 def assign_shards(
     df: DataFrame, *, id_col: str = "doc_id", n_shards: int = 8, seed: int | None = None
 ) -> DataFrame:

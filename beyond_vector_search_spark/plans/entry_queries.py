@@ -491,6 +491,8 @@ _CHECK_ORDER_TAIL = [
     "cube_orders",             # ditto
     "customers_without_orders",  # anti join; except_custkeys is the set-op twin
     "ivf_assign",              # subsumed by ivf_topk_probe (assign is its stage 1)
+    "unigram_logppl",          # same explode/agg family as repetition_flags
+                               # (which stays in the head); verified locally
     "top_terms_per_doc",       # partitioned window top-k; window_top_customers covers it
     "lineitem_frames",         # window frames; window_top_customers covers windows
     # rows-only entries (no cross-engine oracle by design)

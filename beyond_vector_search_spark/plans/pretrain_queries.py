@@ -270,6 +270,25 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------ unigram log-perplexity ---------------------------
+
+
+@register(
+    "unigram_logppl",
+    f"WITH {_TOKS}, "
+    "w AS (SELECT doc_id, unnest(tokens) AS term FROM toks), "
+    "wtf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term), "
+    "ctf AS (SELECT term, sum(tf) AS ctf FROM wtf GROUP BY term), "
+    "z AS (SELECT sum(ctf) AS n FROM ctf), "
+    "probs AS (SELECT term, ctf / n AS p FROM ctf, z) "
+    "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+    "round(sum(tf * -ln(p)) / sum(tf), 6) AS logppl "
+    "FROM wtf JOIN probs USING (term) GROUP BY doc_id",
+)
+def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pt.unigram_logppl(load_table(spark, sf_dir, "documents"))
+
+
 # ------------------- end-to-end corpus preparation -------------------------
 
 _PIPE_SQL = (

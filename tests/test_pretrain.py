@@ -199,6 +199,23 @@ def test_pack_sequences_property_vs_python(spark):
     assert got == expected
 
 
+def test_unigram_logppl_orders_by_rarity(spark):
+    """Docs of common words score lower log-perplexity than docs
+    carrying rare tokens; a doc that IS the whole distribution of one
+    word scores exactly its own -ln(p)."""
+    rows = [
+        (1, "the the the the the the the the"),   # dominant word
+        (2, "the the the the qwertyuiop"),        # one rare token
+        (3, "zzz"),                                # unique word
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in pt.unigram_logppl(df).collect()}
+    assert out[1].logppl < out[2].logppl            # rare token raises surprise
+    # doc 3: p(zzz)=1/14 -> logppl = -ln(1/14)
+    assert math.isclose(out[3].logppl, round(-math.log(1 / 14), 6), abs_tol=1e-9)
+    assert out[1].n_tokens == 8
+
+
 def test_shingle_novelty(spark):
     df = spark.createDataFrame(
         [
