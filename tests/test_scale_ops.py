@@ -228,6 +228,51 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert {r.content_hash for r in out} <= batch_hashes
 
 
+def test_streaming_dedup_composed_with_ingest(spark, tmp_path):
+    """dedup-at-ingest: the deduped stream feeds the foreachBatch index
+    ingest; re-delivered contents index exactly once, so df/idf equal a
+    batch build over the unique documents."""
+    import datetime as dt
+
+    from beyond_vector_search_spark.operators.corpus_index import (
+        IndexDelta,
+        build_index,
+        index_from_delta,
+    )
+    from beyond_vector_search_spark.streaming.dedup import dedup_doc_stream
+    from beyond_vector_search_spark.streaming.ingest import start_index_ingest
+
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+    uniq = [(1, "alpha beta gamma", t0), (2, "delta epsilon", t0), (5, "zeta eta theta", t0)]
+    dups = [(3, "alpha beta gamma", t0), (6, "delta epsilon", t0 + dt.timedelta(minutes=1))]
+    schema = "doc_id BIGINT, text STRING, ts TIMESTAMP"
+    src = tmp_path / "ddi_src"
+    src.mkdir()
+    spark.createDataFrame(uniq[:2] + dups[:1], schema).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(uniq[2:] + dups[1:], schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    store = str(tmp_path / "ddi_store")
+    q = start_index_ingest(
+        dedup_doc_stream(stream, text="text", ts_col="ts", watermark="30 minutes")
+        .drop("content_hash", "ts"),
+        store,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+
+    idx = index_from_delta(IndexDelta.load(spark, store))
+    assert idx.doc_ids.count() == 3  # each content exactly once
+    batch = build_index(spark.createDataFrame([(i, t) for i, t, _ in uniq], "doc_id BIGINT, text STRING"))
+    got = {(r.term, r.df) for r in idx.term_stats.collect()}
+    want = {(r.term, r.df) for r in batch.term_stats.collect()}
+    assert got == want
+
+
 def test_streaming_index_ingest_matches_batch_build(spark, tmp_path, ref_corpus, ref_index):
     """Stream the reference corpus through the foreachBatch ingest in
     two micro-batches; the index derived from the accumulated delta
