@@ -308,9 +308,9 @@ WITH parsed AS (
 )
 SELECT event_type,
        count(*) AS n,
-       sum(k) AS sum_k,
-       min(k) AS min_k,
-       max(k) AS max_k
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
 FROM parsed
 GROUP BY event_type
 """
