@@ -32,9 +32,8 @@ HEADLINE = [
     "tpch_q3_topk",
     "tpch_q5_region_volume",
     "events_sessions",
-    "minhash_signatures",
-    "simhash64",
-    "knn_cosine_topk",
+    "doc_hashes",       # minhash sigs + simhash64 + fingerprint (merged entry)
+    "knn_topk",         # exact + int8-quantized brute-force cosine
     # pretraining-pipeline flagships (operators/pretrain.py)
     "benchmark_contamination",
     "repetition_flags",

@@ -25,9 +25,9 @@ from beyond_vector_search_spark.operators.retrieval import search_all
 from beyond_vector_search_spark.operators.router import (
     RouterState,
     choose_with_state,
+    delta_units,
     heuristic_columns,
     query_features,
-    update_from_scores,
 )
 
 HIT_WEIGHT, EM_WEIGHT = 0.7, 0.3  # reference evaluator.py:13-16
@@ -65,7 +65,9 @@ def strategy_eval(
     )
 
 
-def fold_weights_windowed(merged: DataFrame, state: RouterState) -> DataFrame:
+def fold_weights_windowed(
+    merged: DataFrame, state: RouterState, *, n_chunks: int = 32
+) -> DataFrame:
     """The eval feedback fold (reference evaluate.py:59-69 +
     router.py:120-164) as COLUMN EXPRESSIONS — no driver loop.
 
@@ -76,20 +78,33 @@ def fold_weights_windowed(merged: DataFrame, state: RouterState) -> DataFrame:
 
         w0 + Σ deltas of rows < i   (prefix sum in query_id order)
 
-    — a window aggregate — and the routing choice at row i is the same
-    CASE chain as :func:`router.route` applied to (heuristics + those
-    prefix weights).  The winner's argmax tie-break "alphabetical by
-    name" is exactly the hybrid ≥ keyword ≥ vector precedence chain
-    (hybrid < keyword < vector alphabetically).
+    and the routing choice at row i is the same CASE chain as
+    :func:`router.route` applied to (heuristics + those prefix weights).
+    The winner's argmax tie-break "alphabetical by name" is exactly the
+    hybrid ≥ keyword ≥ vector precedence chain (hybrid < keyword <
+    vector alphabetically).
 
-    Scale note: the window is a global ORDER BY over ONE skinny row per
-    label — the classic bounded case (the corpus never enters).  At
-    extreme label counts, replace with the two-pass range-partitioned
-    prefix sum; the driver fold in :func:`evaluate_all` remains the
-    reference semantics.
+    Two scale/exactness properties:
 
-    Adds: winner, d_vector/d_keyword/d_hybrid (this row's deltas),
-    w_vector/w_keyword/w_hybrid (weights BEFORE this row), chosen,
+    1. **No unpartitioned window.**  The prefix sum is a chunked
+       two-pass scheme: rows are range-partitioned by query_id into
+       ``n_chunks`` ordered chunks; per-chunk partial sums (one tiny row
+       per chunk) are collected and turned into exclusive per-chunk
+       offsets; the within-chunk prefix runs under a window PARTITIONED
+       by chunk.  No stage funnels all label rows through one partition
+       — 10M labels fold as 10M/n_chunks-row windows.
+
+    2. **Associativity-free arithmetic.**  Deltas are accumulated as
+       INTEGER multiples of lr/2 (winner +2 units, each loser −1,
+       all-tied 0); integer sums are exact in any order, and each weight
+       is one multiply `w0 + units * (lr/2)`.  Distributed grouping can
+       therefore never drift from the sequential driver fold by an ulp,
+       even for lr values with no exact binary representation (the
+       driver fold in :func:`evaluate_all` uses the same closed form).
+
+    Adds: winner, d_vector/d_keyword/d_hybrid (this row's float deltas),
+    w_vector/w_keyword/w_hybrid (weights BEFORE this row),
+    wafter_vector/... (weights AFTER this row, closed-form), chosen,
     chosen_score.
     """
     from pyspark.sql import Window
@@ -102,26 +117,61 @@ def fold_weights_windowed(merged: DataFrame, state: RouterState) -> DataFrame:
     )
     all_eq = (s["vector"] == s["keyword"]) & (s["keyword"] == s["hybrid"])
     df = merged.withColumn("winner", winner)
+    half_lr = state.lr / 2.0
     for name in ("vector", "keyword", "hybrid"):
-        df = df.withColumn(
-            f"d_{name}",
-            F.when(all_eq, F.lit(0.0)).otherwise(
-                F.when(F.col("winner") == name, F.lit(state.lr)).otherwise(
-                    F.lit(-state.lr / 2.0)
-                )
-            ),
+        units = F.when(all_eq, F.lit(0)).otherwise(
+            F.when(F.col("winner") == name, F.lit(2)).otherwise(F.lit(-1))
         )
-    before = Window.orderBy("query_id").rowsBetween(Window.unboundedPreceding, -1)
+        df = df.withColumn(f"m_{name}", units.cast("long"))
+        df = df.withColumn(f"d_{name}", F.col(f"m_{name}") * F.lit(half_lr))
+
+    # ---- chunked two-pass exclusive prefix sum over the unit columns ----
+    # Range partitioning keeps chunk c's keys strictly before chunk
+    # c+1's, so (per-chunk offset) + (within-chunk prefix) == global
+    # prefix.  Cached so both passes see identical partition ids.
+    chunked = df.repartitionByRange(n_chunks, F.asc("query_id")).withColumn(
+        "_chunk", F.spark_partition_id()
+    )
+    chunked.persist()
+    partials = (
+        chunked.groupBy("_chunk")
+        .agg(*[F.sum(f"m_{n}").alias(f"pm_{n}") for n in ("vector", "keyword", "hybrid")])
+        .collect()
+    )
+    offsets: dict[int, tuple[int, int, int]] = {}
+    run = {"vector": 0, "keyword": 0, "hybrid": 0}
+    for p in sorted(partials, key=lambda r: r["_chunk"]):
+        offsets[p["_chunk"]] = (run["vector"], run["keyword"], run["hybrid"])
+        for n in ("vector", "keyword", "hybrid"):
+            run[n] += int(p[f"pm_{n}"] or 0)
+    spark = merged.sparkSession
+    off_df = spark.createDataFrame(
+        [(c, *o) for c, o in offsets.items()],
+        "_chunk INT, off_vector LONG, off_keyword LONG, off_hybrid LONG",
+    )
+    df = chunked.join(F.broadcast(off_df), "_chunk")
+
+    within = (
+        Window.partitionBy("_chunk")
+        .orderBy("query_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     w0 = {
         "vector": state.weight_vector,
         "keyword": state.weight_keyword,
         "hybrid": state.weight_hybrid,
     }
     for name in ("vector", "keyword", "hybrid"):
-        df = df.withColumn(
-            f"w_{name}",
-            F.lit(w0[name]) + F.coalesce(F.sum(f"d_{name}").over(before), F.lit(0.0)),
+        units_before = F.col(f"off_{name}") + F.coalesce(
+            F.sum(f"m_{name}").over(within), F.lit(0)
         )
+        df = df.withColumn(
+            f"w_{name}", F.lit(w0[name]) + units_before * F.lit(half_lr)
+        ).withColumn(
+            f"wafter_{name}",
+            F.lit(w0[name]) + (units_before + F.col(f"m_{name}")) * F.lit(half_lr),
+        )
+    df = df.drop("_chunk", "off_vector", "off_keyword", "off_hybrid")
     sk = F.col("heuristic_keyword") + F.col("w_keyword")
     sv = F.col("heuristic_vector") + F.col("w_vector")
     sh = F.col("heuristic_hybrid") + F.col("w_hybrid")
@@ -223,6 +273,15 @@ def evaluate_all(
     per_query: list[dict] = []
     run_rows: list[tuple] = []
     total = 0.0
+    # Driver fold accumulates INTEGER multiples of lr/2 and applies ONE
+    # multiply per step (w0 + units*(lr/2)) — the same closed form the
+    # windowed fold computes, so the two folds agree bit-for-bit for
+    # every lr, not just binary-representable ones.  For the reference
+    # lr=0.25 this is also bit-identical to the reference's sequential
+    # float adds (all quantities are exact powers of two).
+    w0 = (state.weight_vector, state.weight_keyword, state.weight_hybrid)
+    half_lr = state.lr / 2.0
+    units = {"vector": 0, "keyword": 0, "hybrid": 0}
     for r in rows:
         d = r.asDict()
         if fold == "windowed":
@@ -230,17 +289,23 @@ def evaluate_all(
             chosen_score = d["chosen_score"]
             total += chosen_score
             state = RouterState(
-                weight_vector=d["w_vector"] + d["d_vector"],
-                weight_keyword=d["w_keyword"] + d["d_keyword"],
-                weight_hybrid=d["w_hybrid"] + d["d_hybrid"],
+                weight_vector=d["wafter_vector"],
+                weight_keyword=d["wafter_keyword"],
+                weight_hybrid=d["wafter_hybrid"],
                 lr=state.lr,
             )
         else:
             chosen = choose_with_state(d, state)
-            chosen_score = {"vector": d["s_vec"], "keyword": d["s_key"], "hybrid": d["s_hyb"]}[chosen]
+            scores = {"vector": d["s_vec"], "keyword": d["s_key"], "hybrid": d["s_hyb"]}
+            chosen_score = scores[chosen]
             total += chosen_score
-            state = update_from_scores(
-                state, {"vector": d["s_vec"], "keyword": d["s_key"], "hybrid": d["s_hyb"]}
+            for name, m in delta_units(scores).items():
+                units[name] += m
+            state = RouterState(
+                weight_vector=w0[0] + units["vector"] * half_lr,
+                weight_keyword=w0[1] + units["keyword"] * half_lr,
+                weight_hybrid=w0[2] + units["hybrid"] * half_lr,
+                lr=state.lr,
             )
         per_query.append(
             {

@@ -157,6 +157,24 @@ def choose_with_state(
     return "vector"
 
 
+def delta_units(scores: dict[str, float]) -> dict[str, int]:
+    """One bandit update's deltas as INTEGER multiples of lr/2
+    (reference router.py:120-164 with 3 arms: winner +lr == +2 units,
+    each of the 2 losers −lr/2 == −1 unit; all-tied → all 0).
+
+    Integer units make distributed accumulation associativity-free: the
+    windowed fold (evaluate.fold_weights_windowed) sums units in any
+    grouping and multiplies once, and the driver fold does the same, so
+    the two can never drift by an ulp for any lr value."""
+    if not scores:
+        return {}
+    vals = list(scores.values())
+    if max(vals) == min(vals):
+        return {s: 0 for s in scores}
+    winner = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    return {s: (2 if s == winner else -1) for s in scores}
+
+
 def update_from_scores(state: RouterState, scores: dict[str, float]) -> RouterState:
     """One bandit update (reference router.py:120-164): winner (stable
     tie-break by strategy name) gets +lr, each loser -lr/len(losers);

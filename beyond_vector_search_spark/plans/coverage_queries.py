@@ -51,79 +51,65 @@ _SNIPPET_SQL = (
 
 
 @register(
-    "answers",
-    f"WITH {_BM25_STACK} {_RANKED5}, {_SNIPPET_SQL} "
-    "SELECT q.query_id, "
+    "answer_eval",
+    # G1 + G2 + E1 in ONE per-query relation (formerly three entries:
+    # answers + context_pack + eval_hits): the G2 answer template over
+    # the BM25 top-1 (documents has no title, so title := doc_id —
+    # answer.py:31-38 shape), the greedy 900-char G1 context packing
+    # over the top-5 (break == prefix filter: cumulative length is
+    # monotone), and hit@5 with expected doc := BM25 top-1.
+    f"WITH {_BM25_STACK} {_RANKED5}, {_SNIPPET_SQL}, "
+    "ans AS (SELECT q.query_id, "
     "'Based on the retrieved context, here''s the best match:' || chr(10) || chr(10) || "
     "CAST(r.doc_id AS VARCHAR) || chr(10) || s.snippet || chr(10) || chr(10) || "
     "'(Query: ' || q.query || ')' AS answer, "
     "CAST(r.doc_id AS VARCHAR) AS citation "
     "FROM queries q JOIN ranked r ON r.query_id = q.query_id AND r.rank = 1 "
-    "JOIN snip s ON s.doc_id = r.doc_id",
-)
-def q_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G2 answer template over the BM25 top-1 per query (documents table
-    has no title, so title := doc_id string — answer.py:31-38 shape)."""
-    docs = load_table(spark, sf_dir, "documents")
-    top = stable_topk(_scores(spark, sf_dir, "keyword"), 5)
-    ans = generate_answers(top, docs, _queries_df(spark), title_col=None)
-    return ans.select(
-        "query_id", "answer", F.element_at("citations", 1).alias("citation")
-    )
-
-
-@register(
-    "context_pack",
-    f"WITH {_BM25_STACK} {_RANKED5}, {_SNIPPET_SQL}, "
+    "JOIN snip s ON s.doc_id = r.doc_id), "
     "blocks AS (SELECT r.query_id, r.rank, "
     "'[' || CAST(r.doc_id AS VARCHAR) || '] ' || CAST(r.doc_id AS VARCHAR) || ': ' || s.snippet AS block "
     "FROM ranked r JOIN snip s USING (doc_id) WHERE r.rank <= 5), "
     "cum AS (SELECT query_id, rank, block, "
     "sum(length(block)) OVER (PARTITION BY query_id ORDER BY rank "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumlen FROM blocks) "
-    "SELECT query_id, string_agg(block, chr(10) ORDER BY rank) AS context, "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumlen FROM blocks), "
+    "ctx AS (SELECT query_id, string_agg(block, chr(10) ORDER BY rank) AS context, "
     "CAST(count(*) AS BIGINT) AS n_blocks "
-    "FROM cum WHERE cumlen <= 900 GROUP BY query_id",
+    "FROM cum WHERE cumlen <= 900 GROUP BY query_id), "
+    "expected AS (SELECT query_id, doc_id AS expected_doc_id FROM ranked WHERE rank = 1), "
+    "ktop AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 5), "
+    "hits AS (SELECT e.query_id, e.expected_doc_id, "
+    "CAST(max(CASE WHEN k.doc_id = e.expected_doc_id THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS hit_at_5 "
+    "FROM expected e JOIN ktop k USING (query_id) GROUP BY e.query_id, e.expected_doc_id) "
+    "SELECT a.query_id, a.answer, a.citation, c.context, c.n_blocks, "
+    "h.expected_doc_id, h.hit_at_5 "
+    "FROM ans a JOIN ctx c USING (query_id) JOIN hits h USING (query_id)",
 )
-def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G1 greedy 900-char context packing over BM25 top-5.  The break ==
-    prefix-filter because the all-blocks cumulative length is monotone."""
+def q_answer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    top = stable_topk(_scores(spark, sf_dir, "keyword"), 5)
-    ans = generate_answers(top, docs, _queries_df(spark), title_col=None)
+    top5 = stable_topk(_scores(spark, sf_dir, "keyword"), 5)
+    ans = generate_answers(top5, docs, _queries_df(spark), title_col=None)
     n_blocks = F.when(F.col("context") == "", 0).otherwise(
         F.size(F.split(F.col("context"), "\n"))
     )
-    return ans.select(
-        "query_id", "context", n_blocks.cast("long").alias("n_blocks")
+    base = ans.select(
+        "query_id",
+        "answer",
+        F.element_at("citations", 1).alias("citation"),
+        "context",
+        n_blocks.cast("long").alias("n_blocks"),
     ).where(F.col("n_blocks") > 0)
-
-
-@register(
-    "eval_hits",
-    # E1 hit@k, self-referential: expected doc := BM25 top-1; hit@5
-    # checked for the vector strategy (does fuzzy retrieval find the
-    # keyword-best doc in its top 5?).
-    f"WITH {_BM25_STACK} {_RANKED5}, "
-    "expected AS (SELECT query_id, doc_id AS expected_doc_id FROM ranked WHERE rank = 1), "
-    "ktop AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 5) "
-    "SELECT e.query_id, e.expected_doc_id, "
-    "CAST(max(CASE WHEN k.doc_id = e.expected_doc_id THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS hit_at_5 "
-    "FROM expected e JOIN ktop k USING (query_id) GROUP BY e.query_id, e.expected_doc_id",
-)
-def q_eval_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    top5 = stable_topk(_scores(spark, sf_dir, "keyword"), 5)
     expected = top5.where("rank = 1").select(
         "query_id", F.col("doc_id").alias("expected_doc_id")
     )
     hit = F.max(
         F.when(F.col("doc_id") == F.col("expected_doc_id"), 1.0).otherwise(0.0)
     ).alias("hit_at_5")
-    return (
+    hits = (
         top5.join(expected, "query_id")
         .groupBy("query_id", "expected_doc_id")
         .agg(hit)
     )
+    return base.join(hits, "query_id")
 
 
 @register(
@@ -154,38 +140,9 @@ def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ----------------------------- grouping / dates -----------------------------
-
-CUBE_ORDERS = """
-SELECT
-  o_orderstatus,
-  o_orderpriority,
-  count(*) AS n_orders,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-FROM orders
-GROUP BY CUBE(o_orderstatus, o_orderpriority)
-"""
-
-DISTINCT_AGGS = """
-SELECT
-  l_returnflag,
-  count(*) AS n_rows,
-  count(DISTINCT l_partkey) AS n_parts,
-  count(DISTINCT l_suppkey) AS n_suppliers,
-  count(DISTINCT l_orderkey) AS n_orders
-FROM lineitem
-GROUP BY l_returnflag
-"""
-
-ORDERS_BY_MONTH = """
-SELECT
-  CAST(year(o_orderdate) AS INTEGER) AS y,
-  CAST(month(o_orderdate) AS INTEGER) AS m,
-  count(*) AS n_orders,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-FROM orders
-GROUP BY year(o_orderdate), month(o_orderdate)
-"""
+# ----------------------------- dates / frames ------------------------------
+# (year/month date-function coverage lives here too: the monthly CTE is
+# the former orders_by_month entry's shape applied to lineitem)
 
 LINEITEM_FRAMES = """
 WITH monthly AS (
@@ -272,18 +229,33 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
 
 
-@register("ivf_kmeans_topk", None)  # MLlib kmeans|| trajectory -> rows-only
-def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probing over KMeans-TRAINED centroids (the production ANN
-    front half): train on the corpus, assign, probe top-2 buckets per
-    query.  Deterministic given the seed but not SQL-expressible (the
-    kmeans|| init + Lloyd iterations are Spark-internal), so the driver
-    records a rows-only check; recall vs exact kNN is pinned in
-    tests/test_pipeline_ops.py."""
+@register("ann_methods_topk", None)  # Spark-internal hash/kmeans -> rows-only
+def q_ann_methods_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two MLlib-backed approximate-NN paths in one tagged relation
+    (formerly ann_lsh_topk + ivf_kmeans_topk):
+
+      lsh         BucketedRandomProjectionLSH approxSimilarityJoin
+      kmeans_ivf  IVF probing over KMeans-trained centroids (train,
+                  assign, probe top-2 buckets per query)
+
+    Both are seeded and deterministic within Spark but not
+    SQL-expressible (the hash family / kmeans|| init + Lloyd iterations
+    are engine-internal), so the driver records a rows-only check;
+    recall vs exact kNN is pinned for both in tests/test_pipeline_ops.py
+    and the exact paths are oracled as knn_topk / ivf_topk_probe."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = sim.train_ivf_centroids(emb, n_centroids=8)
     queries = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
-    return sim.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+    # value is method-native: euclidean dist for LSH, cosine for IVF
+    lsh = sim.lsh_ann_topk(emb, queries, k=5).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id",
+        F.col("dist").alias("value"), "rank",
+    )
+    centroids = sim.train_ivf_centroids(emb, n_centroids=8)
+    ivf = sim.ivf_topk(emb, queries, centroids, k=5, nprobe=2).select(
+        F.lit("kmeans_ivf").alias("method"), "query_id", "neighbor_id",
+        F.col("cos").alias("value"), "rank",
+    )
+    return lsh.unionByName(ivf)
 
 
 @register(
@@ -398,9 +370,17 @@ _EVAL_LOOP_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 @register(
-    "quantiles_lineitem",
-    # DuckDB spelling of the same exact-interpolation percentiles
+    "lineitem_profile",
+    # Exact distinct-aggregates AND exact-interpolation percentiles over
+    # the same l_returnflag grouping in ONE relation (formerly
+    # distinct_aggs + quantiles_lineitem).  Spark `percentile` ==
+    # DuckDB `quantile_cont`; rounded 6 for the interpolation's
+    # last-bit arithmetic differences.
     "SELECT l_returnflag, "
+    "count(*) AS n_rows, "
+    "count(DISTINCT l_partkey) AS n_parts, "
+    "count(DISTINCT l_suppkey) AS n_suppliers, "
+    "count(DISTINCT l_orderkey) AS n_orders, "
     "round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty, "
     "round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price, "
     "round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price, "
@@ -408,12 +388,13 @@ _EVAL_LOOP_CACHE: dict[tuple[int, str], DataFrame] = {}
     "round(max(l_extendedprice), 6) AS max_price "
     "FROM lineitem GROUP BY l_returnflag",
 )
-def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles (Spark `percentile` ==
-    DuckDB `quantile_cont`), rounded 6 for the interpolation's last-bit
-    arithmetic differences."""
+def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
         F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
         F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
@@ -422,78 +403,101 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_parts", None)  # approximate by design -> rows-only
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct counts — approximate, engine-specific
-    sketches, so no cross-engine oracle; the driver records rows-only.
-    The exact variant is oracled as `distinct_aggs`."""
+@register("sketch_and_udaf", None)  # approximate / numpy-float -> rows-only
+def q_sketch_and_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct sketches and the grouped-agg pandas-UDAF
+    Gini coefficient in one tagged relation (formerly
+    approx_distinct_parts + events_gini_udaf).  Both are rows-only by
+    design: HLL sketches are engine-specific approximations, and the
+    UDAF's numpy float reduction doesn't hash-match cross-engine.  The
+    exact distinct counts are oracled in lineitem_profile."""
+    from beyond_vector_search_spark.functions.udfs import gini
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    hll = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(gini(F.col("value")).alias("gini_value"))
+    return (
+        hll.select(
+            F.lit("hll_parts").alias("src"),
+            F.col("l_returnflag").alias("key"),
+            F.col("approx_parts").cast("double").alias("value"),
+        )
+        .unionByName(
+            hll.select(
+                F.lit("hll_orders").alias("src"),
+                F.col("l_returnflag").alias("key"),
+                F.col("approx_orders").cast("double").alias("value"),
+            )
+        )
+        .unionByName(
+            g.select(
+                F.lit("gini").alias("src"),
+                F.col("event_type").alias("key"),
+                F.col("gini_value").alias("value"),
+            )
+        )
     )
 
 
 @register(
-    "asof_error_purchase",
-    # DuckDB has native ASOF JOIN — the oracle is the real thing.
+    "temporal_joins",
+    # The two temporal-join operators in one tagged relation (formerly
+    # asof_error_purchase + range_join_events):
+    #   asof_last_purchase    per error event, the user's most recent
+    #                         purchase at or before it (DuckDB native
+    #                         ASOF LEFT JOIN is the oracle; Spark side
+    #                         is operators.timeseries.asof_join's
+    #                         union+window composition — one shuffle,
+    #                         no inequality-join explosion)
+    #   range_click_purchase  clicks followed by a purchase within
+    #                         [1s, 10min], same user (time-bucket
+    #                         equi-join + residual predicate — hash
+    #                         join, not nested-loop)
     "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value FROM events), "
     "errors AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'error'), "
-    "purchases AS (SELECT user_id, ts_ms, event_id AS purchase_event, round(value, 6) AS purchase_value FROM e WHERE event_type = 'purchase') "
-    "SELECT l.user_id, l.event_id, l.ts_ms, r.purchase_event, r.purchase_value "
+    "purchases AS (SELECT user_id, ts_ms, event_id AS purchase_event, round(value, 6) AS purchase_value FROM e WHERE event_type = 'purchase'), "
+    "asofj AS (SELECT l.user_id, l.event_id, l.ts_ms, r.purchase_event AS matched_event, r.purchase_value AS matched_value "
     "FROM errors l ASOF LEFT JOIN purchases r "
-    "ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms",
+    "ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms), "
+    "clicks AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'click'), "
+    "purch AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'purchase'), "
+    "rng AS (SELECT c.user_id, c.event_id, c.ts_ms, p.event_id AS matched_event, CAST(p.ts_ms AS DOUBLE) AS matched_value "
+    "FROM clicks c JOIN purch p ON c.user_id = p.user_id "
+    "AND p.ts_ms - c.ts_ms >= 1000 AND p.ts_ms - c.ts_ms <= 600000) "
+    "SELECT 'asof_last_purchase' AS op, * FROM asofj "
+    "UNION ALL SELECT 'range_click_purchase', * FROM rng",
 )
-def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (no Spark builtin): for each error event, the user's
-    most recent purchase at or before it.  union+window composition —
-    one shuffle, no inequality-join explosion."""
-    from beyond_vector_search_spark.operators.timeseries import asof_join
+def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beyond_vector_search_spark.operators.timeseries import asof_join, range_join
 
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "event_type", "value"
     )
     errors = e.where("event_type = 'error'").select("user_id", "event_id", "ts_ms")
     purchases = e.where("event_type = 'purchase'").select(
-        "user_id", "ts_ms", F.col("event_id").alias("purchase_event"),
-        F.round("value", 6).alias("purchase_value"),
+        "user_id", "ts_ms", F.col("event_id").alias("matched_event"),
+        F.round("value", 6).alias("matched_value"),
     )
-    return asof_join(errors, purchases, on="ts_ms", by="user_id")
-
-
-@register(
-    "range_join_events",
-    # clicks followed by a purchase within 10 minutes, same user
-    "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events), "
-    "clicks AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'click'), "
-    "purch AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'purchase') "
-    "SELECT c.user_id, c.event_id, c.ts_ms, p.event_id AS event_id_right, p.ts_ms AS ts_ms_right "
-    "FROM clicks c JOIN purch p ON c.user_id = p.user_id "
-    "AND p.ts_ms - c.ts_ms >= 1000 AND p.ts_ms - c.ts_ms <= 600000",
-)
-def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded range join via time-bucket equi-join + residual predicate
-    (hash join, not nested-loop)."""
-    from beyond_vector_search_spark.operators.timeseries import range_join
-
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "event_type"
+    asof = asof_join(errors, purchases, on="ts_ms", by="user_id").select(
+        F.lit("asof_last_purchase").alias("op"),
+        "user_id", "event_id", "ts_ms", "matched_event", "matched_value",
     )
     clicks = e.where("event_type = 'click'").select("user_id", "event_id", "ts_ms")
     purch = e.where("event_type = 'purchase'").select("user_id", "event_id", "ts_ms")
-    return range_join(
+    rng = range_join(
         clicks, purch, by="user_id", left_time="ts_ms", right_time="ts_ms",
         lower_ms=1000, upper_ms=600000,
+    ).select(
+        F.lit("range_click_purchase").alias("op"),
+        "user_id", "event_id", "ts_ms",
+        F.col("event_id_right").alias("matched_event"),
+        F.col("ts_ms_right").cast("double").alias("matched_value"),
     )
-
-
-INTERSECT_CUSTKEYS = """
-SELECT o_custkey AS c_custkey FROM orders
-WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
-INTERSECT
-SELECT o_custkey AS c_custkey FROM orders
-WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
-"""
+    return asof.unionByName(rng)
 
 
 @register(
@@ -553,58 +557,53 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zscore_doclen_by_lang",
-    # grouped-map applyInPandas kernel, oracled by the pure-SQL z-score
+    "python_kernels",
+    # The two Arrow Python-kernel surfaces in one tagged relation,
+    # each oracled by an independent pure-SQL formulation (formerly
+    # zscore_doclen_by_lang + top_terms_per_doc):
+    #   zscore_by_lang  grouped-map applyInPandas per-lang z-score of
+    #                   n_chars; key = lang, value = zscore
+    #   top_terms       mapInPandas UDTF top-3 terms per doc (docs
+    #                   < 100); key = term, value = tf, rank set
+    # Proves the Python kernels compute exactly what the relational
+    # algebra would — the engine's UDF policy made checkable.
     "WITH stats AS (SELECT lang, avg(n_chars) AS mu, stddev_samp(n_chars) AS sd, count(*) AS n "
-    "FROM documents GROUP BY lang) "
-    "SELECT d.lang, d.doc_id, CAST(d.n_chars AS DOUBLE) AS n_chars, "
-    "round(CASE WHEN s.n < 2 OR s.sd = 0 THEN 0.0 ELSE (d.n_chars - s.mu) / s.sd END, 6) AS zscore "
-    "FROM documents d JOIN stats s USING (lang)",
-)
-def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group z-score via a pandas grouped-map kernel — the oracle is
-    the independent SQL formulation, proving the Python kernel computes
-    the same thing the relational algebra would."""
-    from beyond_vector_search_spark.functions.udfs import zscore_by_group
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "lang", "doc_id", F.col("n_chars").cast("double").alias("n_chars")
-    )
-    out = zscore_by_group(docs, group_col="lang", value_col="n_chars")
-    return out.select("lang", "doc_id", "n_chars", F.round("zscore", 6).alias("zscore"))
-
-
-@register("events_gini_udaf", None)  # custom Python UDAF -> rows-only
-def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of event values per type via a grouped-agg
-    pandas UDAF (needs the full sorted group — no built-in equivalent,
-    and numpy float reductions don't hash-match cross-engine, so
-    rows-only)."""
-    from beyond_vector_search_spark.functions.udfs import gini
-
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(gini(F.col("value")).alias("gini_value"))
-
-
-@register(
-    "top_terms_per_doc",
-    # the mapInPandas UDTF vs a pure-SQL top-n-per-group formulation
-    f"WITH {'toks2 AS (SELECT doc_id, ' + _SQL_TOKENIZE.format(col='text') + ' AS tokens FROM documents WHERE doc_id < 100)'}, "
+    "FROM documents GROUP BY lang), "
+    "zs AS (SELECT d.doc_id, d.lang AS key, "
+    "round(CASE WHEN s.n < 2 OR s.sd = 0 THEN 0.0 ELSE (d.n_chars - s.mu) / s.sd END, 6) AS value "
+    "FROM documents d JOIN stats s USING (lang)), "
+    f"toks2 AS (SELECT doc_id, {_SQL_TOKENIZE.format(col='text')} AS tokens FROM documents WHERE doc_id < 100), "
     "tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(tokens) AS term FROM toks2) GROUP BY doc_id, term), "
-    "ranked AS (SELECT doc_id, term, tf, CAST(row_number() OVER "
-    "(PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS INTEGER) AS rank FROM tf) "
-    "SELECT doc_id, term, tf, rank FROM ranked WHERE rank <= 3",
+    "tranked AS (SELECT doc_id, term, tf, CAST(row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS BIGINT) AS rank FROM tf) "
+    "SELECT 'zscore_by_lang' AS kernel, doc_id, key, value, CAST(NULL AS BIGINT) AS rank FROM zs "
+    "UNION ALL "
+    "SELECT 'top_terms', doc_id, term, CAST(tf AS DOUBLE), rank FROM tranked WHERE rank <= 3",
 )
-def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beyond_vector_search_spark.functions.udfs import top_terms_udtf
+def q_python_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beyond_vector_search_spark.functions.udfs import top_terms_udtf, zscore_by_group
 
-    docs = load_table(spark, sf_dir, "documents").where("doc_id < 100")
-    return top_terms_udtf(docs, n=3)
+    docs = load_table(spark, sf_dir, "documents")
+    z = zscore_by_group(
+        docs.select("lang", "doc_id", F.col("n_chars").cast("double").alias("n_chars")),
+        group_col="lang",
+        value_col="n_chars",
+    ).select(
+        F.lit("zscore_by_lang").alias("kernel"),
+        "doc_id",
+        F.col("lang").alias("key"),
+        F.round("zscore", 6).alias("value"),
+        F.lit(None).cast("long").alias("rank"),
+    )
+    t = top_terms_udtf(docs.where("doc_id < 100"), n=3).select(
+        F.lit("top_terms").alias("kernel"),
+        "doc_id",
+        F.col("term").alias("key"),
+        F.col("tf").cast("double").alias("value"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return z.unionByName(t)
 
 
 def register_all() -> None:
-    register_shared_sql("intersect_custkeys", INTERSECT_CUSTKEYS)
-    register_shared_sql("cube_orders", CUBE_ORDERS)
-    register_shared_sql("distinct_aggs", DISTINCT_AGGS)
-    register_shared_sql("orders_by_month", ORDERS_BY_MONTH)
     register_shared_sql("lineitem_frames", LINEITEM_FRAMES)

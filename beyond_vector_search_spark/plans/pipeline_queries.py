@@ -48,13 +48,29 @@ _SIG_SQL = (
 
 
 @register(
-    "minhash_signatures",
-    f"WITH {_TOKS}, {_SHINGLES_SQL}, {_SIG_SQL} "
-    "SELECT doc_id, array_to_string(sig, '|') AS sig_str FROM sig",
+    "doc_hashes",
+    # Per-doc content-hash suite in ONE relation (formerly three
+    # entries: minhash_signatures + simhash64 + doc_fingerprint): the
+    # 16-hash MinHash signature over word 2-shingles, the 32-bit-folded
+    # SimHash64 over the distinct-token set, and the canonical
+    # sorted-vocabulary md5 fingerprint.  All three are per-row codegen
+    # expressions (no shuffle) joined on doc_id.
+    f"WITH {_TOKS}, {_SHINGLES_SQL}, {_SIG_SQL}, "
+    "dtk AS (SELECT doc_id, list_distinct(tokens) AS dt FROM toks), "
+    "th AS (SELECT doc_id, list_transform(dt, t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS hs FROM dtk), "
+    "bits AS (SELECT doc_id, list_transform(range(0, 32), j -> CASE WHEN "
+    "list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END) AS bv FROM th), "
+    "sh64 AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j -> bv[CAST(j AS INTEGER) + 1] << j)) AS BIGINT) AS simhash FROM bits), "
+    "fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fingerprint FROM toks) "
+    "SELECT g.doc_id, array_to_string(g.sig, '|') AS sig_str, h.simhash, f.fingerprint "
+    "FROM sig g JOIN sh64 h USING (doc_id) JOIN fp f USING (doc_id)",
 )
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = dd.minhash_signatures(load_table(spark, sf_dir, "documents"))
-    return sigs.select("doc_id", F.concat_ws("|", "sig").alias("sig_str"))
+def q_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs).select(
+        "doc_id", F.concat_ws("|", "sig").alias("sig_str")
+    )
+    return sigs.join(dd.simhash64(docs), "doc_id").join(ta.doc_fingerprint(docs), "doc_id")
 
 
 # LSH near-dup pairs over a corpus that CONTAINS near-duplicates: the
@@ -125,21 +141,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(base, pairs)
 
 
-# --------------------------------- SimHash ---------------------------------
-
-
-@register(
-    "simhash64",
-    f"WITH dtoks AS (SELECT doc_id, list_distinct({_SQL_TOKENIZE.format(col='text')}) AS tokens FROM documents), "
-    "th AS (SELECT doc_id, list_transform(tokens, t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS hs FROM dtoks), "
-    "bits AS (SELECT doc_id, list_transform(range(0, 32), j -> CASE WHEN "
-    "list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END) AS bv FROM th) "
-    "SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j -> bv[CAST(j AS INTEGER) + 1] << j)) AS BIGINT) AS simhash FROM bits",
-)
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash64(load_table(spark, sf_dir, "documents"))
-
-
 # --------------------------- n-gram (token) Jaccard ------------------------
 
 
@@ -164,39 +165,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------ text analysis ------------------------------
 
 
-@register(
-    "token_stats",
-    f"WITH {_TOKS} SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, "
-    "CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct, "
-    "CASE WHEN len(tokens) = 0 THEN 0.0 ELSE "
-    "CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE) / len(tokens) END AS avg_token_len "
-    "FROM toks",
-)
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ta.token_stats(load_table(spark, sf_dir, "documents"))
-
-
 _STOP_EN_SQL = "('" + "', '".join(ta.STOPWORDS_EN) + "')"
-
-
-@register(
-    "quality_score",
-    f"WITH {_TOKS}, "
-    "base AS (SELECT d.doc_id, d.text, t.tokens, length(d.text) AS n_chars, "
-    "length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g')) AS n_alpha, "
-    f"len(list_filter(t.tokens, x -> x IN {_STOP_EN_SQL})) AS n_stop "
-    "FROM documents d JOIN toks t USING (doc_id)), "
-    "ratios AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
-    "CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_chars END AS alpha_ratio, "
-    "CASE WHEN len(tokens) = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / len(tokens) END AS stopword_ratio, "
-    "n_chars AS nc FROM base) "
-    "SELECT doc_id, n_chars, alpha_ratio, stopword_ratio, "
-    "0.4 * alpha_ratio + 0.4 * least(1.0, stopword_ratio * 5) + "
-    "0.2 * (CASE WHEN nc >= 50 AND nc <= 5000 THEN 1.0 ELSE 0.0 END) AS quality "
-    "FROM ratios",
-)
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ta.quality_score(load_table(spark, sf_dir, "documents"))
 
 
 def _votes_sql(words: list[str]) -> str:
@@ -204,32 +173,55 @@ def _votes_sql(words: list[str]) -> str:
 
 
 @register(
-    "lang_guess",
+    "text_profile",
+    # Per-doc text-analysis suite in ONE relation (formerly three
+    # entries: token_stats + quality_score + lang_guess): token
+    # accounting, length/alpha/stopword quality ratios with the blended
+    # quality score, and the stopword-vote n-gram language ID.  Each
+    # component is the corresponding operators.text_analysis function;
+    # the oracle recomputes all of it in pure SQL.
     f"WITH {_TOKS}, "
+    "tstats AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, "
+    "CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct, "
+    "CASE WHEN len(tokens) = 0 THEN 0.0 ELSE "
+    "CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE) / len(tokens) END AS avg_token_len "
+    "FROM toks), "
+    "base AS (SELECT d.doc_id, d.text, t.tokens, length(d.text) AS n_chars, "
+    "length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g')) AS n_alpha, "
+    f"len(list_filter(t.tokens, x -> x IN {_STOP_EN_SQL})) AS n_stop "
+    "FROM documents d JOIN toks t USING (doc_id)), "
+    "quality AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+    "CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_chars END AS alpha_ratio, "
+    "CASE WHEN len(tokens) = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / len(tokens) END AS stopword_ratio "
+    "FROM base), "
+    "qscore AS (SELECT doc_id, n_chars, alpha_ratio, stopword_ratio, "
+    "0.4 * alpha_ratio + 0.4 * least(1.0, stopword_ratio * 5) + "
+    "0.2 * (CASE WHEN n_chars >= 50 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END) AS quality "
+    "FROM quality), "
     "votes AS (SELECT d.doc_id, d.text, "
     f"{_votes_sql(ta.STOPWORDS_EN)} AS votes_en, "
     f"{_votes_sql(ta.STOPWORDS_DE)} AS votes_de, "
     f"{_votes_sql(ta.STOPWORDS_FR)} AS votes_fr, "
     f"{_votes_sql(ta.STOPWORDS_ES)} AS votes_es "
-    "FROM documents d JOIN toks t USING (doc_id)) "
-    "SELECT doc_id, CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+    "FROM documents d JOIN toks t USING (doc_id)), "
+    "lang AS (SELECT doc_id, CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
     "WHEN votes_en >= votes_de AND votes_en >= votes_fr AND votes_en >= votes_es AND votes_en > 0 THEN 'en' "
     "WHEN votes_de >= votes_es AND votes_de >= votes_fr AND votes_de > 0 THEN 'de' "
     "WHEN votes_es >= votes_fr AND votes_es > 0 THEN 'es' "
     "WHEN votes_fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_guess, "
-    "votes_en, votes_de, votes_fr, votes_es FROM votes",
+    "votes_en, votes_de, votes_fr, votes_es FROM votes) "
+    "SELECT t.doc_id, t.n_tokens, t.n_distinct, t.avg_token_len, "
+    "q.n_chars, q.alpha_ratio, q.stopword_ratio, q.quality, "
+    "l.lang_guess, l.votes_en, l.votes_de, l.votes_fr, l.votes_es "
+    "FROM tstats t JOIN qscore q USING (doc_id) JOIN lang l USING (doc_id)",
 )
-def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ta.lang_guess(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "doc_fingerprint",
-    f"WITH {_TOKS} SELECT doc_id, "
-    "md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fingerprint FROM toks",
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ta.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ta.token_stats(docs)
+        .join(ta.quality_score(docs), "doc_id")
+        .join(ta.lang_guess(docs), "doc_id")
+    )
 
 
 # --------------------------- embedding similarity --------------------------
@@ -242,25 +234,6 @@ _COS_SQL = (
 )
 
 
-@register(
-    "knn_cosine_topk",
-    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5), "
-    "c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), "
-    f"scored AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cos "
-    "FROM q CROSS JOIN c WHERE query_id <> neighbor_id), "
-    "ranked AS (SELECT query_id, neighbor_id, round(cos, 6) AS cos, "
-    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS INTEGER) AS rank "
-    "FROM scored) "
-    "SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5",
-)
-def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where("vec_id < 5").select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return sim.knn_bruteforce(emb, queries, k=5)
-
-
 _QUANT_SQL = (
     # symmetric per-vector int8: scale = max|v|/127, q = round(v/scale)
     "SELECT vec_id, CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 "
@@ -271,135 +244,117 @@ _QUANT_SQL = (
 
 
 @register(
-    "knn_quantized_topk",
-    # int8-quantized cosine: integer-exact dot and norms, one float
-    # division — both engines do identical integer arithmetic
+    "knn_topk",
+    # Brute-force cosine top-k at BOTH serving precisions in one entry
+    # (formerly knn_cosine_topk + knn_quantized_topk): method='exact' is
+    # the float64 scan (the correctness baseline every ANN variant is
+    # measured against); method='int8' is the symmetric per-vector
+    # int8-quantized scan (4x memory-bandwidth lever at 100 TB) with
+    # integer-exact dot/norms and one float division.
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), "
+    "c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e), "
+    f"xscored AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cos "
+    "FROM q CROSS JOIN c WHERE query_id <> neighbor_id), "
+    "xranked AS (SELECT query_id, neighbor_id, round(cos, 6) AS cos, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS INTEGER) AS rank "
+    "FROM xscored), "
     "qe AS (" + _QUANT_SQL.format(src="e") + "), "
-    "q AS (SELECT vec_id AS query_id, qv AS qa FROM qe WHERE vec_id < 5), "
-    "c AS (SELECT vec_id AS neighbor_id, qv AS qb FROM qe), "
-    "scored AS (SELECT query_id, neighbor_id, "
+    "qq AS (SELECT vec_id AS query_id, qv AS qa FROM qe WHERE vec_id < 5), "
+    "qc AS (SELECT vec_id AS neighbor_id, qv AS qb FROM qe), "
+    "iscored AS (SELECT query_id, neighbor_id, "
     "list_sum(list_transform(range(1, len(qa) + 1), i -> qa[CAST(i AS INTEGER)] * qb[CAST(i AS INTEGER)])) AS dot, "
     "list_sum(list_transform(qa, x -> x * x)) AS na, "
     "list_sum(list_transform(qb, x -> x * x)) AS nb "
-    "FROM q CROSS JOIN c WHERE query_id <> neighbor_id), "
-    "ranked AS (SELECT query_id, neighbor_id, "
+    "FROM qq CROSS JOIN qc WHERE query_id <> neighbor_id), "
+    "iranked AS (SELECT query_id, neighbor_id, "
     "round(CASE WHEN na = 0 OR nb = 0 THEN 0.0 "
     "ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END, 6) AS cos, "
     "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
     "round(CASE WHEN na = 0 OR nb = 0 THEN 0.0 "
     "ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END, 6) DESC, "
-    "neighbor_id ASC) AS INTEGER) AS rank FROM scored) "
-    "SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5",
+    "neighbor_id ASC) AS INTEGER) AS rank FROM iscored) "
+    "SELECT 'exact' AS method, query_id, neighbor_id, cos, rank FROM xranked WHERE rank <= 5 "
+    "UNION ALL "
+    "SELECT 'int8', query_id, neighbor_id, cos, rank FROM iranked WHERE rank <= 5",
 )
-def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where("vec_id < 5")
-    return sim.knn_quantized_topk(emb, queries, k=5)
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.knn_bruteforce(emb, queries, k=5)
+    int8 = sim.knn_quantized_topk(emb, emb.where("vec_id < 5"), k=5)
+    return exact.select(F.lit("exact").alias("method"), "*").unionByName(
+        int8.select(F.lit("int8").alias("method"), "*")
+    )
 
 
 @register(
-    "deterministic_sample",
-    # hash-based sampling: reproducible across engines, runs, and
-    # cluster sizes (unlike rand()-based sample) — the only kind of
-    # sampling a training-data pipeline should use.  ~20% of docs,
-    # stratum label carried for audit.
-    "WITH hashed AS (SELECT doc_id, lang, n_chars, "
+    "sampling_methods",
+    # The three deterministic sampling operators in ONE tagged relation
+    # (formerly deterministic_sample + stratified_sample_lang +
+    # mixture_sample_lang).  All are md5-hash-driven — reproducible
+    # across engines, runs, and cluster sizes (never rand()), with no
+    # join or shuffle beyond the stratified rank:
+    #   hash_fraction    ~20% keep by hash bucket; detail = bucket
+    #   stratified_fixed_n  10 docs per lang by seeded hash rank;
+    #                       detail = sample_rank
+    #   domain_mixture   Pile/Gopher-style per-lang keep fractions;
+    #                    detail = NULL (membership is the output)
+    "WITH det AS (SELECT doc_id, lang, "
     "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket "
-    "FROM documents) "
-    "SELECT doc_id, lang, n_chars, CAST(bucket AS BIGINT) AS bucket FROM hashed WHERE bucket < 20",
-)
-def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beyond_vector_search_spark.functions.hashing import hash64
-
-    docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(hash64(F.col("doc_id")), F.lit(100)).cast("long")
-    return docs.select("doc_id", "lang", "n_chars", bucket.alias("bucket")).where(
-        F.col("bucket") < 20
-    )
-
-
-@register(
-    "stratified_sample_lang",
-    # fixed-N per stratum: 10 docs per language, ranked by the portable
-    # md5-derived hash of doc_id (seeded), doc_id tie-break
-    "WITH hashed AS (SELECT doc_id, lang, "
-    "CAST('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h "
     "FROM documents), "
-    "ranked AS (SELECT doc_id, lang, "
-    "CAST(row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS INTEGER) AS sample_rank "
-    "FROM hashed) "
-    "SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= 10",
+    "strat AS (SELECT doc_id, lang, "
+    "CAST(row_number() OVER (PARTITION BY lang ORDER BY "
+    "CAST('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC, doc_id ASC) AS BIGINT) AS sample_rank "
+    "FROM documents), "
+    "mix AS (SELECT doc_id, lang, "
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS h, "
+    "CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000 WHEN 'fr' THEN 500000 "
+    "WHEN 'es' THEN 250000 WHEN 'zh' THEN 250000 ELSE 0 END AS cut FROM documents) "
+    "SELECT 'hash_fraction' AS method, doc_id, lang, CAST(bucket AS BIGINT) AS detail "
+    "FROM det WHERE bucket < 20 "
+    "UNION ALL SELECT 'stratified_fixed_n', doc_id, lang, sample_rank "
+    "FROM strat WHERE sample_rank <= 10 "
+    "UNION ALL SELECT 'domain_mixture', doc_id, lang, CAST(NULL AS BIGINT) "
+    "FROM mix WHERE h < cut",
 )
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beyond_vector_search_spark.operators.scale import stratified_sample
-
-    docs = load_table(spark, sf_dir, "documents")
-    return stratified_sample(
-        docs.select("doc_id", "lang"),
-        strata_col="lang",
-        key_col="doc_id",
-        n_per_stratum=10,
-        seed=7,
+def q_sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beyond_vector_search_spark.functions.hashing import hash64
+    from beyond_vector_search_spark.operators.scale import (
+        mixture_sample,
+        stratified_sample,
     )
 
-
-@register(
-    "token_histogram",
-    # corpus vocabulary analysis: top-50 tokens by document frequency,
-    # ties broken by token for a deterministic cut
-    f"WITH {_TOKS}, "
-    "ex AS (SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM toks), "
-    "df AS (SELECT term, count(*) AS doc_freq FROM ex GROUP BY term), "
-    "ranked AS (SELECT term, doc_freq, "
-    "CAST(row_number() OVER (ORDER BY doc_freq DESC, term ASC) AS INTEGER) AS rank FROM df) "
-    "SELECT term, doc_freq, rank FROM ranked WHERE rank <= 50",
-)
-def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # At 100 TB the vocabulary is billions of terms: a global
-    # row_number() window would move them all to one partition.
-    # global_topk_ranked keeps per-task top-k (TakeOrderedAndProject)
-    # and numbers only the 50 survivors.
-    from beyond_vector_search_spark.operators.scale import global_topk_ranked
-
-    idx = _docs_index_pipeline(spark, sf_dir)
-    return global_topk_ranked(
-        idx.term_stats.select("term", F.col("df").alias("doc_freq")),
-        50,
-        F.desc("doc_freq"),
-        F.asc("term"),
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucket = F.pmod(hash64(F.col("doc_id")), F.lit(100)).cast("long")
+    det = (
+        docs.select("doc_id", "lang", bucket.alias("detail"))
+        .where(F.col("detail") < 20)
+        .select(F.lit("hash_fraction").alias("method"), "doc_id", "lang", "detail")
     )
+    strat = stratified_sample(
+        docs, strata_col="lang", key_col="doc_id", n_per_stratum=10, seed=7
+    ).select(
+        F.lit("stratified_fixed_n").alias("method"),
+        "doc_id",
+        "lang",
+        F.col("sample_rank").cast("long").alias("detail"),
+    )
+    mix = mixture_sample(
+        docs, strata_col="lang", key_col="doc_id",
+        weights={"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25},
+    ).select(
+        F.lit("domain_mixture").alias("method"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("long").alias("detail"),
+    )
+    return det.unionByName(strat).unionByName(mix)
 
 
 def _docs_index_pipeline(spark, sf_dir):
     from beyond_vector_search_spark.plans.entry_queries import _docs_index
 
     return _docs_index(spark, sf_dir)
-
-
-@register("ann_lsh_topk", None)  # Spark-internal LSH hash family -> rows-only
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib BucketedRandomProjectionLSH approximate NN (seeded,
-    deterministic within Spark, but the hash family is engine-internal
-    so there is no cross-engine oracle; exact paths are oracled as
-    knn_cosine_topk / ivf_topk_probe)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
-    return sim.lsh_ann_topk(emb, queries, k=5)
-
-
-@register(
-    "ivf_assign",
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings), "
-    "c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 8), "
-    f"scored AS (SELECT vec_id, centroid_id, {_COS_SQL} AS cos FROM e CROSS JOIN c), "
-    "ranked AS (SELECT vec_id, centroid_id, round(cos, 6) AS cos, "
-    "row_number() OVER (PARTITION BY vec_id ORDER BY round(cos, 6) DESC, centroid_id ASC) AS rn FROM scored) "
-    "SELECT vec_id, centroid_id, cos FROM ranked WHERE rn = 1",
-)
-def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.where("vec_id < 8").select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
-    return sim.assign_centroids(emb, centroids)

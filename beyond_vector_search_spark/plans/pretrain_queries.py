@@ -251,23 +251,9 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
 
 
-@register(
-    "mixture_sample_lang",
-    # per-language keep fractions folded as a CASE over the portable
-    # md5 hash — the Pile/Gopher-style domain-mixing step
-    "WITH cuts AS (SELECT doc_id, lang, source, "
-    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS h, "
-    "CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000 WHEN 'fr' THEN 500000 "
-    "WHEN 'es' THEN 250000 WHEN 'zh' THEN 250000 ELSE 0 END AS cut FROM documents) "
-    "SELECT doc_id, lang, source FROM cuts WHERE h < cut",
-)
-def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from beyond_vector_search_spark.operators.scale import mixture_sample
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    return mixture_sample(
-        docs, strata_col="lang", key_col="doc_id", weights=_MIX_WEIGHTS
-    )
+# (the standalone mixture-sampling entry lives in pipeline_queries'
+# merged ``sampling_methods``; _MIX_WEIGHTS stays the shared constant
+# for the end-to-end pretrain_corpus_pipeline below)
 
 
 # ------------------------ unigram log-perplexity ---------------------------

@@ -107,17 +107,31 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """
 
-# --- TPC-H Q6-style revenue-change forecast (pure filter + agg —
-#     the pushdown showcase: every predicate reaches the parquet scan)
-TPCH_Q6 = """
-SELECT
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+# --- TPC-H Q6-style revenue-change forecast + Q14-style promotion share
+#     in one tagged relation (formerly tpch_q6_forecast + tpch_q14_promo).
+#     Q6 is the pushdown showcase (every predicate reaches the parquet
+#     scan); Q14 is conditional aggregation inside a fact->dim join.
+TPCH_RATIO_AGGS = """
+SELECT 'q6_revenue_change' AS q,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS value,
   count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
   AND l_discount >= 0.02 AND l_discount <= 0.06
   AND l_quantity < 24
+UNION ALL
+SELECT 'q14_promo_pct',
+  CAST(CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+        THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+    * 100.0 AS DOUBLE),
+  count(*)
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
 """
 
 # --- TPC-H Q10-style returned-item reporting: which customers returned
@@ -164,22 +178,6 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns = spark.sql(TPCH_Q10_RETURNS)
     return global_topk_ranked(returns, 20, F.desc("revenue"), F.asc("c_custkey"))
 
-# --- TPC-H Q14-style promotion share: conditional aggregation inside a
-#     fact->dim join (CASE WHEN in a decimal-exact sum)
-TPCH_Q14 = """
-SELECT
-  CAST(CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
-        THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))
-        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-    / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
-    * 100.0 AS DOUBLE) AS promo_revenue_pct,
-  count(*) AS n_rows
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
-  AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-"""
-
 # --- window ranking: top-3 customers by balance per nation
 WINDOW_TOP_CUSTOMERS = """
 WITH ranked AS (
@@ -194,10 +192,13 @@ WITH ranked AS (
 SELECT n_name, c_custkey, c_name, c_acctbal, rank FROM ranked WHERE rank <= 3
 """
 
-# --- explicit GROUPING SETS (finer control than rollup/cube: exactly
-#     the wanted combinations, with grouping() to tag the set)
-GROUPING_SETS_ORDERS = """
-SELECT
+# --- every multi-grouping aggregation mode over orders in one tagged
+#     relation (formerly orders_rollup + grouping_sets_orders +
+#     cube_orders): ROLLUP, explicit GROUPING SETS, and CUBE, each with
+#     grouping() tags so the rows are self-describing and the schemas
+#     align across modes.
+GROUPING_ORDERS = """
+SELECT 'rollup' AS mode,
   o_orderstatus,
   o_orderpriority,
   CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
@@ -205,64 +206,58 @@ SELECT
   count(*) AS n_orders,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-"""
-
-# --- rollup aggregation over orders
-ORDERS_ROLLUP = """
-SELECT
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'grouping_sets',
   o_orderstatus,
   o_orderpriority,
-  count(*) AS n_orders,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+  CAST(grouping(o_orderstatus) AS INTEGER),
+  CAST(grouping(o_orderpriority) AS INTEGER),
+  count(*),
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
 FROM orders
-GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+UNION ALL
+SELECT 'cube',
+  o_orderstatus,
+  o_orderpriority,
+  CAST(grouping(o_orderstatus) AS INTEGER),
+  CAST(grouping(o_orderpriority) AS INTEGER),
+  count(*),
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
-# --- anti join: customers with no orders in 1995 (time-scoped so the
-#     result is non-empty in the synthetic data, where every customer
-#     has *some* order)
-CUSTOMERS_WITHOUT_ORDERS = """
-SELECT c.c_custkey, c.c_name, c.c_mktsegment
+# --- the set-operation family over order-activity windows in one tagged
+#     relation (formerly except_custkeys + intersect_custkeys +
+#     customers_without_orders): EXCEPT, INTERSECT, and a NOT EXISTS
+#     anti join, all on the same customer-activity predicate so the
+#     three answers are directly comparable.
+SETOPS_CUSTKEYS = """
+SELECT 'except_1995_not_2001' AS op, c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders
+  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  EXCEPT
+  SELECT o_custkey AS c_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+) t
+UNION ALL
+SELECT 'intersect_1995_and_2001', c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders
+  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  INTERSECT
+  SELECT o_custkey AS c_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+) t
+UNION ALL
+SELECT 'anti_no_orders_before_1996', c.c_custkey
 FROM customer c
 WHERE NOT EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_custkey = c.c_custkey
     AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
 )
-"""
-
-# --- semi join + agg: per-customer order stats (only customers with orders)
-CUSTOMER_ORDER_STATS = """
-SELECT
-  c.c_custkey,
-  count(*) AS n_orders,
-  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
-  CAST(max(o.o_orderdate) AS STRING) AS last_order
-FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-GROUP BY c.c_custkey
-"""
-
-# --- set operation: customers active in 1995 but not in 2001 (EXCEPT)
-EXCEPT_CUSTKEYS = """
-SELECT o_custkey AS c_custkey FROM orders
-WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
-EXCEPT
-SELECT o_custkey AS c_custkey FROM orders
-WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
-"""
-
-# --- tumbling-window aggregation over the events stream table
-EVENTS_HOURLY = """
-SELECT
-  CAST(date_trunc('hour', ts) AS STRING) AS hour,
-  event_type,
-  count(*) AS n_events,
-  round(sum(value), 4) AS sum_value,
-  min(value) AS min_value,
-  max(value) AS max_value
-FROM events
-GROUP BY CAST(date_trunc('hour', ts) AS STRING), event_type
 """
 
 # --- sessionization: 30-minute-gap sessions per user (template: the
@@ -323,15 +318,10 @@ def register_all() -> None:
     register_shared_sql("tpch_q1", TPCH_Q1)
     register("tpch_q3_topk", TPCH_Q3)(q_tpch_q3_topk)
     register_shared_sql("tpch_q5_region_volume", TPCH_Q5)
-    register_shared_sql("tpch_q6_forecast", TPCH_Q6)
     register("tpch_q10_returns", TPCH_Q10)(q_tpch_q10_returns)
-    register_shared_sql("tpch_q14_promo", TPCH_Q14)
+    register_shared_sql("tpch_ratio_aggs", TPCH_RATIO_AGGS)
     register_shared_sql("window_top_customers", WINDOW_TOP_CUSTOMERS)
-    register_shared_sql("orders_rollup", ORDERS_ROLLUP)
-    register_shared_sql("grouping_sets_orders", GROUPING_SETS_ORDERS)
-    register_shared_sql("customers_without_orders", CUSTOMERS_WITHOUT_ORDERS)
-    register_shared_sql("customer_order_stats", CUSTOMER_ORDER_STATS)
-    register_shared_sql("except_custkeys", EXCEPT_CUSTKEYS)
-    register_shared_sql("events_hourly", EVENTS_HOURLY)
+    register_shared_sql("grouping_orders", GROUPING_ORDERS)
+    register_shared_sql("setops_custkeys", SETOPS_CUSTKEYS)
     register("events_sessions", EVENTS_SESSIONS_DUCKDB)(_sql_fn(EVENTS_SESSIONS_SPARK))
     register("events_json_stats", EVENTS_JSON_DUCKDB)(_sql_fn(EVENTS_JSON_SPARK))

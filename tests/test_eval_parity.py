@@ -127,3 +127,47 @@ def test_windowed_fold_random_trajectories(spark):
     assert math.isclose(last["w_vector"] + last["d_vector"], st.weight_vector, abs_tol=1e-12)
     assert math.isclose(last["w_keyword"] + last["d_keyword"], st.weight_keyword, abs_tol=1e-12)
     assert math.isclose(last["w_hybrid"] + last["d_hybrid"], st.weight_hybrid, abs_tol=1e-12)
+
+
+def test_windowed_fold_has_no_unpartitioned_window(spark):
+    """The fold's physical plan must not funnel all label rows through a
+    single partition: every WindowExec is partitioned by the chunk key
+    (chunked two-pass prefix sum), and a non-representable lr still
+    matches the driver fold exactly (integer-unit accumulation)."""
+    import re
+
+    from beyond_vector_search_spark.operators.evaluate import fold_weights_windowed
+    from beyond_vector_search_spark.operators.router import RouterState, delta_units
+
+    rows = [
+        (f"Q-{i:03d}", float(i % 4) / 3, float((i + 1) % 3) / 2, float(i % 2), 0.1, 0.2, 0.3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id STRING, s_vec DOUBLE, s_key DOUBLE, s_hyb DOUBLE, "
+        "heuristic_keyword DOUBLE, heuristic_vector DOUBLE, heuristic_hybrid DOUBLE",
+    )
+    state = RouterState(lr=0.1)  # 0.1 has no exact binary representation
+    out = fold_weights_windowed(df, state, n_chunks=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Window \[", plan):
+        window_line = plan[m.start():].split("\n")[0]
+        assert "partitionBy" not in window_line or "_chunk" in window_line
+    # every windowspecdefinition in the plan must carry a partition key
+    assert "Window [" not in plan or "_chunk" in plan
+
+    got = out.orderBy("query_id").collect()
+    units = {"vector": 0, "keyword": 0, "hybrid": 0}
+    half = state.lr / 2.0
+    for r in got:
+        d = r.asDict()
+        # closed form: weights BEFORE row == w0 + units*(lr/2), exactly
+        assert d["w_vector"] == units["vector"] * half
+        assert d["w_keyword"] == units["keyword"] * half
+        assert d["w_hybrid"] == units["hybrid"] * half
+        for name, m in delta_units(
+            {"vector": d["s_vec"], "keyword": d["s_key"], "hybrid": d["s_hyb"]}
+        ).items():
+            units[name] += m
+        assert d["wafter_vector"] == units["vector"] * half
