@@ -72,17 +72,28 @@ def main() -> None:
     # builds every derived relation in concurrent dependency waves.
     from beyond_vector_search_spark.plans.entry_queries import _docs_index
 
+    errors: dict[str, str] = {}
+
     t0 = time.time()
-    _docs_index(spark, SF_DIR).materialize()
-    dt = time.time() - t0
-    times["index_build"] = round(dt, 3)
-    total += dt
-    print(f"# index_build: {dt:.2f}s", file=sys.stderr)
+    try:
+        _docs_index(spark, SF_DIR).materialize()
+        dt = time.time() - t0
+        times["index_build"] = round(dt, 3)
+        total += dt
+        print(f"# index_build: {dt:.2f}s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — one broken query must not kill the suite
+        errors["index_build"] = str(e).split("\n", 1)[0][:300]
+        print(f"# index_build FAILED: {errors['index_build']}", file=sys.stderr)
 
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.time()
-        n = fn(spark, SF_DIR).count()
+        try:
+            n = fn(spark, SF_DIR).count()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = str(e).split("\n", 1)[0][:300]
+            print(f"# {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         dt = time.time() - t0
         times[name] = round(dt, 3)
         total += dt
@@ -98,15 +109,19 @@ def main() -> None:
     crossover = None
     copies = int(os.environ.get("SPARK_GRAFT_CROSSOVER", "10"))
     if copies > 1:
-        import tools.crossover_bench as cx
+        try:
+            import tools.crossover_bench as cx
 
-        cx.SF_DIR = SF_DIR
-        from beyond_vector_search_spark.plans.entry_queries import QUERY_SET
+            cx.SF_DIR = SF_DIR
+            from beyond_vector_search_spark.plans.entry_queries import QUERY_SET
 
-        queries_df = spark.createDataFrame(QUERY_SET, "query_id STRING, query STRING")
-        t0 = time.time()
-        crossover = {"copies": copies, **cx.time_spark(spark, copies, queries_df)}
-        print(f"# crossover x{copies}: {time.time()-t0:.2f}s {crossover}", file=sys.stderr)
+            queries_df = spark.createDataFrame(QUERY_SET, "query_id STRING, query STRING")
+            t0 = time.time()
+            crossover = {"copies": copies, **cx.time_spark(spark, copies, queries_df)}
+            print(f"# crossover x{copies}: {time.time()-t0:.2f}s {crossover}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            errors["crossover"] = str(e).split("\n", 1)[0][:300]
+            print(f"# crossover FAILED: {errors['crossover']}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -118,7 +133,11 @@ def main() -> None:
     }
     if crossover is not None:
         out["crossover"] = crossover
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
+    if errors:
+        sys.exit(3)  # partial suite: number printed, but flag the failures
 
 
 if __name__ == "__main__":

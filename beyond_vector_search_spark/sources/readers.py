@@ -32,30 +32,49 @@ def load_labels(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(LABELS_SCHEMA).json(path).where("query_id IS NOT NULL")
 
 
+def _set_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Best-effort conf set: the driver may hand us a session we didn't
+    build, and some legacy/static confs are not runtime-settable on every
+    Spark version."""
+    try:
+        spark.conf.set(key, value)
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver testdata parquet table (TESTDATA.md).
 
-    The testdata parquet stores nanosecond timestamps, which Spark only
-    reads with the legacy flag (as TIMESTAMP_NTZ, truncated to micros —
-    the same truncation DuckDB applies).  Set per-call: the driver may
-    hand us a session we didn't build.
+    events.ts has shipped as both TIMESTAMP(NANOS) (readable only with
+    the legacy nanosAsLong flag, as BIGINT nanos) and plain
+    timestamp[us]; normalize to a micros timestamp either way by
+    branching on the dtype Spark actually read.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _set_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     # timestamp->string casts (oracle-facing) must be TZ-stable even if
     # the caller's session didn't set a timezone
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _set_conf(spark, "spark.sql.session.timeZone", "UTC")
     # right-size shuffles for callers running Spark's 200-partition
     # default against these small-SF tables (AQE coalesces, but the
     # initial partitioning still costs task overhead)
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        _set_conf(spark, "spark.sql.shuffle.partitions", "32")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) -> read as nanos BIGINT; convert
-        # to a real timestamp truncated to micros (what DuckDB yields).
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long", "int"):
+            # legacy nanos-as-BIGINT file: convert to a real timestamp
+            # truncated to micros (the same truncation DuckDB applies)
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # session tz is pinned UTC above, so this reinterpretation is
+            # value-preserving; downstream uses unix_millis()/window()
+            # which want the LTZ flavor
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
