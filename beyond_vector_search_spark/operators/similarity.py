@@ -168,16 +168,71 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.999,
+    block: bool = True,
+    n_centroids: int = 8,
+    probe: int = 2,
 ) -> DataFrame:
     """(id_a, id_b, cos) — embedding-cosine near-duplicate pairs.
 
-    Brute-force O(n^2) over the given (pre-filtered/bucketed) set; the
-    production path first blocks candidates via :func:`assign_centroids`
-    or LSH and runs this verify inside buckets only.
+    Default is the centroid-BLOCKED form (the only shape that survives
+    100 TB): every vector is assigned to its ``probe`` nearest of
+    ``n_centroids`` deterministic centroids (the lowest-id input vectors
+    — no training pass), candidate pairs are generated ONLY within a
+    shared centroid bucket (equi-join on centroid_id, never an
+    unblocked crossJoin of the corpus with itself), then verified with
+    the exact cosine.  Blocking can only prune, never corrupt: every
+    emitted pair carries its true cosine.  Near-identical vectors
+    (cos >= 0.999 means the directions nearly coincide, and cosine is
+    scale-invariant) score near-identically against every centroid, so
+    they share a nearest centroid except at assignment-boundary ties —
+    which ``probe=2`` covers by double-assigning each vector to its two
+    closest buckets.
+
+    ``block=False`` selects the exact all-pairs O(n^2) verify for tiny
+    pre-filtered inputs (or as the in-bucket kernel of an external
+    blocker such as :func:`assign_centroids` over trained centroids or
+    MinHash-LSH).
     """
     a = embeddings.select(F.col(id_col).alias("id_a"), as_double_array(F.col(vec_col)).alias("qv"))
     b = embeddings.select(F.col(id_col).alias("id_b"), as_double_array(F.col(vec_col)).alias("cv"))
-    pairs = _with_cos(a.crossJoin(b)).where(F.col("id_a") < F.col("id_b"))
+    if block:
+        cents = (
+            embeddings.orderBy(F.asc(id_col))
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                as_double_array(F.col(vec_col)).alias("cv"),
+            )
+        )
+        e = embeddings.select(
+            F.col(id_col).alias("bvec_id"), as_double_array(F.col(vec_col)).alias("qv")
+        )
+        scored = _with_cos(e.crossJoin(F.broadcast(cents)))
+        w = Window.partitionBy("bvec_id").orderBy(
+            F.desc(F.round(F.col("cos"), 6)), F.asc("centroid_id")
+        )
+        buckets = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= probe)
+            .select("bvec_id", "centroid_id")
+        )
+        # a pair sharing both probed buckets would surface twice: dedup
+        # the candidate ids BEFORE the (expensive) exact cosine verify
+        cand = (
+            buckets.alias("x")
+            .join(buckets.alias("y"), "centroid_id")
+            .where(F.col("x.bvec_id") < F.col("y.bvec_id"))
+            .select(
+                F.col("x.bvec_id").alias("id_a"), F.col("y.bvec_id").alias("id_b")
+            )
+            .distinct()
+        )
+        pairs = _with_cos(
+            cand.join(a.withColumnRenamed("id_a", "ja"), F.col("id_a") == F.col("ja"))
+            .join(b.withColumnRenamed("id_b", "jb"), F.col("id_b") == F.col("jb"))
+        )
+    else:
+        pairs = _with_cos(a.crossJoin(b)).where(F.col("id_a") < F.col("id_b"))
     return pairs.where(F.round(F.col("cos"), 6) >= threshold).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")
     )

@@ -311,3 +311,30 @@ def test_streaming_index_ingest_matches_batch_build(spark, tmp_path, ref_corpus,
         inc, full = getattr(idx, field), getattr(ref_index, field)
         assert inc.exceptAll(full).count() == 0, field
         assert full.exceptAll(inc).count() == 0, field
+
+
+def test_embedding_neardup_blocked_matches_allpairs(spark):
+    """Centroid blocking must only prune candidates, never change the
+    result: blocked (default) == all-pairs on a mix of random vectors
+    and planted scaled near-dups, and the blocked plan contains no
+    unblocked CartesianProduct over the corpus."""
+    import random
+
+    from beyond_vector_search_spark.operators import similarity as sim
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    # planted near-dups: scaled copies (cos == 1.0) and tiny-perturbed copies
+    rows += [(1000 + i, [x * 3.0 for x in rows[i][1]]) for i in range(10)]
+    rows += [(2000 + i, [x + 1e-6 for x in rows[i][1]]) for i in range(10, 20)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    blocked = sim.embedding_neardup_pairs(emb, threshold=0.999)
+    exact = sim.embedding_neardup_pairs(emb, threshold=0.999, block=False)
+    got = sorted(tuple(r) for r in blocked.collect())
+    want = sorted(tuple(r) for r in exact.collect())
+    assert got == want
+    assert len(want) >= 20  # every planted pair found
+
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
