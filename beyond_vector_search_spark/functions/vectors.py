@@ -38,3 +38,14 @@ def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity with 0-norm guard (0.0 for degenerate vectors)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)
+
+
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with the norms hoisted into per-row columns.
+
+    Bit-identical to :func:`cosine_sim` (same multiply and divide on the
+    same fold results), but the O(dim) norm folds run once per ROW
+    instead of once per PAIR — the difference between O((n+q)·dim) and
+    O(n·q·dim) side work under a top-k join."""
+    denom = na * nb
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)

@@ -18,11 +18,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from beyond_vector_search_spark.functions.vectors import as_double_array, cosine_sim, dot_product
+from beyond_vector_search_spark.functions.vectors import (
+    as_double_array,
+    cosine_from_norms,
+    cosine_sim,
+    dot_product,
+    l2_norm,
+)
 
 
 def _with_cos(df: DataFrame) -> DataFrame:
     return df.withColumn("cos", cosine_sim(F.col("qv"), F.col("cv")))
+
+
+def _with_cos_hoisted(df: DataFrame) -> DataFrame:
+    """cos from pre-projected per-row norms ``qn``/``cn`` (bit-identical
+    to :func:`_with_cos`; norms computed once per row, not per pair)."""
+    return df.withColumn(
+        "cos", cosine_from_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+    )
 
 
 def knn_bruteforce(
@@ -39,13 +53,13 @@ def knn_bruteforce(
     (cross-engine guard) with neighbor_id tie-break; self-matches are
     excluded.
     """
-    q = queries.select(
-        F.col("query_id"), as_double_array(F.col("embedding")).alias("qv")
-    )
+    qv = as_double_array(F.col("embedding"))
+    q = queries.select(F.col("query_id"), qv.alias("qv"), l2_norm(qv).alias("qn"))
+    cv = as_double_array(F.col(vec_col))
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), cv.alias("cv"), l2_norm(cv).alias("cn")
     )
-    scored = _with_cos(F.broadcast(q).crossJoin(c)).where(
+    scored = _with_cos_hoisted(F.broadcast(q).crossJoin(c)).where(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -79,22 +93,25 @@ def ivf_topk(
     reproducible — the DuckDB oracle computes the identical result.
     """
     assigned = assign_centroids(embeddings, centroids, id_col=id_col, vec_col=vec_col)
-    q = queries.select("query_id", as_double_array(F.col("embedding")).alias("qv"))
-    c = centroids.select("centroid_id", as_double_array(F.col("embedding")).alias("cv"))
-    q_probe = _with_cos(F.broadcast(q).crossJoin(F.broadcast(c)))
+    qv = as_double_array(F.col("embedding"))
+    q = queries.select("query_id", qv.alias("qv"), l2_norm(qv).alias("qn"))
+    ccv = as_double_array(F.col("embedding"))
+    c = centroids.select("centroid_id", ccv.alias("cv"), l2_norm(ccv).alias("cn"))
+    q_probe = _with_cos_hoisted(F.broadcast(q).crossJoin(F.broadcast(c)))
     wq = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("cos"), 6)), F.asc("centroid_id")
     )
     probed = (
         q_probe.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "centroid_id")
+        .select("query_id", "qv", "qn", "centroid_id")
     )
     cands = probed.join(assigned.select(F.col("vec_id").alias("neighbor_id"), "centroid_id"), "centroid_id")
+    ecv = as_double_array(F.col(vec_col))
     e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), ecv.alias("cv"), l2_norm(ecv).alias("cn")
     )
-    scored = _with_cos(cands.join(e, "neighbor_id")).where(
+    scored = _with_cos_hoisted(cands.join(e, "neighbor_id")).where(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -193,21 +210,27 @@ def embedding_neardup_pairs(
     blocker such as :func:`assign_centroids` over trained centroids or
     MinHash-LSH).
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"), as_double_array(F.col(vec_col)).alias("qv"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), as_double_array(F.col(vec_col)).alias("cv"))
+    av = as_double_array(F.col(vec_col))
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), av.alias("qv"), l2_norm(av).alias("qn")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), av.alias("cv"), l2_norm(av).alias("cn")
+    )
     if block:
         cents = (
             embeddings.orderBy(F.asc(id_col))
             .limit(n_centroids)
             .select(
                 F.col(id_col).alias("centroid_id"),
-                as_double_array(F.col(vec_col)).alias("cv"),
+                av.alias("cv"),
+                l2_norm(av).alias("cn"),
             )
         )
         e = embeddings.select(
-            F.col(id_col).alias("bvec_id"), as_double_array(F.col(vec_col)).alias("qv")
+            F.col(id_col).alias("bvec_id"), av.alias("qv"), l2_norm(av).alias("qn")
         )
-        scored = _with_cos(e.crossJoin(F.broadcast(cents)))
+        scored = _with_cos_hoisted(e.crossJoin(F.broadcast(cents)))
         w = Window.partitionBy("bvec_id").orderBy(
             F.desc(F.round(F.col("cos"), 6)), F.asc("centroid_id")
         )
@@ -227,12 +250,12 @@ def embedding_neardup_pairs(
             )
             .distinct()
         )
-        pairs = _with_cos(
+        pairs = _with_cos_hoisted(
             cand.join(a.withColumnRenamed("id_a", "ja"), F.col("id_a") == F.col("ja"))
             .join(b.withColumnRenamed("id_b", "jb"), F.col("id_b") == F.col("jb"))
         )
     else:
-        pairs = _with_cos(a.crossJoin(b)).where(F.col("id_a") < F.col("id_b"))
+        pairs = _with_cos_hoisted(a.crossJoin(b)).where(F.col("id_a") < F.col("id_b"))
     return pairs.where(F.round(F.col("cos"), 6) >= threshold).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")
     )
@@ -252,9 +275,11 @@ def assign_centroids(
     struct — deterministic tie-break toward the smaller centroid id.
     At scale: centroids broadcast; one map-side pass over the corpus.
     """
-    e = embeddings.select(F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("qv"))
-    c = centroids.select(F.col("centroid_id"), as_double_array(F.col("embedding")).alias("cv"))
-    scored = _with_cos(e.crossJoin(F.broadcast(c)))
+    ev = as_double_array(F.col(vec_col))
+    e = embeddings.select(F.col(id_col).alias("vec_id"), ev.alias("qv"), l2_norm(ev).alias("qn"))
+    ccv = as_double_array(F.col("embedding"))
+    c = centroids.select(F.col("centroid_id"), ccv.alias("cv"), l2_norm(ccv).alias("cn"))
+    scored = _with_cos_hoisted(e.crossJoin(F.broadcast(c)))
     w = Window.partitionBy("vec_id").orderBy(
         F.desc(F.round(F.col("cos"), 6)), F.asc("centroid_id")
     )
@@ -303,21 +328,27 @@ def knn_quantized_topk(
     int8-quantized vectors: exact integer dot/norms per pair, one float
     division at the end.  Same shape as knn_bruteforce; the quantized
     corpus is what a 100 TB deployment would actually scan."""
-    qe = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cv")
-    )
-    qq = quantize_int8(queries, id_col=id_col, vec_col=vec_col).select(
-        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qv")
-    )
     # integer-exact dot and norms (bigint accumulation), float only at
     # the final normalization — bit-reproducible across engines
-    idot = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a * b).cast("bigint")),
+    inorm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: (x * x).cast("bigint")),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    inorm = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: (x * x).cast("bigint")),
+    # norms hoisted per ROW (same bigint folds, computed n+q times
+    # instead of 3x per pair under the top-k join)
+    qe = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qvec").alias("cv"),
+        inorm(F.col("qvec")).alias("cn2"),
+    )
+    qq = quantize_int8(queries, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qv"),
+        inorm(F.col("qvec")).alias("qn2"),
+    )
+    idot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a * b).cast("bigint")),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
@@ -328,11 +359,10 @@ def knn_quantized_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.when(
-                (inorm(F.col("qv")) == 0) | (inorm(F.col("cv")) == 0), F.lit(0.0)
-            )
+            F.when((F.col("qn2") == 0) | (F.col("cn2") == 0), F.lit(0.0))
             .otherwise(
-                idot / (F.sqrt(inorm(F.col("qv")).cast("double")) * F.sqrt(inorm(F.col("cv")).cast("double")))
+                idot
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
             )
             .alias("cos"),
         )
