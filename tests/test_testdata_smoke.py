@@ -46,3 +46,31 @@ def test_register_testdata_views_sql_roundtrip(spark):
     register_testdata_views(spark, SF_DIR)
     n = spark.sql("SELECT count(*) AS c FROM events").collect()[0]["c"]
     assert n > 0
+
+
+def test_load_table_legacy_nanos_parquet(spark, tmp_path):
+    """The historical testdata format stored events.ts as
+    TIMESTAMP(NANOS) (readable only as BIGINT nanos under the legacy
+    flag); load_table must still convert that shape to a micros
+    timestamp with the same wall-clock values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns = pa.array([1704067798778549000, 1704068166738090123], type=pa.timestamp("ns"))
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1], type=pa.int64()),
+            "ts": ns,
+            "user_id": pa.array([13, 12], type=pa.int64()),
+            "event_type": pa.array(["error", "signup"]),
+            "value": pa.array([185.22, 106.03]),
+            "props": pa.array(['{"k": 87}', '{"k": 0}']),
+        }
+    )
+    # version>=2.6 keeps nanosecond resolution instead of coercing to us
+    pq.write_table(t, str(tmp_path / "events.parquet"), version="2.6")
+
+    ev = load_table(spark, str(tmp_path), "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    got = [r["ms"] for r in ev.selectExpr("unix_millis(ts) AS ms").orderBy("event_id").collect()]
+    assert got == [1704067798778, 1704068166738]
