@@ -188,6 +188,7 @@ def embedding_neardup_pairs(
     block: bool = True,
     n_centroids: int = 8,
     probe: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) — embedding-cosine near-duplicate pairs.
 
@@ -209,6 +210,17 @@ def embedding_neardup_pairs(
     pre-filtered inputs (or as the in-bucket kernel of an external
     blocker such as :func:`assign_centroids` over trained centroids or
     MinHash-LSH).
+
+    ``max_bucket_size`` is the same hot-bucket guard as
+    :func:`dedup.lsh_candidate_pairs`: a bucket of m vectors emits
+    m^2/2 candidates, so a degenerate corpus (everything near one
+    centroid) goes quadratic.  Buckets above the cap are dropped BEFORE
+    the self-join (window count on the join key — the shuffle the join
+    needs anyway), trading recall inside pathological buckets for a
+    bounded plan; raise ``n_centroids`` (or pre-train real centroids)
+    to shrink buckets instead of capping when recall matters.  ``None``
+    (default) disables the cap — the catalog entry runs uncapped so the
+    all-pairs oracle matches exactly.
     """
     av = as_double_array(F.col(vec_col))
     a = embeddings.select(
@@ -239,6 +251,13 @@ def embedding_neardup_pairs(
             .where(F.col("rn") <= probe)
             .select("bvec_id", "centroid_id")
         )
+        if max_bucket_size is not None:
+            wb = Window.partitionBy("centroid_id")
+            buckets = (
+                buckets.withColumn("_bucket_n", F.count("*").over(wb))
+                .where(F.col("_bucket_n") <= max_bucket_size)
+                .drop("_bucket_n")
+            )
         # a pair sharing both probed buckets would surface twice: dedup
         # the candidate ids BEFORE the (expensive) exact cosine verify
         cand = (

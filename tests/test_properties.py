@@ -137,3 +137,40 @@ def test_arrow_kernels_property_parity(spark):
         .groupBy("doc_id", "gram").agg(F.count("*").alias("tf"))
     )
     assert counts(kernels.gram_tf_frame(docs, text="text"), "gram") == counts(expr_grams, "gram")
+
+
+def test_cosine_from_norms_bitwise_equals_cosine_sim(spark):
+    """The hoisted-norm cosine must be BIT-identical to the inline form
+    on arbitrary vectors (including zeros and denormal-ish values) —
+    it is the same fold expressions, only computed per row."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.functions.vectors import (
+        as_double_array,
+        cosine_from_norms,
+        cosine_sim,
+        l2_norm,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(200):
+        dim = rng.choice([1, 3, 16, 64])
+        a = [rng.uniform(-1e3, 1e3) * (10 ** rng.randint(-12, 3)) for _ in range(dim)]
+        b = [rng.uniform(-1e3, 1e3) * (10 ** rng.randint(-12, 3)) for _ in range(dim)]
+        if i % 17 == 0:
+            a = [0.0] * dim
+        if i % 23 == 0:
+            b = [0.0] * dim
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "i LONG, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+    av, bv = as_double_array(F.col("a")), as_double_array(F.col("b"))
+    out = df.select(
+        cosine_sim(av, bv).alias("inline"),
+        cosine_from_norms(av, bv, l2_norm(av), l2_norm(bv)).alias("hoisted"),
+    ).collect()
+    for r in out:
+        # bit-compare via repr: both must be the exact same double
+        assert repr(r["inline"]) == repr(r["hoisted"])
