@@ -74,3 +74,32 @@ def test_load_table_legacy_nanos_parquet(spark, tmp_path):
     assert dict(ev.dtypes)["ts"] == "timestamp"
     got = [r["ms"] for r in ev.selectExpr("unix_millis(ts) AS ms").orderBy("event_id").collect()]
     assert got == [1704067798778, 1704068166738]
+
+
+def test_catalog_on_pristine_driver_session():
+    """The external driver builds its own SparkSession with stock confs
+    (no get_spark tuning). Drive the entry contract the same way in a
+    clean subprocess: plain builder, entry() + an events-dependent
+    catalog query — the combination that broke in round 3."""
+    import subprocess
+    import sys
+
+    script = r"""
+import importlib.util
+from pyspark.sql import SparkSession
+
+spark = SparkSession.builder.master("local[4]").appName("pristine").getOrCreate()
+spec = importlib.util.spec_from_file_location("entry", "/root/repo/__spark_entry__.py")
+m = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(m)
+assert m.entry(spark).count() >= 0
+q = m.queries()
+assert q["events_sessions"](spark, "SFDIR").count() > 0
+assert q["tpch_q1"](spark, "SFDIR").count() > 0
+print("PRISTINE-OK")
+""".replace("SFDIR", SF_DIR)
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert "PRISTINE-OK" in out.stdout, out.stderr[-2000:]
