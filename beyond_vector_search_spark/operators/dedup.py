@@ -224,6 +224,89 @@ def simhash64(
     return hashed.select("doc_id", fingerprint.alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — SimHash near-duplicate pairs via the
+    banded hamming join of Manku/Jain/Das Sarma (WWW'07 web dedup).
+
+    The fingerprint's ``bits`` are split into ``bands`` disjoint
+    contiguous bit-bands; only documents sharing at least one band key
+    are candidates (equi-join on (band_id, band_key) — never an
+    all-pairs join), then candidates are verified with the exact
+    hamming distance (``bit_count(a XOR b)``).
+
+    **Pigeonhole losslessness**: a pair with hamming <= ``max_hamming``
+    differs in at most ``max_hamming`` of the disjoint bands, so with
+    ``bands > max_hamming`` at least one band is bit-identical and the
+    banding can never miss a qualifying pair — unlike MinHash-LSH this
+    blocking is exact, not probabilistic (recall is 1.0 by
+    construction; the test suite pins banded == all-pairs).
+
+    ``max_bucket_size`` is the standard hot-bucket guard (see
+    :func:`lsh_candidate_pairs`): a band key shared by m docs emits
+    m^2/2 candidates, and the all-zeros band of near-empty documents is
+    the classic degenerate key.  Capped buckets trade the losslessness
+    guarantee inside those buckets only.  ``None`` disables.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole recall guarantee"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash64(df, id_col=id_col, text_col=text_col, bits=bits)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                # shiftright(), not `>>`: the infix form fails to parse
+                # inside a struct field alias (same parser quirk
+                # simhash64 works around)
+                f"transform(sequence(0, {bands - 1}), b -> struct("
+                f"b AS band_id, shiftright(simhash, b * {width}) & {mask} AS band_key))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_key")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        banded = (
+            banded.withColumn("_bucket_n", F.count("*").over(w))
+            .where(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()  # a pair may share several bands
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
 def connected_components(
     pairs: DataFrame,
     *,

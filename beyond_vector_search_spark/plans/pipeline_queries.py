@@ -94,6 +94,58 @@ _BANDS_SQL = (
 )
 
 
+# SimHash banded-hamming near-dup pairs over a corpus with planted
+# duplicates: exact copies (hamming 0) and token-appended copies (small
+# hamming).  The Spark side runs the BANDED join (dedup.simhash_pairs);
+# the oracle computes the ALL-PAIRS hamming filter — they must agree
+# exactly because banding with bands > max_hamming is lossless by
+# pigeonhole (at most max_hamming of the disjoint bands can differ).
+_SIMHASH_BASE_SQL = (
+    "base(doc_id, text) AS (SELECT doc_id, text FROM documents WHERE doc_id < 150 "
+    "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25 "
+    "UNION ALL SELECT doc_id + 200000, text || ' qq tail' FROM documents "
+    "WHERE doc_id >= 25 AND doc_id < 50)"
+)
+
+_SIMHASH_SQL = (
+    "btoks AS (SELECT doc_id, "
+    + _SQL_TOKENIZE.format(col="text")
+    + " AS tokens FROM base), "
+    "dtk AS (SELECT doc_id, list_distinct(tokens) AS dt FROM btoks), "
+    "th AS (SELECT doc_id, list_transform(dt, t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS hs FROM dtk), "
+    "sbits AS (SELECT doc_id, list_transform(range(0, 32), j -> CASE WHEN "
+    "list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END) AS bv FROM th), "
+    "sh64 AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j -> bv[CAST(j AS INTEGER) + 1] << j)) AS BIGINT) AS simhash FROM sbits)"
+)
+
+
+@register(
+    "simhash_pairs",
+    f"WITH {_SIMHASH_BASE_SQL}, {_SIMHASH_SQL}, "
+    "hpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+    "FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id) "
+    "SELECT doc_a, doc_b, hamming FROM hpairs WHERE hamming <= 3",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.where("doc_id < 150").select("doc_id", "text")
+        .unionByName(
+            docs.where("doc_id < 25").select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where("doc_id >= 25 AND doc_id < 50").select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat("text", F.lit(" qq tail")).alias("text"),
+            )
+        )
+    )
+    return dd.simhash_pairs(base, bits=32, bands=4, max_hamming=3)
+
+
 @register(
     "minhash_pairs",
     f"WITH {_NEARDUP_BASE_SQL}, {_NEARDUP_TOKS_SQL}, {_SHINGLES_SQL}, {_SIG_SQL}, {_BANDS_SQL} "

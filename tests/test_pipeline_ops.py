@@ -379,3 +379,54 @@ def test_deterministic_sample_stability(spark):
     approx = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, cents, k=3, nprobe=2).collect()}
     exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(emb, queries, k=3).collect()}
     assert len(approx & exact) / len(exact) >= 0.9
+
+
+def test_simhash_pairs_banded_equals_allpairs(spark):
+    """Pigeonhole guarantee: with bands > max_hamming the banded join
+    must find EXACTLY the all-pairs hamming result — blocking is
+    lossless, not probabilistic."""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators import dedup as dd
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(words[j % 8] for j in range(i, i + 5)) + f" tok{i}"))
+    rows += [(1000 + i, t) for i, t in rows[:8]]               # exact copies
+    rows += [(2000 + i, t + " qq") for i, t in rows[8:16]]      # perturbed copies
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    banded = dd.simhash_pairs(docs, bits=32, bands=4, max_hamming=3)
+    sh = dd.simhash64(docs)
+    allpairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+    )
+    got = sorted(tuple(r) for r in banded.collect())
+    want = sorted(tuple(r) for r in allpairs.collect())
+    assert got == want
+    # exact copies are hamming-0 pairs and must all be present
+    zero = {(a, b) for a, b, h in want if h == 0}
+    assert all((i, 1000 + i) in zero for i in range(8))
+
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_pairs_rejects_lossy_banding(spark):
+    import pytest as pt
+
+    from beyond_vector_search_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with pt.raises(ValueError, match="pigeonhole"):
+        dd.simhash_pairs(docs, bands=4, max_hamming=4)
