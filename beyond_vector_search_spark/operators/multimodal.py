@@ -6,11 +6,15 @@ columnar storage, predicates prune on metadata without touching bytes,
 and compute happens in Arrow-batched Pandas iterators (``mapInPandas``),
 never row-at-a-time Python.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-the decode kernels are deterministic fakes behind ``_decode_image`` /
-``_decode_audio`` (clearly marked; swap the body for the real library
-on a cluster image).  Everything Spark-side is real and tested:
-schemas, Arrow batch shapes, UDF signatures, partition-sized batching.
+Decode is REAL for the codec-free formats — uncompressed BMP (pure
+numpy header parse, 8-bit palette + 24-bit BGR) and PCM WAV (stdlib
+``wave``) — dispatched on magic bytes, with exact encode/decode
+roundtrips pinned by tests.  Compressed formats (JPEG/PNG/MP3/video)
+need PIL/ffmpeg/librosa, which are NOT in this container: those fall
+back to a deterministic fake derived from the payload bytes (clearly
+marked; swap for the real library on a cluster image).  Everything
+Spark-side is real and tested either way: schemas, Arrow batch shapes,
+UDF signatures, partition-sized batching.
 
 Schema conventions:
     image:  (media_id BIGINT, content BINARY,
@@ -44,18 +48,71 @@ RESIZE_SCHEMA = (
 )
 
 
-def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
-    """STUB DECODER — deterministic fake.
+def encode_bmp_gray8(img: np.ndarray) -> bytes:
+    """Encode a 2-D uint8 array as an uncompressed 8-bit BMP with an
+    identity grayscale palette (pure numpy/struct — no codec).  Rows are
+    bottom-up and padded to 4 bytes, per the format."""
+    import struct
 
-    Real implementation: ``np.asarray(PIL.Image.open(BytesIO(content)))``.
-    The container has no image codec, so decode derives a deterministic
-    uint8 grayscale array from the bytes (repeating the payload to fill
+    h, w = img.shape
+    pad = (-w) % 4
+    palette = b"".join(struct.pack("<BBBB", v, v, v, 0) for v in range(256))
+    rows = b"".join(
+        img[r].astype(np.uint8).tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
+    )
+    offset = 14 + 40 + len(palette)
+    header = struct.pack("<2sIHHI", b"BM", offset + len(rows), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(rows), 2835, 2835, 256, 0)
+    return header + info + palette + rows
+
+
+def _decode_bmp(content: bytes) -> np.ndarray:
+    """REAL decode of uncompressed BMP (BI_RGB): 8-bit palette images
+    come back as the palette-index plane mapped through the palette's
+    blue channel (identity-gray palettes roundtrip exactly); 24-bit BGR
+    is reduced to uint8 grayscale by integer channel mean."""
+    import struct
+
+    offset = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    w, h = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    comp = struct.unpack_from("<I", content, 30)[0]
+    if comp != 0 or bpp not in (8, 24):
+        raise NotImplementedError(f"BMP decode supports BI_RGB 8/24-bit, got bpp={bpp} comp={comp}")
+    flip = h > 0
+    h = abs(h)
+    if bpp == 8:
+        row_bytes = (w + 3) & ~3
+        raw = np.frombuffer(content, np.uint8, count=row_bytes * h, offset=offset)
+        idx = raw.reshape(h, row_bytes)[:, :w]
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(content, np.uint8, count=256 * 4, offset=pal_off).reshape(256, 4)
+        img = pal[:, 0][idx]  # blue channel; identity for gray palettes
+    else:
+        row_bytes = (w * 3 + 3) & ~3
+        raw = np.frombuffer(content, np.uint8, count=row_bytes * h, offset=offset)
+        bgr = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        img = (bgr.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    return img[::-1] if flip else img
+
+
+def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
+    """Decode dispatcher: REAL numpy decode for uncompressed BMP (magic
+    ``BM``); deterministic fake for everything else.
+
+    Compressed formats would be
+    ``np.asarray(PIL.Image.open(BytesIO(content)))`` — PIL is not in
+    this container, so the fallback derives a deterministic uint8
+    grayscale array from the payload bytes (repeating it to fill
     width*height).  Keeps every downstream shape/statistic real.
     """
+    if content[:2] == b"BM":
+        return _decode_bmp(bytes(content))
     if width <= 0 or height <= 0:
         raise NotImplementedError(
-            "real image decode requires PIL/opencv (not in this container); "
-            "metadata must carry width/height for the stub"
+            "real decode of non-BMP formats requires PIL/opencv (not in this "
+            "container); metadata must carry width/height for the fake"
         )
     buf = np.frombuffer(content, dtype=np.uint8)
     if buf.size == 0:
@@ -78,8 +135,8 @@ def image_features(images: DataFrame, *, feature_dim: int = 8) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                w, h = int(meta["width"]), int(meta["height"])
-                img = _decode_image(content, w, h)
+                img = _decode_image(content, int(meta["width"]), int(meta["height"]))
+                h, w = img.shape  # decoded shape is authoritative (BMP carries its own)
                 hist, _ = np.histogram(img, bins=feature_dim, range=(0, 256))
                 denom = max(1, img.size)
                 out.append(
@@ -114,8 +171,8 @@ def resize_images(images: DataFrame, *, max_side: int = 64) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                w, h = int(meta["width"]), int(meta["height"])
-                img = _decode_image(content, w, h)
+                img = _decode_image(content, int(meta["width"]), int(meta["height"]))
+                h, w = img.shape
                 scale = max_side / max(w, h)
                 if scale < 1.0:
                     nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
@@ -174,19 +231,60 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
-def _decode_audio(content: bytes, n_samples: int) -> np.ndarray:
-    """STUB DECODER — deterministic fake.
+def encode_wav_pcm16(wave_arr: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a 1-D int16 array as a mono PCM WAV (stdlib ``wave`` — no
+    codec needed)."""
+    import io
+    import wave as wavmod
 
-    Real implementation: ``librosa.load(BytesIO(content))`` /
-    ``soundfile.read``.  The container has no audio codec, so decode
-    derives a deterministic int16 waveform from the payload bytes
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(np.asarray(wave_arr, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(content: bytes) -> np.ndarray:
+    """REAL decode of PCM WAV via stdlib ``wave``: 16-bit samples, any
+    channel count (channels averaged to mono with integer mean).  8-bit
+    (unsigned) is recentred to signed."""
+    import io
+    import wave as wavmod
+
+    with wavmod.open(io.BytesIO(bytes(content)), "rb") as f:
+        nch, sw, _sr, nframes = (
+            f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes(),
+        )
+        frames = f.readframes(nframes)
+    if sw == 2:
+        wave_arr = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    elif sw == 1:
+        wave_arr = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        raise NotImplementedError(f"WAV decode supports 8/16-bit PCM, got sampwidth={sw}")
+    if nch > 1:
+        wave_arr = wave_arr[: (wave_arr.size // nch) * nch].reshape(-1, nch).sum(axis=1) // nch
+    return wave_arr
+
+
+def _decode_audio(content: bytes, n_samples: int) -> np.ndarray:
+    """Decode dispatcher: REAL stdlib decode for PCM WAV (RIFF/WAVE
+    magic); deterministic fake for everything else.
+
+    Compressed formats would be ``librosa.load(BytesIO(content))`` /
+    ``soundfile.read`` — not in this container, so the fallback derives
+    a deterministic int16 waveform from the payload bytes
     (little-endian pairs, tiled to n_samples).  Keeps every downstream
     shape/statistic real.
     """
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return _decode_wav(bytes(content))
     if n_samples <= 0:
         raise NotImplementedError(
-            "real audio decode requires librosa/soundfile (not in this "
-            "container); metadata must carry n_samples for the stub"
+            "real decode of non-WAV formats requires librosa/soundfile (not "
+            "in this container); metadata must carry n_samples for the fake"
         )
     usable = len(content) - (len(content) % 2)
     buf = (
@@ -209,8 +307,9 @@ def audio_features(audios: DataFrame, *, n_windows: int = 8) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                sr, n = int(meta["sample_rate"]), int(meta["n_samples"])
-                wave = _decode_audio(content, n)
+                sr = int(meta["sample_rate"])
+                wave = _decode_audio(content, int(meta["n_samples"]))
+                n = int(wave.size)  # decoded length is authoritative (WAV carries its own)
                 signs = np.sign(wave)
                 nz = signs != 0
                 zc = (

@@ -430,3 +430,71 @@ def test_simhash_pairs_rejects_lossy_banding(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
     with pt.raises(ValueError, match="pigeonhole"):
         dd.simhash_pairs(docs, bands=4, max_hamming=4)
+
+
+def test_bmp_real_decode_roundtrip(spark):
+    """encode_bmp_gray8 -> _decode_bmp is EXACT, and image_features over
+    real BMP bytes reports the true dimensions and intensity."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    imgs = {i: rng.integers(0, 256, size=(5 + i, 7 + i), dtype=np.uint8) for i in range(4)}
+    # pure-python roundtrip first
+    for img in imgs.values():
+        assert np.array_equal(mm._decode_bmp(mm.encode_bmp_gray8(img)), img)
+
+    rows = [
+        (i, bytearray(mm.encode_bmp_gray8(img)),
+         {"format": "bmp", "width": img.shape[1], "height": img.shape[0]})
+        for i, img in imgs.items()
+    ]
+    df = spark.createDataFrame(rows, mm.IMAGE_SCHEMA)
+    got = {r["media_id"]: r for r in mm.image_features(df).collect()}
+    for i, img in imgs.items():
+        assert (got[i]["width"], got[i]["height"]) == (img.shape[1], img.shape[0])
+        assert abs(got[i]["mean_intensity"] - float(img.mean())) < 1e-9
+
+
+def test_wav_real_decode_roundtrip(spark):
+    """encode_wav_pcm16 -> _decode_wav is EXACT, and audio_features over
+    real WAV bytes reports true length, RMS, and peak."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    waves = {i: rng.integers(-3000, 3000, size=800 + 100 * i).astype("<i2") for i in range(3)}
+    for w in waves.values():
+        assert np.array_equal(mm._decode_wav(mm.encode_wav_pcm16(w, 8000)), w.astype(np.int64))
+
+    rows = [
+        (i, bytearray(mm.encode_wav_pcm16(w, 8000)),
+         {"format": "wav", "sample_rate": 8000, "n_samples": int(w.size)})
+        for i, w in waves.items()
+    ]
+    df = spark.createDataFrame(rows, mm.AUDIO_SCHEMA)
+    got = {r["media_id"]: r for r in mm.audio_features(df).collect()}
+    for i, w in waves.items():
+        assert got[i]["n_samples"] == w.size
+        assert got[i]["peak"] == int(np.abs(w).max())
+        want_rms = float(np.sqrt(np.mean(np.square(w.astype(np.float64)))))
+        assert abs(got[i]["rms"] - want_rms) < 1e-9
+
+
+def test_wav_stereo_averages_to_mono():
+    import numpy as np
+
+    import io
+    import wave as wavmod
+
+    left = np.array([100, -200, 300], dtype="<i2")
+    right = np.array([300, 200, -100], dtype="<i2")
+    inter = np.empty(6, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(inter.tobytes())
+    got = mm._decode_wav(buf.getvalue())
+    want = (left.astype(np.int64) + right.astype(np.int64)) // 2
+    assert np.array_equal(got, want)
