@@ -186,7 +186,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.999,
     block: bool = True,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     probe: int = 2,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
@@ -205,6 +205,14 @@ def embedding_neardup_pairs(
     they share a nearest centroid except at assignment-boundary ties —
     which ``probe=2`` covers by double-assigning each vector to its two
     closest buckets.
+
+    ``n_centroids=None`` (default) auto-scales the centroid count with
+    the corpus: ``max(8, isqrt(n))`` (one metadata-cheap count).  A
+    FIXED centroid count does not scale — with K constant, buckets hold
+    n/K vectors and the within-bucket join is still O(n^2/K).  Total
+    work is assignment O(n*K) + bucket joins O(probe^2*n^2/K), which
+    K ~ sqrt(n) balances at O(n^1.5) — the standard IVF sizing
+    (measured: tools/scale_probe.py / SCALING.jsonl).
 
     ``block=False`` selects the exact all-pairs O(n^2) verify for tiny
     pre-filtered inputs (or as the in-bucket kernel of an external
@@ -230,6 +238,10 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id_b"), av.alias("cv"), l2_norm(av).alias("cn")
     )
     if block:
+        if n_centroids is None:
+            import math
+
+            n_centroids = max(8, math.isqrt(embeddings.count()))
         cents = (
             embeddings.orderBy(F.asc(id_col))
             .limit(n_centroids)

@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Scaling probe for the LLM-data-pipeline operators: time each family
+on the sf0.1 tables concatenated N times (offset ids, no new content —
+the same derivation tools/crossover_bench.py uses for retrieval) and
+record how close to linear each distributed shape stays.
+
+The point of record: the BLOCKED shapes (LSH-banded MinHash, banded-
+hamming SimHash, centroid-blocked embedding near-dup) must scale
+near-linearly where their naive counterparts are quadratic — the probe
+times blocked AND all-pairs near-dup side by side at the smaller scales
+so the gap is measured, not asserted.
+
+Usage:  python3 tools/scale_probe.py [copies ...]     (default: 1 4 10)
+Output: one JSON line per scale to stdout (redirect to SCALING.jsonl);
+        progress on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# all-pairs near-dup is O(n^2): only measured while n stays sane
+ALLPAIRS_MAX_COPIES = 4
+
+
+def scaled_union(df, copies: int, id_col: str):
+    from pyspark.sql import functions as F
+
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            df.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000))
+            for i in range(copies)
+        ],
+    )
+
+
+def probe(spark, copies: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators import dedup as dd
+    from beyond_vector_search_spark.operators import pretrain as pt
+    from beyond_vector_search_spark.operators import similarity as sim
+    from beyond_vector_search_spark.operators import text_analysis as ta
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = scaled_union(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text"), copies, "doc_id"
+    ).localCheckpoint()
+    emb = scaled_union(
+        load_table(spark, SF_DIR, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ),
+        copies,
+        "vec_id",
+    ).localCheckpoint()
+    n_docs, n_vecs = docs.count(), emb.count()
+
+    out: dict = {"copies": copies, "n_docs": n_docs, "n_vecs": n_vecs, "sec": {}}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        n = fn()
+        out["sec"][name] = round(time.time() - t0, 3)
+        print(f"#   x{copies} {name}: {out['sec'][name]}s rows={n}", file=sys.stderr)
+
+    timed("exact_dedup", lambda: dd.exact_dedup_map(docs).count())
+    timed(
+        "minhash_lsh_pairs",
+        lambda: dd.lsh_candidate_pairs(dd.minhash_signatures(docs)).count(),
+    )
+    # 60-bit fingerprints (the production setting): 32 bits collide
+    # heavily past ~10k docs and the pair count goes output-quadratic
+    timed("simhash_pairs", lambda: dd.simhash_pairs(docs, bits=60, bands=4).count())
+    timed("text_profile", lambda: ta.quality_score(docs).count())
+    timed("repetition_flags", lambda: pt.repetition_flags(docs).count())
+    timed(
+        "embed_neardup_blocked",
+        lambda: sim.embedding_neardup_pairs(emb, threshold=0.99).count(),
+    )
+    if copies <= ALLPAIRS_MAX_COPIES:
+        timed(
+            "embed_neardup_allpairs",
+            lambda: sim.embedding_neardup_pairs(emb, threshold=0.99, block=False).count(),
+        )
+    return out
+
+
+def main() -> int:
+    scales = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+
+    from beyond_vector_search_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.range(1).count()
+    probe(spark, 1)  # warm codegen/kernels
+    for c in scales:
+        rec = probe(spark, c)
+        print(json.dumps(rec))
+        base = rec["sec"]
+        print(f"# x{c}: {base}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
