@@ -99,6 +99,34 @@ class TelemetryStore:
             .drop("_rn")
         )
 
+    def compact_state(self) -> int:
+        """Rewrite the append-only state log down to its LWW winners —
+        the plain-parquet copy-on-write equivalent of the Delta/Iceberg
+        ``MERGE INTO`` (+ OPTIMIZE) the reference's SQL UPSERT implies
+        (telemetry.py:86-92).  ``get_state`` results are identical
+        before and after; what changes is that the log stops growing
+        O(appends) and the LWW window reads one row per key.
+
+        Rewrite-then-rename: the winners view is materialized to a
+        sibling directory (the lazy read still sees the old files),
+        then swapped in.  On a real cluster this is exactly the
+        copy-on-write a table format runs for you transactionally —
+        swap this method for ``MERGE INTO`` when Delta is available.
+        Returns the surviving row count (distinct keys).
+        """
+        import shutil
+
+        if not os.path.isdir(self._state):
+            return 0
+        tmp = self._state + ".compact"
+        self._state_view().write.mode("overwrite").parquet(tmp)
+        n = self.spark.read.parquet(tmp).count()
+        old = self._state + ".old"
+        os.rename(self._state, old)
+        os.rename(tmp, self._state)
+        shutil.rmtree(old)
+        return n
+
     def get_state(self, key: str, default: dict | None = None) -> dict:
         rows = self._state_view().where(F.col("key") == key).collect()
         if not rows:

@@ -498,3 +498,27 @@ def test_wav_stereo_averages_to_mono():
     got = mm._decode_wav(buf.getvalue())
     want = (left.astype(np.int64) + right.astype(np.int64)) // 2
     assert np.array_equal(got, want)
+
+
+def test_telemetry_compact_state_preserves_lww(spark, tmp_path):
+    """compact_state rewrites the append log to its LWW winners: same
+    get_state results, one physical row per key, and upserts after the
+    compact still win."""
+    store = TelemetryStore(spark, str(tmp_path))
+    store.set_state("router", {"v": 1})
+    store.set_state("router", {"v": 2})
+    store.set_state("other", {"x": 9})
+    assert store.get_state("router") == {"v": 2}
+
+    n = store.compact_state()
+    assert n == 2  # one surviving row per key
+    assert store.get_state("router") == {"v": 2}
+    assert store.get_state("other") == {"x": 9}
+    import os
+
+    raw = spark.read.parquet(os.path.join(str(tmp_path), "router_state"))
+    assert raw.count() == 2
+
+    store.set_state("router", {"v": 3})
+    assert store.get_state("router") == {"v": 3}
+    assert store.compact_state() == 2

@@ -90,6 +90,19 @@ def probe(spark, copies: int) -> dict:
             "embed_neardup_allpairs",
             lambda: sim.embedding_neardup_pairs(emb, threshold=0.99, block=False).count(),
         )
+
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed("knn_exact_top5", lambda: sim.knn_bruteforce(emb, queries).count())
+    import math
+
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(max(8, math.isqrt(n_vecs)))
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    timed("ivf_probe_top5", lambda: sim.ivf_topk(emb, queries, cents).count())
     return out
 
 
