@@ -229,13 +229,19 @@ def simhash_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 60,
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) — SimHash near-duplicate pairs via the
     banded hamming join of Manku/Jain/Das Sarma (WWW'07 web dedup).
+
+    Default ``bits=60`` (the full md5-derived hash width) is the
+    production setting: 32-bit fingerprints collide heavily past ~10k
+    docs and the pair count goes output-quadratic (measured in
+    SCALING.jsonl); the oracle catalog entry passes 32 explicitly for
+    its small planted corpus.
 
     The fingerprint's ``bits`` are split into ``bands`` disjoint
     contiguous bit-bands; only documents sharing at least one band key
