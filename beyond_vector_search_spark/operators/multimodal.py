@@ -66,6 +66,16 @@ def encode_bmp_gray8(img: np.ndarray) -> bytes:
     return header + info + palette + rows
 
 
+def _meta_int(meta, key: str) -> int:
+    """Null-safe metadata coercion: None/missing -> 0 (the real decoders
+    don't need metadata; only the deterministic fake does)."""
+    if meta is None:
+        return 0
+    v = meta[key] if key in meta else None
+    # struct fields arrive as numpy scalars through Arrow; NaN means null
+    return int(v) if v is not None and v == v else 0
+
+
 def _decode_bmp(content: bytes) -> np.ndarray:
     """REAL decode of uncompressed BMP (BI_RGB): 8-bit palette images
     come back as the palette-index plane mapped through the palette's
@@ -87,8 +97,18 @@ def _decode_bmp(content: bytes) -> np.ndarray:
         raw = np.frombuffer(content, np.uint8, count=row_bytes * h, offset=offset)
         idx = raw.reshape(h, row_bytes)[:, :w]
         pal_off = 14 + hdr_size
-        pal = np.frombuffer(content, np.uint8, count=256 * 4, offset=pal_off).reshape(256, 4)
-        img = pal[:, 0][idx]  # blue channel; identity for gray palettes
+        # biClrUsed (offset 46) bounds the stored palette; 0 means full.
+        # Entries past the stored table default to identity so short
+        # palettes neither crash nor read into pixel data.
+        n_pal = struct.unpack_from("<I", content, 46)[0] or 256
+        n_pal = min(n_pal, 256, max(0, (offset - pal_off)) // 4)
+        pal_b = np.arange(256, dtype=np.uint8)
+        if n_pal > 0:
+            stored = np.frombuffer(
+                content, np.uint8, count=n_pal * 4, offset=pal_off
+            ).reshape(n_pal, 4)
+            pal_b[:n_pal] = stored[:, 0]  # blue channel; identity for gray
+        img = pal_b[idx]
     else:
         row_bytes = (w * 3 + 3) & ~3
         raw = np.frombuffer(content, np.uint8, count=row_bytes * h, offset=offset)
@@ -97,9 +117,23 @@ def _decode_bmp(content: bytes) -> np.ndarray:
     return img[::-1] if flip else img
 
 
+def _fake_image(content: bytes, width: int, height: int) -> np.ndarray:
+    buf = np.frombuffer(content, dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    reps = int(np.ceil(width * height / buf.size))
+    return np.tile(buf, reps)[: width * height].reshape(height, width)
+
+
 def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     """Decode dispatcher: REAL numpy decode for uncompressed BMP (magic
     ``BM``); deterministic fake for everything else.
+
+    A payload that LOOKS like BMP but fails the real decode (RLE or
+    exotic bit depths, truncated headers, a random payload that happens
+    to start with ``BM``) falls back to the fake when metadata carries
+    dimensions — one undecodable file must not fail a 100 TB job —
+    and re-raises the decode error only when no fallback is possible.
 
     Compressed formats would be
     ``np.asarray(PIL.Image.open(BytesIO(content)))`` — PIL is not in
@@ -108,17 +142,18 @@ def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     width*height).  Keeps every downstream shape/statistic real.
     """
     if content[:2] == b"BM":
-        return _decode_bmp(bytes(content))
+        try:
+            return _decode_bmp(bytes(content))
+        except Exception:  # noqa: BLE001 — variant/corrupt: fall back if we can
+            if width > 0 and height > 0:
+                return _fake_image(content, width, height)
+            raise
     if width <= 0 or height <= 0:
         raise NotImplementedError(
             "real decode of non-BMP formats requires PIL/opencv (not in this "
             "container); metadata must carry width/height for the fake"
         )
-    buf = np.frombuffer(content, dtype=np.uint8)
-    if buf.size == 0:
-        buf = np.zeros(1, dtype=np.uint8)
-    reps = int(np.ceil(width * height / buf.size))
-    return np.tile(buf, reps)[: width * height].reshape(height, width)
+    return _fake_image(content, width, height)
 
 
 def image_features(images: DataFrame, *, feature_dim: int = 8) -> DataFrame:
@@ -135,7 +170,7 @@ def image_features(images: DataFrame, *, feature_dim: int = 8) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                img = _decode_image(content, int(meta["width"]), int(meta["height"]))
+                img = _decode_image(content, _meta_int(meta, "width"), _meta_int(meta, "height"))
                 h, w = img.shape  # decoded shape is authoritative (BMP carries its own)
                 hist, _ = np.histogram(img, bins=feature_dim, range=(0, 256))
                 denom = max(1, img.size)
@@ -171,7 +206,7 @@ def resize_images(images: DataFrame, *, max_side: int = 64) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                img = _decode_image(content, int(meta["width"]), int(meta["height"]))
+                img = _decode_image(content, _meta_int(meta, "width"), _meta_int(meta, "height"))
                 h, w = img.shape
                 scale = max_side / max(w, h)
                 if scale < 1.0:
@@ -204,7 +239,7 @@ def frame_sample(
         for pdf in batches:
             rows = []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                n, w, h = int(meta["n_frames"]), int(meta["width"]), int(meta["height"])
+                n, w, h = _meta_int(meta, "n_frames"), _meta_int(meta, "width"), _meta_int(meta, "height")
                 frame_bytes = max(1, len(content) // max(1, n))
                 for f in range(0, n, every_n):
                     chunk = content[f * frame_bytes : (f + 1) * frame_bytes]
@@ -246,15 +281,16 @@ def encode_wav_pcm16(wave_arr: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
-def _decode_wav(content: bytes) -> np.ndarray:
-    """REAL decode of PCM WAV via stdlib ``wave``: 16-bit samples, any
-    channel count (channels averaged to mono with integer mean).  8-bit
-    (unsigned) is recentred to signed."""
+def _decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode of PCM WAV via stdlib ``wave``: returns
+    (samples, header sample rate).  16-bit samples, any channel count
+    (channels averaged to mono with integer mean); 8-bit (unsigned) is
+    recentred to signed."""
     import io
     import wave as wavmod
 
     with wavmod.open(io.BytesIO(bytes(content)), "rb") as f:
-        nch, sw, _sr, nframes = (
+        nch, sw, sr, nframes = (
             f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes(),
         )
         frames = f.readframes(nframes)
@@ -266,26 +302,10 @@ def _decode_wav(content: bytes) -> np.ndarray:
         raise NotImplementedError(f"WAV decode supports 8/16-bit PCM, got sampwidth={sw}")
     if nch > 1:
         wave_arr = wave_arr[: (wave_arr.size // nch) * nch].reshape(-1, nch).sum(axis=1) // nch
-    return wave_arr
+    return wave_arr, sr
 
 
-def _decode_audio(content: bytes, n_samples: int) -> np.ndarray:
-    """Decode dispatcher: REAL stdlib decode for PCM WAV (RIFF/WAVE
-    magic); deterministic fake for everything else.
-
-    Compressed formats would be ``librosa.load(BytesIO(content))`` /
-    ``soundfile.read`` — not in this container, so the fallback derives
-    a deterministic int16 waveform from the payload bytes
-    (little-endian pairs, tiled to n_samples).  Keeps every downstream
-    shape/statistic real.
-    """
-    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-        return _decode_wav(bytes(content))
-    if n_samples <= 0:
-        raise NotImplementedError(
-            "real decode of non-WAV formats requires librosa/soundfile (not "
-            "in this container); metadata must carry n_samples for the fake"
-        )
+def _fake_audio(content: bytes, n_samples: int) -> np.ndarray:
     usable = len(content) - (len(content) % 2)
     buf = (
         np.frombuffer(content[:usable], dtype="<i2")
@@ -294,6 +314,38 @@ def _decode_audio(content: bytes, n_samples: int) -> np.ndarray:
     )
     reps = int(np.ceil(n_samples / buf.size))
     return np.tile(buf, reps)[:n_samples].astype(np.int64)
+
+
+def _decode_audio(content: bytes, n_samples: int) -> tuple[np.ndarray, int | None]:
+    """Decode dispatcher: REAL stdlib decode for PCM WAV (RIFF/WAVE
+    magic); deterministic fake for everything else.  Returns
+    (samples, header sample rate) — rate is None on the fake path
+    (caller falls back to metadata).
+
+    A payload with the WAV magic that fails the real decode (24-bit or
+    float PCM, truncated/corrupt headers) falls back to the fake when
+    metadata carries n_samples — one undecodable file must not fail a
+    100 TB job — and re-raises only when no fallback is possible.
+
+    Compressed formats would be ``librosa.load(BytesIO(content))`` /
+    ``soundfile.read`` — not in this container, so the fallback derives
+    a deterministic int16 waveform from the payload bytes
+    (little-endian pairs, tiled to n_samples).  Keeps every downstream
+    shape/statistic real.
+    """
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        try:
+            return _decode_wav(bytes(content))
+        except Exception:  # noqa: BLE001 — variant/corrupt: fall back if we can
+            if n_samples > 0:
+                return _fake_audio(content, n_samples), None
+            raise
+    if n_samples <= 0:
+        raise NotImplementedError(
+            "real decode of non-WAV formats requires librosa/soundfile (not "
+            "in this container); metadata must carry n_samples for the fake"
+        )
+    return _fake_audio(content, n_samples), None
 
 
 def audio_features(audios: DataFrame, *, n_windows: int = 8) -> DataFrame:
@@ -307,8 +359,10 @@ def audio_features(audios: DataFrame, *, n_windows: int = 8) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                sr = int(meta["sample_rate"])
-                wave = _decode_audio(content, int(meta["n_samples"]))
+                wave, hdr_sr = _decode_audio(content, _meta_int(meta, "n_samples"))
+                # header rate is authoritative for real WAV; metadata
+                # serves the fake path (0/None-safe: duration 0.0)
+                sr = hdr_sr if hdr_sr else _meta_int(meta, "sample_rate")
                 n = int(wave.size)  # decoded length is authoritative (WAV carries its own)
                 signs = np.sign(wave)
                 nz = signs != 0
@@ -326,7 +380,7 @@ def audio_features(audios: DataFrame, *, n_windows: int = 8) -> DataFrame:
                 ]
                 out.append(
                     (
-                        int(mid), sr, n, n / sr,
+                        int(mid), sr, n, (n / sr) if sr > 0 else 0.0,
                         float(np.sqrt(np.mean(np.square(wave, dtype=np.float64)))),
                         zc,
                         int(np.abs(wave).max()),

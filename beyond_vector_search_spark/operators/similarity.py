@@ -198,16 +198,24 @@ def embedding_neardup_pairs(
     — no training pass), candidate pairs are generated ONLY within a
     shared centroid bucket (equi-join on centroid_id, never an
     unblocked crossJoin of the corpus with itself), then verified with
-    the exact cosine.  Blocking can only prune, never corrupt: every
-    emitted pair carries its true cosine.  Near-identical vectors
-    (cos >= 0.999 means the directions nearly coincide, and cosine is
-    scale-invariant) score near-identically against every centroid, so
-    they share a nearest centroid except at assignment-boundary ties —
-    which ``probe=2`` covers by double-assigning each vector to its two
-    closest buckets.
+    the exact cosine.  Blocking can only prune candidates, never
+    corrupt results: every emitted pair carries its true cosine.
+    Recall: EXACT duplicates (identical directions — the dedup case,
+    and what the testdata plants) always co-bucket because cosine is
+    scale-invariant, and ``probe=2`` double-assigns each vector to its
+    two closest buckets to cover close centroid races; but unlike
+    :func:`dedup.simhash_pairs`' pigeonhole guarantee this blocking is
+    HEURISTIC for merely-near pairs — at cos = 0.999 the directions
+    differ by ~2.6 degrees, which can in principle flip a tight
+    centroid ranking in a crowded region.  Raise ``probe`` or use
+    ``block=False`` when guaranteed recall matters more than the
+    O(n^2) cost.
 
     ``n_centroids=None`` (default) auto-scales the centroid count with
-    the corpus: ``max(8, isqrt(n))`` (one metadata-cheap count).  A
+    the corpus: ``max(8, isqrt(n))``.  The sizing ``count()`` is an
+    eager job at plan-construction time — metadata-only for parquet
+    scans, a real pass for computed lineage; pass ``n_centroids``
+    explicitly (any reasonable estimate works) to skip it.  A
     FIXED centroid count does not scale — with K constant, buckets hold
     n/K vectors and the within-bucket join is still O(n^2/K).  Total
     work is assignment O(n*K) + bucket joins O(probe^2*n^2/K), which

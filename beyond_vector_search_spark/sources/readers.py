@@ -71,9 +71,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
             )
         elif ts_type == "timestamp_ntz":
-            # session tz is pinned UTC above, so this reinterpretation is
-            # value-preserving; downstream uses unix_millis()/window()
-            # which want the LTZ flavor
+            # The NTZ->LTZ cast interprets wall-clock in the SESSION
+            # timezone; it is value-preserving only under the UTC pin
+            # above.  The pin is best-effort (caller-owned sessions),
+            # so VERIFY it took effect — silently shifting every event
+            # timestamp by a zone offset would corrupt results, and a
+            # loud config error beats that.
+            if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+                raise RuntimeError(
+                    "events.ts is TIMESTAMP_NTZ and spark.sql.session.timeZone "
+                    "could not be set to UTC on this session; set it at session "
+                    "build time (UTC) so the NTZ->timestamp cast is value-preserving"
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

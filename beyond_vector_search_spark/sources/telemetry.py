@@ -89,6 +89,11 @@ class TelemetryStore:
         df.write.mode("append").parquet(self._state)
 
     def _state_view(self) -> DataFrame:
+        # recover a compact_state that died between its two renames:
+        # the previous generation is intact under .old
+        old = self._state + ".old"
+        if os.path.isdir(old) and not os.path.isdir(self._state):
+            os.rename(old, self._state)
         if not os.path.isdir(self._state):
             return self.spark.createDataFrame([], STATE_SCHEMA)
         w = Window.partitionBy("key").orderBy(F.desc("version"))
@@ -109,19 +114,28 @@ class TelemetryStore:
 
         Rewrite-then-rename: the winners view is materialized to a
         sibling directory (the lazy read still sees the old files),
-        then swapped in.  On a real cluster this is exactly the
-        copy-on-write a table format runs for you transactionally —
-        swap this method for ``MERGE INTO`` when Delta is available.
+        then swapped in.  A crash between the two renames is recovered
+        on the next call (or next compact): a leftover ``.old`` with no
+        live directory is restored; stale ``.old``/``.compact`` debris
+        is cleared before a new attempt.  The swap itself is two
+        renames, not one atomic transaction — on a real cluster use a
+        table format and ``MERGE INTO`` for a transactional swap; this
+        is the plain-filesystem shape of the same maintenance.
         Returns the surviving row count (distinct keys).
         """
         import shutil
 
+        tmp, old = self._state + ".compact", self._state + ".old"
+        # crash recovery: a previous compact may have died mid-swap
+        if os.path.isdir(old) and not os.path.isdir(self._state):
+            os.rename(old, self._state)
+        for stale in (old, tmp):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
         if not os.path.isdir(self._state):
             return 0
-        tmp = self._state + ".compact"
         self._state_view().write.mode("overwrite").parquet(tmp)
         n = self.spark.read.parquet(tmp).count()
-        old = self._state + ".old"
         os.rename(self._state, old)
         os.rename(tmp, self._state)
         shutil.rmtree(old)

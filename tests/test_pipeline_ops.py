@@ -129,7 +129,7 @@ def test_multimodal_audio_features(spark):
     assert {r.media_id: (r.rms, r.peak) for r in feats} == again
     # cross-check one clip against a local numpy decode
     row = auds.where("media_id = 0").collect()[0]
-    wave = mm._decode_audio(bytes(row.content), row.meta.n_samples)
+    wave, _sr = mm._decode_audio(bytes(row.content), row.meta.n_samples)
     expect_rms = float(np.sqrt(np.mean(np.square(wave, dtype=np.float64))))
     got = next(r for r in feats if r.media_id == 0)
     assert math.isclose(got.rms, expect_rms, rel_tol=1e-12)
@@ -463,7 +463,8 @@ def test_wav_real_decode_roundtrip(spark):
     rng = np.random.default_rng(5)
     waves = {i: rng.integers(-3000, 3000, size=800 + 100 * i).astype("<i2") for i in range(3)}
     for w in waves.values():
-        assert np.array_equal(mm._decode_wav(mm.encode_wav_pcm16(w, 8000)), w.astype(np.int64))
+        arr, sr = mm._decode_wav(mm.encode_wav_pcm16(w, 8000))
+        assert sr == 8000 and np.array_equal(arr, w.astype(np.int64))
 
     rows = [
         (i, bytearray(mm.encode_wav_pcm16(w, 8000)),
@@ -495,9 +496,9 @@ def test_wav_stereo_averages_to_mono():
         f.setsampwidth(2)
         f.setframerate(8000)
         f.writeframes(inter.tobytes())
-    got = mm._decode_wav(buf.getvalue())
+    got, sr = mm._decode_wav(buf.getvalue())
     want = (left.astype(np.int64) + right.astype(np.int64)) // 2
-    assert np.array_equal(got, want)
+    assert sr == 8000 and np.array_equal(got, want)
 
 
 def test_telemetry_compact_state_preserves_lww(spark, tmp_path):
@@ -522,3 +523,70 @@ def test_telemetry_compact_state_preserves_lww(spark, tmp_path):
     store.set_state("router", {"v": 3})
     assert store.get_state("router") == {"v": 3}
     assert store.compact_state() == 2
+
+
+def test_multimodal_decode_degraded_inputs(spark):
+    """One bad file must not fail the job: BMP/WAV rows with null
+    metadata decode for real; magic-colliding garbage and unsupported
+    in-family variants fall back to the deterministic fake; the WAV
+    header rate overrides stale metadata."""
+    import io
+    import wave as wavmod
+
+    import numpy as np
+
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    wav16 = np.arange(-50, 50, dtype="<i2")
+    # 32-bit float WAV (sampwidth 4) — a real but unsupported variant
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as f:
+        f.setnchannels(1); f.setsampwidth(4); f.setframerate(8000)
+        f.writeframes(b"\x00" * 64)
+    float_wav = buf.getvalue()
+
+    img_rows = [
+        (1, bytearray(mm.encode_bmp_gray8(img)), {"format": "bmp", "width": None, "height": None}),
+        (2, bytearray(b"BM" + b"\x07" * 9), {"format": "fake", "width": 4, "height": 3}),
+    ]
+    got = {r["media_id"]: r for r in mm.image_features(
+        spark.createDataFrame(img_rows, mm.IMAGE_SCHEMA)).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (8, 6)      # real decode, null meta
+    assert (got[2]["width"], got[2]["height"]) == (4, 3)      # garbage 'BM' -> fake
+
+    audio_rows = [
+        (1, bytearray(mm.encode_wav_pcm16(wav16, 44100)),
+         {"format": "wav", "sample_rate": 8000, "n_samples": None}),   # stale meta
+        (2, bytearray(float_wav), {"format": "wav", "sample_rate": 8000, "n_samples": 32}),
+    ]
+    got = {r["media_id"]: r for r in mm.audio_features(
+        spark.createDataFrame(audio_rows, mm.AUDIO_SCHEMA)).collect()}
+    assert got[1]["sample_rate"] == 44100                      # header wins
+    assert got[1]["n_samples"] == wav16.size
+    assert abs(got[1]["duration_s"] - wav16.size / 44100) < 1e-12
+    assert got[2]["n_samples"] == 32                           # float PCM -> fake fallback
+
+
+def test_telemetry_compact_state_crash_recovery(spark, tmp_path):
+    """A compact that dies between its two renames must not lose state:
+    readers restore the .old generation, and the next compact clears
+    stale debris instead of failing on rename-onto-existing."""
+    import os
+    import shutil
+
+    store = TelemetryStore(spark, str(tmp_path))
+    store.set_state("k", {"v": 1})
+    store.set_state("k", {"v": 2})
+    state_dir = os.path.join(str(tmp_path), "router_state")
+
+    # crash after rename(state, old), before rename(tmp, state)
+    os.rename(state_dir, state_dir + ".old")
+    assert store.get_state("k") == {"v": 2}           # reader recovered
+    assert os.path.isdir(state_dir)
+
+    # crash after the swap, before rmtree(old); plus a stale .compact
+    shutil.copytree(state_dir, state_dir + ".old")
+    os.makedirs(state_dir + ".compact")
+    assert store.compact_state() == 1                  # clears debris, compacts
+    assert store.get_state("k") == {"v": 2}
+    assert not os.path.isdir(state_dir + ".old")
+    assert not os.path.isdir(state_dir + ".compact")
