@@ -590,3 +590,46 @@ def test_telemetry_compact_state_crash_recovery(spark, tmp_path):
     assert store.get_state("k") == {"v": 2}
     assert not os.path.isdir(state_dir + ".old")
     assert not os.path.isdir(state_dir + ".compact")
+
+
+def test_bmp_24bit_and_short_palette_decode():
+    """24-bit BGR decodes via integer channel mean; an 8-bit BMP whose
+    stored palette is shorter than 256 entries (biClrUsed) decodes
+    through the stored entries + identity fill instead of reading past
+    the buffer."""
+    import struct
+
+    import numpy as np
+
+    # hand-build a 2x2 24-bit BI_RGB BMP (bottom-up, rows padded to 4B)
+    w, h = 2, 2
+    px = {  # (row, col) -> BGR
+        (0, 0): (10, 20, 30), (0, 1): (90, 90, 90),
+        (1, 0): (0, 0, 3), (1, 1): (255, 255, 255),
+    }
+    row_bytes = (w * 3 + 3) & ~3
+    rows = b""
+    for r in range(h - 1, -1, -1):
+        row = b"".join(bytes(px[(r, c)]) for c in range(w))
+        rows += row + b"\x00" * (row_bytes - len(row))
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(rows), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    img = mm._decode_bmp(header + info + rows)
+    assert img.shape == (2, 2)
+    assert img[0, 0] == (10 + 20 + 30) // 3
+    assert img[1, 1] == 255
+
+    # 8-bit with a 4-entry palette (biClrUsed=4): indices 0-3 map through
+    # the stored palette, anything above through identity fill
+    data = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    pal = b"".join(struct.pack("<BBBB", v, 0, 0, 0) for v in (7, 11, 13, 17))
+    row_bytes = (2 + 3) & ~3
+    rows = b""
+    for r in (1, 0):
+        rows += data[r].tobytes() + b"\x00" * (row_bytes - 2)
+    offset = 14 + 40 + len(pal)
+    header = struct.pack("<2sIHHI", b"BM", offset + len(rows), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(rows), 0, 0, 4, 0)
+    img = mm._decode_bmp(header + info + pal + rows)
+    assert img.tolist() == [[7, 11], [13, 17]]
