@@ -144,6 +144,11 @@ def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (year/month date-function coverage lives here too: the monthly CTE is
 # the former orders_by_month entry's shape applied to lineitem)
 
+# Scale note: the OVER (ORDER BY y, m) windows below are unpartitioned
+# BY DESIGN and safe at any corpus size — their input is the `monthly`
+# aggregate, whose cardinality is bounded by the calendar (#years x 12),
+# not by the data volume.  Spark's "No Partition Defined" WARN on this
+# plan is expected; the single-partition window sees dozens of rows.
 LINEITEM_FRAMES = """
 WITH monthly AS (
   SELECT
