@@ -6,15 +6,17 @@ columnar storage, predicates prune on metadata without touching bytes,
 and compute happens in Arrow-batched Pandas iterators (``mapInPandas``),
 never row-at-a-time Python.
 
-Decode is REAL for the codec-free formats — uncompressed BMP (pure
-numpy header parse, 8-bit palette + 24-bit BGR) and PCM WAV (stdlib
-``wave``) — dispatched on magic bytes, with exact encode/decode
-roundtrips pinned by tests.  Compressed formats (JPEG/PNG/MP3/video)
-need PIL/ffmpeg/librosa, which are NOT in this container: those fall
-back to a deterministic fake derived from the payload bytes (clearly
-marked; swap for the real library on a cluster image).  Everything
-Spark-side is real and tested either way: schemas, Arrow batch shapes,
-UDF signatures, partition-sized batching.
+Decode is REAL for the formats stdlib+numpy can express — uncompressed
+BMP (pure numpy header parse, 8-bit palette + 24-bit BGR), PNG (stdlib
+``zlib`` inflate + all five scanline unfilters; gray / RGB / palette /
+alpha color types), and PCM WAV (stdlib ``wave``) — dispatched on magic
+bytes, with exact encode/decode roundtrips pinned by tests.  Formats
+that require an external codec (JPEG/MP3/video) need PIL/ffmpeg/
+librosa, which are NOT in this container: those fall back to a
+deterministic fake derived from the payload bytes (clearly marked; swap
+for the real library on a cluster image).  Everything Spark-side is
+real and tested either way: schemas, Arrow batch shapes, UDF
+signatures, partition-sized batching.
 
 Schema conventions:
     image:  (media_id BIGINT, content BINARY,
@@ -117,6 +119,171 @@ def _decode_bmp(content: bytes) -> np.ndarray:
     return img[::-1] if flip else img
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick whichever of left (a),
+    up (b), up-left (c) is closest to a+b-c, preferring a, then b."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png_gray8(img: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """Encode a 2-D uint8 array as an 8-bit grayscale PNG (stdlib
+    ``zlib``/``struct`` — no codec library).
+
+    ``filter_type`` applies the REAL per-scanline filter math (0 None,
+    1 Sub, 2 Up, 3 Average, 4 Paeth) before deflate, so roundtrip tests
+    exercise every unfilter path of :func:`_decode_png` against an
+    independently-constructed stream.
+    """
+    import struct
+    import zlib
+
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"PNG filter type must be 0..4, got {filter_type}")
+    h, w = img.shape
+    img = img.astype(np.uint8)
+    lines = []
+    prev = np.zeros(w, dtype=np.int32)
+    for r in range(h):
+        cur = img[r].astype(np.int32)
+        left = np.concatenate(([0], cur[:-1]))
+        upleft = np.concatenate(([0], prev[:-1]))
+        if filter_type == 0:
+            f = cur
+        elif filter_type == 1:
+            f = cur - left
+        elif filter_type == 2:
+            f = cur - prev
+        elif filter_type == 3:
+            f = cur - (left + prev) // 2
+        else:
+            pred = np.fromiter(
+                (_png_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, upleft)),
+                dtype=np.int32,
+                count=w,
+            )
+            f = cur - pred
+        lines.append(bytes([filter_type]) + (f % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    idat = zlib.compress(b"".join(lines))
+    return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering: ``raw`` is h scanlines of
+    (1 filter byte + stride data bytes); returns (h, stride) uint8.
+
+    Up/None/Sub are vectorized (Sub is a per-lane cumulative sum mod
+    256); Average and Paeth depend on the just-reconstructed left
+    neighbor, so they run as per-byte loops — acceptable because images
+    decode independently inside Arrow batches (the parallelism is
+    across rows of the DataFrame, not within one image).
+    """
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG data truncated")
+    arr = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(h, stride + 1)
+    ftypes, data = arr[:, 0], arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft, f = int(ftypes[r]), data[r]
+        if ft == 0:
+            cur = f
+        elif ft == 1:
+            cur = f.copy()
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(cur[lane::bpp]) % 256
+        elif ft == 2:
+            cur = (f + prev) % 256
+        elif ft == 3:
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (f[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                cur[x] = (f[x] + _png_paeth(int(a), int(prev[x]), int(c))) % 256
+        else:
+            raise NotImplementedError(f"PNG filter type {ft}")
+        out[r] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """REAL decode of non-interlaced 8-bit PNG via stdlib ``zlib``:
+    chunk walk -> inflate IDAT -> unfilter -> uint8 grayscale.
+
+    Color types: 0 gray (exact), 4 gray+alpha (alpha dropped), 2 RGB /
+    6 RGBA (integer channel mean, like the 24-bit BMP path), 3 palette
+    (indices mapped through the PLTE's channel mean — identity-gray
+    palettes roundtrip exactly).  16-bit depth and Adam7 interlacing
+    raise NotImplementedError (the dispatcher falls back to the
+    deterministic fake when metadata allows).
+    """
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(f"PNG depth={depth} comp={comp} filter={filt}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype_n}")
+    raw = zlib.decompress(b"".join(idat))
+    px = _png_unfilter(raw, h, w * channels, channels).reshape(h, w, channels)
+    if ctype_n == 0:
+        return px[:, :, 0]
+    if ctype_n == 4:
+        return px[:, :, 0]  # gray plane; alpha dropped
+    if ctype_n == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        gray = (plte.astype(np.uint16).sum(axis=1) // 3).astype(np.uint8)
+        lut = np.zeros(256, dtype=np.uint8)
+        lut[: gray.size] = gray
+        return lut[px[:, :, 0]]
+    return (px[:, :, :3].astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+
+
 def _fake_image(content: bytes, width: int, height: int) -> np.ndarray:
     buf = np.frombuffer(content, dtype=np.uint8)
     if buf.size == 0:
@@ -127,31 +294,38 @@ def _fake_image(content: bytes, width: int, height: int) -> np.ndarray:
 
 def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     """Decode dispatcher: REAL numpy decode for uncompressed BMP (magic
-    ``BM``); deterministic fake for everything else.
+    ``BM``) and 8-bit PNG (the 8-byte PNG signature); deterministic
+    fake for everything else.
 
-    A payload that LOOKS like BMP but fails the real decode (RLE or
-    exotic bit depths, truncated headers, a random payload that happens
-    to start with ``BM``) falls back to the fake when metadata carries
-    dimensions — one undecodable file must not fail a 100 TB job —
-    and re-raises the decode error only when no fallback is possible.
+    A payload that LOOKS like a supported format but fails the real
+    decode (RLE/exotic BMP bit depths, 16-bit or Adam7 PNG, truncated
+    headers, a random payload that happens to carry the magic) falls
+    back to the fake when metadata carries dimensions — one
+    undecodable file must not fail a 100 TB job — and re-raises the
+    decode error only when no fallback is possible.
 
-    Compressed formats would be
+    Codec-bound formats (JPEG etc.) would be
     ``np.asarray(PIL.Image.open(BytesIO(content)))`` — PIL is not in
     this container, so the fallback derives a deterministic uint8
     grayscale array from the payload bytes (repeating it to fill
     width*height).  Keeps every downstream shape/statistic real.
     """
+    real = None
     if content[:2] == b"BM":
+        real = _decode_bmp
+    elif bytes(content[:8]) == _PNG_MAGIC:
+        real = _decode_png
+    if real is not None:
         try:
-            return _decode_bmp(bytes(content))
+            return real(bytes(content))
         except Exception:  # noqa: BLE001 — variant/corrupt: fall back if we can
             if width > 0 and height > 0:
                 return _fake_image(content, width, height)
             raise
     if width <= 0 or height <= 0:
         raise NotImplementedError(
-            "real decode of non-BMP formats requires PIL/opencv (not in this "
-            "container); metadata must carry width/height for the fake"
+            "real decode of JPEG-class formats requires PIL/opencv (not in "
+            "this container); metadata must carry width/height for the fake"
         )
     return _fake_image(content, width, height)
 

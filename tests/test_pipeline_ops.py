@@ -633,3 +633,107 @@ def test_bmp_24bit_and_short_palette_decode():
     info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(rows), 0, 0, 4, 0)
     img = mm._decode_bmp(header + info + pal + rows)
     assert img.tolist() == [[7, 11], [13, 17]]
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _build_png(w: int, h: int, color_type: int, pixels: bytes, plte: bytes = b"") -> bytes:
+    """Test-side PNG builder independent of encode_png_gray8: filter-0
+    scanlines, one IDAT.  ``pixels`` is h*w*channels raw bytes."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = w * channels
+    raw = b"".join(
+        b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(h)
+    )
+    out = mm._PNG_MAGIC + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    )
+    if plte:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_all_filters_roundtrip():
+    """encode_png_gray8 applies each real filter (None/Sub/Up/Average/
+    Paeth); _decode_png reverses all five EXACTLY."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(21, 33), dtype=np.uint8)
+    for ft in range(5):
+        got = mm._decode_png(mm.encode_png_gray8(img, filter_type=ft))
+        assert np.array_equal(got, img), f"filter {ft}"
+
+
+def test_png_color_types_decode():
+    """RGB/RGBA reduce by integer channel mean, palette maps through
+    PLTE, gray+alpha keeps the gray plane — all on hand-built PNGs."""
+    # 1x2 RGB: (30,60,90) -> 60, (255,0,0) -> 85
+    png = _build_png(2, 1, 2, bytes((30, 60, 90, 255, 0, 0)))
+    assert mm._decode_png(png).tolist() == [[60, 85]]
+    # 1x2 RGBA: alpha ignored
+    png = _build_png(2, 1, 6, bytes((30, 60, 90, 7, 255, 0, 0, 7)))
+    assert mm._decode_png(png).tolist() == [[60, 85]]
+    # 2x2 palette: indices map through 3-entry PLTE channel mean
+    plte = bytes((9, 9, 9, 30, 60, 90, 255, 255, 255))
+    png = _build_png(2, 2, 3, bytes((0, 1, 2, 0)), plte=plte)
+    assert mm._decode_png(png).tolist() == [[9, 60], [255, 9]]
+    # 1x2 gray+alpha: gray plane survives, alpha dropped
+    png = _build_png(2, 1, 4, bytes((42, 0, 200, 255)))
+    assert mm._decode_png(png).tolist() == [[42, 200]]
+
+
+def test_png_spark_features_and_fallback(spark):
+    """image_features over real PNG bytes reports decoded dimensions and
+    exact intensity; a corrupt PNG-magic payload falls back to the
+    deterministic fake when metadata has dimensions and raises when it
+    cannot."""
+    rng = np.random.default_rng(13)
+    imgs = {i: rng.integers(0, 256, size=(6 + i, 9 + i), dtype=np.uint8) for i in range(3)}
+    rows = [
+        (i, bytearray(mm.encode_png_gray8(img, filter_type=i % 5)),
+         {"format": "png", "width": 0, "height": 0})
+        for i, img in imgs.items()
+    ]
+    # metadata dims are zero on purpose: the real decode must not need them
+    df = spark.createDataFrame(rows, mm.IMAGE_SCHEMA)
+    got = {r["media_id"]: r for r in mm.image_features(df).collect()}
+    for i, img in imgs.items():
+        assert (got[i]["width"], got[i]["height"]) == (img.shape[1], img.shape[0])
+        assert abs(got[i]["mean_intensity"] - float(img.mean())) < 1e-9
+
+    corrupt = mm._PNG_MAGIC + b"garbage"
+    assert mm._decode_image(corrupt, 4, 3).shape == (3, 4)
+    with pytest.raises(Exception):
+        mm._decode_image(corrupt, 0, 0)
+
+
+def test_png_unsupported_variants_raise():
+    """16-bit depth and Adam7 interlacing are explicit
+    NotImplementedError (dispatcher handles the fallback), not silent
+    garbage."""
+    import struct
+    import zlib
+
+    raw = zlib.compress(b"\x00\x00")
+    base = lambda depth, interlace: (  # noqa: E731
+        mm._PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, depth, 0, 0, 0, interlace))
+        + _png_chunk(b"IDAT", raw)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        mm._decode_png(base(16, 0))
+    with pytest.raises(NotImplementedError):
+        mm._decode_png(base(8, 1))
