@@ -9,8 +9,9 @@ never row-at-a-time Python.
 Decode is REAL for the formats stdlib+numpy can express — uncompressed
 BMP (pure numpy header parse, 8-bit palette + 24-bit BGR), PNG (stdlib
 ``zlib`` inflate + all five scanline unfilters; gray / RGB / palette /
-alpha color types), and PCM WAV (stdlib ``wave``) — dispatched on magic
-bytes, with exact encode/decode roundtrips pinned by tests.  Formats
+alpha color types, 8- and 16-bit), GIF (pure-Python LZW, interlace,
+local/global palettes), and PCM WAV (stdlib ``wave``) — dispatched on
+magic bytes, with exact encode/decode roundtrips pinned by tests.  Formats
 that require an external codec (JPEG/MP3/video) need PIL/ffmpeg/
 librosa, which are NOT in this container: those fall back to a
 deterministic fake derived from the payload bytes (clearly marked; swap
@@ -236,9 +237,10 @@ def _decode_png(content: bytes) -> np.ndarray:
     Color types: 0 gray (exact), 4 gray+alpha (alpha dropped), 2 RGB /
     6 RGBA (integer channel mean, like the 24-bit BMP path), 3 palette
     (indices mapped through the PLTE's channel mean — identity-gray
-    palettes roundtrip exactly).  16-bit depth and Adam7 interlacing
-    raise NotImplementedError (the dispatcher falls back to the
-    deterministic fake when metadata allows).
+    palettes roundtrip exactly).  16-bit samples keep their high byte
+    (the spec's own 16->8 approximation).  Adam7 interlacing raises
+    NotImplementedError (the dispatcher falls back to the deterministic
+    fake when metadata allows).
     """
     import struct
     import zlib
@@ -261,15 +263,20 @@ def _decode_png(content: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype_n, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0:
         raise NotImplementedError(f"PNG depth={depth} comp={comp} filter={filt}")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG")
+    if depth == 16 and ctype_n == 3:
+        raise ValueError("PNG palette images are 8-bit by spec")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
     if channels is None:
         raise NotImplementedError(f"PNG color type {ctype_n}")
+    bps = depth // 8  # bytes per sample; filters operate on raw bytes
     raw = zlib.decompress(b"".join(idat))
-    px = _png_unfilter(raw, h, w * channels, channels).reshape(h, w, channels)
+    px = _png_unfilter(raw, h, w * channels * bps, channels * bps).reshape(
+        h, w, channels, bps
+    )[:, :, :, 0]  # 16-bit: network byte order — high byte ≈ value/257
     if ctype_n == 0:
         return px[:, :, 0]
     if ctype_n == 4:
@@ -282,6 +289,184 @@ def _decode_png(content: bytes) -> np.ndarray:
         lut[: gray.size] = gray
         return lut[px[:, :, 0]]
     return (px[:, :, :3].astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-flavor LZW (LSB-first variable-width codes, 12-bit cap,
+    CLEAR/END control codes) -> palette indices."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh() -> list:
+        return [[i] for i in range(clear)] + [None, None]
+
+    table, code_size, prev = fresh(), min_code_size + 1, None
+    out: list[int] = []
+    bitpos, total = 0, len(data) * 8
+    while bitpos + code_size <= total:
+        byte_i, bit_o = divmod(bitpos, 8)
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> bit_o) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table, code_size, prev = fresh(), min_code_size + 1, None
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _gif_lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+    """Real LZW compression (dictionary build, width growth, 4096-entry
+    reset) — exists so GIF roundtrip tests feed :func:`_gif_lzw_decode`
+    an independently-produced stream, not its own output."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    codes: list[tuple[int, int]] = []
+
+    def fresh() -> dict:
+        return {(i,): i for i in range(clear)}
+
+    table, next_code, code_size = fresh(), end + 1, min_code_size + 1
+    codes.append((clear, code_size))
+    buf: tuple = ()
+    for px in indices:
+        cand = buf + (int(px),)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append((table[buf], code_size))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == 4096:
+            codes.append((clear, code_size))
+            table, next_code, code_size = fresh(), end + 1, min_code_size + 1
+        buf = (int(px),)
+    if buf:
+        codes.append((table[buf], code_size))
+    codes.append((end, code_size))
+    acc = bitpos = 0
+    out = bytearray()
+    for code, width in codes:
+        acc |= code << bitpos
+        bitpos += width
+        while bitpos >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bitpos -= 8
+    if bitpos:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif_gray8(img: np.ndarray, *, interlace: bool = False) -> bytes:
+    """Encode a 2-D uint8 array as a GIF87a with a 256-entry identity
+    grayscale palette and real LZW compression (stdlib-only)."""
+    import struct
+
+    h, w = img.shape
+    img = img.astype(np.uint8)
+    palette = bytes(v for g in range(256) for v in (g, g, g))
+    rows = img[_gif_interlace_order(h)] if interlace else img
+    sub = _gif_lzw_encode(8, rows.reshape(-1).tolist())
+    blocks = b"".join(
+        bytes([len(chunk)]) + chunk
+        for chunk in (sub[i : i + 255] for i in range(0, len(sub), 255))
+    )
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global 256-color table
+        + palette
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        + bytes([8])  # LZW min code size
+        + blocks
+        + b"\x00\x3b"  # block terminator + trailer
+    )
+
+
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """GIF's four interlace passes: rows 0::8, 4::8, 2::4, 1::2 — the
+    order scanlines are STORED for an ``h``-row image."""
+    return np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+    ).astype(int)
+
+
+def _decode_gif(content: bytes) -> np.ndarray:
+    """REAL decode of the first frame of a GIF87a/89a via pure-Python
+    LZW: header walk (extensions skipped), global/local color table,
+    variable-width LSB-first codes, interlace reorder.  The palette
+    reduces to uint8 gray by integer RGB mean (identity-gray palettes
+    roundtrip exactly).  The frame is composed onto the logical screen
+    at its (left, top) offset; pixels outside it read as 0."""
+    import struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(content, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(content):
+        marker = content[pos]
+        pos += 1
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif marker == 0x2C:  # image descriptor
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB", content, pos)
+            pos += 9
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(content, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = content[pos]
+            pos += 1
+            sub = bytearray()
+            while content[pos] != 0:
+                ln = content[pos]
+                sub += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(min_code, bytes(sub))
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            frame = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if iflags & 0x40:
+                deinterlaced = np.empty_like(frame)
+                deinterlaced[_gif_interlace_order(h)] = frame
+                frame = deinterlaced
+            gray = (ct.astype(np.uint16).sum(axis=1) // 3).astype(np.uint8)
+            lut = np.zeros(256, dtype=np.uint8)
+            lut[: gray.size] = gray
+            screen = np.zeros((sh, sw), dtype=np.uint8)
+            screen[top : top + h, left : left + w] = lut[frame]
+            return screen
+        elif marker == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{marker:02x}")
+    raise ValueError("GIF contains no image frame")
 
 
 def _fake_image(content: bytes, width: int, height: int) -> np.ndarray:
@@ -315,6 +500,8 @@ def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
         real = _decode_bmp
     elif bytes(content[:8]) == _PNG_MAGIC:
         real = _decode_png
+    elif bytes(content[:6]) in (b"GIF87a", b"GIF89a"):
+        real = _decode_gif
     if real is not None:
         try:
             return real(bytes(content))

@@ -720,7 +720,7 @@ def test_png_spark_features_and_fallback(spark):
 
 
 def test_png_unsupported_variants_raise():
-    """16-bit depth and Adam7 interlacing are explicit
+    """Sub-byte depths and Adam7 interlacing are explicit
     NotImplementedError (dispatcher handles the fallback), not silent
     garbage."""
     import struct
@@ -734,6 +734,76 @@ def test_png_unsupported_variants_raise():
         + _png_chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError):
-        mm._decode_png(base(16, 0))
+        mm._decode_png(base(4, 0))
     with pytest.raises(NotImplementedError):
         mm._decode_png(base(8, 1))
+
+
+def test_png_16bit_high_byte():
+    """16-bit PNG samples decode to their high byte (the spec's own
+    16->8 reduction); filters still operate on raw bytes (bpp=2)."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(19)
+    w, h = 5, 4
+    vals = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+    lines = []
+    prev = np.zeros(w, dtype=np.uint16)
+    for r in range(h):  # alternate None/Up filters on the byte stream
+        if r % 2 == 0:
+            lines.append(b"\x00" + vals[r].astype(">u2").tobytes())
+        else:
+            diff = (
+                vals[r].astype(">u2").tobytes()
+            )
+            up = prev.astype(">u2").tobytes()
+            lines.append(b"\x02" + bytes((a - b) % 256 for a, b in zip(diff, up)))
+        prev = vals[r]
+    png = (
+        mm._PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm._decode_png(png), (vals >> 8).astype(np.uint8))
+
+
+def test_gif_lzw_and_image_roundtrip():
+    """_gif_lzw_encode -> _gif_lzw_decode is EXACT across alphabet
+    sizes, code-width growth, and the 4096-entry table reset; whole-GIF
+    roundtrips are exact for plain and interlaced frames."""
+    rng = np.random.default_rng(23)
+    for mcs, n in ((2, 64), (4, 2000), (8, 120000)):
+        idx = rng.integers(0, 1 << mcs, size=n).tolist()
+        assert mm._gif_lzw_decode(mcs, mm._gif_lzw_encode(mcs, idx)) == idx
+
+    for shape in ((1, 1), (7, 5), (33, 60)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(mm._decode_gif(mm.encode_gif_gray8(img)), img)
+        assert np.array_equal(
+            mm._decode_gif(mm.encode_gif_gray8(img, interlace=True)), img
+        )
+
+
+def test_gif_spark_features_and_fallback(spark):
+    """image_features decodes real GIF bytes (dimensions + exact mean
+    without metadata); corrupt GIF-magic payloads fall back to the fake
+    when metadata allows and raise when it cannot."""
+    rng = np.random.default_rng(29)
+    imgs = {i: rng.integers(0, 256, size=(8 + i, 11 + i), dtype=np.uint8) for i in range(3)}
+    rows = [
+        (i, bytearray(mm.encode_gif_gray8(img, interlace=bool(i % 2))),
+         {"format": "gif", "width": 0, "height": 0})
+        for i, img in imgs.items()
+    ]
+    df = spark.createDataFrame(rows, mm.IMAGE_SCHEMA)
+    got = {r["media_id"]: r for r in mm.image_features(df).collect()}
+    for i, img in imgs.items():
+        assert (got[i]["width"], got[i]["height"]) == (img.shape[1], img.shape[0])
+        assert abs(got[i]["mean_intensity"] - float(img.mean())) < 1e-9
+
+    corrupt = b"GIF89a" + b"\x00" * 4
+    assert mm._decode_image(corrupt, 5, 2).shape == (2, 5)
+    with pytest.raises(Exception):
+        mm._decode_image(corrupt, 0, 0)
