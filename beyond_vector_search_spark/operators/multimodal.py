@@ -642,13 +642,67 @@ def encode_wav_pcm16(wave_arr: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+def _ulaw_expand(code: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte -> linear 14-bit-range sample (vectorized; the
+    exact segment/mantissa expansion, bit-identical to audioop)."""
+    u = (~code.astype(np.int64)) & 0xFF
+    sign, exp, mant = u & 0x80, (u >> 4) & 0x07, u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign != 0, -mag, mag)
+
+
+def _alaw_expand(code: np.ndarray) -> np.ndarray:
+    """G.711 A-law byte -> linear sample (vectorized, even-bit toggle +
+    segment expansion, bit-identical to audioop)."""
+    a = code.astype(np.int64) ^ 0x55
+    sign, exp, mant = a & 0x80, (a >> 4) & 0x07, a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    # A-law's sign convention is inverted vs mu-law: set bit = positive
+    return np.where(sign != 0, mag, -mag)
+
+
+def _parse_wav_chunks(content: bytes) -> tuple[tuple[int, int, int, int], bytes]:
+    """Minimal RIFF walk: returns ((format_code, channels, sample_rate,
+    bits_per_sample), data payload).  Exists because stdlib ``wave``
+    refuses everything but integer PCM — the G.711 payloads route
+    through here."""
+    import struct
+
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid, ln = struct.unpack_from("<4sI", content, pos)
+        body = content[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            code, nch, sr = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            fmt = (code, nch, sr, bits)
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return fmt, data
+
+
 def _decode_wav(content: bytes) -> tuple[np.ndarray, int]:
-    """REAL decode of PCM WAV via stdlib ``wave``: returns
-    (samples, header sample rate).  16-bit samples, any channel count
-    (channels averaged to mono with integer mean); 8-bit (unsigned) is
-    recentred to signed."""
+    """REAL decode of WAV: integer PCM via stdlib ``wave`` (16-bit, any
+    channel count averaged to mono with integer mean; unsigned 8-bit
+    recentred to signed) plus G.711 mu-law/A-law (format codes 7/6) via
+    the numpy segment expansions above.  Returns (samples, header
+    sample rate)."""
     import io
     import wave as wavmod
+
+    (code, nch, sr, _bits), data = _parse_wav_chunks(bytes(content))
+    if code in (6, 7):
+        raw = np.frombuffer(data, dtype=np.uint8)
+        wave_arr = (_alaw_expand if code == 6 else _ulaw_expand)(raw)
+        if nch > 1:
+            wave_arr = (
+                wave_arr[: (wave_arr.size // nch) * nch].reshape(-1, nch).sum(axis=1) // nch
+            )
+        return wave_arr.astype(np.int64), sr
 
     with wavmod.open(io.BytesIO(bytes(content)), "rb") as f:
         nch, sw, sr, nframes = (

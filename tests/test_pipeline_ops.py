@@ -807,3 +807,41 @@ def test_gif_spark_features_and_fallback(spark):
     assert mm._decode_image(corrupt, 5, 2).shape == (2, 5)
     with pytest.raises(Exception):
         mm._decode_image(corrupt, 0, 0)
+
+
+def _build_g711_wav(code: int, payload: np.ndarray, nch: int = 1, sr: int = 8000) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", code, nch, sr, sr * nch, nch, 8)
+    data = payload.tobytes()
+    riff = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_g711_wav_decode():
+    """mu-law (format 7) and A-law (format 6) WAV payloads decode through
+    the numpy G.711 segment expansions — bit-exact against stdlib
+    audioop where available — with stereo averaged to mono like PCM."""
+    rng = np.random.default_rng(37)
+    codes = np.arange(256, dtype=np.uint8)
+    try:
+        import audioop  # deprecated, removed in 3.13 — expansion stands alone
+
+        ref_u = np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), dtype="<i2")
+        ref_a = np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), dtype="<i2")
+        assert np.array_equal(ref_u.astype(np.int64), mm._ulaw_expand(codes))
+        assert np.array_equal(ref_a.astype(np.int64), mm._alaw_expand(codes))
+    except ImportError:
+        pass
+
+    pay = rng.integers(0, 256, 1000, dtype=np.uint8)
+    for code, fn in ((7, mm._ulaw_expand), (6, mm._alaw_expand)):
+        arr, sr = mm._decode_wav(_build_g711_wav(code, pay))
+        assert sr == 8000 and np.array_equal(arr, fn(pay))
+        arr2, _ = mm._decode_wav(_build_g711_wav(code, pay, nch=2))
+        lin = fn(pay)
+        want = lin[: (lin.size // 2) * 2].reshape(-1, 2).sum(axis=1) // 2
+        assert np.array_equal(arr2, want)
