@@ -174,3 +174,40 @@ def test_cosine_from_norms_bitwise_equals_cosine_sim(spark):
     for r in out:
         # bit-compare via repr: both must be the exact same double
         assert repr(r["inline"]) == repr(r["hoisted"])
+
+
+# ---------------------------- media codecs ---------------------------------
+# Pure-Python codec properties (no Spark session needed): arbitrary
+# payloads must roundtrip exactly through every encode/decode pair.
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.lists(st.integers(min_value=0, max_value=255), min_size=0, max_size=3000),
+)
+def test_prop_gif_lzw_roundtrip(mcs, idx):
+    from beyond_vector_search_spark.operators import multimodal as mm
+
+    idx = [i % (1 << mcs) for i in idx]
+    assert mm._gif_lzw_decode(mcs, mm._gif_lzw_encode(mcs, idx)) == idx
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=4),
+    st.randoms(use_true_random=False),
+)
+def test_prop_png_gif_bmp_image_roundtrip(w, h, filter_type, rnd):
+    import numpy as np
+
+    from beyond_vector_search_spark.operators import multimodal as mm
+
+    img = np.array(
+        [[rnd.randrange(256) for _ in range(w)] for _ in range(h)], dtype=np.uint8
+    )
+    assert np.array_equal(mm._decode_png(mm.encode_png_gray8(img, filter_type=filter_type)), img)
+    assert np.array_equal(mm._decode_gif(mm.encode_gif_gray8(img)), img)
+    assert np.array_equal(mm._decode_gif(mm.encode_gif_gray8(img, interlace=True)), img)
+    assert np.array_equal(mm._decode_bmp(mm.encode_bmp_gray8(img)), img)
