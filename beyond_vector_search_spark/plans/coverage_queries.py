@@ -24,6 +24,7 @@ from beyond_vector_search_spark.plans.entry_queries import (
     _queries_df,
     _scores,
     register,
+    session_memo,
 )
 from beyond_vector_search_spark.plans.relational_queries import register_shared_sql
 from beyond_vector_search_spark.sources.readers import load_table
@@ -310,7 +311,8 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from beyond_vector_search_spark.operators.evaluate import evaluate_all, strategy_eval
 
-    memo_key = (id(spark), sf_dir)
+    _EVAL_LOOP_CACHE = session_memo(spark)
+    memo_key = ("eval_loop", sf_dir)
     if memo_key in _EVAL_LOOP_CACHE:
         return _EVAL_LOOP_CACHE[memo_key]
 
@@ -371,7 +373,8 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The fold's result rows per (session, sf) — the loop is deterministic,
 # so repeated catalog calls (entry smoke + correctness + bench) reuse
 # the local result instead of re-running the collect.
-_EVAL_LOOP_CACHE: dict[tuple[int, str], DataFrame] = {}
+# eval-loop results memoize into entry_queries.session_memo (weak-keyed
+# by the live session — see the rationale there).
 
 
 @register(
