@@ -1,0 +1,204 @@
+"""Streaming near-duplicate detection: MinHash LSH across micro-batches.
+
+The batch pass (operators/dedup.minhash_signatures +
+lsh_candidate_pairs) finds near-dup pairs inside an accumulated corpus;
+at ingest time you also want to know, AS DOCUMENTS ARRIVE, which of
+them near-duplicate something recently seen — mirrored articles,
+re-crawls with boilerplate drift, template spam.  Exact-content
+streaming dedup (streaming/dedup.py) misses all of those (any byte
+difference defeats md5).
+
+Shape — identical math to the batch pass, state instead of a self-join:
+
+    readStream(docs) ── minhash signature (pure exprs, per-row)
+                     ── explode (band_id, band_key)    [same md5 band keys]
+                     ── withWatermark(event-time)
+                     ── groupBy(band_key) applyInPandasWithState
+                          state: doc_ids seen in this bucket (bounded)
+                     ──> (doc_a, doc_b, band_id) candidate stream
+
+A new doc pairs with every doc currently in its bucket's state; two
+docs agreeing on ALL rows of any band meet in that band's bucket —
+exactly the batch operator's candidate condition, so a pair appears
+here iff the batch pass over the same documents finds it (while both
+docs are inside the watermark horizon; older near-dups are the batch
+pass's job, same division of labor as streaming/dedup.py).
+
+State is bounded twice, the only way stateful streaming survives
+100 TB/day ingest:
+
+- **event-time timeout**: a bucket with no arrivals past the watermark
+  horizon is evicted wholesale (GroupStateTimeout.EventTimeTimeout).
+- **hot-bucket cap**: a degenerate band key (near-empty docs sharing a
+  trivial signature) would otherwise accumulate m docs and emit m^2
+  pairs; at ``max_bucket_size`` the bucket stops storing AND stops
+  emitting (same drop-the-bucket semantics as the batch operator's
+  ``max_bucket_size`` guard — selective bands still pair the doc).
+
+Candidates are verified downstream exactly like batch LSH output:
+join signatures back on doc_id and estimate Jaccard, or run
+operators/dedup.jaccard_pairs on the flagged subset.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from beyond_vector_search_spark.functions.hashing import minhash_signature
+from beyond_vector_search_spark.functions.text import tokenize
+from beyond_vector_search_spark.operators.dedup import word_shingles_from_tokens
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+PAIRS_SCHEMA = "doc_a BIGINT, doc_b BIGINT, band_id INT, band_key STRING"
+_STATE_SCHEMA = "doc_ids ARRAY<BIGINT>, saturated BOOLEAN"
+
+
+def banded_signatures_stream(
+    doc_stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text: Column | str = "text",
+    ts_col: str = "ts",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, ts, band_id, band_key) — the stateless front half:
+    signature + banding as pure expressions (no shuffle, streaming-safe).
+    Band keys are md5 of the band slice — byte-identical to
+    operators/dedup.lsh_candidate_pairs, pinned by test."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    rows_per_band = num_hashes // bands
+    text = F.col(text) if isinstance(text, str) else text
+    sigs = doc_stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        word_shingles_from_tokens(tokenize(text), shingle_n).alias("shingles"),
+    ).select(
+        "doc_id", "ts", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    )
+    return sigs.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "ts", "band.band_id", "band.band_key")
+
+
+def _empty_pairs():
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "band_id": pd.Series(dtype="int32"),
+            "band_key": pd.Series(dtype="object"),
+        }
+    )
+
+
+def _make_bucket_update(max_bucket_size: int, ttl_ms: int):
+    import pandas as pd
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        band_id, band_key = int(key[0]), str(key[1])
+        if state.hasTimedOut:
+            state.remove()
+            yield _empty_pairs()
+            return
+        seen, saturated = ([], False) if not state.exists else (
+            list(state.get[0]), bool(state.get[1])
+        )
+        pairs: list[tuple[int, int, int, str]] = []
+        last_ms = 0
+        for pdf in pdfs:
+            if len(pdf) and "ts" in pdf:
+                last_ms = max(last_ms, max(int(t.value // 1_000_000) for t in pdf["ts"]))
+            for d in pdf["doc_id"].astype("int64").tolist():
+                if saturated:
+                    continue
+                for s in seen:
+                    if s != d:
+                        pairs.append((min(s, d), max(s, d), band_id, band_key))
+                seen.append(d)
+                if len(seen) > max_bucket_size:
+                    # batch-guard semantics: an over-cap bucket emits
+                    # NOTHING (its pairs are all suspect); state keeps
+                    # only the flag, not the m doc ids
+                    saturated, seen, pairs = True, [], []
+        state.update((seen, saturated))
+        # evict the whole bucket once the watermark passes last arrival
+        # + TTL (clamped above the current watermark, which Spark
+        # requires of event-time timeouts)
+        state.setTimeoutTimestamp(
+            max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["doc_a", "doc_b", "band_id", "band_key"])
+        else:
+            yield _empty_pairs()
+
+    return update
+
+
+def minhash_pairs_stream(
+    doc_stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text: Column | str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 1_000,
+    state_ttl_ms: int = 60 * 60 * 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, band_id, band_key) near-dup candidate stream.
+
+    One output row per (pair, band) meeting; a pair agreeing on several
+    bands appears once per band (dedupe downstream with
+    ``dropDuplicatesWithinWatermark`` on (doc_a, doc_b) if exactly-once
+    pair emission matters — kept out of this operator so the cheap
+    common case pays one stateful stage, not two).  ``state_ttl_ms``
+    bounds how long an idle bucket's doc ids stay pairable (event time
+    since the bucket's last arrival).
+    """
+    banded = banded_signatures_stream(
+        doc_stream,
+        id_col=id_col,
+        text=text,
+        ts_col=ts_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        bands=bands,
+    ).withWatermark("ts", watermark)
+    return banded.groupBy("band_id", "band_key").applyInPandasWithState(
+        _make_bucket_update(max_bucket_size, state_ttl_ms),
+        outputStructType=PAIRS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -338,3 +338,121 @@ def test_embedding_neardup_blocked_matches_allpairs(spark):
 
     plan = blocked._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_streaming_minhash_pairs_across_batches(spark, tmp_path):
+    """A re-crawled near-duplicate arriving in a LATER micro-batch pairs
+    with the original via LSH band-bucket state; the candidate set over
+    all batches equals the batch operator's on the same documents, and
+    the stateless banding front-end is byte-identical to batch banding."""
+    import datetime as dt
+
+    from beyond_vector_search_spark.operators import dedup as dd
+    from beyond_vector_search_spark.streaming.neardup import (
+        banded_signatures_stream,
+        minhash_pairs_stream,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tail boilerplate"          # near-dup of base
+    other = "completely different content about spark shuffles and joins"
+    b1 = [(1, base, t0), (2, other, t0)]
+    b2 = [(3, near, t0 + dt.timedelta(minutes=1))]   # later re-crawl
+    schema = "doc_id BIGINT, text STRING, ts TIMESTAMP"
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out: list = []
+    q = (
+        minhash_pairs_stream(stream, watermark="30 minutes")
+        .writeStream.foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got_pairs = {(r.doc_a, r.doc_b) for r in out}
+    batch_df = spark.createDataFrame(b1 + b2, schema)
+    want_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dd.lsh_candidate_pairs(
+            dd.minhash_signatures(batch_df), bands=4, rows_per_band=4
+        ).collect()
+    }
+    assert (1, 3) in want_pairs  # the planted near-dup is a real candidate
+    assert got_pairs == want_pairs
+
+    # stateless banding front-end == batch banding (same md5 band keys)
+    stream_banded = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in banded_signatures_stream(
+            spark.createDataFrame(b1 + b2, schema)
+        ).collect()
+    }
+    sigs = dd.minhash_signatures(batch_df)
+    from pyspark.sql import functions as F
+
+    batch_banded = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in sigs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(3)),
+                    lambda b: F.struct(
+                        b.cast("int").alias("band_id"),
+                        F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * 4 + 1, 4))).alias(
+                            "band_key"
+                        ),
+                    ),
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_id", "band.band_key")
+        .collect()
+    }
+    assert stream_banded == batch_banded
+
+
+def test_streaming_minhash_hot_bucket_guard(spark, tmp_path):
+    """A degenerate bucket (many identical docs) saturates at
+    max_bucket_size and emits NOTHING from then on — the batch
+    operator's drop-the-bucket semantics, which caps state and output
+    at any stream length."""
+    import datetime as dt
+
+    from beyond_vector_search_spark.streaming.neardup import minhash_pairs_stream
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(i, "same degenerate text everywhere", t0) for i in range(1, 9)]
+    schema = "doc_id BIGINT, text STRING, ts TIMESTAMP"
+    src = tmp_path / "hot_src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "b0"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out: list = []
+    q = (
+        minhash_pairs_stream(stream, watermark="30 minutes", max_bucket_size=3)
+        .writeStream.foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hot_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert out == []  # bucket saturated before emitting anything durable
