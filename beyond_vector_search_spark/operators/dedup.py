@@ -262,6 +262,38 @@ def simhash_pairs(
     the classic degenerate key.  Capped buckets trade the losslessness
     guarantee inside those buckets only.  ``None`` disables.
     """
+    sh = simhash64(df, id_col=id_col, text_col=text_col, bits=bits)
+    return hamming_fingerprint_pairs(
+        sh,
+        id_col="doc_id",
+        fp_col="simhash",
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
+def hamming_fingerprint_pairs(
+    fps: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — the banded hamming join over ANY integer
+    fingerprint relation (id, fingerprint): SimHash text fingerprints,
+    perceptual image hashes (multimodal.image_phashes), audio
+    fingerprints.  Same pigeonhole losslessness and hot-bucket guard as
+    :func:`simhash_pairs` (which delegates here); works for full signed
+    64-bit fingerprints too — ``shiftright``'s arithmetic sign-fill
+    lands above the band mask, so band keys extract exactly.
+    """
     if bands <= max_hamming:
         raise ValueError(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
@@ -269,20 +301,20 @@ def simhash_pairs(
         )
     width = bits // bands
     mask = (1 << width) - 1
-    sh = simhash64(df, id_col=id_col, text_col=text_col, bits=bits)
+    sh = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
     banded = sh.select(
-        "doc_id",
-        "simhash",
+        "_id",
+        "_fp",
         F.explode(
             F.expr(
                 # shiftright(), not `>>`: the infix form fails to parse
                 # inside a struct field alias (same parser quirk
                 # simhash64 works around)
                 f"transform(sequence(0, {bands - 1}), b -> struct("
-                f"b AS band_id, shiftright(simhash, b * {width}) & {mask} AS band_key))"
+                f"b AS band_id, shiftright(_fp, b * {width}) & {mask} AS band_key))"
             )
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.band_key")
+    ).select("_id", "_fp", "band.band_id", "band.band_key")
     if max_bucket_size is not None:
         w = Window.partitionBy("band_id", "band_key")
         banded = (
@@ -296,19 +328,19 @@ def simhash_pairs(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a._id") < F.col("b._id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._fp").alias("sh_a"),
+            F.col("b._fp").alias("sh_b"),
         )
         .distinct()  # a pair may share several bands
     )
     return cand.select(
-        "doc_a",
-        "doc_b",
+        "id_a",
+        "id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
 

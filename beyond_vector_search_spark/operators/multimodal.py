@@ -555,6 +555,63 @@ def image_features(images: DataFrame, *, feature_dim: int = 8) -> DataFrame:
     return images.mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
 
 
+PHASH_SCHEMA = "media_id BIGINT, ahash BIGINT, dhash BIGINT"
+
+
+def _nn_resize(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resample to exactly (h, w) — same sampling rule
+    as resize_images, but to a fixed grid (hash inputs)."""
+    H, W = img.shape
+    yi = (np.arange(h) * (H / h)).astype(int)
+    xi = (np.arange(w) * (W / w)).astype(int)
+    return img[yi][:, xi]
+
+
+def _pack_bits64(bits: np.ndarray) -> int:
+    """Row-major bit vector -> signed int64 (two's complement — full 64
+    bits usable; the banded hamming join handles negative longs)."""
+    v = 0
+    for b in bits.flat:
+        v = (v << 1) | int(bool(b))
+    return int(np.uint64(v).astype(np.int64))
+
+
+def image_phashes(images: DataFrame, *, hash_size: int = 8) -> DataFrame:
+    """(media_id, ahash, dhash) — perceptual fingerprints of the DECODED
+    pixels, the image arm of the near-dup family:
+
+    - ``ahash``: average hash — resample to hash_size², bit = pixel >
+      mean.  Robust to uniform brightness/scale changes.
+    - ``dhash``: difference hash — resample to (hash_size+1) x
+      hash_size, bit = left-to-right gradient sign.  Robust to global
+      level shifts, sensitive to structure.
+
+    Both are 64-bit at the default size, so near-duplicate pairing is
+    exactly the text SimHash machinery:
+    ``dedup.hamming_fingerprint_pairs(image_phashes(imgs),
+    id_col="media_id", fp_col="dhash", bits=64, bands=4)`` — banded
+    equi-join, never all-pairs, pigeonhole-lossless at hamming <=
+    bands-1.  Re-encoded/resized/brightness-shifted copies land within
+    a few bits; unrelated images differ in ~32.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                img = _decode_image(
+                    content, _meta_int(meta, "width"), _meta_int(meta, "height")
+                )
+                small_a = _nn_resize(img, hash_size, hash_size).astype(np.float64)
+                ahash = _pack_bits64(small_a > small_a.mean())
+                small_d = _nn_resize(img, hash_size + 1, hash_size).astype(np.int32)
+                dhash = _pack_bits64(small_d[:, 1:] > small_d[:, :-1])
+                out.append((int(mid), ahash, dhash))
+            yield pd.DataFrame(out, columns=["media_id", "ahash", "dhash"])
+
+    return images.mapInPandas(kernel, schema=PHASH_SCHEMA)
+
+
 def resize_images(images: DataFrame, *, max_side: int = 64) -> DataFrame:
     """Downscale images whose longest side exceeds ``max_side``.
 

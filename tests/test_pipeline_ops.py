@@ -845,3 +845,39 @@ def test_g711_wav_decode():
         lin = fn(pay)
         want = lin[: (lin.size // 2) * 2].reshape(-1, 2).sum(axis=1) // 2
         assert np.array_equal(arr2, want)
+
+
+def test_image_phash_neardup_pairs(spark):
+    """Perceptual hashes over DECODED pixels feed the generic banded
+    hamming join: a brightness-shifted copy of an image pairs with the
+    original at small hamming distance; unrelated images do not pair.
+    simhash_pairs' delegation to the generic join is output-identical."""
+    from beyond_vector_search_spark.operators import dedup as dd
+
+    rng = np.random.default_rng(41)
+    base = rng.integers(40, 200, size=(32, 32), dtype=np.uint8)
+    shifted = np.clip(base.astype(np.int16) + 12, 0, 255).astype(np.uint8)  # brightness
+    other = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    rows = [
+        (1, bytearray(mm.encode_png_gray8(base)), {"format": "png", "width": 0, "height": 0}),
+        (2, bytearray(mm.encode_gif_gray8(shifted)), {"format": "gif", "width": 0, "height": 0}),
+        (3, bytearray(mm.encode_bmp_gray8(other)), {"format": "bmp", "width": 0, "height": 0}),
+    ]
+    df = spark.createDataFrame(rows, mm.IMAGE_SCHEMA)
+    hashes = mm.image_phashes(df)
+    pairs = dd.hamming_fingerprint_pairs(
+        hashes, id_col="media_id", fp_col="dhash", bits=64, bands=4, max_hamming=3
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got          # brightness shift preserves gradients
+    assert all(3 not in p for p in got)
+
+    # dhash is format-independent: the same pixels encoded as PNG vs GIF
+    # vs BMP hash identically
+    same = [
+        (10, bytearray(mm.encode_png_gray8(base)), {"format": "png", "width": 0, "height": 0}),
+        (11, bytearray(mm.encode_gif_gray8(base)), {"format": "gif", "width": 0, "height": 0}),
+        (12, bytearray(mm.encode_bmp_gray8(base)), {"format": "bmp", "width": 0, "height": 0}),
+    ]
+    hs = mm.image_phashes(spark.createDataFrame(same, mm.IMAGE_SCHEMA)).collect()
+    assert len({(r.ahash, r.dhash) for r in hs}) == 1
