@@ -881,3 +881,29 @@ def test_image_phash_neardup_pairs(spark):
     ]
     hs = mm.image_phashes(spark.createDataFrame(same, mm.IMAGE_SCHEMA)).collect()
     assert len({(r.ahash, r.dhash) for r in hs}) == 1
+
+
+def test_audio_spectrum_tones(spark):
+    """audio_spectrum over real WAV bytes: a pure tone's dominant
+    frequency and spectral centroid sit at the tone; band energy
+    concentrates in the tone's band; silence returns zeros."""
+    sr = 8000
+    t = np.arange(sr) / sr  # 1 second
+    tone_hz = {1: 500.0, 2: 3000.0}
+    rows = []
+    for mid, hz in tone_hz.items():
+        w = (3000 * np.sin(2 * np.pi * hz * t)).astype("<i2")
+        rows.append((mid, bytearray(mm.encode_wav_pcm16(w, sr)),
+                     {"format": "wav", "sample_rate": sr, "n_samples": sr}))
+    rows.append((3, bytearray(mm.encode_wav_pcm16(np.zeros(sr, dtype="<i2"), sr)),
+                 {"format": "wav", "sample_rate": sr, "n_samples": sr}))
+    df = spark.createDataFrame(rows, mm.AUDIO_SCHEMA)
+    got = {r["media_id"]: r for r in mm.audio_spectrum(df, n_bands=8).collect()}
+    for mid, hz in tone_hz.items():
+        assert abs(got[mid]["dominant_hz"] - hz) < 2.0
+        assert abs(got[mid]["spectral_centroid_hz"] - hz) < 20.0
+        bands = got[mid]["band_energy"]
+        assert abs(sum(bands) - 1.0) < 1e-9
+        # Nyquist 4000, 8 bands of 500 Hz: 500 Hz -> band 1, 3000 -> band 6
+        assert bands[int(hz // 500)] > 0.99
+    assert got[3]["dominant_hz"] == 0.0 and sum(got[3]["band_energy"]) == 0.0
