@@ -1,0 +1,148 @@
+"""Archive-shard sources: WebDataset-style tar (and zip) sample shards.
+
+Large multimodal training sets ship as directories of tar shards, each
+holding samples as adjacent members that share a basename key::
+
+    shard-00000.tar
+      ├── 000001.png      ── one sample: image + caption + metadata
+      ├── 000001.txt
+      ├── 000001.json
+      ├── 000002.png
+      └── ...
+
+(The WebDataset convention — Aizman et al., "High Performance I/O For
+Large Scale Deep Learning"; the format is plain POSIX tar, readable
+with stdlib ``tarfile``.)
+
+Spark-first shape: ``binaryFile`` lists and reads WHOLE shards — one
+row per shard, parallelism = shard count, which is exactly how the
+format is meant to scale (shards are sized ~100 MB-1 GB so that
+sequential whole-shard reads saturate object-store throughput; a 100 TB
+set is ~10^5 shards = ample partitions for any cluster).  A
+``mapInPandas`` kernel then explodes members per shard.  Two
+consequences to respect at scale:
+
+- a shard must fit in executor memory (it does, by the format's own
+  sizing convention — that is WHY WebDataset shards are capped);
+- member extraction is narrow (no shuffle); only the optional
+  per-sample grouping shuffles, keyed on (shard, key), and AQE
+  coalesces those tiny aggregates.
+
+Reassembled samples join the multimodal kernels directly: the ``png``/
+``gif``/``bmp``/``wav`` members decode for REAL via
+operators/multimodal's stdlib codecs.
+"""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import tarfile
+import zipfile
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+MEMBERS_SCHEMA = "shard STRING, key STRING, ext STRING, content BINARY"
+
+
+def _split_member_name(name: str) -> tuple[str, str]:
+    """WebDataset key/ext split: extension = everything after the FIRST
+    dot of the basename (so ``000001.seg.png`` groups with
+    ``000001.txt`` under key ``000001`` — the convention's rule for
+    multi-dotted member names)."""
+    base = posixpath.basename(name)
+    dirname = posixpath.dirname(name)
+    stem, dot, ext = base.partition(".")
+    key = posixpath.join(dirname, stem) if dirname else stem
+    return key, ext if dot else ""
+
+
+def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
+    """(shard, key, ext, content) — every file member of every tar
+    shard under ``path`` (a ``binaryFile`` path/glob, e.g.
+    ``/data/shards/*.tar``)."""
+    shards = spark.read.format("binaryFile").load(path)
+    return _explode_members(shards, _tar_members)
+
+
+def read_zip_shards(spark: SparkSession, path: str) -> DataFrame:
+    """(shard, key, ext, content) — zip variant of
+    :func:`read_tar_shards` (stdlib ``zipfile``)."""
+    shards = spark.read.format("binaryFile").load(path)
+    return _explode_members(shards, _zip_members)
+
+
+def _tar_members(blob: bytes) -> Iterator[tuple[str, bytes]]:
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        for m in tf.getmembers():
+            if m.isfile():
+                f = tf.extractfile(m)
+                if f is not None:
+                    yield m.name, f.read()
+
+
+def _zip_members(blob: bytes) -> Iterator[tuple[str, bytes]]:
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        for info in zf.infolist():
+            if not info.is_dir():
+                yield info.filename, zf.read(info)
+
+
+def _explode_members(shards: DataFrame, members_fn) -> DataFrame:
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                for name, data in members_fn(bytes(blob)):
+                    key, ext = _split_member_name(name)
+                    rows.append((path, key, ext, bytearray(data)))
+            yield pd.DataFrame(rows, columns=["shard", "key", "ext", "content"])
+
+    return shards.select("path", "content").mapInPandas(kernel, schema=MEMBERS_SCHEMA)
+
+
+def webdataset_samples(members: DataFrame) -> DataFrame:
+    """(shard, key, parts MAP<STRING, BINARY>) — members reassembled
+    into samples by basename key.  ``parts['png']`` is the image bytes,
+    ``parts['txt']`` the caption, etc.  The only shuffle in the source
+    path, keyed on (shard, key) — sample-sized groups, no skew by
+    construction (keys are unique within a shard)."""
+    return members.groupBy("shard", "key").agg(
+        F.map_from_entries(F.collect_list(F.struct("ext", "content"))).alias("parts")
+    )
+
+
+def image_rows_from_samples(
+    samples: DataFrame, *, ext: str = "png", id_from_key: bool = True
+) -> DataFrame:
+    """Project samples holding an ``ext`` image member into the
+    multimodal IMAGE_SCHEMA, ready for image_features / image_phashes /
+    resize_images.  ``media_id`` is the trailing integer of the key
+    when ``id_from_key`` (the WebDataset numbering convention), else a
+    dense hash of (shard, key)."""
+    img = F.element_at(F.col("parts"), ext)
+    media_id = (
+        F.regexp_extract(F.col("key"), r"(\d+)$", 1).cast("bigint")
+        if id_from_key
+        else F.abs(F.xxhash64("shard", "key"))
+    )
+    return (
+        samples.where(img.isNotNull())
+        .select(
+            media_id.alias("media_id"),
+            img.alias("content"),
+            F.struct(
+                F.lit(ext).alias("format"),
+                F.lit(0).cast("int").alias("width"),
+                F.lit(0).cast("int").alias("height"),
+            ).alias("meta"),
+        )
+    )

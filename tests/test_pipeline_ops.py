@@ -907,3 +907,83 @@ def test_audio_spectrum_tones(spark):
         # Nyquist 4000, 8 bands of 500 Hz: 500 Hz -> band 1, 3000 -> band 6
         assert bands[int(hz // 500)] > 0.99
     assert got[3]["dominant_hz"] == 0.0 and sum(got[3]["band_energy"]) == 0.0
+
+
+def _write_wds_shard(path, samples):
+    """samples: list of (key, {ext: bytes})."""
+    import tarfile
+
+    with tarfile.open(path, "w") as tf:
+        for key, parts in samples:
+            for ext, data in parts.items():
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(data)
+                import io as _io
+
+                tf.addfile(info, _io.BytesIO(data))
+
+
+def test_webdataset_tar_shards_end_to_end(spark, tmp_path):
+    """Tar shards of (png + txt + json) samples read shard-parallel via
+    binaryFile, explode into members, regroup into samples, and the png
+    members decode FOR REAL through image_phashes — a planted duplicate
+    image across two shards pairs at hamming 0."""
+    import json
+
+    from beyond_vector_search_spark.operators import dedup as dd
+    from beyond_vector_search_spark.sources import archives as ar
+
+    rng = np.random.default_rng(43)
+    img_a = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    img_b = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    png = {k: mm.encode_png_gray8(v) for k, v in {"a": img_a, "b": img_b}.items()}
+    shard0 = [
+        ("000001", {"png": png["a"], "txt": b"a cat", "json": json.dumps({"w": 16}).encode()}),
+        ("000002", {"png": png["b"], "txt": b"a dog"}),
+    ]
+    # 000003 re-ships img_a (the cross-shard duplicate), 000004 has no image
+    shard1 = [
+        ("000003", {"png": png["a"], "txt": b"same cat again"}),
+        ("000004", {"txt": b"text only"}),
+    ]
+    d = tmp_path / "wds"
+    d.mkdir()
+    _write_wds_shard(str(d / "shard-00000.tar"), shard0)
+    _write_wds_shard(str(d / "shard-00001.tar"), shard1)
+
+    members = ar.read_tar_shards(spark, str(d / "*.tar"))
+    assert members.count() == 8  # (3 + 2) members in shard0 + (2 + 1) in shard1
+    samples = ar.webdataset_samples(members)
+    got = {r.key: dict(r.parts) for r in samples.collect()}
+    assert set(got) == {"000001", "000002", "000003", "000004"}
+    assert bytes(got["000001"]["png"]) == png["a"]
+    assert bytes(got["000001"]["txt"]) == b"a cat"
+    assert "png" not in got["000004"]
+
+    imgs = ar.image_rows_from_samples(samples)
+    hashes = mm.image_phashes(imgs)
+    pairs = dd.hamming_fingerprint_pairs(
+        hashes, id_col="media_id", fp_col="dhash", bits=64, bands=4, max_hamming=0
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 3)}  # the cross-shard dup
+
+
+def test_webdataset_multidot_keys_and_zip(spark, tmp_path):
+    """Extension = everything after the FIRST dot (seg.png groups with
+    its sample); zip shards read identically to tar."""
+    import zipfile
+
+    from beyond_vector_search_spark.sources import archives as ar
+
+    zpath = tmp_path / "z.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("000007.seg.png", b"SEGDATA")
+        zf.writestr("000007.txt", b"caption")
+        zf.writestr("sub/000008.txt", b"nested")
+    members = ar.read_zip_shards(spark, str(zpath))
+    rows = {(r.key, r.ext): bytes(r.content) for r in members.collect()}
+    assert rows[("000007", "seg.png")] == b"SEGDATA"
+    assert rows[("000007", "txt")] == b"caption"
+    assert ("sub/000008", "txt") in rows
+    samples = {r.key: dict(r.parts) for r in ar.webdataset_samples(members).collect()}
+    assert set(samples["000007"]) == {"seg.png", "txt"}
