@@ -50,6 +50,12 @@ if TYPE_CHECKING:  # pragma: no cover
 
 MEMBERS_SCHEMA = "shard STRING, key STRING, ext STRING, content BINARY"
 
+# binaryFile's fixed schema, spelled out because STREAMING sources
+# require an explicit schema (no inference pass over the directory)
+_BINARYFILE_SCHEMA = (
+    "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"
+)
+
 
 def _split_member_name(name: str) -> tuple[str, str]:
     """WebDataset key/ext split: extension = everything after the FIRST
@@ -78,6 +84,32 @@ def read_zip_shards(spark: SparkSession, path: str) -> DataFrame:
     return _explode_members(shards, _zip_members)
 
 
+def stream_tar_shards(
+    spark: SparkSession, path: str, *, max_shards_per_trigger: int = 8
+) -> DataFrame:
+    """Streaming variant of :func:`read_tar_shards`: new shards landing
+    under ``path`` become micro-batches of exploded members — the
+    arrival pattern of a crawler or labeling pipeline dropping finished
+    shards into object storage.
+
+    The member explode (``mapInPandas``) is a narrow, stateless
+    transformation, so it composes with any stateful downstream —
+    e.g. caption streams into streaming/dedup.dedup_doc_stream or
+    streaming/neardup.minhash_pairs_stream (test-pinned composition).
+    ``max_shards_per_trigger`` bounds per-batch memory: batch size =
+    that many whole shards.
+    """
+    shards = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_shards_per_trigger))
+        .load(path)
+    )
+    # members carry ts = shard modificationTime (arrival event time) so
+    # downstream watermarked/stateful stages work out of the box
+    return _explode_members(shards, _tar_members, with_ts=True)
+
+
 def _tar_members(blob: bytes) -> Iterator[tuple[str, bytes]]:
     with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
         for m in tf.getmembers():
@@ -94,19 +126,28 @@ def _zip_members(blob: bytes) -> Iterator[tuple[str, bytes]]:
                 yield info.filename, zf.read(info)
 
 
-def _explode_members(shards: DataFrame, members_fn) -> DataFrame:
+def _explode_members(shards: DataFrame, members_fn, *, with_ts: bool = False) -> DataFrame:
+    """``with_ts`` carries each shard's modificationTime through as the
+    member event-time column ``ts`` — the streaming path needs an event
+    time for watermarks; batch readers keep the lean schema."""
     import pandas as pd
+
+    cols = ["shard", "key", "ext", "content"] + (["ts"] if with_ts else [])
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
-            for path, blob in zip(pdf["path"], pdf["content"]):
+            for i, (path, blob) in enumerate(zip(pdf["path"], pdf["content"])):
+                ts = pdf["modificationTime"].iloc[i] if with_ts else None
                 for name, data in members_fn(bytes(blob)):
                     key, ext = _split_member_name(name)
-                    rows.append((path, key, ext, bytearray(data)))
-            yield pd.DataFrame(rows, columns=["shard", "key", "ext", "content"])
+                    row = (path, key, ext, bytearray(data))
+                    rows.append(row + (ts,) if with_ts else row)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return shards.select("path", "content").mapInPandas(kernel, schema=MEMBERS_SCHEMA)
+    schema = MEMBERS_SCHEMA + (", ts TIMESTAMP" if with_ts else "")
+    keep = ["path", "modificationTime", "content"] if with_ts else ["path", "content"]
+    return shards.select(*keep).mapInPandas(kernel, schema=schema)
 
 
 def webdataset_samples(members: DataFrame) -> DataFrame:

@@ -456,3 +456,47 @@ def test_streaming_minhash_hot_bucket_guard(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert out == []  # bucket saturated before emitting anything durable
+
+
+def test_streaming_tar_shards_compose_with_dedup(spark, tmp_path):
+    """Shards dropped over time stream as micro-batches of members; the
+    caption (txt) stream composes with the stateful exact-content dedup
+    — a caption re-shipped in a later shard is dropped, streams all the
+    way from tar bytes to deduped rows."""
+    import io
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.sources import archives as ar
+    from beyond_vector_search_spark.streaming.dedup import dedup_doc_stream
+
+    def shard(path, samples):
+        with tarfile.open(path, "w") as tf:
+            for key, data in samples:
+                info = tarfile.TarInfo(name=f"{key}.txt")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+    d = tmp_path / "wds_stream"
+    d.mkdir()
+    shard(str(d / "s0.tar"), [("000001", b"a cat"), ("000002", b"a dog")])
+    shard(str(d / "s1.tar"), [("000003", b"a cat"), ("000004", b"a bird")])  # re-ship
+
+    members = ar.stream_tar_shards(spark, str(d / "*.tar"), max_shards_per_trigger=1)
+    docs = members.where(F.col("ext") == "txt").select(
+        F.regexp_extract("key", r"(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.col("content").cast("string").alias("text"),
+        F.col("ts"),
+    )
+    out: list = []
+    q = (
+        dedup_doc_stream(docs, text="text", ts_col="ts", watermark="30 minutes")
+        .writeStream.foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wds_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sorted(r.text for r in out) == ["a bird", "a cat", "a dog"]
