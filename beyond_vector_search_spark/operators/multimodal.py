@@ -9,8 +9,9 @@ never row-at-a-time Python.
 Decode is REAL for the formats stdlib+numpy can express — uncompressed
 BMP (pure numpy header parse, 8-bit palette + 24-bit BGR), PNG (stdlib
 ``zlib`` inflate + all five scanline unfilters; gray / RGB / palette /
-alpha color types, 8- and 16-bit), GIF (pure-Python LZW, interlace,
-local/global palettes), and PCM WAV (stdlib ``wave``) — dispatched on
+alpha color types, 8- and 16-bit, Adam7 interlace), GIF (pure-Python
+LZW, interlace, local/global palettes), and PCM WAV plus G.711
+mu-law/A-law (stdlib ``wave`` / numpy expansion) — dispatched on
 magic bytes, with exact encode/decode roundtrips pinned by tests.  Formats
 that require an external codec (JPEG/MP3/video) need PIL/ffmpeg/
 librosa, which are NOT in this container: those fall back to a
@@ -230,17 +231,26 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+# Adam7 passes: (x_start, y_start, x_step, y_step) — each pass is an
+# independently-filtered sub-image in storage order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _decode_png(content: bytes) -> np.ndarray:
-    """REAL decode of non-interlaced 8-bit PNG via stdlib ``zlib``:
+    """REAL decode of 8/16-bit PNG via stdlib ``zlib``:
     chunk walk -> inflate IDAT -> unfilter -> uint8 grayscale.
 
     Color types: 0 gray (exact), 4 gray+alpha (alpha dropped), 2 RGB /
     6 RGBA (integer channel mean, like the 24-bit BMP path), 3 palette
     (indices mapped through the PLTE's channel mean — identity-gray
     palettes roundtrip exactly).  16-bit samples keep their high byte
-    (the spec's own 16->8 approximation).  Adam7 interlacing raises
-    NotImplementedError (the dispatcher falls back to the deterministic
-    fake when metadata allows).
+    (the spec's own 16->8 approximation).  Adam7 interlacing is
+    supported: each of the seven passes is an independently-filtered
+    sub-image (its own scanline filter bytes), unfiltered separately
+    and scattered onto the (y0 + i*dy, x0 + j*dx) grid.
     """
     import struct
     import zlib
@@ -265,18 +275,34 @@ def _decode_png(content: bytes) -> np.ndarray:
     w, h, depth, ctype_n, comp, filt, interlace = ihdr
     if depth not in (8, 16) or comp != 0 or filt != 0:
         raise NotImplementedError(f"PNG depth={depth} comp={comp} filter={filt}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG")
+    if interlace not in (0, 1):
+        raise NotImplementedError(f"PNG interlace method {interlace}")
     if depth == 16 and ctype_n == 3:
         raise ValueError("PNG palette images are 8-bit by spec")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
     if channels is None:
         raise NotImplementedError(f"PNG color type {ctype_n}")
     bps = depth // 8  # bytes per sample; filters operate on raw bytes
+    bpp = channels * bps
     raw = zlib.decompress(b"".join(idat))
-    px = _png_unfilter(raw, h, w * channels * bps, channels * bps).reshape(
-        h, w, channels, bps
-    )[:, :, :, 0]  # 16-bit: network byte order — high byte ≈ value/257
+    if interlace == 0:
+        px = _png_unfilter(raw, h, w * bpp, bpp).reshape(h, w, channels, bps)[
+            :, :, :, 0
+        ]  # 16-bit: network byte order — high byte ≈ value/257
+    else:
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * bpp
+            sub = _png_unfilter(raw[pos:], ph, stride, bpp).reshape(
+                ph, pw, channels, bps
+            )[:, :, :, 0]
+            pos += ph * (stride + 1)
+            px[y0::dy, x0::dx] = sub
     if ctype_n == 0:
         return px[:, :, 0]
     if ctype_n == 4:
@@ -483,7 +509,7 @@ def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     fake for everything else.
 
     A payload that LOOKS like a supported format but fails the real
-    decode (RLE/exotic BMP bit depths, 16-bit or Adam7 PNG, truncated
+    decode (RLE/exotic BMP bit depths, sub-byte PNG depths, truncated
     headers, a random payload that happens to carry the magic) falls
     back to the fake when metadata carries dimensions — one
     undecodable file must not fail a 100 TB job — and re-raises the

@@ -720,9 +720,9 @@ def test_png_spark_features_and_fallback(spark):
 
 
 def test_png_unsupported_variants_raise():
-    """Sub-byte depths and Adam7 interlacing are explicit
-    NotImplementedError (dispatcher handles the fallback), not silent
-    garbage."""
+    """Sub-byte depths are explicit NotImplementedError (dispatcher
+    handles the fallback), not silent garbage; a minimal Adam7 image
+    decodes (interlacing is supported)."""
     import struct
     import zlib
 
@@ -735,8 +735,7 @@ def test_png_unsupported_variants_raise():
     )
     with pytest.raises(NotImplementedError):
         mm._decode_png(base(4, 0))
-    with pytest.raises(NotImplementedError):
-        mm._decode_png(base(8, 1))
+    assert mm._decode_png(base(8, 1)).tolist() == [[0]]  # 1x1 Adam7
 
 
 def test_png_16bit_high_byte():
@@ -987,3 +986,30 @@ def test_webdataset_multidot_keys_and_zip(spark, tmp_path):
     assert ("sub/000008", "txt") in rows
     samples = {r.key: dict(r.parts) for r in ar.webdataset_samples(members).collect()}
     assert set(samples["000007"]) == {"seg.png", "txt"}
+
+
+def test_png_adam7_interlaced_decode():
+    """A hand-built Adam7-interlaced PNG (seven independently-filtered
+    passes in storage order) decodes to the original pixels for shapes
+    that exercise empty and partial passes."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(47)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    for w, h in ((1, 1), (3, 2), (8, 8), (13, 11)):
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        raw = b""
+        for x0, y0, dx, dy in passes:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            raw += b"".join(b"\x00" + sub[r].tobytes() for r in range(sub.shape[0]))
+        png = (
+            mm._PNG_MAGIC
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(mm._decode_png(png), img), (w, h)
