@@ -10,11 +10,12 @@ Decode is REAL for the formats stdlib+numpy can express — uncompressed
 BMP (pure numpy header parse, 8-bit palette + 24-bit BGR), PNG (stdlib
 ``zlib`` inflate + all five scanline unfilters; gray / RGB / palette /
 alpha color types, 8- and 16-bit, Adam7 interlace), GIF (pure-Python
-LZW, interlace, local/global palettes), and PCM WAV plus G.711
+LZW, interlace, local/global palettes), baseline JPEG (operators/jpeg:
+Huffman entropy decode + IDCT, luma plane out), and PCM WAV plus G.711
 mu-law/A-law (stdlib ``wave`` / numpy expansion) — dispatched on
-magic bytes, with exact encode/decode roundtrips pinned by tests.  Formats
-that require an external codec (JPEG/MP3/video) need PIL/ffmpeg/
-librosa, which are NOT in this container: those fall back to a
+magic bytes, with exact/bounded encode/decode roundtrips pinned by
+tests.  What remains codec-bound (progressive JPEG, MP3, video) needs
+PIL/ffmpeg/librosa, NOT in this container: those fall back to a
 deterministic fake derived from the payload bytes (clearly marked; swap
 for the real library on a cluster image).  Everything Spark-side is
 real and tested either way: schemas, Arrow batch shapes, UDF
@@ -515,7 +516,7 @@ def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     undecodable file must not fail a 100 TB job — and re-raises the
     decode error only when no fallback is possible.
 
-    Codec-bound formats (JPEG etc.) would be
+    Codec-bound formats (progressive JPEG etc.) would be
     ``np.asarray(PIL.Image.open(BytesIO(content)))`` — PIL is not in
     this container, so the fallback derives a deterministic uint8
     grayscale array from the payload bytes (repeating it to fill
@@ -528,6 +529,10 @@ def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
         real = _decode_png
     elif bytes(content[:6]) in (b"GIF87a", b"GIF89a"):
         real = _decode_gif
+    elif bytes(content[:2]) == b"\xff\xd8":
+        from beyond_vector_search_spark.operators.jpeg import decode_jpeg
+
+        real = decode_jpeg
     if real is not None:
         try:
             return real(bytes(content))

@@ -1013,3 +1013,66 @@ def test_png_adam7_interlaced_decode():
             + _png_chunk(b"IEND", b"")
         )
         assert np.array_equal(mm._decode_png(png), img), (w, h)
+
+
+def test_jpeg_baseline_roundtrip():
+    """Pure-numpy baseline JPEG: constant images roundtrip EXACTLY at
+    quantization step 1; arbitrary content is within the DCT rounding
+    bound (|err| <= 1); restart markers resynchronize; coarser
+    quantization stays close on smooth content."""
+    from beyond_vector_search_spark.operators import jpeg as jp
+
+    rng = np.random.default_rng(61)
+    const = np.full((16, 24), 77, dtype=np.uint8)
+    assert np.array_equal(jp.decode_jpeg(jp.encode_jpeg_gray8(const)), const)
+
+    img = rng.integers(0, 256, size=(33, 41), dtype=np.uint8)
+    out = jp.decode_jpeg(jp.encode_jpeg_gray8(img, quant_step=1))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+    for ri in (1, 3):
+        out = jp.decode_jpeg(jp.encode_jpeg_gray8(img, restart_interval=ri))
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+    grad = np.clip(
+        np.add.outer(np.linspace(0, 120, 32), np.linspace(0, 255, 40)), 0, 255
+    ).astype(np.uint8)
+    out = jp.decode_jpeg(jp.encode_jpeg_gray8(grad, quant_step=8))
+    assert int(np.abs(out.astype(int) - grad.astype(int)).max()) <= 10
+
+
+def test_jpeg_spark_features_and_fallback(spark):
+    """image_features decodes real JPEG bytes (decoded dims without
+    metadata; near-exact intensity at step 1); corrupt JPEG-magic
+    payloads fall back to the fake when metadata allows and raise when
+    it cannot; progressive SOF raises NotImplementedError."""
+    import struct
+
+    from beyond_vector_search_spark.operators import jpeg as jp
+
+    rng = np.random.default_rng(67)
+    imgs = {i: rng.integers(0, 256, size=(14 + i, 19 + i), dtype=np.uint8) for i in range(3)}
+    rows = [
+        (i, bytearray(jp.encode_jpeg_gray8(img)),
+         {"format": "jpeg", "width": 0, "height": 0})
+        for i, img in imgs.items()
+    ]
+    df = spark.createDataFrame(rows, mm.IMAGE_SCHEMA)
+    got = {r["media_id"]: r for r in mm.image_features(df).collect()}
+    for i, img in imgs.items():
+        assert (got[i]["width"], got[i]["height"]) == (img.shape[1], img.shape[0])
+        assert abs(got[i]["mean_intensity"] - float(img.mean())) <= 1.0
+
+    corrupt = b"\xff\xd8garbage no markers"
+    assert mm._decode_image(corrupt, 4, 3).shape == (3, 4)
+    with pytest.raises(Exception):
+        mm._decode_image(corrupt, 0, 0)
+
+    progressive = (
+        b"\xff\xd8"
+        + struct.pack(">HH", 0xFFC2, 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError):
+        jp.decode_jpeg(progressive)
