@@ -1076,3 +1076,73 @@ def test_jpeg_spark_features_and_fallback(spark):
     )
     with pytest.raises(NotImplementedError):
         jp.decode_jpeg(progressive)
+
+
+def test_jpeg_color_444_luma_extraction():
+    """A hand-built 3-component 4:4:4 JPEG (Y = image, flat chroma,
+    shared tables) decodes through the interleaved-MCU path; the output
+    is the luma plane, chroma entropy-parses without reconstruction."""
+    import struct
+
+    from beyond_vector_search_spark.operators import jpeg as jp
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    q = np.ones((8, 8), dtype=np.int32)
+
+    bw = jp._BitWriter()
+    prev = {1: 0, 2: 0, 3: 0}
+
+    def put_block(cid, block):
+        coeffs = jp._C @ (block - 128.0) @ jp._C.T
+        zz = np.round(coeffs).astype(np.int64).reshape(-1)[jp._ZZ_FLAT]
+        diff = int(zz[0] - prev[cid]); prev[cid] = int(zz[0])
+        t = jp._category(diff)
+        code, ln = jp._DC_ENC[t]; bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = int(nz[-1]) + 1 if nz.size else 0
+        for i in range(1, last + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1; continue
+            while run > 15:
+                c, l2 = jp._AC_ENC[0xF0]; bw.write(c, l2); run -= 16
+            t = jp._category(v)
+            c, l2 = jp._AC_ENC[(run << 4) | t]; bw.write(c, l2)
+            bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+            run = 0
+        if last < 63:
+            c, l2 = jp._AC_ENC[0x00]; bw.write(c, l2)
+
+    chroma = np.full((8, 8), 128.0)
+    for by in range(0, 16, 8):
+        for bx in range(0, 16, 8):
+            put_block(1, img[by:by + 8, bx:bx + 8].astype(np.float64))
+            put_block(2, chroma)
+            put_block(3, chroma)
+    bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = bytes([0]) + bytes(int(q.reshape(-1)[i]) for i in jp._ZZ_FLAT)
+    sof0 = struct.pack(">BHHB", 8, 16, 16, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0])
+    blob = (
+        b"\xff\xd8"
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof0)
+        + seg(0xFFC4, bytes([0x00]) + bytes(jp._DC_BITS) + bytes(jp._DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(jp._AC_BITS) + bytes(jp._AC_VALS))
+        + seg(0xFFDA, sos)
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+    out = jp.decode_jpeg(blob)
+    assert out.shape == (16, 16)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1

@@ -211,3 +211,24 @@ def test_prop_png_gif_bmp_image_roundtrip(w, h, filter_type, rnd):
     assert np.array_equal(mm._decode_gif(mm.encode_gif_gray8(img)), img)
     assert np.array_equal(mm._decode_gif(mm.encode_gif_gray8(img, interlace=True)), img)
     assert np.array_equal(mm._decode_bmp(mm.encode_bmp_gray8(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.randoms(use_true_random=False),
+)
+def test_prop_jpeg_roundtrip_bound(w, h, rnd):
+    """At quantization step 1 the only loss is DCT rounding: any image
+    roundtrips within |err| <= 1 per pixel."""
+    import numpy as np
+
+    from beyond_vector_search_spark.operators import jpeg as jp
+
+    img = np.array(
+        [[rnd.randrange(256) for _ in range(w)] for _ in range(h)], dtype=np.uint8
+    )
+    out = jp.decode_jpeg(jp.encode_jpeg_gray8(img))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
