@@ -398,6 +398,27 @@ def _gif_lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
     return bytes(out)
 
 
+def _gif_frame_blocks(img: np.ndarray, *, interlace: bool, left: int = 0, top: int = 0) -> bytes:
+    """One image-descriptor block (descriptor + LZW sub-blocks) for an
+    encoder frame."""
+    import struct
+
+    h, w = img.shape
+    rows = img[_gif_interlace_order(h)] if interlace else img
+    sub = _gif_lzw_encode(8, rows.reshape(-1).tolist())
+    blocks = b"".join(
+        bytes([len(chunk)]) + chunk
+        for chunk in (sub[i : i + 255] for i in range(0, len(sub), 255))
+    )
+    return (
+        b"\x2c"
+        + struct.pack("<HHHHB", left, top, w, h, 0x40 if interlace else 0)
+        + bytes([8])  # LZW min code size
+        + blocks
+        + b"\x00"  # block terminator
+    )
+
+
 def encode_gif_gray8(img: np.ndarray, *, interlace: bool = False) -> bytes:
     """Encode a 2-D uint8 array as a GIF87a with a 256-entry identity
     grayscale palette and real LZW compression (stdlib-only)."""
@@ -406,20 +427,35 @@ def encode_gif_gray8(img: np.ndarray, *, interlace: bool = False) -> bytes:
     h, w = img.shape
     img = img.astype(np.uint8)
     palette = bytes(v for g in range(256) for v in (g, g, g))
-    rows = img[_gif_interlace_order(h)] if interlace else img
-    sub = _gif_lzw_encode(8, rows.reshape(-1).tolist())
-    blocks = b"".join(
-        bytes([len(chunk)]) + chunk
-        for chunk in (sub[i : i + 255] for i in range(0, len(sub), 255))
-    )
     return (
         b"GIF87a"
         + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global 256-color table
         + palette
-        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
-        + bytes([8])  # LZW min code size
-        + blocks
-        + b"\x00\x3b"  # block terminator + trailer
+        + _gif_frame_blocks(img, interlace=interlace)
+        + b"\x3b"  # trailer
+    )
+
+
+def encode_gif_gray8_frames(frames: list, *, offsets: list | None = None) -> bytes:
+    """Encode a multi-frame (animated) GIF89a: frame 0 sets the logical
+    screen; later frames may be smaller patches at (left, top) offsets
+    — the real animation layout, where frames compose onto the previous
+    screen."""
+    import struct
+
+    h, w = frames[0].shape
+    offsets = offsets or [(0, 0)] * len(frames)
+    palette = bytes(v for g in range(256) for v in (g, g, g))
+    body = b"".join(
+        _gif_frame_blocks(np.asarray(f, dtype=np.uint8), interlace=False, left=x, top=y)
+        for f, (x, y) in zip(frames, offsets)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        + palette
+        + body
+        + b"\x3b"
     )
 
 
@@ -431,13 +467,16 @@ def _gif_interlace_order(h: int) -> np.ndarray:
     ).astype(int)
 
 
-def _decode_gif(content: bytes) -> np.ndarray:
-    """REAL decode of the first frame of a GIF87a/89a via pure-Python
-    LZW: header walk (extensions skipped), global/local color table,
-    variable-width LSB-first codes, interlace reorder.  The palette
-    reduces to uint8 gray by integer RGB mean (identity-gray palettes
-    roundtrip exactly).  The frame is composed onto the logical screen
-    at its (left, top) offset; pixels outside it read as 0."""
+def _iter_gif_frames(content: bytes):
+    """REAL decode of EVERY frame of a GIF87a/89a via pure-Python LZW:
+    header walk (extensions skipped), global/local color tables,
+    variable-width LSB-first codes, interlace reorder.  Palettes reduce
+    to uint8 gray by integer RGB mean (identity-gray palettes roundtrip
+    exactly).  Each frame composes onto the running logical screen at
+    its (left, top) offset — the animation convention — and the screen
+    snapshot after each frame is yielded.  (Disposal modes and
+    transparency are simplifications: frames replace the rectangle
+    they cover.)"""
     import struct
 
     if content[:6] not in (b"GIF87a", b"GIF89a"):
@@ -449,6 +488,8 @@ def _decode_gif(content: bytes) -> np.ndarray:
         n = 2 << (flags & 0x07)
         gct = np.frombuffer(content, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
         pos += n * 3
+    screen = np.zeros((sh, sw), dtype=np.uint8)
+    yielded = False
     while pos < len(content):
         marker = content[pos]
         pos += 1
@@ -486,14 +527,21 @@ def _decode_gif(content: bytes) -> np.ndarray:
             gray = (ct.astype(np.uint16).sum(axis=1) // 3).astype(np.uint8)
             lut = np.zeros(256, dtype=np.uint8)
             lut[: gray.size] = gray
-            screen = np.zeros((sh, sw), dtype=np.uint8)
             screen[top : top + h, left : left + w] = lut[frame]
-            return screen
+            yielded = True
+            yield screen.copy()
         elif marker == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unknown GIF block 0x{marker:02x}")
-    raise ValueError("GIF contains no image frame")
+    if not yielded:
+        raise ValueError("GIF contains no image frame")
+
+
+def _decode_gif(content: bytes) -> np.ndarray:
+    """First composed frame of :func:`_iter_gif_frames` (the still-image
+    view of a GIF)."""
+    return next(_iter_gif_frames(bytes(content)))
 
 
 def _fake_image(content: bytes, width: int, height: int) -> np.ndarray:
@@ -675,8 +723,15 @@ def resize_images(images: DataFrame, *, max_side: int = 64) -> DataFrame:
 def frame_sample(
     videos: DataFrame, *, every_n: int = 10
 ) -> DataFrame:
-    """Sample every Nth frame of a 'video' (binary column + n_frames
-    metadata) into image rows — the explode-shaped multimodal op.
+    """Sample every Nth frame of a 'video' into image rows — the
+    explode-shaped multimodal op.
+
+    REAL frame extraction for animated GIF payloads (the one video-ish
+    container stdlib can decode): frames compose onto the logical
+    screen via :func:`_iter_gif_frames` and sampled snapshots re-encode
+    as single-frame GIFs (decodable by every downstream kernel).
+    Other payloads byte-chunk by the ``n_frames`` metadata (the fake
+    path — real MP4/AVI need ffmpeg).
 
     Input:  (media_id, content BINARY, meta STRUCT<format, n_frames INT,
              width INT, height INT>)
@@ -688,6 +743,22 @@ def frame_sample(
         for pdf in batches:
             rows = []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                if bytes(content[:6]) in (b"GIF87a", b"GIF89a"):
+                    for f, frame in enumerate(_iter_gif_frames(bytes(content))):
+                        if f % every_n:
+                            continue
+                        rows.append(
+                            (
+                                int(mid) * 100000 + f,
+                                bytearray(encode_gif_gray8(frame)),
+                                {
+                                    "format": "gif",
+                                    "width": frame.shape[1],
+                                    "height": frame.shape[0],
+                                },
+                            )
+                        )
+                    continue
                 n, w, h = _meta_int(meta, "n_frames"), _meta_int(meta, "width"), _meta_int(meta, "height")
                 frame_bytes = max(1, len(content) // max(1, n))
                 for f in range(0, n, every_n):

@@ -1146,3 +1146,36 @@ def test_jpeg_color_444_luma_extraction():
     out = jp.decode_jpeg(blob)
     assert out.shape == (16, 16)
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_gif_animation_frames(spark):
+    """Multi-frame GIF: later frames compose onto the running screen at
+    their offsets; frame_sample extracts REAL sampled snapshots that
+    decode back exactly through image_features."""
+    rng = np.random.default_rng(73)
+    base = rng.integers(0, 256, size=(12, 12), dtype=np.uint8)
+    patch = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    full2 = rng.integers(0, 256, size=(12, 12), dtype=np.uint8)
+    blob = mm.encode_gif_gray8_frames(
+        [base, patch, full2], offsets=[(0, 0), (5, 6), (0, 0)]
+    )
+    frames = list(mm._iter_gif_frames(blob))
+    assert len(frames) == 3
+    assert np.array_equal(frames[0], base)
+    want1 = base.copy()
+    want1[6:10, 5:9] = patch  # (left=5, top=6) patch composes in place
+    assert np.array_equal(frames[1], want1)
+    assert np.array_equal(frames[2], full2)
+    # still-image view stays frame 0
+    assert np.array_equal(mm._decode_gif(blob), base)
+
+    videos = spark.createDataFrame(
+        [(7, bytearray(blob),
+          {"format": "gif", "n_frames": 3, "width": 12, "height": 12})],
+        "media_id BIGINT, content BINARY, meta STRUCT<format: STRING, n_frames: INT, width: INT, height: INT>",
+    )
+    out = mm.frame_sample(videos, every_n=2)
+    feats = {r["media_id"]: r for r in mm.image_features(out).collect()}
+    assert set(feats) == {700000, 700002}  # frames 0 and 2
+    assert abs(feats[700000]["mean_intensity"] - float(base.mean())) < 1e-9
+    assert abs(feats[700002]["mean_intensity"] - float(full2.mean())) < 1e-9
