@@ -12,9 +12,10 @@ BMP (pure numpy header parse, 8-bit palette + 24-bit BGR), PNG (stdlib
 alpha color types, 8- and 16-bit, Adam7 interlace), GIF (pure-Python
 LZW, interlace, local/global palettes), baseline JPEG (operators/jpeg:
 Huffman entropy decode + IDCT, luma plane out), and PCM WAV plus G.711
-mu-law/A-law (stdlib ``wave`` / numpy expansion) — dispatched on
-magic bytes, with exact/bounded encode/decode roundtrips pinned by
-tests.  What remains codec-bound (progressive JPEG, MP3, video) needs
+mu-law/A-law (stdlib ``wave`` / numpy expansion), binary netpbm
+(P5/P6), and uncompressed TIFF (both byte orders, strips, WhiteIsZero)
+— dispatched on magic bytes, with exact/bounded encode/decode
+roundtrips pinned by tests.  What remains codec-bound (progressive JPEG, MP3, video) needs
 PIL/ffmpeg/librosa, NOT in this container: those fall back to a
 deterministic fake derived from the payload bytes (clearly marked; swap
 for the real library on a cluster image).  Everything Spark-side is
@@ -544,6 +545,139 @@ def _decode_gif(content: bytes) -> np.ndarray:
     return next(_iter_gif_frames(bytes(content)))
 
 
+def _decode_pnm(content: bytes) -> np.ndarray:
+    """REAL decode of binary netpbm: P5 (gray) and P6 (RGB, reduced by
+    integer channel mean).  Header = magic, optional #comments,
+    width/height/maxval whitespace-separated; 8-bit maxval only."""
+    if content[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM")
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while content[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(content[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM")
+    ch = 1 if content[:2] == b"P5" else 3
+    px = np.frombuffer(content, np.uint8, count=w * h * ch, offset=pos)
+    if ch == 1:
+        return px.reshape(h, w).copy()
+    return (px.reshape(h, w, 3).astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+
+
+def encode_pgm(img: np.ndarray) -> bytes:
+    """2-D uint8 -> binary PGM (P5)."""
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def _decode_tiff(content: bytes) -> np.ndarray:
+    """REAL decode of uncompressed baseline TIFF (both byte orders):
+    first IFD, 8-bit grayscale or RGB (channel-mean reduction), strip
+    layout.  Compressed TIFF (LZW/JPEG/deflate) raises
+    NotImplementedError — the dispatcher falls back when metadata
+    allows."""
+    import struct
+
+    if content[:4] == b"II*\x00":
+        bo = "<"
+    elif content[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack_from(bo + "I", content, 4)
+    (n_tags,) = struct.unpack_from(bo + "H", content, ifd_off)
+    tags: dict[int, tuple] = {}
+    _SZ = {1: 1, 2: 1, 3: 2, 4: 4}
+    for i in range(n_tags):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", content, off)
+        if typ not in _SZ:
+            continue
+        total = _SZ[typ] * cnt
+        voff = off + 8 if total <= 4 else struct.unpack_from(bo + "I", content, off + 8)[0]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        vals = struct.unpack_from(bo + fmt * cnt, content, voff)
+        tags[tag] = vals
+    w = tags[256][0]
+    h = tags[257][0]
+    comp = tags.get(259, (1,))[0]
+    if comp != 1:
+        raise NotImplementedError(f"TIFF compression {comp}")
+    bits = tags.get(258, (8,))
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits}")
+    spp = tags.get(277, (1,))[0]
+    if spp not in (1, 3):
+        raise NotImplementedError(f"TIFF samples-per-pixel {spp}")
+    offsets = tags[273]
+    counts = tags.get(279, (w * h * spp,))
+    raw = b"".join(content[o : o + c] for o, c in zip(offsets, counts))
+    px = np.frombuffer(raw, np.uint8, count=w * h * spp)
+    if spp == 1:
+        img = px.reshape(h, w).copy()
+    else:
+        img = (px.reshape(h, w, 3).astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    if tags.get(262, (1,))[0] == 0:  # PhotometricInterpretation WhiteIsZero
+        img = (255 - img.astype(np.int16)).astype(np.uint8)
+    return img
+
+
+def encode_tiff_gray8(img: np.ndarray, *, rows_per_strip: int | None = None) -> bytes:
+    """2-D uint8 -> uncompressed little-endian TIFF (multi-strip when
+    ``rows_per_strip`` is set — exercises the strip-reassembly path)."""
+    import struct
+
+    h, w = img.shape
+    rps = rows_per_strip or h
+    strips = [img[r : r + rps].tobytes() for r in range(0, h, rps)]
+    n = len(strips)
+    # layout: header(8) | pixel strips | IFD | long-value arrays
+    data_off = 8
+    strip_offs = []
+    off = data_off
+    for s in strips:
+        strip_offs.append(off)
+        off += len(s)
+    ifd_off = off
+    n_tags = 8
+    after_ifd = ifd_off + 2 + 12 * n_tags + 4
+
+    def arr_or_inline(vals):
+        nonlocal after_ifd
+        if len(vals) == 1:
+            return vals[0], b""
+        blob = struct.pack("<" + "I" * len(vals), *vals)
+        ptr = after_ifd
+        after_ifd += len(blob)
+        return ptr, blob
+
+    so_val, so_blob = arr_or_inline(strip_offs)
+    sc_val, sc_blob = arr_or_inline([len(s) for s in strips])
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, n, so_val), (278, 4, 1, rps), (279, 4, n, sc_val),
+    ]
+    ifd = struct.pack("<H", n_tags)
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    return (
+        b"II*\x00" + struct.pack("<I", ifd_off)
+        + b"".join(strips) + ifd + so_blob + sc_blob
+    )
+
+
 def _fake_image(content: bytes, width: int, height: int) -> np.ndarray:
     buf = np.frombuffer(content, dtype=np.uint8)
     if buf.size == 0:
@@ -581,6 +715,10 @@ def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
         from beyond_vector_search_spark.operators.jpeg import decode_jpeg
 
         real = decode_jpeg
+    elif bytes(content[:2]) in (b"P5", b"P6"):
+        real = _decode_pnm
+    elif bytes(content[:4]) in (b"II*\x00", b"MM\x00*"):
+        real = _decode_tiff
     if real is not None:
         try:
             return real(bytes(content))

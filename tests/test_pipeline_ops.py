@@ -1179,3 +1179,43 @@ def test_gif_animation_frames(spark):
     assert set(feats) == {700000, 700002}  # frames 0 and 2
     assert abs(feats[700000]["mean_intensity"] - float(base.mean())) < 1e-9
     assert abs(feats[700002]["mean_intensity"] - float(full2.mean())) < 1e-9
+
+
+def test_pnm_and_tiff_decode():
+    """Binary PGM/PPM and uncompressed TIFF decode for real: exact gray
+    roundtrips (single- and multi-strip TIFF), RGB channel-mean
+    reduction, comment headers, WhiteIsZero inversion, and explicit
+    NotImplementedError for compressed TIFF."""
+    rng = np.random.default_rng(83)
+    img = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+    assert np.array_equal(mm._decode_pnm(mm.encode_pgm(img)), img)
+    hdr = b"P6\n# a comment\n2 1\n255\n"
+    assert mm._decode_pnm(hdr + bytes((30, 60, 90, 255, 0, 0))).tolist() == [[60, 85]]
+
+    assert np.array_equal(mm._decode_tiff(mm.encode_tiff_gray8(img)), img)
+    assert np.array_equal(
+        mm._decode_tiff(mm.encode_tiff_gray8(img, rows_per_strip=4)), img
+    )
+    # WhiteIsZero: flip photometric tag (offset of tag 262's value in
+    # the fixed layout) and expect inversion
+    import struct
+
+    blob = bytearray(mm.encode_tiff_gray8(img))
+    ifd_off = struct.unpack_from("<I", blob, 4)[0]
+    for i in range(struct.unpack_from("<H", blob, ifd_off)[0]):
+        off = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", blob, off)[0] == 262:
+            struct.pack_into("<I", blob, off + 8, 0)
+    assert np.array_equal(mm._decode_tiff(bytes(blob)), 255 - img)
+
+    lzw = bytearray(mm.encode_tiff_gray8(img))
+    for i in range(struct.unpack_from("<H", lzw, ifd_off)[0]):
+        off = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", lzw, off)[0] == 259:
+            struct.pack_into("<I", lzw, off + 8, 5)  # LZW
+    with pytest.raises(NotImplementedError):
+        mm._decode_tiff(bytes(lzw))
+
+    # dispatcher: real decode without metadata for both magics
+    assert mm._decode_image(mm.encode_pgm(img), 0, 0).shape == img.shape
+    assert mm._decode_image(mm.encode_tiff_gray8(img), 0, 0).shape == img.shape
