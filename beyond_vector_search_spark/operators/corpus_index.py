@@ -175,6 +175,13 @@ class CorpusIndex:
     doc_norm: DataFrame    # (doc_id, norm)
     scalars: DataFrame     # 1 row (n_docs, avg_dl)
     doc_ids: DataFrame     # (doc_id) — for zero-score restoration
+    # Raw per-doc gram counts (the delta relation doc_vec derives from).
+    # Present on an in-session index (index_from_delta) so cosine
+    # scoring can join it directly (retrieval.vector_scores' gram_tf
+    # path); None on an index loaded from disk, where doc_vec is a flat
+    # pre-joined relation and the direct join buys nothing.  Not part of
+    # _FIELDS: save()/load() persist doc_vec instead.
+    gram_tf: DataFrame | None = None
 
     _FIELDS = ["doc_stats", "term_stats", "postings", "gram_stats", "doc_vec", "doc_norm", "scalars", "doc_ids"]
 
@@ -560,4 +567,5 @@ def index_from_delta(delta: IndexDelta, *, cfg: EngineConfig = DEFAULT) -> Corpu
         doc_norm=doc_norm,
         scalars=scalars,
         doc_ids=delta.doc_ids,
+        gram_tf=gram_tf,
     )

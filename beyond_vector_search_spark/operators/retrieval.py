@@ -126,16 +126,20 @@ def bm25_scores(
 
 
 def query_gram_vec(queries: DataFrame, index: CorpusIndex, *, cfg: EngineConfig = DEFAULT) -> DataFrame:
-    """(query_id, gram, qw) — sublinear TF-IDF query vector in the char
-    n-gram space, query-side idf taken from the DOC space and unknown
-    grams dropped (retrievers.py:87-95)."""
+    """(query_id, gram, qw, idf) — sublinear TF-IDF query vector in the
+    char n-gram space, query-side idf taken from the DOC space and
+    unknown grams dropped (retrievers.py:87-95).
+
+    ``idf`` rides along so cosine scoring can reconstruct the DOC-side
+    weight for the same gram inline (vector_scores' gram_tf path) —
+    the join key is the gram, so its idf is shared by both sides."""
     q_tf = (
         queries.select("query_id", F.explode(char_ngrams("query", cfg.ngram_n)).alias("gram"))
         .groupBy("query_id", "gram")
         .agg(F.count("*").alias("tf"))
     )
     return q_tf.join(index.gram_stats.select("gram", "idf"), "gram").select(
-        "query_id", "gram", ((1.0 + F.log("tf")) * F.col("idf")).alias("qw")
+        "query_id", "gram", ((1.0 + F.log("tf")) * F.col("idf")).alias("qw"), "idf"
     )
 
 
@@ -150,12 +154,26 @@ def vector_scores(
 
     dot(q, d) via the inverted-index join on gram; then normalized by
     q_norm * doc_norm with the ``or 1.0`` guards (retrievers.py:84,96).
+
+    Two physical shapes, same algebra:
+
+    - **gram_tf path** (in-session index, ``index.gram_tf`` present):
+      the broadcast query vector joins the raw per-doc gram counts
+      DIRECTLY and reconstructs the doc weight inline —
+      ``qw * ((1+ln tf) * idf)`` with the idf carried on the query row
+      (the join key IS the gram, so both sides share its idf).  This
+      prunes to query-matching grams at the FIRST join: the lazy
+      doc_vec chain (gram_tf ⋈ gram_stats ⋈ doc_norm) would instead
+      stream every gram row of the corpus through two broadcast
+      builds before the selective join.  The full-document norm joins
+      AFTER the aggregation, touching one row per (query, matched doc).
+    - **doc_vec path** (index loaded from parquet: doc_vec is a flat
+      pre-joined relation — weight and norm materialized by save()):
+      one broadcast join against it, nothing to prune early.
     """
     qv = query_gram_vec(queries, index, cfg=cfg)
     # q_norm as a window over the (tiny) query-vector relation — no
-    # separate agg + broadcast-join round trip.  doc_vec carries the
-    # document norm denormalized (corpus_index.index_from_delta), so the
-    # whole cosine is one broadcast join + one aggregation.
+    # separate agg + broadcast-join round trip.
     w_q = Window.partitionBy("query_id")
     qv = qv.withColumn(
         "q_norm",
@@ -164,21 +182,41 @@ def vector_scores(
             F.lit(1.0),
         ),
     )
-    scored = (
-        F.broadcast(qv)
-        .join(index.doc_vec, "gram")
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum(F.col("qw") * F.col("weight")).alias("dot"),
-            F.first("q_norm").alias("q_norm"),
-            F.first("norm").alias("norm"),
+    gram_tf = getattr(index, "gram_tf", None)
+    if gram_tf is not None:
+        dots = (
+            F.broadcast(qv)
+            .join(gram_tf, "gram")
+            .select(
+                "query_id",
+                "doc_id",
+                (F.col("qw") * ((1.0 + F.log("tf")) * F.col("idf"))).alias("contrib"),
+                "q_norm",
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("contrib").alias("dot"), F.first("q_norm").alias("q_norm"))
         )
-        .select(
+        scored = dots.join(index.doc_norm, "doc_id").select(
             "query_id",
             "doc_id",
             (F.col("dot") / (F.col("q_norm") * F.col("norm"))).alias("score"),
         )
-    )
+    else:
+        scored = (
+            F.broadcast(qv)
+            .join(index.doc_vec, "gram")
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.sum(F.col("qw") * F.col("weight")).alias("dot"),
+                F.first("q_norm").alias("q_norm"),
+                F.first("norm").alias("norm"),
+            )
+            .select(
+                "query_id",
+                "doc_id",
+                (F.col("dot") / (F.col("q_norm") * F.col("norm"))).alias("score"),
+            )
+        )
     if cfg.include_zero_score_docs:
         scored = _restore_zero_docs(scored, queries, index.doc_ids)
     return scored
