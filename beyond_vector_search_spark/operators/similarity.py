@@ -39,6 +39,138 @@ def _with_cos_hoisted(df: DataFrame) -> DataFrame:
     )
 
 
+def _fan_out(src: DataFrame) -> DataFrame:
+    """Spread a small file-backed relation across the session's cores
+    before a mapInPandas kernel (a small parquet table often arrives as
+    ONE split, which would run the kernel single-threaded).  No-op at
+    real scale, where the scan already has >= cores partitions."""
+    parallelism = src.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_parts = len(src.inputFiles()) or None
+    except Exception:  # noqa: BLE001
+        n_parts = None
+    if n_parts is None:
+        n_parts = src.rdd.getNumPartitions()
+    return src.repartition(parallelism) if n_parts < parallelism else src
+
+
+def _quantize_rows(M):
+    """numpy twin of :func:`quantize_int8` — symmetric per-vector int8:
+    scale = max|v|/127, q_i = round-half-away-from-zero(v_i/scale),
+    zeros when scale is 0.  Values stay integer-exact in float64
+    (|q_i| <= 127, dots <= 127^2 * dim << 2^53)."""
+    import numpy as np
+
+    scale = np.abs(M).max(axis=1) / 127.0
+    safe = np.where(scale == 0.0, 1.0, scale)
+    X = M / safe[:, None]
+    Q = np.copysign(np.floor(np.abs(X) + 0.5), X)
+    Q[scale == 0.0] = 0.0
+    return Q
+
+
+def _knn_kernel_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    int8: bool,
+) -> DataFrame:
+    """Arrow matrix-kernel brute force: the query matrix rides into a
+    ``mapInPandas`` closure (queries are small by problem definition —
+    collecting them IS the broadcast, an eager job at call time), each
+    corpus partition computes its cosine block as one BLAS matmul and
+    emits only its local top-(k+8) per query, and a window over the
+    (partitions x queries x k) survivors picks the global top-k with
+    the same rounded-cos/neighbor-id ordering as the expression path.
+
+    Two scale properties the expression path lacks: each corpus vector
+    crosses the Python boundary ONCE (not once per query pair), and the
+    rank window sees candidates, not all n x q scored pairs.  The +8
+    margin makes the in-kernel ordering (numpy round, ties broken
+    exactly) immune to half-even-vs-half-up boundary disagreements with
+    the final window's F.round."""
+    import numpy as np
+
+    from collections.abc import Iterator
+
+    spark = embeddings.sparkSession
+    q_schema = queries.select(F.col("query_id")).schema
+    qid_type = q_schema["query_id"].dataType.simpleString()
+    qrows = queries.select(
+        "query_id", as_double_array(F.col("embedding")).alias("_v")
+    ).collect()
+    nid_src = embeddings.select(F.col(id_col).alias("neighbor_id"))
+    nid_type = nid_src.schema["neighbor_id"].dataType.simpleString()
+    out_schema = f"query_id {qid_type}, neighbor_id {nid_type}, cos double"
+    if not qrows:
+        return spark.createDataFrame(
+            [], out_schema + ", rank int"
+        ).select("query_id", "neighbor_id", "cos", "rank")
+    q_ids = [r["query_id"] for r in qrows]
+    Q = np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in qrows])
+    if int8:
+        Q = _quantize_rows(Q)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    take = k + 8
+
+    src = _fan_out(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("_v"),
+        )
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"].to_numpy()]
+            )
+            if int8:
+                C = _quantize_rows(C)
+            cn = np.sqrt((C * C).sum(axis=1))
+            denom = qn[:, None] * cn[None, :]
+            cos = np.where(
+                denom == 0.0, 0.0, (Q @ C.T) / np.where(denom == 0.0, 1.0, denom)
+            )
+            cr = np.round(cos, 6)
+            nbr = pdf["neighbor_id"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for qi, qid in enumerate(q_ids):
+                row_c, row_r = cos[qi], cr[qi]
+                order = sorted(
+                    (j for j in range(len(nbr)) if nbr[j] != qid),
+                    key=lambda j: (-row_r[j], nbr[j]),
+                )[:take]
+                for j in order:
+                    out_q.append(qid)
+                    out_n.append(nbr[j])
+                    out_c.append(row_c[j])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q),
+                    "neighbor_id": pd.Series(out_n, dtype=pdf["neighbor_id"].dtype),
+                    "cos": pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    cand = src.mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -46,13 +178,24 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    kernel: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos, rank) — exact cosine top-k.
 
     ``queries``: (query_id, embedding).  Ranking uses cos rounded to 6
     (cross-engine guard) with neighbor_id tie-break; self-matches are
     excluded.
+
+    ``kernel=True`` (default) runs the Arrow matrix kernel
+    (:func:`_knn_kernel_topk` — BLAS matmul per corpus partition, local
+    top-k, tiny global window; collects the query side eagerly).
+    ``kernel=False`` is the pure-expression semantic definition
+    (sequential-fold dots, fully lazy); tests pin the two identical.
     """
+    if kernel:
+        return _knn_kernel_topk(
+            embeddings, queries, id_col=id_col, vec_col=vec_col, k=k, int8=False
+        )
     qv = as_double_array(F.col("embedding"))
     q = queries.select(F.col("query_id"), qv.alias("qv"), l2_norm(qv).alias("qn"))
     cv = as_double_array(F.col(vec_col))
@@ -362,11 +505,24 @@ def knn_quantized_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    kernel: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos, rank) — brute-force top-k over
     int8-quantized vectors: exact integer dot/norms per pair, one float
     division at the end.  Same shape as knn_bruteforce; the quantized
-    corpus is what a 100 TB deployment would actually scan."""
+    corpus is what a 100 TB deployment would actually scan.
+
+    ``kernel=True`` (default) uses the Arrow matrix kernel; the int8
+    dots/norms stay integer-EXACT there too (integer-valued float64,
+    far below 2^53), so both paths are bit-identical, not just
+    close — a test pins this.  The query side's ``vec_id`` doubles as
+    ``query_id`` (both paths quantize queries with the same rule).
+    """
+    if kernel:
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("embedding"))
+        return _knn_kernel_topk(
+            embeddings, q, id_col=id_col, vec_col=vec_col, k=k, int8=True
+        )
     # integer-exact dot and norms (bigint accumulation), float only at
     # the final normalization — bit-reproducible across engines
     inorm = lambda c: F.aggregate(  # noqa: E731

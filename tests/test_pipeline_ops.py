@@ -1219,3 +1219,48 @@ def test_pnm_and_tiff_decode():
     # dispatcher: real decode without metadata for both magics
     assert mm._decode_image(mm.encode_pgm(img), 0, 0).shape == img.shape
     assert mm._decode_image(mm.encode_tiff_gray8(img), 0, 0).shape == img.shape
+
+
+def test_knn_kernel_matches_expression_paths(spark):
+    """The Arrow matrix kernel (default) and the pure-expression
+    semantic definition agree on the testdata embeddings — exact arm
+    row-for-row at 6 decimals, int8 arm BIT-identical (integer-exact
+    dots in both paths)."""
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.cos, r.rank) for r in df.collect()
+        )
+
+    got = rows(sim.knn_bruteforce(emb, queries, k=5))
+    want = rows(sim.knn_bruteforce(emb, queries, k=5, kernel=False))
+    assert got == want
+
+    qs = emb.where("vec_id < 5")
+    got8 = rows(sim.knn_quantized_topk(emb, qs, k=5))
+    want8 = rows(sim.knn_quantized_topk(emb, qs, k=5, kernel=False))
+    assert got8 == want8
+
+
+def test_knn_kernel_edge_inputs(spark):
+    """Kernel path: empty query set yields an empty frame with the full
+    schema; string ids and zero vectors don't throw."""
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 0.0]), ("c", [0.5, 0.5])],
+        "vec_id STRING, embedding ARRAY<DOUBLE>",
+    )
+    q0 = emb.where("vec_id = 'zz'").select(F.col("vec_id").alias("query_id"), "embedding")
+    out = sim.knn_bruteforce(emb, q0, k=2)
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+    assert out.count() == 0
+
+    q = emb.where("vec_id = 'b'").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = sorted(sim.knn_bruteforce(emb, q, k=5).collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in got] == ["a", "c"]  # zero-norm query -> cos 0.0, id order
+    assert all(r.cos == 0.0 for r in got)
