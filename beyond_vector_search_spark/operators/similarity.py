@@ -54,6 +54,39 @@ def _fan_out(src: DataFrame) -> DataFrame:
     return src.repartition(parallelism) if n_parts < parallelism else src
 
 
+def _estimate_rows(df: DataFrame, *, max_footers: int = 64) -> int | None:
+    """Driver-side row-count ESTIMATE from parquet footer metadata — no
+    Spark job.  Works for any plan backed by one local file source
+    (filters/unions included; the estimate is the base table's size,
+    an upper bound).  Returns None when the plan has no file source, a
+    non-local scheme, or non-parquet files; beyond ``max_footers``
+    files, reads a prefix and scales by file count."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file plans (createDataFrame, streams)
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        paths = []
+        for f in files:
+            if f.startswith("file:"):
+                f = f[5:].lstrip("/")
+                f = "/" + f
+            elif "://" in f:
+                return None
+            paths.append(f)
+        sample = paths[:max_footers]
+        total = sum(pq.read_metadata(p).num_rows for p in sample)
+        if len(paths) > len(sample):
+            total = int(total * len(paths) / len(sample))
+        return total
+    except Exception:  # noqa: BLE001 — unreadable / non-parquet footers
+        return None
+
+
 def _quantize_rows(M):
     """numpy twin of :func:`quantize_int8` — symmetric per-vector int8:
     scale = max|v|/127, q_i = round-half-away-from-zero(v_i/scale),
@@ -355,10 +388,13 @@ def embedding_neardup_pairs(
     O(n^2) cost.
 
     ``n_centroids=None`` (default) auto-scales the centroid count with
-    the corpus: ``max(8, isqrt(n))``.  The sizing ``count()`` is an
-    eager job at plan-construction time — metadata-only for parquet
-    scans, a real pass for computed lineage; pass ``n_centroids``
-    explicitly (any reasonable estimate works) to skip it.  A
+    the corpus: ``max(8, isqrt(n))``, with n ESTIMATED from parquet
+    footer metadata on the driver (:func:`_estimate_rows` — no Spark
+    job, filters/unions fine; the base-table upper bound just means
+    smaller buckets).  Only lineage with no file source at all (pure
+    in-memory frames) falls back to an eager ``count()`` job; pass
+    ``n_centroids`` explicitly (any reasonable estimate works) to
+    avoid even that.  A
     FIXED centroid count does not scale — with K constant, buckets hold
     n/K vectors and the within-bucket join is still O(n^2/K).  Total
     work is assignment O(n*K) + bucket joins O(probe^2*n^2/K), which
@@ -392,7 +428,16 @@ def embedding_neardup_pairs(
         if n_centroids is None:
             import math
 
-            n_centroids = max(8, math.isqrt(embeddings.count()))
+            # Sizing must not launch a job during what looks like lazy
+            # plan construction: estimate n from parquet footers on the
+            # driver (any file-backed lineage, filters included — the
+            # base-table upper bound only makes K larger, i.e. buckets
+            # smaller).  Only a plan with no file source at all (pure
+            # in-memory lineage) falls back to an eager count().
+            n = _estimate_rows(embeddings)
+            if n is None:
+                n = embeddings.count()
+            n_centroids = max(8, math.isqrt(n))
         cents = (
             embeddings.orderBy(F.asc(id_col))
             .limit(n_centroids)

@@ -178,11 +178,24 @@ _COS_SQL = (
 
 @register(
     "embed_neardup_pairs",
-    # near-dups planted deterministically: ids+100000 carry 2x-scaled
-    # copies of vec_id < 50 (cosine exactly 1.0 by scale invariance)
+    # near-dups planted deterministically, two grades:
+    # - ids+100000: 2x-scaled copies of vec_id < 50 — cosine exactly
+    #   1.0 by scale invariance (the exact-duplicate dedup case);
+    # - ids+200000: alternating +/-2% coordinate scaling of vec_id < 10
+    #   — TRUE near-pairs.  cos(v, v .* (1 +/- a)) =
+    #   (1 + c*a) / sqrt(1 + 2*c*a + a^2) with c = (even-index mass) -
+    #   (odd-index mass) in [-1, 1], so for a = 0.02 the cosine lies in
+    #   [0.9998, 1.0] for EVERY vector — above the 0.999 threshold but
+    #   (generically) strictly below 1.0, exercising the centroid
+    #   blocker's recall on merely-near directions, not just scale
+    #   twins.  (DuckDB lambda index is 1-based, Spark's 0-based —
+    #   hence (i-1) here.)
     "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100 "
     "UNION ALL SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) "
-    "FROM embeddings WHERE vec_id < 50), "
+    "FROM embeddings WHERE vec_id < 50 "
+    "UNION ALL SELECT vec_id + 200000, list_transform(CAST(embedding AS DOUBLE[]), "
+    "(x, i) -> x * (CASE WHEN (i - 1) % 2 = 0 THEN CAST(1.02 AS DOUBLE) ELSE CAST(0.98 AS DOUBLE) END)) "
+    "FROM embeddings WHERE vec_id < 10), "
     "a AS (SELECT vec_id AS id_a, v AS qv FROM base), "
     "b AS (SELECT vec_id AS id_b, v AS cv FROM base), "
     f"pairs AS (SELECT id_a, id_b, {_COS_SQL} AS cos FROM a CROSS JOIN b WHERE id_a < id_b) "
@@ -200,7 +213,23 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(scaled)
+    wobble = (
+        load_table(spark, sf_dir, "embeddings")
+        .where("vec_id < 10")
+        .select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, i: x
+                * F.when(i % 2 == 0, F.lit(1.02)).otherwise(F.lit(0.98)),
+            ).alias("embedding"),
+        )
+    )
+    base = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(scaled)
+        .unionByName(wobble)
+    )
     return sim.embedding_neardup_pairs(base, threshold=0.999)
 
 

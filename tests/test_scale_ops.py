@@ -500,3 +500,21 @@ def test_streaming_tar_shards_compose_with_dedup(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert sorted(r.text for r in out) == ["a bird", "a cat", "a dog"]
+
+
+def test_embedding_neardup_sizing_launches_no_job(spark):
+    """Auto-sizing the centroid count on FILE-BACKED lineage (filters /
+    unions over parquet) must not run a Spark job at plan-construction
+    time — n comes from parquet footers on the driver.  Pure in-memory
+    lineage still counts (documented fallback)."""
+    from beyond_vector_search_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        "vec_id < 40"
+    )
+    sc = spark.sparkContext
+    jobs_before = sc._jsc.sc().dagScheduler().nextJobId()
+    plan = sim.embedding_neardup_pairs(emb, threshold=0.999)
+    jobs_after = sc._jsc.sc().dagScheduler().nextJobId()
+    assert jobs_after == jobs_before, "plan construction launched a Spark job"
+    assert plan.count() >= 0  # the plan itself still executes
