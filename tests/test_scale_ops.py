@@ -518,3 +518,40 @@ def test_embedding_neardup_sizing_launches_no_job(spark):
     jobs_after = sc._jsc.sc().dagScheduler().nextJobId()
     assert jobs_after == jobs_before, "plan construction launched a Spark job"
     assert plan.count() >= 0  # the plan itself still executes
+
+
+def test_cli_index_bucketed_roundtrip(spark, ref_corpus):
+    """The CLI's --index-format bucketed path (cli._index): first call
+    builds and persists catalog tables, the SECOND call RELOADS them
+    (proven by passing a decoy corpus — a rebuild would reflect it),
+    and the CLI-written postings table aggregates by term without an
+    Exchange."""
+    import contextlib
+    import io
+    import re
+
+    from beyond_vector_search_spark.cli import _index
+    from beyond_vector_search_spark.operators.retrieval import search_all
+
+    db = "bvs_cli_bucketed_test"
+    for t in ("doc_stats", "term_stats", "postings", "gram_stats",
+              "doc_vec", "doc_norm", "scalars", "doc_ids"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+
+    idx1 = _index(spark, ref_corpus, db, "bucketed")
+    decoy = spark.createDataFrame(
+        [("DOC-X", "decoy", "decoy text only")], "doc_id STRING, title STRING, text STRING"
+    )
+    idx2 = _index(spark, decoy, db, "bucketed")
+    assert idx2.term_stats.where("term = 'decoy'").count() == 0  # reload, not rebuild
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        idx2.postings.groupBy("term").agg(F.sum("tf").alias("tf")).explain("formatted")
+    assert not re.search(r"\(\d+\) Exchange", buf.getvalue()), buf.getvalue()
+
+    q = spark.createDataFrame(
+        [("q1", "INC-49217 details")], "query_id STRING, query STRING"
+    )
+    top = search_all(q, idx2, k=1)["keyword"].collect()
+    assert top[0].doc_id == "DOC-190"
