@@ -555,3 +555,74 @@ def test_cli_index_bucketed_roundtrip(spark, ref_corpus):
     )
     top = search_all(q, idx2, k=1)["keyword"].collect()
     assert top[0].doc_id == "DOC-190"
+
+
+def test_index_delta_compact_preserves_index(spark, tmp_path, ref_corpus, ref_index):
+    """A 3-batch streaming ingest followed by IndexDelta.compact():
+    the derived index is unchanged (same relations row-for-row), the
+    store holds fewer parquet files, a second compact is idempotent,
+    and the batch markers still guard replay (re-appending an already-
+    ingested batch after compaction is a no-op)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.corpus_index import (
+        IndexDelta,
+        index_from_delta,
+    )
+    from beyond_vector_search_spark.streaming.ingest import (
+        append_delta_batch,
+        start_index_ingest,
+    )
+
+    src = tmp_path / "docs_src3"
+    src.mkdir()
+    ref_corpus.where("doc_id < 'DOC-070'").coalesce(1).write.parquet(str(src / "f1"))
+    ref_corpus.where("doc_id >= 'DOC-070' AND doc_id < 'DOC-140'").coalesce(1).write.parquet(str(src / "f2"))
+    ref_corpus.where("doc_id >= 'DOC-140'").coalesce(1).write.parquet(str(src / "f3"))
+
+    stream = (
+        spark.readStream.schema(ref_corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    store = str(tmp_path / "delta_store3")
+    q = start_index_ingest(
+        stream, store, text=F.concat_ws(" ", "title", "text"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+
+    def store_files():
+        return sorted(
+            f for f in glob.glob(f"{store}/*/**/*.parquet", recursive=True)
+        )
+
+    def relations(delta):
+        idx = index_from_delta(delta)
+        return {
+            f: sorted(map(tuple, getattr(idx, f).collect()))
+            for f in ("postings", "term_stats", "gram_stats", "doc_stats")
+        }
+
+    before_files = store_files()
+    want = relations(IndexDelta.load(spark, store))
+    assert want["term_stats"] == sorted(map(tuple, ref_index.term_stats.collect()))
+
+    compacted = IndexDelta.load(spark, store).compact(store, partitions=2)
+    after_files = store_files()
+    assert len(after_files) < len(before_files), (len(after_files), len(before_files))
+    assert relations(compacted) == want
+
+    # idempotent: compacting the compacted store changes nothing
+    again = IndexDelta.load(spark, store).compact(store, partitions=2)
+    assert relations(again) == want
+
+    # replay guard: a retried foreachBatch delivery after compaction is
+    # skipped by its marker instead of re-appending the batch rows
+    assert not append_delta_batch(
+        ref_corpus.where("doc_id < 'DOC-070'"), 0, store,
+        text=F.concat_ws(" ", "title", "text"),
+    )
+    assert relations(IndexDelta.load(spark, store)) == want
