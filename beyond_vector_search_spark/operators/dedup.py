@@ -193,8 +193,75 @@ def jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def _simhash_kernel(
+    df: DataFrame, *, id_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """Arrow-batched SimHash: tokenize + md5-hash + bit-majority vote in
+    numpy, one narrow pass (``mapInPandas``), bit-identical to the
+    expression path (integer vote, same 60-bit md5-derived token hash).
+
+    The expression form evaluates ``bits x tokens`` interpreted lambda
+    steps per document (~3 ms/doc at bits=60 — measured: 15.6 s for 5k
+    docs, the dominant cost of simhash_pairs at every SCALING.jsonl
+    probe point); this kernel is the same Pandas-UDF escape hatch the
+    index build uses (functions/kernels.py), ~20x faster.  Token hashes
+    are memoized per batch — corpus vocabulary repeats heavily.
+    """
+    import hashlib
+
+    from collections.abc import Iterator
+
+    from beyond_vector_search_spark.functions.kernels import _TOKEN_RE, _project
+
+    src, id_type = _project(df, id_col, F.col(text_col))
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(bits, dtype=np.uint64)
+        powers = np.uint64(1) << shifts
+        cache: dict[str, int] = {}
+
+        def tok_hash(t: str) -> int:
+            h = cache.get(t)
+            if h is None:
+                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                cache[t] = h
+            return h
+
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
+                toks = {t.lower() for t in _TOKEN_RE.findall(txt or "")}
+                if toks:
+                    hs = np.fromiter(
+                        (tok_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
+                    )
+                    ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                    # sum of (2*bit - 1) > 0  <=>  2*ones > n_tokens
+                    fp = int((powers[2 * ones > len(hs)]).sum())
+                else:
+                    fp = 0
+                ids.append(doc_id)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                    "simhash": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(kernel, f"doc_id {id_type}, simhash long")
+
+
 def simhash64(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    kernel: bool = True,
 ) -> DataFrame:
     """(doc_id, simhash) — SimHash over the distinct-token set.
 
@@ -203,8 +270,15 @@ def simhash64(
     (2*bit_j(h)-1) is positive.  32 bits keeps the per-row work
     (tokens × bits) cheap while remaining a real near-dup fingerprint.
 
-    DuckDB mirror uses the same md5 hash and the same bit fold.
+    ``kernel=True`` (default) computes the identical fingerprints in an
+    Arrow numpy kernel (:func:`_simhash_kernel` — the interpreted
+    bits×tokens lambda fold is the dominant cost of simhash_pairs);
+    ``kernel=False`` is the pure-expression semantic definition, which
+    the DuckDB mirror reproduces (same md5 hash, same bit fold).  Tests
+    pin the two bit-identical.
     """
+    if kernel and bits <= 63:
+        return _simhash_kernel(df, id_col=id_col, text_col=text_col, bits=bits)
     hashed = df.select(
         F.col(id_col).alias("doc_id"),
         F.transform(F.array_distinct(tokenize(F.col(text_col))), lambda t: hash64(t)).alias("hs"),
@@ -323,7 +397,15 @@ def hamming_fingerprint_pairs(
             .drop("_bucket_n")
         )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # Hamming is verified INLINE in the join projection and filtered
+    # BEFORE the per-pair distinct: hamming is a pure function of the
+    # pair, so filter-then-distinct == distinct-then-filter, but the
+    # dedup shuffle now carries only qualifying (id_a, id_b, hamming)
+    # rows instead of every candidate with both 8-byte fingerprints.
+    # On a templated corpus (sf0.1: 2.9M candidates -> 271k pairs) this
+    # cuts the operator's one big shuffle ~4x; candidate generation
+    # itself stays in codegen and is output-cost only.
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -333,16 +415,13 @@ def hamming_fingerprint_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._fp").alias("sh_a"),
-            F.col("b._fp").alias("sh_b"),
+            F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
+            .cast("int")
+            .alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
         .distinct()  # a pair may share several bands
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
-    ).where(F.col("hamming") <= max_hamming)
 
 
 def connected_components(

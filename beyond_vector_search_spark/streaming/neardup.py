@@ -56,7 +56,7 @@ from beyond_vector_search_spark.operators.dedup import word_shingles_from_tokens
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
-PAIRS_SCHEMA = "doc_a BIGINT, doc_b BIGINT, band_id INT, band_key STRING"
+PAIRS_SCHEMA = "doc_a BIGINT, doc_b BIGINT, band_id INT, band_key STRING, ts TIMESTAMP"
 _STATE_SCHEMA = "doc_ids ARRAY<BIGINT>, saturated BOOLEAN"
 
 
@@ -113,6 +113,7 @@ def _empty_pairs():
             "doc_b": pd.Series(dtype="int64"),
             "band_id": pd.Series(dtype="int32"),
             "band_key": pd.Series(dtype="object"),
+            "ts": pd.Series(dtype="datetime64[ns]"),
         }
     )
 
@@ -131,17 +132,23 @@ def _make_bucket_update(max_bucket_size: int, ttl_ms: int):
         seen, saturated = ([], False) if not state.exists else (
             list(state.get[0]), bool(state.get[1])
         )
-        pairs: list[tuple[int, int, int, str]] = []
+        pairs: list[tuple] = []
         last_ms = 0
         for pdf in pdfs:
-            if len(pdf) and "ts" in pdf:
+            has_ts = len(pdf) and "ts" in pdf
+            if has_ts:
                 last_ms = max(last_ms, max(int(t.value // 1_000_000) for t in pdf["ts"]))
-            for d in pdf["doc_id"].astype("int64").tolist():
+            tss = pdf["ts"].tolist() if has_ts else [None] * len(pdf)
+            for d, t in zip(pdf["doc_id"].astype("int64").tolist(), tss):
                 if saturated:
                     continue
                 for s in seen:
                     if s != d:
-                        pairs.append((min(s, d), max(s, d), band_id, band_key))
+                        # pair event time = the LATER doc's arrival (the
+                        # moment the pair became knowable) — carried on
+                        # the output row so downstream watermark-bounded
+                        # dedup (dropDuplicatesWithinWatermark) composes
+                        pairs.append((min(s, d), max(s, d), band_id, band_key, t))
                 seen.append(d)
                 if len(seen) > max_bucket_size:
                     # batch-guard semantics: an over-cap bucket emits
@@ -156,7 +163,9 @@ def _make_bucket_update(max_bucket_size: int, ttl_ms: int):
             max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
         )
         if pairs:
-            yield pd.DataFrame(pairs, columns=["doc_a", "doc_b", "band_id", "band_key"])
+            yield pd.DataFrame(
+                pairs, columns=["doc_a", "doc_b", "band_id", "band_key", "ts"]
+            )
         else:
             yield _empty_pairs()
 
@@ -176,15 +185,40 @@ def minhash_pairs_stream(
     max_bucket_size: int = 1_000,
     state_ttl_ms: int = 60 * 60 * 1000,
 ) -> DataFrame:
-    """(doc_a, doc_b, band_id, band_key) near-dup candidate stream.
+    """(doc_a, doc_b, band_id, band_key, ts) near-dup candidate stream.
 
-    One output row per (pair, band) meeting; a pair agreeing on several
-    bands appears once per band (dedupe downstream with
-    ``dropDuplicatesWithinWatermark`` on (doc_a, doc_b) if exactly-once
-    pair emission matters — kept out of this operator so the cheap
-    common case pays one stateful stage, not two).  ``state_ttl_ms``
+    One output row per (pair, band) meeting, stamped with the LATER
+    doc's event time; a pair agreeing on several bands appears once per
+    band.  For exactly-once pair emission compose a DOWNSTREAM query
+    over the landed candidate stream::
+
+        # query 1: this operator -> file/Kafka sink
+        # query 2: readStream(sink)
+        pairs.withWatermark("ts", horizon)
+             .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
+
+    (pinned by test_streaming_minhash_pairs_exactly_once).  The ``ts``
+    stamp exists precisely so the watermark-bounded dedup composes.
+    Two queries, not one: chaining ``dropDuplicatesWithinWatermark``
+    directly onto this operator crashes in Spark 4.1 — the streaming
+    dedup operator casts its input to UnsafeRow, but rows arriving from
+    applyInPandasWithState's Arrow output are columnar
+    (ClassCastException: ColumnarBatchRow -> UnsafeRow), and the
+    global-watermark correctness check flags the chain anyway.  The
+    sink boundary is also the production shape: candidates land once,
+    and dedup/verify/clustering consumers each replay them.  ``state_ttl_ms``
     bounds how long an idle bucket's doc ids stay pairable (event time
     since the bucket's last arrival).
+
+    **Saturation caveat vs the batch guard**: ``max_bucket_size`` here
+    drops a bucket's pairs only from the saturating arrival ONWARD.
+    Pairs the bucket emitted in EARLIER micro-batches are already
+    downstream — append-mode output cannot be retracted — whereas the
+    batch operator's guard drops the whole over-cap bucket's pairs at
+    once.  Streamed and batch results over the same documents therefore
+    agree exactly iff no bucket crosses the cap mid-stream; size the
+    cap for the watermark horizon's worst-case bucket, or treat early
+    pairs from a bucket that later saturates as suspect downstream.
     """
     banded = banded_signatures_stream(
         doc_stream,

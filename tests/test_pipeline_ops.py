@@ -1264,3 +1264,23 @@ def test_knn_kernel_edge_inputs(spark):
     got = sorted(sim.knn_bruteforce(emb, q, k=5).collect(), key=lambda r: r.rank)
     assert [r.neighbor_id for r in got] == ["a", "c"]  # zero-norm query -> cos 0.0, id order
     assert all(r.cos == 0.0 for r in got)
+
+
+def test_simhash_kernel_matches_expression(spark):
+    """The Arrow SimHash kernel is BIT-identical to the expression
+    fold (same md5-derived token hash, same majority vote) at both the
+    catalog's 32 bits and the production 60 bits — including empty and
+    punctuation-only documents (fingerprint 0)."""
+    from beyond_vector_search_spark.operators.dedup import simhash64
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    extra = spark.createDataFrame(
+        [(10_001, ""), (10_002, "!!! ??? ..."), (10_003, "Tie tie TIE")],
+        "doc_id BIGINT, text STRING",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    for bits in (32, 60):
+        k = sorted(map(tuple, simhash64(both, bits=bits).collect()))
+        e = sorted(map(tuple, simhash64(both, bits=bits, kernel=False).collect()))
+        assert k == e, bits

@@ -626,3 +626,67 @@ def test_index_delta_compact_preserves_index(spark, tmp_path, ref_corpus, ref_in
         text=F.concat_ws(" ", "title", "text"),
     )
     assert relations(IndexDelta.load(spark, store)) == want
+
+
+def test_streaming_minhash_pairs_exactly_once(spark, tmp_path):
+    """An identical re-crawl agrees on ALL 4 bands, so the candidate
+    stream emits the pair once per band; the documented two-query
+    composition (land candidates -> dropDuplicatesWithinWatermark over
+    the pair stream's own event time) yields exactly one row for the
+    pair — across micro-batches, under the watermark."""
+    import datetime as dt
+
+    from beyond_vector_search_spark.streaming.neardup import minhash_pairs_stream
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about spark shuffles and joins"
+    schema = "doc_id BIGINT, text STRING, ts TIMESTAMP"
+    src = tmp_path / "eo_src"
+    src.mkdir()
+    # batch 1: original + unrelated; batch 2: byte-identical re-crawl
+    spark.createDataFrame([(1, text, t0), (2, other, t0)], schema).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame([(3, text, t0 + dt.timedelta(minutes=1))], schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    # query 1: candidate pairs -> parquet sink (the landing zone)
+    land = tmp_path / "eo_pairs"
+    q1 = (
+        minhash_pairs_stream(stream, watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", str(land))
+        .option("checkpointLocation", str(tmp_path / "eo_ckpt_raw"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(300)
+
+    raw = spark.read.parquet(str(land)).collect()
+    raw_13 = [r for r in raw if (r.doc_a, r.doc_b) == (1, 3)]
+    assert len(raw_13) == 4, raw  # identical docs meet in every band
+    assert all(r.ts == t0 + dt.timedelta(minutes=1) for r in raw_13)  # later doc's time
+
+    # query 2: watermark-bounded exactly-once dedup over the landed pairs
+    uniq: list = []
+    pair_stream = (
+        spark.readStream.schema("doc_a BIGINT, doc_b BIGINT, band_id INT, band_key STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(land))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
+    )
+    q2 = (
+        pair_stream.writeStream.foreachBatch(lambda df, _b: uniq.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "eo_ckpt_uniq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    uniq_13 = [r for r in uniq if (r.doc_a, r.doc_b) == (1, 3)]
+    assert len(uniq_13) == 1, uniq  # exactly-once across bands
