@@ -361,10 +361,34 @@ def _decode_scan(data, pos, h, w, comps, scan, qtables, htables, restart_interva
         raise ValueError("SOS before SOF")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    by_id = {c[0]: c for c in comps}
+    if len(scan) == 1:
+        # T.81 A.2: a NON-INTERLEAVED scan's MCU is one data unit — the
+        # frame sampling factors size the component, they do not build
+        # ch x cv MCU clusters.  (A grayscale JPEG declaring 2x2
+        # factors decodes block-by-block here; treating it as
+        # interleaved would read 4 blocks per MCU and desync the
+        # entropy stream.)
+        cid, td, ta = scan[0]
+        _, ch, cv, ctq = by_id[cid]
+        cw = -(-(w * ch) // hmax)
+        chh = -(-(h * cv) // vmax)
+        bx, by = -(-cw // 8), -(-chh // 8)
+        out = np.zeros((by * 8, bx * 8))
+        br = _BitReader(data, pos)
+        prev_dc = {cid: 0}
+        for idx in range(by * bx):
+            if restart_interval and idx and idx % restart_interval == 0:
+                br.sync_to_restart()
+                prev_dc = {cid: 0}
+            yb, xb = divmod(idx, bx)
+            block = _decode_block(br, htables[(0, td)], htables[(1, ta)], prev_dc, cid)
+            px = (_C.T @ (block * qtables[ctq]) @ _C) + 128.0
+            out[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = px
+        return np.clip(np.round(out[:chh, :cw]), 0, 255).astype(np.uint8)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     # luma = the first scan component's frame entry
-    by_id = {c[0]: c for c in comps}
     luma_id = scan[0][0]
     _, lh, lv, ltq = by_id[luma_id]
     luma = np.zeros((mcuy * lv * 8, mcux * lh * 8))

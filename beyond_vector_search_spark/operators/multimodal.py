@@ -810,7 +810,16 @@ def image_phashes(images: DataFrame, *, hash_size: int = 8) -> DataFrame:
     equi-join, never all-pairs, pigeonhole-lossless at hamming <=
     bands-1.  Re-encoded/resized/brightness-shifted copies land within
     a few bits; unrelated images differ in ~32.
+
+    ``hash_size`` is capped at 8: the fingerprints pack into signed
+    int64 (hash_size² bits), and a 64-bit hash is what the banded
+    hamming join's band extraction is specified over.
     """
+    if hash_size < 1 or hash_size > 8:
+        raise ValueError(
+            f"hash_size must be in [1, 8] (got {hash_size}): "
+            "hash_size**2 bits must fit a signed int64 fingerprint"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

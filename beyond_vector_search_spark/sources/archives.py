@@ -168,12 +168,20 @@ def image_rows_from_samples(
     multimodal IMAGE_SCHEMA, ready for image_features / image_phashes /
     resize_images.  ``media_id`` is the trailing integer of the key
     when ``id_from_key`` (the WebDataset numbering convention), else a
-    dense hash of (shard, key)."""
+    dense hash of (shard, key).  A key WITHOUT trailing digits falls
+    back to the hash id instead of going NULL — a single oddly-named
+    member must not poison downstream kernels (they int() the id)."""
     img = F.element_at(F.col("parts"), ext)
+    hash_id = F.abs(F.xxhash64("shard", "key"))
+    # regexp_extract returns '' on no match — nullif before the cast
+    # (ANSI mode would throw on ''::bigint), then fall back to the hash
     media_id = (
-        F.regexp_extract(F.col("key"), r"(\d+)$", 1).cast("bigint")
+        F.coalesce(
+            F.nullif(F.regexp_extract(F.col("key"), r"(\d+)$", 1), F.lit("")).cast("bigint"),
+            hash_id,
+        )
         if id_from_key
-        else F.abs(F.xxhash64("shard", "key"))
+        else hash_id
     )
     return (
         samples.where(img.isNotNull())

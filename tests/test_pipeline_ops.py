@@ -1284,3 +1284,63 @@ def test_simhash_kernel_matches_expression(spark):
         k = sorted(map(tuple, simhash64(both, bits=bits).collect()))
         e = sorted(map(tuple, simhash64(both, bits=bits, kernel=False).collect()))
         assert k == e, bits
+
+
+def test_image_phashes_rejects_oversized_hash(spark):
+    """hash_size > 8 cannot pack into the int64 fingerprint — a clear
+    ValueError up front, not an OverflowError mid-kernel."""
+    from beyond_vector_search_spark.operators import multimodal as mm
+
+    imgs = spark.createDataFrame([], mm.IMAGE_SCHEMA)
+    with pytest.raises(ValueError, match="hash_size"):
+        mm.image_phashes(imgs, hash_size=16)
+    with pytest.raises(ValueError, match="hash_size"):
+        mm.image_phashes(imgs, hash_size=0)
+
+
+def test_archive_image_rows_digitless_key_falls_back_to_hash(spark, tmp_path):
+    """id_from_key=True on a key with no trailing digits must yield the
+    (shard, key) hash id, never NULL — one oddly-named member must not
+    fail the whole downstream kernel job."""
+    import io
+    import tarfile
+
+    from beyond_vector_search_spark.operators import multimodal as mm
+    from beyond_vector_search_spark.sources import archives as ar
+
+    png = mm.encode_png_gray8(__import__("numpy").zeros((4, 4), dtype="uint8"))
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for key in ("sample007", "coverimage"):  # digits / no digits
+            ti = tarfile.TarInfo(f"{key}.png")
+            ti.size = len(png)
+            tf.addfile(ti, io.BytesIO(png))
+    (tmp_path / "shard0.tar").write_bytes(buf.getvalue())
+
+    samples = ar.webdataset_samples(ar.read_tar_shards(spark, str(tmp_path / "*.tar")))
+    rows = ar.image_rows_from_samples(samples, ext="png").collect()
+    ids = [r.media_id for r in rows]
+    assert len(ids) == 2 and all(i is not None for i in ids), ids
+    assert 7 in ids  # numbered key keeps the WebDataset id
+    # and the fallback id survives the feature kernel end-to-end
+    feats = mm.image_features(ar.image_rows_from_samples(samples, ext="png")).collect()
+    assert len(feats) == 2
+
+
+def test_jpeg_single_component_scan_ignores_sampling_factors(spark):
+    """T.81 A.2: a non-interleaved (single-component) scan's MCU is ONE
+    data unit — a grayscale JPEG declaring 2x2 sampling factors decodes
+    identically to its 1x1 twin, with and without restart markers."""
+    import numpy as np
+
+    from beyond_vector_search_spark.operators import jpeg as jp
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (23, 30), dtype=np.uint8)
+    for ri in (0, 3):
+        blob = jp.encode_jpeg_gray8(img, quant_step=1, restart_interval=ri)
+        patched = bytearray(blob)
+        i = patched.find(b"\xff\xc0")
+        assert patched[i + 11] == 0x11
+        patched[i + 11] = 0x22  # declare 2x2 sampling factors
+        assert np.array_equal(jp.decode_jpeg(bytes(patched)), jp.decode_jpeg(blob))
