@@ -513,10 +513,17 @@ def test_embedding_neardup_sizing_launches_no_job(spark):
         "vec_id < 40"
     )
     sc = spark.sparkContext
-    jobs_before = sc._jsc.sc().dagScheduler().nextJobId()
-    plan = sim.embedding_neardup_pairs(emb, threshold=0.999)
-    jobs_after = sc._jsc.sc().dagScheduler().nextJobId()
-    assert jobs_after == jobs_before, "plan construction launched a Spark job"
+    # job-group tagging, not a global job-counter diff: asynchronous
+    # stragglers from earlier (streaming) tests could advance the
+    # counter and flake; a sizing job launched synchronously from THIS
+    # thread would land in the group
+    sc.setJobGroup("neardup-sizing-test", "plan construction must launch no job")
+    try:
+        plan = sim.embedding_neardup_pairs(emb, threshold=0.999)
+        group_jobs = sc.statusTracker().getJobIdsForGroup("neardup-sizing-test")
+    finally:
+        sc.setJobGroup(None, None)
+    assert not group_jobs, "plan construction launched a Spark job"
     assert plan.count() >= 0  # the plan itself still executes
 
 
@@ -533,10 +540,17 @@ def test_cli_index_bucketed_roundtrip(spark, ref_corpus):
     from beyond_vector_search_spark.cli import _index
     from beyond_vector_search_spark.operators.retrieval import search_all
 
+    import shutil
+
     db = "bvs_cli_bucketed_test"
     for t in ("doc_stats", "term_stats", "postings", "gram_stats",
               "doc_vec", "doc_norm", "scalars", "doc_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+    # a previous SESSION's run leaves warehouse directories the current
+    # in-memory catalog doesn't know about (DROP TABLE is a no-op for
+    # them) and saveAsTable then fails with LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{db}.db", ignore_errors=True)
 
     idx1 = _index(spark, ref_corpus, db, "bucketed")
     decoy = spark.createDataFrame(
