@@ -64,6 +64,65 @@ def exact_dedup_map(
     return hashed.withColumn("keeper_id", F.min("doc_id").over(w))
 
 
+def _minhash_kernel(
+    df: DataFrame, *, id_col: str, text_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """Arrow-batched MinHash: tokenize + word-shingle + per-hash min of
+    ``md5(f"{i}:{shingle}")`` hex digests in one narrow pass, BYTE-
+    identical to the expression path (same strings hashed, same
+    lexicographic min).  Shingle digests are memoized per batch — the
+    corpus shingle vocabulary repeats heavily, so each unique shingle
+    pays its ``num_hashes`` md5 calls once.  The expression form costs
+    num_hashes x shingles interpreted md5/concat expression steps per
+    document — the dominant cost of lsh_candidate_pairs at every
+    SCALING.jsonl probe point (same finding as the SimHash kernel)."""
+    import hashlib
+
+    from collections.abc import Iterator
+
+    from beyond_vector_search_spark.functions.kernels import _TOKEN_RE, _project
+
+    src, id_type = _project(df, id_col, F.col(text_col))
+    prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def digests(s: str) -> list[str]:
+            d = cache.get(s)
+            if d is None:
+                raw = s.encode("utf-8")
+                d = [hashlib.md5(p + raw).hexdigest() for p in prefixes]
+                cache[s] = d
+            return d
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
+                toks = [t.lower() for t in _TOKEN_RE.findall(txt or "")]
+                shingles = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+                if shingles:
+                    per_hash = list(zip(*(digests(s) for s in shingles)))
+                    sig = [min(col) for col in per_hash]
+                else:
+                    sig = [None] * num_hashes
+                ids.append(doc_id)
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                    "sig": pd.Series(sigs, dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(kernel, f"doc_id {id_type}, sig array<string>")
+
+
 def minhash_signatures(
     df: DataFrame,
     *,
@@ -71,8 +130,18 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    kernel: bool = True,
 ) -> DataFrame:
-    """(doc_id, sig array<string>) — per-row MinHash over word shingles."""
+    """(doc_id, sig array<string>) — per-row MinHash over word shingles.
+
+    ``kernel=True`` (default) computes identical signatures in an Arrow
+    kernel (:func:`_minhash_kernel`); ``kernel=False`` is the
+    pure-expression semantic definition the DuckDB mirror reproduces.
+    Tests pin the two byte-identical."""
+    if kernel:
+        return _minhash_kernel(
+            df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        )
     sh = _doc_shingles(df, id_col=id_col, text_col=text_col, n=shingle_n)
     return sh.select("doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
 

@@ -1344,3 +1344,25 @@ def test_jpeg_single_component_scan_ignores_sampling_factors(spark):
         assert patched[i + 11] == 0x11
         patched[i + 11] = 0x22  # declare 2x2 sampling factors
         assert np.array_equal(jp.decode_jpeg(bytes(patched)), jp.decode_jpeg(blob))
+
+
+def test_minhash_kernel_matches_expression(spark):
+    """The Arrow MinHash kernel is BYTE-identical to the expression
+    path (same md5 inputs, same lexicographic min) on the testdata
+    documents — including empty and shorter-than-shingle docs (all-NULL
+    signatures)."""
+    from beyond_vector_search_spark.operators.dedup import minhash_signatures
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    extra = spark.createDataFrame(
+        [(20_001, ""), (20_002, "two words"), (20_003, "Case CASE case folds")],
+        "doc_id BIGINT, text STRING",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    k = sorted((r.doc_id, tuple(r.sig)) for r in minhash_signatures(both).collect())
+    e = sorted(
+        (r.doc_id, tuple(r.sig))
+        for r in minhash_signatures(both, kernel=False).collect()
+    )
+    assert k == e
