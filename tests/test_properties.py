@@ -232,3 +232,31 @@ def test_prop_jpeg_roundtrip_bound(w, h, rnd):
     out = jp.decode_jpeg(jp.encode_jpeg_gray8(img))
     assert out.shape == img.shape
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_signature_kernels_property_parity(spark):
+    """Hypothesis sweep: the Arrow SimHash and MinHash kernels agree
+    with their expression paths on random unicode-ish text — the
+    Python-vs-JVM lower() semantics and md5 input construction are the
+    risk surface."""
+    from beyond_vector_search_spark.operators.dedup import (
+        minhash_signatures,
+        simhash64,
+    )
+
+    bank = _Bank()
+    _collect(bank)
+    samples = bank.samples or [""]
+    docs = spark.createDataFrame(list(enumerate(samples)), "doc_id LONG, text STRING")
+
+    for bits in (32, 60):
+        k = sorted(map(tuple, simhash64(docs, bits=bits).collect()))
+        e = sorted(map(tuple, simhash64(docs, bits=bits, kernel=False).collect()))
+        assert k == e, f"simhash bits={bits}"
+
+    k = sorted((r.doc_id, tuple(r.sig)) for r in minhash_signatures(docs).collect())
+    e = sorted(
+        (r.doc_id, tuple(r.sig))
+        for r in minhash_signatures(docs, kernel=False).collect()
+    )
+    assert k == e
