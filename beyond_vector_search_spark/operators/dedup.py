@@ -48,6 +48,60 @@ def _doc_shingles(
     return toked.select("doc_id", word_shingles_from_tokens("toks", n).alias("shingles"))
 
 
+def shingle_rows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    kernel: bool = True,
+) -> DataFrame:
+    """(doc_id, sh) — each document's DISTINCT word n-gram shingles,
+    one row per shingle (the long/exploded form every inverted-shingle
+    consumer wants).
+
+    ``kernel=True`` (default) emits the rows from an Arrow pass —
+    identical contents to ``explode(word_shingles_from_tokens(
+    tokenize(text)))`` but ~10x cheaper: the expression form pays
+    interpreted per-shingle lambda steps, and a consumer that reuses
+    the relation N times (jaccard_pairs touches it for the df cap, the
+    sizes, and both join sides) re-evaluates the whole chain per
+    consumer.  Row ORDER differs between the paths; all consumers are
+    joins/aggregates, so order is immaterial (set parity pinned by
+    test)."""
+    if kernel:
+        from collections.abc import Iterator
+
+        from beyond_vector_search_spark.functions.kernels import _TOKEN_RE, _project
+
+        src, id_type = _project(df, id_col, F.col(text_col))
+
+        def k(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                ids, shs = [], []
+                for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
+                    toks = [t.lower() for t in _TOKEN_RE.findall(txt or "")]
+                    for s in {
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    }:
+                        ids.append(doc_id)
+                        shs.append(s)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                        "sh": pd.Series(shs, dtype="object"),
+                    }
+                )
+
+        return src.mapInPandas(k, f"doc_id {id_type}, sh string")
+    return _doc_shingles(df, id_col=id_col, text_col=text_col, n=n).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+
+
 def exact_dedup_map(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -230,9 +284,7 @@ def jaccard_pairs(
     exact Jaccard over the filtered shingle space (stopword-removal
     semantics, not an underestimate).  ``None`` disables.
     """
-    sh = _doc_shingles(df, id_col=id_col, text_col=text_col, n=shingle_n).select(
-        "doc_id", F.explode("shingles").alias("sh")
-    )
+    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("sh")

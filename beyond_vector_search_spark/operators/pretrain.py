@@ -65,13 +65,12 @@ def benchmark_contamination(
     the broadcast threshold, Catalyst falls back to a hashed join
     keyed on the shingle — still never wider than the collision set.
     """
+    from beyond_vector_search_spark.operators.dedup import shingle_rows
+
     def shingles(df: DataFrame) -> DataFrame:
-        toked = df.select(
-            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
-        )
-        return toked.select(
-            "doc_id", F.explode(word_shingles_from_tokens("toks", n)).alias("sh")
-        )
+        # Arrow shingle kernel (dedup.shingle_rows) — same rows as the
+        # explode(word_shingles_from_tokens(...)) expression chain
+        return shingle_rows(df, id_col=id_col, text_col=text_col, n=n)
 
     bench_sh = shingles(benchmark).select("sh").distinct()
     return (
@@ -343,10 +342,9 @@ def shingle_novelty(
     fewer than ``n`` tokens have no shingles and are absent from the
     output (nothing to score).
     """
-    toked = df.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
-    ex = toked.select(
-        "doc_id", F.explode(word_shingles_from_tokens("toks", n)).alias("sh")
-    )
+    from beyond_vector_search_spark.operators.dedup import shingle_rows
+
+    ex = shingle_rows(df, id_col=id_col, text_col=text_col, n=n)
     first = ex.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
     return (
         ex.join(first, "sh")

@@ -1366,3 +1366,22 @@ def test_minhash_kernel_matches_expression(spark):
         for r in minhash_signatures(both, kernel=False).collect()
     )
     assert k == e
+
+
+def test_shingle_rows_kernel_matches_expression(spark):
+    """shingle_rows kernel emits exactly the rows of the expression
+    explode (distinct word n-grams per doc) on testdata plus edge docs
+    (empty / shorter-than-n / repeated shingles)."""
+    from beyond_vector_search_spark.operators.dedup import shingle_rows
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    extra = spark.createDataFrame(
+        [(30_001, ""), (30_002, "one two"), (30_003, "a b c a b c a b c")],
+        "doc_id BIGINT, text STRING",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    for n in (2, 3):
+        k = sorted(map(tuple, shingle_rows(both, n=n).collect()))
+        e = sorted(map(tuple, shingle_rows(both, n=n, kernel=False).collect()))
+        assert k == e, n
