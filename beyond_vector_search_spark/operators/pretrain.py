@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 from beyond_vector_search_spark.functions.hashing import hash64
 from beyond_vector_search_spark.functions.text import tokenize
-from beyond_vector_search_spark.operators.dedup import word_shingles_from_tokens
 
 # Redaction patterns: Java regex (Spark) and RE2 (DuckDB) agree on this
 # subset (character classes, bounded repetition, \b, \d — no
