@@ -79,6 +79,13 @@ def probe(spark, copies: int) -> dict:
     # 60-bit fingerprints (the production setting): 32 bits collide
     # heavily past ~10k docs and the pair count goes output-quadratic
     timed("simhash_pairs", lambda: dd.simhash_pairs(docs, bits=60, bands=4).count())
+    # exact shingle-Jaccard is intersection-join bound (sum of df^2 over
+    # shingles): probed only while the duplicated-corpus df^2 stays sane
+    if copies <= ALLPAIRS_MAX_COPIES:
+        timed(
+            "jaccard_pairs",
+            lambda: dd.jaccard_pairs(docs, threshold=0.5).count(),
+        )
     timed("text_profile", lambda: ta.quality_score(docs).count())
     timed("repetition_flags", lambda: pt.repetition_flags(docs).count())
     timed(
