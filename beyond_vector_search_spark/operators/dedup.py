@@ -488,6 +488,26 @@ def hamming_fingerprint_pairs(
     :func:`simhash_pairs` (which delegates here); works for full signed
     64-bit fingerprints too — ``shiftright``'s arithmetic sign-fill
     lands above the band mask, so band keys extract exactly.
+
+    The band join runs over DISTINCT fingerprints, then expands each
+    qualifying fingerprint pair back to its id groups.  On a corpus
+    with duplicates the candidate volume in id space is quadratic in
+    the duplication factor while the distinct-fingerprint volume is
+    CONSTANT (measured: 46M id-space candidates vs 1.7M fp-space at a
+    4x-duplicated 20k-doc corpus); the id expansion emits exactly the
+    result pairs.  Three parts, union-compatible with the id-space
+    semantics row for row:
+
+    - intra-fingerprint pairs (hamming 0): the id groups self-paired,
+      for fingerprints retaining at least one surviving band bucket;
+    - inter-fingerprint pairs: band-bucket self-join over distinct
+      fingerprints (fa < fb), hamming verified BEFORE the per-pair
+      distinct (hamming is a pure function of the pair), then one
+      equi-join per side to expand ids, ordered least/greatest;
+    - the hot-bucket cap drops whole (band_id, band_key) buckets whose
+      TOTAL id count (sum of group sizes) exceeds the cap — identical
+      bucket membership to the id-space formulation, since identical
+      fingerprints always share all their buckets.
     """
     if bands <= max_hamming:
         raise ValueError(
@@ -496,10 +516,19 @@ def hamming_fingerprint_pairs(
         )
     width = bits // bands
     mask = (1 << width) - 1
-    sh = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
-    banded = sh.select(
-        "_id",
+    # One explicit exchange on the fingerprint: every consumer below
+    # (group sizes, intra self-join, the two expansion joins) hangs off
+    # the same hash-partitioned child, so ReuseExchange computes the
+    # (possibly expensive — Arrow-kernel) fingerprint lineage ONCE and
+    # the _fp-keyed joins/aggregations reuse the partitioning with no
+    # further shuffle of the id relation.
+    sh = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp")).repartition(
+        "_fp"
+    )
+    groups = sh.groupBy("_fp").agg(F.count("*").alias("_gn"))
+    banded = groups.select(
         "_fp",
+        "_gn",
         F.explode(
             F.expr(
                 # shiftright(), not `>>`: the infix form fails to parse
@@ -509,40 +538,55 @@ def hamming_fingerprint_pairs(
                 f"b AS band_id, shiftright(_fp, b * {width}) & {mask} AS band_key))"
             )
         ).alias("band"),
-    ).select("_id", "_fp", "band.band_id", "band.band_key")
+    ).select("_fp", "_gn", "band.band_id", "band.band_key")
     if max_bucket_size is not None:
         w = Window.partitionBy("band_id", "band_key")
         banded = (
-            banded.withColumn("_bucket_n", F.count("*").over(w))
+            banded.withColumn("_bucket_n", F.sum("_gn").over(w))
             .where(F.col("_bucket_n") <= max_bucket_size)
             .drop("_bucket_n")
         )
+    surviving = banded.select("_fp").distinct()
+    intra = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x._fp") == F.col("y._fp")) & (F.col("x._id") < F.col("y._id")))
+        .join(surviving.withColumnRenamed("_fp", "_sfp"), F.col("x._fp") == F.col("_sfp"), "left_semi")
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
     a, b = banded.alias("a"), banded.alias("b")
-    # Hamming is verified INLINE in the join projection and filtered
-    # BEFORE the per-pair distinct: hamming is a pure function of the
-    # pair, so filter-then-distinct == distinct-then-filter, but the
-    # dedup shuffle now carries only qualifying (id_a, id_b, hamming)
-    # rows instead of every candidate with both 8-byte fingerprints.
-    # On a templated corpus (sf0.1: 2.9M candidates -> 271k pairs) this
-    # cuts the operator's one big shuffle ~4x; candidate generation
-    # itself stays in codegen and is output-cost only.
-    return (
+    fp_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a._id") < F.col("b._id")),
+            & (F.col("a._fp") < F.col("b._fp")),
         )
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
+            F.col("a._fp").alias("_fa"),
+            F.col("b._fp").alias("_fb"),
             F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
             .cast("int")
             .alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()  # a pair may share several bands
+        .distinct()  # a fingerprint pair may share several bands
     )
+    inter = (
+        fp_pairs.join(
+            sh.select(F.col("_id").alias("_ida"), F.col("_fp").alias("_fa")), "_fa"
+        )
+        .join(sh.select(F.col("_id").alias("_idb"), F.col("_fp").alias("_fb")), "_fb")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(inter)
 
 
 def connected_components(
