@@ -39,6 +39,36 @@ def _with_cos_hoisted(df: DataFrame) -> DataFrame:
     )
 
 
+def _with_cos_arrow(df: DataFrame) -> DataFrame:
+    """Same contract as :func:`_with_cos_hoisted` — (qv, cv, qn, cn) ->
+    cos — but the dot products run as one vectorized numpy pass per
+    Arrow batch (pandas_udf) instead of an interpreted per-element
+    ``aggregate(zip_with(...))`` fold per pair.  Fully lazy (no collect,
+    no broadcast build): the right choice wherever a JOIN materializes
+    the pair rows anyway (centroid assignment, candidate verification),
+    ~50x cheaper per element at 20k x 141-pair volumes.  Last-bit float
+    sum order differs from the sequential fold; every consumer rounds
+    to 6 decimals before ordering/thresholding (the engine-wide
+    cross-engine guard), which absorbs it — oracle-pinned."""
+    # no parameter annotations: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's hint inspection rejects —
+    # the (fn, returnType) form infers the scalar UDF directly
+    def _cos_fn(qv, cv, qn, cn):
+        import numpy as np
+        import pandas as pd
+
+        if not len(qv):
+            return pd.Series(dtype="float64")
+        Q = np.vstack([np.asarray(v, dtype=np.float64) for v in qv.to_numpy()])
+        C = np.vstack([np.asarray(v, dtype=np.float64) for v in cv.to_numpy()])
+        dot = np.einsum("ij,ij->i", Q, C)
+        denom = qn.to_numpy(dtype=np.float64) * cn.to_numpy(dtype=np.float64)
+        return pd.Series(np.where(denom == 0.0, 0.0, dot / np.where(denom == 0.0, 1.0, denom)))
+
+    _cos = F.pandas_udf(_cos_fn, "double")
+    return df.withColumn("cos", _cos("qv", "cv", "qn", "cn"))
+
+
 def _fan_out(src: DataFrame) -> DataFrame:
     """Spread a small file-backed relation across the session's cores
     before a mapInPandas kernel (a small parquet table often arrives as
@@ -287,7 +317,7 @@ def ivf_topk(
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"), ecv.alias("cv"), l2_norm(ecv).alias("cn")
     )
-    scored = _with_cos_hoisted(cands.join(e, "neighbor_id")).where(
+    scored = _with_cos_arrow(cands.join(e, "neighbor_id")).where(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -450,7 +480,7 @@ def embedding_neardup_pairs(
         e = embeddings.select(
             F.col(id_col).alias("bvec_id"), av.alias("qv"), l2_norm(av).alias("qn")
         )
-        scored = _with_cos_hoisted(e.crossJoin(F.broadcast(cents)))
+        scored = _with_cos_arrow(e.crossJoin(F.broadcast(cents)))
         w = Window.partitionBy("bvec_id").orderBy(
             F.desc(F.round(F.col("cos"), 6)), F.asc("centroid_id")
         )
@@ -477,12 +507,12 @@ def embedding_neardup_pairs(
             )
             .distinct()
         )
-        pairs = _with_cos_hoisted(
+        pairs = _with_cos_arrow(
             cand.join(a.withColumnRenamed("id_a", "ja"), F.col("id_a") == F.col("ja"))
             .join(b.withColumnRenamed("id_b", "jb"), F.col("id_b") == F.col("jb"))
         )
     else:
-        pairs = _with_cos_hoisted(a.crossJoin(b)).where(F.col("id_a") < F.col("id_b"))
+        pairs = _with_cos_arrow(a.crossJoin(b)).where(F.col("id_a") < F.col("id_b"))
     return pairs.where(F.round(F.col("cos"), 6) >= threshold).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")
     )
@@ -506,7 +536,7 @@ def assign_centroids(
     e = embeddings.select(F.col(id_col).alias("vec_id"), ev.alias("qv"), l2_norm(ev).alias("qn"))
     ccv = as_double_array(F.col("embedding"))
     c = centroids.select(F.col("centroid_id"), ccv.alias("cv"), l2_norm(ccv).alias("cn"))
-    scored = _with_cos_hoisted(e.crossJoin(F.broadcast(c)))
+    scored = _with_cos_arrow(e.crossJoin(F.broadcast(c)))
     w = Window.partitionBy("vec_id").orderBy(
         F.desc(F.round(F.col("cos"), 6)), F.asc("centroid_id")
     )
