@@ -200,6 +200,91 @@ def minhash_signatures(
     return sh.select("doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
 
 
+def doc_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """(doc_id, sig, simhash) — MinHash signature AND SimHash
+    fingerprint from ONE Arrow pass over the text (one tokenize, one
+    Arrow transfer), for consumers that want the whole per-doc
+    signature suite (the ``doc_hashes`` catalog entry).  Each column is
+    byte/bit-identical to its standalone operator
+    (:func:`minhash_signatures` / :func:`simhash64`) — pinned by test.
+    """
+    import hashlib
+
+    from collections.abc import Iterator
+
+    from beyond_vector_search_spark.functions.kernels import _TOKEN_RE, _project
+
+    src, id_type = _project(df, id_col, F.col(text_col))
+    prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(bits, dtype=np.uint64)
+        powers = np.uint64(1) << shifts
+        sh_cache: dict[str, list[str]] = {}
+        tok_cache: dict[str, int] = {}
+
+        def sh_digests(s: str) -> list[str]:
+            d = sh_cache.get(s)
+            if d is None:
+                raw = s.encode("utf-8")
+                d = [hashlib.md5(p + raw).hexdigest() for p in prefixes]
+                sh_cache[s] = d
+            return d
+
+        def tok_hash(t: str) -> int:
+            h = tok_cache.get(t)
+            if h is None:
+                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                tok_cache[t] = h
+            return h
+
+        for pdf in batches:
+            ids, sigs, fps = [], [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
+                toks = [t.lower() for t in _TOKEN_RE.findall(txt or "")]
+                shingles = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+                if shingles:
+                    per_hash = list(zip(*(sh_digests(s) for s in shingles)))
+                    sig = [min(col) for col in per_hash]
+                else:
+                    sig = [None] * num_hashes
+                tset = set(toks)
+                if tset:
+                    hs = np.fromiter(
+                        (tok_hash(t) for t in tset), dtype=np.uint64, count=len(tset)
+                    )
+                    ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                    fp = int((powers[2 * ones > len(tset)]).sum())
+                else:
+                    fp = 0
+                ids.append(doc_id)
+                sigs.append(sig)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                    "sig": pd.Series(sigs, dtype="object"),
+                    "simhash": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(kernel, f"doc_id {id_type}, sig array<string>, simhash long")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     *,

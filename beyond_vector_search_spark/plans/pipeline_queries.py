@@ -67,10 +67,12 @@ _SIG_SQL = (
 )
 def q_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs).select(
-        "doc_id", F.concat_ws("|", "sig").alias("sig_str")
+    # MinHash + SimHash from ONE Arrow pass (dedup.doc_signatures —
+    # column-identical to the standalone operators, pinned by test)
+    both = dd.doc_signatures(docs).select(
+        "doc_id", F.concat_ws("|", "sig").alias("sig_str"), "simhash"
     )
-    return sigs.join(dd.simhash64(docs), "doc_id").join(ta.doc_fingerprint(docs), "doc_id")
+    return both.join(ta.doc_fingerprint(docs), "doc_id")
 
 
 # LSH near-dup pairs over a corpus that CONTAINS near-duplicates: the

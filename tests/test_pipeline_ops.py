@@ -1385,3 +1385,28 @@ def test_shingle_rows_kernel_matches_expression(spark):
         k = sorted(map(tuple, shingle_rows(both, n=n).collect()))
         e = sorted(map(tuple, shingle_rows(both, n=n, kernel=False).collect()))
         assert k == e, n
+
+
+def test_doc_signatures_matches_standalone_operators(spark):
+    """The fused one-pass signature kernel equals the standalone
+    MinHash and SimHash operators column for column."""
+    from beyond_vector_search_spark.operators.dedup import (
+        doc_signatures,
+        minhash_signatures,
+        simhash64,
+    )
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    extra = spark.createDataFrame(
+        [(40_001, ""), (40_002, "two words")], "doc_id BIGINT, text STRING"
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    fused = sorted(
+        (r.doc_id, tuple(r.sig), r.simhash) for r in doc_signatures(both).collect()
+    )
+    want = sorted(
+        (r.doc_id, tuple(r.sig), r.simhash)
+        for r in minhash_signatures(both).join(simhash64(both), "doc_id").collect()
+    )
+    assert fused == want
