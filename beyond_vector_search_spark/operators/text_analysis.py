@@ -32,19 +32,35 @@ def _with_tokens(df: DataFrame, id_col: str, text_col: str, *extra: str) -> Data
     )
 
 
+# Portable (Java regex == RE2) tokenizer patterns for the token-count
+# family: whitespace tokens, and a GPT-2-style "BPE-ish" pre-tokenizer.
+# The real GPT-2 pattern uses a lookahead (`\s+(?!\S)`), which RE2 (the
+# DuckDB oracle) lacks — this lookahead-free variant differs only in how
+# trailing/interior pure-whitespace runs group, which is fine for a
+# token-BUDGET estimate (counting, not tokenizing).
+WS_TOKEN_RE = r"\S+"
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def token_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, n_tokens, n_distinct, avg_token_len) — corpus token
-    accounting.  avg_token_len is an exact int/int division."""
+    """(doc_id, n_tokens, n_distinct, avg_token_len, ws_tokens,
+    bpe_ish_tokens) — corpus token accounting: word-regex tokens (the
+    engine tokenizer), plus the two standard token-BUDGET counters —
+    whitespace-split tokens and a GPT-2-style BPE pre-tokenizer match
+    count (both pure ``regexp_count``, identical in the DuckDB
+    oracle).  avg_token_len is an exact int/int division."""
     toks = F.col("toks")
     total_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
     )
     n = F.size(toks)
-    return _with_tokens(df, id_col, text_col).select(
+    return _with_tokens(df, id_col, text_col, text_col).select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         F.when(n == 0, F.lit(0.0)).otherwise(total_len / n).alias("avg_token_len"),
+        F.regexp_count(F.col(text_col), F.lit(WS_TOKEN_RE)).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_RE)).cast("long").alias("bpe_ish_tokens"),
     )
 
 

@@ -235,11 +235,16 @@ def _votes_sql(words: list[str]) -> str:
     # component is the corresponding operators.text_analysis function;
     # the oracle recomputes all of it in pure SQL.
     f"WITH {_TOKS}, "
-    "tstats AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, "
-    "CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct, "
-    "CASE WHEN len(tokens) = 0 THEN 0.0 ELSE "
-    "CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE) / len(tokens) END AS avg_token_len "
-    "FROM toks), "
+    "tstats AS (SELECT t.doc_id, CAST(len(t.tokens) AS BIGINT) AS n_tokens, "
+    "CAST(len(list_distinct(t.tokens)) AS BIGINT) AS n_distinct, "
+    "CASE WHEN len(t.tokens) = 0 THEN 0.0 ELSE "
+    "CAST(list_sum(list_transform(t.tokens, x -> length(x))) AS DOUBLE) / len(t.tokens) END AS avg_token_len, "
+    # token-budget counters: whitespace split + lookahead-free GPT-2-ish
+    # pre-tokenizer (apostrophe doubled for the SQL literal)
+    "CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS ws_tokens, "
+    "CAST(len(regexp_extract_all(d.text, "
+    "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS BIGINT) AS bpe_ish_tokens "
+    "FROM toks t JOIN documents d USING (doc_id)), "
     "base AS (SELECT d.doc_id, d.text, t.tokens, length(d.text) AS n_chars, "
     "length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g')) AS n_alpha, "
     f"len(list_filter(t.tokens, x -> x IN {_STOP_EN_SQL})) AS n_stop "
@@ -265,6 +270,7 @@ def _votes_sql(words: list[str]) -> str:
     "WHEN votes_fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_guess, "
     "votes_en, votes_de, votes_fr, votes_es FROM votes) "
     "SELECT t.doc_id, t.n_tokens, t.n_distinct, t.avg_token_len, "
+    "t.ws_tokens, t.bpe_ish_tokens, "
     "q.n_chars, q.alpha_ratio, q.stopword_ratio, q.quality, "
     "l.lang_guess, l.votes_en, l.votes_de, l.votes_fr, l.votes_es "
     "FROM tstats t JOIN qscore q USING (doc_id) JOIN lang l USING (doc_id)",

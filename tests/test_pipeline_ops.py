@@ -1410,3 +1410,26 @@ def test_doc_signatures_matches_standalone_operators(spark):
         for r in minhash_signatures(both).join(simhash64(both), "doc_id").collect()
     )
     assert fused == want
+
+
+def test_token_budget_counters(spark):
+    """ws_tokens / bpe_ish_tokens sanity on hand-checked strings: the
+    BPE-ish counter splits contractions and punctuation like a GPT-2
+    pre-tokenizer (space-prefixed words count once), whitespace split
+    is the plain budget floor."""
+    from beyond_vector_search_spark.operators.text_analysis import token_stats
+
+    rows = {
+        1: "hello world",          # ws 2; bpe: "hello", " world" -> 2
+        2: "it's fine.",           # ws 2; bpe: "it", "'s", " fine", "." -> 4
+        3: "a  b",                 # ws 2; bpe: "a", " ", " b"? -> "a", "\s+"(1sp), " b" -> 3
+        4: "",                     # 0 / 0
+        5: "42 cats!",             # ws 2; bpe: "42", " cats", "!" -> 3
+    }
+    df = spark.createDataFrame(list(rows.items()), "doc_id BIGINT, text STRING")
+    got = {r.doc_id: (r.ws_tokens, r.bpe_ish_tokens) for r in token_stats(df).collect()}
+    assert got[1] == (2, 2)
+    assert got[2] == (2, 4)
+    assert got[3] == (2, 3)
+    assert got[4] == (0, 0)
+    assert got[5] == (2, 3)
