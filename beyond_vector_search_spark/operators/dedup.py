@@ -674,6 +674,48 @@ def hamming_fingerprint_pairs(
     return intra.unionByName(inter)
 
 
+def line_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 5,
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, clean_text) — corpus-wide LINE-level
+    exact dedup (the RefinedWeb/C4-style boilerplate pass): every line
+    whose trimmed value already occurred earlier in the corpus — by
+    (doc_id, line position) order — is dropped; each document's
+    ``clean_text`` is its surviving lines re-joined in original order.
+    Lines whose trimmed length is under ``min_len`` are exempt (blank
+    lines and short separators are structure, not boilerplate).
+
+    Shape: posexplode lines (narrow), ONE window partitioned by the
+    trimmed line VALUE (the same hash-partitioned min-window as
+    :func:`exact_dedup_map` — no global ordering), then one groupBy to
+    reassemble.  Deterministic: the keeper of each duplicated line is
+    the globally smallest (doc_id, position).
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("_t", F.trim("line"))
+    w = Window.partitionBy("_t").orderBy("doc_id", "line_no")
+    flagged = lines.withColumn(
+        "_keep",
+        (F.length("_t") < min_len) | (F.row_number().over(w) == 1),
+    )
+    kept_lines = F.array_sort(
+        F.collect_list(F.when(F.col("_keep"), F.struct("line_no", "line")))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(kept_lines, lambda s: s.getField("line")), "\n"
+        ).alias("clean_text"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,

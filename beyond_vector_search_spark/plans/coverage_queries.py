@@ -642,5 +642,48 @@ def q_python_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.unionByName(t)
 
 
+# Corpus-wide LINE-level dedup (RefinedWeb/C4 boilerplate pass) over a
+# derived multi-line corpus: each document gains a SHARED boilerplate
+# footer line (dropped everywhere but its first corpus occurrence) and
+# a doc-unique trailer (always kept).  All-string arithmetic — the
+# value hash compares clean_text byte-for-byte.
+_LINE_DEDUP_SQL = (
+    "WITH ml AS (SELECT doc_id, text || chr(10) || 'shared boilerplate footer line' || "
+    "chr(10) || 'unique trailer ' || CAST(doc_id AS VARCHAR) AS text "
+    "FROM documents WHERE doc_id < 200), "
+    "raw AS (SELECT doc_id, unnest(list_transform(string_split(text, chr(10)), "
+    "(x, i) -> {'line': x, 'ord': i})) AS r FROM ml), "
+    "lines AS (SELECT doc_id, r['line'] AS line, r['ord'] AS ord, trim(r['line']) AS t FROM raw), "
+    "flagged AS (SELECT *, (length(t) < 5 OR "
+    "row_number() OVER (PARTITION BY t ORDER BY doc_id, ord) = 1) AS keep FROM lines) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+    "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    "coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY ord), '') AS clean_text "
+    "FROM flagged GROUP BY doc_id"
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.line_dedup over a deterministically derived multi-line
+    corpus (text + shared footer + unique trailer per doc)."""
+    from beyond_vector_search_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 200").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("shared boilerplate footer line"),
+            F.concat(F.lit("unique trailer "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return dd.line_dedup(docs)
+
+
 def register_all() -> None:
     register_shared_sql("lineitem_frames", LINEITEM_FRAMES)
+    # registered LAST on purpose: entry #51 — past the external driver's
+    # ~50-entry correctness window, covered by the full-catalog local
+    # artifact (CORRECTNESS_LOCAL/SF01) instead, so no existing entry
+    # loses its official driver row.
+    register("line_dedup", _LINE_DEDUP_SQL)(q_line_dedup)

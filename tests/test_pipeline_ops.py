@@ -1433,3 +1433,26 @@ def test_token_budget_counters(spark):
     assert got[3] == (2, 3)
     assert got[4] == (0, 0)
     assert got[5] == (2, 3)
+
+
+def test_line_dedup_semantics(spark):
+    """Line dedup: a boilerplate line repeated across docs survives
+    only at its first (doc_id, position); short lines are exempt; text
+    rebuilds in original order; within-doc repeats also dedup."""
+    from beyond_vector_search_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "first unique line\ncommon footer here\n--\nsecond unique line"),
+            (2, "another document\ncommon footer here\n--"),
+            (3, "repeat me twice\nrepeat me twice"),
+            (4, ""),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, min_len=5).collect()}
+    assert out[1].clean_text == "first unique line\ncommon footer here\n--\nsecond unique line"
+    assert out[2].clean_text == "another document\n--"  # footer deduped, '--' exempt
+    assert (out[2].n_lines, out[2].n_kept) == (3, 2)
+    assert out[3].clean_text == "repeat me twice"       # within-doc repeat dropped
+    assert out[4].clean_text == "" and out[4].n_lines == 1  # '' line, exempt (short)
