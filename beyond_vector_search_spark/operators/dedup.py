@@ -680,6 +680,7 @@ def line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 5,
+    sep: str = "\n",
 ) -> DataFrame:
     """(doc_id, n_lines, n_kept, clean_text) — corpus-wide LINE-level
     exact dedup (the RefinedWeb/C4-style boilerplate pass): every line
@@ -694,10 +695,17 @@ def line_dedup(
     :func:`exact_dedup_map` — no global ordering), then one groupBy to
     reassemble.  Deterministic: the keeper of each duplicated line is
     the globally smallest (doc_id, position).
+
+    ``sep`` is a regex for ``split`` (a Java-regex literal for plain
+    separators): pass ``"\\n{2,}"`` with a larger ``min_len`` for
+    PARAGRAPH-level dedup — same machinery, blank-line-delimited units
+    (clean_text then re-joins paragraphs with the first regex match's
+    canonical form unavailable, so a literal ``sep`` is recommended
+    when reconstruction fidelity matters).
     """
     lines = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
     ).withColumn("_t", F.trim("line"))
     w = Window.partitionBy("_t").orderBy("doc_id", "line_no")
     flagged = lines.withColumn(
@@ -711,7 +719,7 @@ def line_dedup(
         F.count("*").cast("long").alias("n_lines"),
         F.sum(F.col("_keep").cast("long")).alias("n_kept"),
         F.array_join(
-            F.transform(kept_lines, lambda s: s.getField("line")), "\n"
+            F.transform(kept_lines, lambda s: s.getField("line")), sep
         ).alias("clean_text"),
     )
 
