@@ -50,18 +50,15 @@ _TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:[-_][A-Za-z0-9]+)*")
 _WS_RE = re.compile(r"\s+")
 
 
-def _project(docs: DataFrame, id_col: str, text: Column | str) -> tuple[DataFrame, str]:
-    """(doc_id, _text) projection + the output schema preserving the id
-    column's type (testdata uses BIGINT ids, the reference corpus STRING)."""
-    text = F.col(text) if isinstance(text, str) else text
-    src = docs.select(F.col(id_col).alias("doc_id"), text.alias("_text"))
-    # A small corpus often arrives as ONE parquet split (128 MB
-    # maxPartitionBytes), which would run the kernel single-threaded.
-    # Fan out to the session's parallelism; at real scale the scan
-    # already has >= cores partitions and this is a no-op.  File count
-    # is the cheap proxy for split count (``.rdd.getNumPartitions()``
-    # forces a Python-RDD conversion, ~0.3 s of pure plan overhead);
-    # non-file sources (createDataFrame, views) fall back to the RDD.
+def fan_out(src: DataFrame) -> DataFrame:
+    """Spread a small relation across the session's cores before a
+    mapInPandas kernel.  A small corpus often arrives as ONE parquet
+    split (128 MB maxPartitionBytes), which would run the kernel
+    single-threaded; at real scale the scan already has >= cores
+    partitions and this is a no-op.  File count is the cheap proxy for
+    split count (``.rdd.getNumPartitions()`` forces a Python-RDD
+    conversion, ~0.3 s of pure plan overhead); non-file sources
+    (createDataFrame, views) fall back to the RDD."""
     parallelism = src.sparkSession.sparkContext.defaultParallelism
     try:
         n_parts = len(src.inputFiles()) or None
@@ -69,8 +66,14 @@ def _project(docs: DataFrame, id_col: str, text: Column | str) -> tuple[DataFram
         n_parts = None
     if n_parts is None:
         n_parts = src.rdd.getNumPartitions()
-    if n_parts < parallelism:
-        src = src.repartition(parallelism)
+    return src.repartition(parallelism) if n_parts < parallelism else src
+
+
+def _project(docs: DataFrame, id_col: str, text: Column | str) -> tuple[DataFrame, str]:
+    """(doc_id, _text) projection + the output schema preserving the id
+    column's type (testdata uses BIGINT ids, the reference corpus STRING)."""
+    text = F.col(text) if isinstance(text, str) else text
+    src = fan_out(docs.select(F.col(id_col).alias("doc_id"), text.alias("_text")))
     id_type = src.schema["doc_id"].dataType.simpleString()
     return src, id_type
 

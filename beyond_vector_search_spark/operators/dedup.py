@@ -118,55 +118,115 @@ def exact_dedup_map(
     return hashed.withColumn("keeper_id", F.min("doc_id").over(w))
 
 
+# ---- shared per-document signature primitives (Arrow kernels) --------------
+# One implementation each of the md5 shingle-digest MinHash and the
+# bit-majority SimHash, so the standalone kernels and the fused
+# doc_signatures kernel cannot drift apart.  The memo caches are
+# per-PARTITION (created per kernel invocation) and BOUNDED: corpus
+# vocabulary repeats heavily so hit rates are high, but an adversarial
+# partition of unique shingles must not accumulate gigabytes in the
+# Python worker — at the cap the cache resets (correctness unaffected;
+# only the memoization restarts).
+_SHINGLE_CACHE_MAX = 200_000   # entries of num_hashes 32-char digests
+_TOKHASH_CACHE_MAX = 1_000_000  # entries of one int
+
+
+def _make_shingle_digests(num_hashes: int):
+    import hashlib
+
+    prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+    cache: dict[str, list[str]] = {}
+
+    def digests(s: str) -> list[str]:
+        d = cache.get(s)
+        if d is None:
+            if len(cache) >= _SHINGLE_CACHE_MAX:
+                cache.clear()
+            raw = s.encode("utf-8")
+            d = [hashlib.md5(p + raw).hexdigest() for p in prefixes]
+            cache[s] = d
+        return d
+
+    return digests
+
+
+def _make_tok_hash():
+    import hashlib
+
+    cache: dict[str, int] = {}
+
+    def tok_hash(t: str) -> int:
+        h = cache.get(t)
+        if h is None:
+            if len(cache) >= _TOKHASH_CACHE_MAX:
+                cache.clear()
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+            cache[t] = h
+        return h
+
+    return tok_hash
+
+
+def _minhash_sig(toks: list, shingle_n: int, num_hashes: int, digests) -> list:
+    """Per-doc MinHash signature from the token list — byte-identical
+    to the expression path (same md5 inputs, lexicographic min; all-NULL
+    signature for docs shorter than the shingle width)."""
+    shingles = {
+        " ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)
+    }
+    if not shingles:
+        return [None] * num_hashes
+    per_hash = zip(*(digests(s) for s in shingles))
+    return [min(col) for col in per_hash]
+
+
+def _simhash_fp(tokset: set, shifts, powers, tok_hash) -> int:
+    """Per-doc SimHash fingerprint from the DISTINCT-token set —
+    bit-identical to the expression fold (majority vote per bit)."""
+    import numpy as np
+
+    if not tokset:
+        return 0
+    hs = np.fromiter((tok_hash(t) for t in tokset), dtype=np.uint64, count=len(tokset))
+    ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+    # sum of (2*bit - 1) > 0  <=>  2*ones > n_tokens
+    return int((powers[2 * ones > len(tokset)]).sum())
+
+
+def _check_simhash_bits(bits: int) -> None:
+    if not 1 <= bits <= 63:
+        raise ValueError(f"simhash kernel bits must be in [1, 63] (got {bits})")
+
+
 def _minhash_kernel(
     df: DataFrame, *, id_col: str, text_col: str, num_hashes: int, shingle_n: int
 ) -> DataFrame:
     """Arrow-batched MinHash: tokenize + word-shingle + per-hash min of
     ``md5(f"{i}:{shingle}")`` hex digests in one narrow pass, BYTE-
     identical to the expression path (same strings hashed, same
-    lexicographic min).  Shingle digests are memoized per batch — the
-    corpus shingle vocabulary repeats heavily, so each unique shingle
-    pays its ``num_hashes`` md5 calls once.  The expression form costs
+    lexicographic min).  Shingle digests are memoized per partition
+    with a bounded cache (:func:`_make_shingle_digests`) — the corpus
+    shingle vocabulary repeats heavily, so each unique shingle pays its
+    ``num_hashes`` md5 calls once.  The expression form costs
     num_hashes x shingles interpreted md5/concat expression steps per
     document — the dominant cost of lsh_candidate_pairs at every
     SCALING.jsonl probe point (same finding as the SimHash kernel)."""
-    import hashlib
-
     from collections.abc import Iterator
 
     from beyond_vector_search_spark.functions.kernels import _TOKEN_RE, _project
 
     src, id_type = _project(df, id_col, F.col(text_col))
-    prefixes = [f"{i}:".encode() for i in range(num_hashes)]
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        cache: dict[str, list[str]] = {}
-
-        def digests(s: str) -> list[str]:
-            d = cache.get(s)
-            if d is None:
-                raw = s.encode("utf-8")
-                d = [hashlib.md5(p + raw).hexdigest() for p in prefixes]
-                cache[s] = d
-            return d
-
+        digests = _make_shingle_digests(num_hashes)
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
                 toks = [t.lower() for t in _TOKEN_RE.findall(txt or "")]
-                shingles = {
-                    " ".join(toks[i : i + shingle_n])
-                    for i in range(len(toks) - shingle_n + 1)
-                }
-                if shingles:
-                    per_hash = list(zip(*(digests(s) for s in shingles)))
-                    sig = [min(col) for col in per_hash]
-                else:
-                    sig = [None] * num_hashes
                 ids.append(doc_id)
-                sigs.append(sig)
+                sigs.append(_minhash_sig(toks, shingle_n, num_hashes, digests))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
@@ -214,16 +274,16 @@ def doc_signatures(
     Arrow transfer), for consumers that want the whole per-doc
     signature suite (the ``doc_hashes`` catalog entry).  Each column is
     byte/bit-identical to its standalone operator
-    (:func:`minhash_signatures` / :func:`simhash64`) — pinned by test.
+    (:func:`minhash_signatures` / :func:`simhash64`) — pinned by test,
+    and built from the SAME per-document primitives (:func:`_minhash_sig`
+    / :func:`_simhash_fp`), so the three kernels cannot drift apart.
     """
-    import hashlib
-
     from collections.abc import Iterator
 
     from beyond_vector_search_spark.functions.kernels import _TOKEN_RE, _project
 
+    _check_simhash_bits(bits)
     src, id_type = _project(df, id_col, F.col(text_col))
-    prefixes = [f"{i}:".encode() for i in range(num_hashes)]
 
     def kernel(batches: Iterator) -> Iterator:
         import numpy as np
@@ -231,49 +291,16 @@ def doc_signatures(
 
         shifts = np.arange(bits, dtype=np.uint64)
         powers = np.uint64(1) << shifts
-        sh_cache: dict[str, list[str]] = {}
-        tok_cache: dict[str, int] = {}
-
-        def sh_digests(s: str) -> list[str]:
-            d = sh_cache.get(s)
-            if d is None:
-                raw = s.encode("utf-8")
-                d = [hashlib.md5(p + raw).hexdigest() for p in prefixes]
-                sh_cache[s] = d
-            return d
-
-        def tok_hash(t: str) -> int:
-            h = tok_cache.get(t)
-            if h is None:
-                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-                tok_cache[t] = h
-            return h
+        digests = _make_shingle_digests(num_hashes)
+        tok_hash = _make_tok_hash()
 
         for pdf in batches:
             ids, sigs, fps = [], [], []
             for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
                 toks = [t.lower() for t in _TOKEN_RE.findall(txt or "")]
-                shingles = {
-                    " ".join(toks[i : i + shingle_n])
-                    for i in range(len(toks) - shingle_n + 1)
-                }
-                if shingles:
-                    per_hash = list(zip(*(sh_digests(s) for s in shingles)))
-                    sig = [min(col) for col in per_hash]
-                else:
-                    sig = [None] * num_hashes
-                tset = set(toks)
-                if tset:
-                    hs = np.fromiter(
-                        (tok_hash(t) for t in tset), dtype=np.uint64, count=len(tset)
-                    )
-                    ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
-                    fp = int((powers[2 * ones > len(tset)]).sum())
-                else:
-                    fp = 0
                 ids.append(doc_id)
-                sigs.append(sig)
-                fps.append(fp)
+                sigs.append(_minhash_sig(toks, shingle_n, num_hashes, digests))
+                fps.append(_simhash_fp(set(toks), shifts, powers, tok_hash))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
@@ -411,14 +438,13 @@ def _simhash_kernel(
     docs, the dominant cost of simhash_pairs at every SCALING.jsonl
     probe point); this kernel is the same Pandas-UDF escape hatch the
     index build uses (functions/kernels.py), ~20x faster.  Token hashes
-    are memoized per batch — corpus vocabulary repeats heavily.
+    are memoized per partition, bounded (:func:`_make_tok_hash`).
     """
-    import hashlib
-
     from collections.abc import Iterator
 
     from beyond_vector_search_spark.functions.kernels import _TOKEN_RE, _project
 
+    _check_simhash_bits(bits)
     src, id_type = _project(df, id_col, F.col(text_col))
 
     def kernel(batches: Iterator) -> Iterator:
@@ -427,30 +453,14 @@ def _simhash_kernel(
 
         shifts = np.arange(bits, dtype=np.uint64)
         powers = np.uint64(1) << shifts
-        cache: dict[str, int] = {}
-
-        def tok_hash(t: str) -> int:
-            h = cache.get(t)
-            if h is None:
-                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-                cache[t] = h
-            return h
+        tok_hash = _make_tok_hash()
 
         for pdf in batches:
             ids, fps = [], []
             for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
-                toks = {t.lower() for t in _TOKEN_RE.findall(txt or "")}
-                if toks:
-                    hs = np.fromiter(
-                        (tok_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
-                    )
-                    ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
-                    # sum of (2*bit - 1) > 0  <=>  2*ones > n_tokens
-                    fp = int((powers[2 * ones > len(hs)]).sum())
-                else:
-                    fp = 0
+                tokset = {t.lower() for t in _TOKEN_RE.findall(txt or "")}
                 ids.append(doc_id)
-                fps.append(fp)
+                fps.append(_simhash_fp(tokset, shifts, powers, tok_hash))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
@@ -610,6 +620,10 @@ def hamming_fingerprint_pairs(
     sh = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp")).repartition(
         "_fp"
     )
+    # defensive input hygiene: a repeated (id, fp) row would otherwise
+    # double every pair the id participates in (dedups WITHIN the _fp
+    # partitioning — no extra exchange)
+    sh = sh.dropDuplicates(["_id", "_fp"])
     groups = sh.groupBy("_fp").agg(F.count("*").alias("_gn"))
     banded = groups.select(
         "_fp",
@@ -665,6 +679,10 @@ def hamming_fingerprint_pairs(
             sh.select(F.col("_id").alias("_ida"), F.col("_fp").alias("_fa")), "_fa"
         )
         .join(sh.select(F.col("_id").alias("_idb"), F.col("_fp").alias("_fb")), "_fb")
+        # an id carrying TWO fingerprints within max_hamming of each
+        # other would expand to a degenerate self-pair — excluded, as
+        # the id-space formulation's a._id < b._id predicate did
+        .where(F.col("_ida") != F.col("_idb"))
         .select(
             F.least("_ida", "_idb").alias("id_a"),
             F.greatest("_ida", "_idb").alias("id_b"),
@@ -681,6 +699,7 @@ def line_dedup(
     text_col: str = "text",
     min_len: int = 5,
     sep: str = "\n",
+    join_sep: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_lines, n_kept, clean_text) — corpus-wide LINE-level
     exact dedup (the RefinedWeb/C4-style boilerplate pass): every line
@@ -697,12 +716,13 @@ def line_dedup(
     the globally smallest (doc_id, position).
 
     ``sep`` is a regex for ``split`` (a Java-regex literal for plain
-    separators): pass ``"\\n{2,}"`` with a larger ``min_len`` for
-    PARAGRAPH-level dedup — same machinery, blank-line-delimited units
-    (clean_text then re-joins paragraphs with the first regex match's
-    canonical form unavailable, so a literal ``sep`` is recommended
-    when reconstruction fidelity matters).
+    separators); ``join_sep`` is the LITERAL string clean_text re-joins
+    with, defaulting to ``sep``.  For PARAGRAPH-level dedup pass a
+    regex split with a literal joiner — e.g.
+    ``sep="\\n{2,}", join_sep="\\n\\n", min_len=40`` — otherwise the
+    regex itself would be inserted between surviving units.
     """
+    join_sep = sep if join_sep is None else join_sep
     lines = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
@@ -719,7 +739,7 @@ def line_dedup(
         F.count("*").cast("long").alias("n_lines"),
         F.sum(F.col("_keep").cast("long")).alias("n_kept"),
         F.array_join(
-            F.transform(kept_lines, lambda s: s.getField("line")), sep
+            F.transform(kept_lines, lambda s: s.getField("line")), join_sep
         ).alias("clean_text"),
     )
 

@@ -39,6 +39,30 @@ def _with_cos_hoisted(df: DataFrame) -> DataFrame:
     )
 
 
+def _stack_rows(values, dim: int | None = None):
+    """Stack an iterable of array-ish rows into an (n, dim) float64
+    matrix, coercing NULL or length-mismatched rows to all-zeros (their
+    cosine is then 0.0 — the same no-op to thresholds and rankings as
+    the expression path's null-propagated cos).  ``dim`` defaults to
+    the first valid row's length; returns (matrix, dim)."""
+    import numpy as np
+
+    rows = list(values)
+    if dim is None:
+        for v in rows:
+            if v is not None:
+                dim = len(v)
+                break
+        if dim is None:
+            dim = 1
+    M = np.zeros((len(rows), dim), dtype=np.float64)
+    for i, v in enumerate(rows):
+        if v is not None and len(v) == dim:
+            a = np.asarray(v, dtype=np.float64)
+            M[i] = np.nan_to_num(a, nan=0.0) if np.isnan(a).any() else a
+    return M, dim
+
+
 def _with_cos_arrow(df: DataFrame) -> DataFrame:
     """Same contract as :func:`_with_cos_hoisted` — (qv, cv, qn, cn) ->
     cos — but the dot products run as one vectorized numpy pass per
@@ -59,29 +83,21 @@ def _with_cos_arrow(df: DataFrame) -> DataFrame:
 
         if not len(qv):
             return pd.Series(dtype="float64")
-        Q = np.vstack([np.asarray(v, dtype=np.float64) for v in qv.to_numpy()])
-        C = np.vstack([np.asarray(v, dtype=np.float64) for v in cv.to_numpy()])
+        Q, dim = _stack_rows(qv.to_numpy())
+        C, _ = _stack_rows(cv.to_numpy(), dim=dim)
         dot = np.einsum("ij,ij->i", Q, C)
-        denom = qn.to_numpy(dtype=np.float64) * cn.to_numpy(dtype=np.float64)
+        denom = np.nan_to_num(qn.to_numpy(dtype=np.float64), nan=0.0) * np.nan_to_num(
+            cn.to_numpy(dtype=np.float64), nan=0.0
+        )
         return pd.Series(np.where(denom == 0.0, 0.0, dot / np.where(denom == 0.0, 1.0, denom)))
 
     _cos = F.pandas_udf(_cos_fn, "double")
     return df.withColumn("cos", _cos("qv", "cv", "qn", "cn"))
 
 
-def _fan_out(src: DataFrame) -> DataFrame:
-    """Spread a small file-backed relation across the session's cores
-    before a mapInPandas kernel (a small parquet table often arrives as
-    ONE split, which would run the kernel single-threaded).  No-op at
-    real scale, where the scan already has >= cores partitions."""
-    parallelism = src.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_parts = len(src.inputFiles()) or None
-    except Exception:  # noqa: BLE001
-        n_parts = None
-    if n_parts is None:
-        n_parts = src.rdd.getNumPartitions()
-    return src.repartition(parallelism) if n_parts < parallelism else src
+# shared with the index-build kernels — one copy of the split-count
+# heuristic (functions/kernels.fan_out)
+from beyond_vector_search_spark.functions.kernels import fan_out as _fan_out  # noqa: E402
 
 
 def _estimate_rows(df: DataFrame, *, max_footers: int = 64) -> int | None:
@@ -145,13 +161,13 @@ def _knn_kernel_topk(
     ``mapInPandas`` closure (queries are small by problem definition —
     collecting them IS the broadcast, an eager job at call time), each
     corpus partition computes its cosine block as one BLAS matmul and
-    emits only its local top-(k+8) per query, and a window over the
+    emits only its local top-(k+16) per query, and a window over the
     (partitions x queries x k) survivors picks the global top-k with
     the same rounded-cos/neighbor-id ordering as the expression path.
 
     Two scale properties the expression path lacks: each corpus vector
     crosses the Python boundary ONCE (not once per query pair), and the
-    rank window sees candidates, not all n x q scored pairs.  The +8
+    rank window sees candidates, not all n x q scored pairs.  The +16
     margin makes the in-kernel ordering (numpy round, ties broken
     exactly) immune to half-even-vs-half-up boundary disagreements with
     the final window's F.round."""
@@ -173,11 +189,18 @@ def _knn_kernel_topk(
             [], out_schema + ", rank int"
         ).select("query_id", "neighbor_id", "cos", "rank")
     q_ids = [r["query_id"] for r in qrows]
-    Q = np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in qrows])
+    # NULL / length-mismatched vectors coerce to zeros (cos 0.0) rather
+    # than crashing the stack — same tolerance as the expression path
+    Q, q_dim = _stack_rows([r["_v"] for r in qrows])
     if int8:
         Q = _quantize_rows(Q)
     qn = np.sqrt((Q * Q).sum(axis=1))
-    take = k + 8
+    # +16 margin: candidates are cheap (per batch x query), and the
+    # cushion covers numpy-half-even vs Spark-HALF_UP boundary
+    # disagreements in the LOCAL ordering many times over — the global
+    # window re-ranks with F.round, so only a candidate pruned here
+    # could ever be missed
+    take = k + 16
 
     src = _fan_out(
         embeddings.select(
@@ -192,9 +215,7 @@ def _knn_kernel_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            C = np.vstack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["_v"].to_numpy()]
-            )
+            C, _ = _stack_rows(pdf["_v"].to_numpy(), dim=q_dim)
             if int8:
                 C = _quantize_rows(C)
             cn = np.sqrt((C * C).sum(axis=1))
@@ -421,10 +442,13 @@ def embedding_neardup_pairs(
     the corpus: ``max(8, isqrt(n))``, with n ESTIMATED from parquet
     footer metadata on the driver (:func:`_estimate_rows` — no Spark
     job, filters/unions fine; the base-table upper bound just means
-    smaller buckets).  Only lineage with no file source at all (pure
-    in-memory frames) falls back to an eager ``count()`` job; pass
-    ``n_centroids`` explicitly (any reasonable estimate works) to
-    avoid even that.  A
+    smaller buckets).  Caveat for HIGHLY selective filters (actual
+    rows << base table): the inflated K can exceed the filtered count,
+    making every vector its own centroid — exact duplicates still
+    always pair (each probes its twin first), but merely-near recall
+    tightens to mutual-nearest-probe; pass ``n_centroids`` explicitly
+    on such lineage.  Only lineage with no file source at all (pure
+    in-memory frames) falls back to an eager ``count()`` job.  A
     FIXED centroid count does not scale — with K constant, buckets hold
     n/K vectors and the within-bucket join is still O(n^2/K).  Total
     work is assignment O(n*K) + bucket joins O(probe^2*n^2/K), which

@@ -138,6 +138,11 @@ def _make_bucket_update(max_bucket_size: int, ttl_ms: int):
             has_ts = len(pdf) and "ts" in pdf
             if has_ts:
                 last_ms = max(last_ms, max(int(t.value // 1_000_000) for t in pdf["ts"]))
+                # rows within a micro-batch are NOT time-ordered;
+                # iterate in event-time order so a pair's stamp is
+                # genuinely the LATER doc's ts (docs already in state
+                # are from earlier batches/rows, so current ts >= both)
+                pdf = pdf.sort_values("ts", kind="stable")
             tss = pdf["ts"].tolist() if has_ts else [None] * len(pdf)
             for d, t in zip(pdf["doc_id"].astype("int64").tolist(), tss):
                 if saturated:

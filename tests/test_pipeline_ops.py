@@ -1456,3 +1456,74 @@ def test_line_dedup_semantics(spark):
     assert (out[2].n_lines, out[2].n_kept) == (3, 2)
     assert out[3].clean_text == "repeat me twice"       # within-doc repeat dropped
     assert out[4].clean_text == "" and out[4].n_lines == 1  # '' line, exempt (short)
+
+
+def test_knn_kernel_tolerates_null_and_ragged_vectors(spark):
+    """NULL or length-mismatched embedding rows coerce to zero vectors
+    (cos 0.0) instead of crashing the Arrow kernels."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, None),              # NULL embedding
+            (3, [1.0, 0.0, 5.0]),   # ragged length
+        ],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    q = emb.where("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    out = sorted(sim.knn_bruteforce(emb, q, k=3).collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in out] == [1, 2, 3]
+    assert out[0].cos > 0.99 and out[1].cos == 0.0 and out[2].cos == 0.0
+
+    # vectorized pair-cosine path (near-dup) with a NULL row present
+    pairs = sim.embedding_neardup_pairs(emb, threshold=0.999, n_centroids=2)
+    assert pairs.count() == 0  # no crash; no qualifying pair
+
+
+def test_hamming_pairs_dirty_input(spark):
+    """Defensive hygiene: duplicated (id, fp) rows dedup away, and an id
+    carrying two fingerprints never emits a self-pair."""
+    from beyond_vector_search_spark.operators.dedup import hamming_fingerprint_pairs
+
+    fps = spark.createDataFrame(
+        [
+            (1, 0b1111),
+            (1, 0b1111),   # duplicated row
+            (2, 0b1111),   # true duplicate partner
+            (3, 0b0000),
+            (3, 0b0001),   # same id under a second fingerprint (hamming 1)
+        ],
+        "doc_id BIGINT, simhash BIGINT",
+    )
+    out = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_fingerprint_pairs(fps, bits=60, bands=4, max_hamming=3).collect()
+    )
+    assert (1, 2, 0) in out
+    assert all(a != b for a, b, _ in out), out          # no self-pairs
+    assert len([p for p in out if p[:2] == (1, 2)]) == 1  # no duplicated pairs
+
+
+def test_line_dedup_paragraph_mode(spark):
+    """Paragraph-level dedup: regex split + literal join keeps
+    clean_text well-formed."""
+    from beyond_vector_search_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique paragraph one is long enough\n\n\nshared paragraph body text here"),
+            (2, "shared paragraph body text here\n\nanother unique paragraph body"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in line_dedup(
+            docs, sep=r"\n{2,}", join_sep="\n\n", min_len=10
+        ).collect()
+    }
+    assert out[1].clean_text == (
+        "unique paragraph one is long enough\n\nshared paragraph body text here"
+    )
+    assert out[2].clean_text == "another unique paragraph body"
+    assert "{2,}" not in out[1].clean_text
