@@ -15,7 +15,10 @@ Huffman entropy decode + IDCT, luma plane out), and PCM WAV plus G.711
 mu-law/A-law (stdlib ``wave`` / numpy expansion), binary netpbm
 (P5/P6), and uncompressed TIFF (both byte orders, strips, WhiteIsZero)
 — dispatched on magic bytes, with exact/bounded encode/decode
-roundtrips pinned by tests.  What remains codec-bound (progressive JPEG, MP3, video) needs
+roundtrips pinned by tests.  Video is REAL for animated GIF and for
+AVI containers (RIFF parse; MJPEG frames through the baseline-JPEG
+decoder, uncompressed 8/24-bit DIB frames directly).  What remains
+codec-bound (progressive JPEG, MP3, MP4/H.264) needs
 PIL/ffmpeg/librosa, NOT in this container: those fall back to a
 deterministic fake derived from the payload bytes (clearly marked; swap
 for the real library on a cluster image).  Everything Spark-side is
@@ -867,18 +870,186 @@ def resize_images(images: DataFrame, *, max_side: int = 64) -> DataFrame:
     return images.mapInPandas(kernel, schema=RESIZE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# AVI (RIFF) container: MJPEG + uncompressed-DIB video, pure stdlib/numpy
+# ---------------------------------------------------------------------------
+# Public spec: RIFF 'AVI ' -> LIST hdrl (avih + per-stream LIST strl of
+# strh/strf) + LIST movi ('##dc' compressed / '##db' uncompressed frame
+# chunks, word-aligned).  MJPEG frames are baseline JPEGs (decoded by
+# operators/jpeg); uncompressed frames are bottom-up DIBs (8-bit
+# palette or 24-bit BGR, rows padded to 4 bytes).
+
+import struct as _struct
+
+_MJPG = int.from_bytes(b"MJPG", "little")
+
+
+def _riff_subchunks(buf: bytes, off: int, end: int):
+    """Yield (fourcc, list_type_or_None, data_off, size) walking a RIFF
+    chunk sequence; LIST chunks expose their type fourcc."""
+    while off + 8 <= end:
+        cc = buf[off : off + 4]
+        (sz,) = _struct.unpack_from("<I", buf, off + 4)
+        data = off + 8
+        if data + sz > len(buf):
+            break
+        ltype = buf[data : data + 4] if cc in (b"LIST", b"RIFF") else None
+        yield cc, ltype, data, sz
+        off = data + sz + (sz & 1)
+
+
+def _parse_avi(blob: bytes):
+    """-> (video stream format dict, [(chunk_id, off, size), ...] movi
+    frame chunks).  Only the FIRST 'vids' stream is decoded."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI payload")
+    fmt: dict = {}
+    frames: list[tuple[bytes, int, int]] = []
+
+    def walk(off: int, end: int) -> None:
+        for cc, ltype, data, sz in _riff_subchunks(blob, off, end):
+            if cc == b"LIST" and ltype in (b"hdrl", b"strl"):
+                walk(data + 4, data + sz)
+            elif cc == b"LIST" and ltype == b"movi":
+                for fcc, _lt, d, s in _riff_subchunks(blob, data + 4, data + sz):
+                    if fcc[2:4] in (b"dc", b"db"):
+                        frames.append((fcc, d, s))
+            elif cc == b"strh" and sz >= 8 and blob[data : data + 4] == b"vids":
+                fmt.setdefault("handler", blob[data + 4 : data + 8])
+            elif cc == b"strf" and "biW" not in fmt and sz >= 40:
+                (biSize, biW, biH, _planes, bits, comp) = _struct.unpack_from(
+                    "<IiiHHI", blob, data
+                )
+                fmt.update(biW=biW, biH=biH, bits=bits, comp=comp)
+                if bits == 8 and sz >= 40 + 256 * 4:
+                    pal = np.frombuffer(blob, np.uint8, 256 * 4, data + 40).reshape(
+                        256, 4
+                    )
+                    # RGBQUAD is B,G,R,reserved — BT.601 integer luma
+                    # (each channel cast first: a python-int * uint8
+                    # product would wrap under NumPy 2 weak promotion)
+                    fmt["palette"] = (
+                        299 * pal[:, 2].astype(np.int64)
+                        + 587 * pal[:, 1].astype(np.int64)
+                        + 114 * pal[:, 0].astype(np.int64)
+                        + 500
+                    ) // 1000
+
+    walk(12, len(blob))
+    if "biW" not in fmt:
+        raise ValueError("AVI without a vids strf header")
+    return fmt, frames
+
+
+def _decode_dib_frame(data: bytes, fmt: dict) -> np.ndarray:
+    """Bottom-up DIB pixel block -> gray uint8 (8-bit palette or 24-bit
+    BGR; rows padded to 4 bytes; negative biHeight = top-down)."""
+    w, h, bits = fmt["biW"], abs(fmt["biH"]), fmt["bits"]
+    if bits == 8:
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(data, np.uint8, stride * h).reshape(h, stride)[:, :w]
+        pal = fmt.get("palette")
+        gray = pal[rows].astype(np.uint8) if pal is not None else rows.copy()
+    elif bits == 24:
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(data, np.uint8, stride * h).reshape(h, stride)[
+            :, : w * 3
+        ].reshape(h, w, 3)
+        b, g, r = (rows[..., i].astype(np.int64) for i in range(3))
+        gray = ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(np.uint8)
+    else:
+        raise NotImplementedError(f"DIB bit depth {bits}")
+    return gray if fmt["biH"] < 0 else gray[::-1]
+
+
+def _iter_avi_frames(blob: bytes):
+    """Decode an AVI's video frames to gray uint8 arrays: MJPEG chunks
+    through the baseline-JPEG decoder, uncompressed chunks as DIBs."""
+    from beyond_vector_search_spark.operators.jpeg import decode_jpeg
+
+    fmt, frames = _parse_avi(blob)
+    for fcc, off, sz in frames:
+        data = blob[off : off + sz]
+        if fmt.get("comp") == _MJPG or data[:2] == b"\xff\xd8":
+            yield decode_jpeg(data)
+        elif fmt.get("comp", 0) == 0:
+            yield _decode_dib_frame(data, fmt)
+        else:
+            raise NotImplementedError(
+                f"AVI compression 0x{fmt.get('comp', 0):08x} (only MJPG / BI_RGB)"
+            )
+
+
+def _avi_chunk(fourcc: bytes, data: bytes) -> bytes:
+    return fourcc + _struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+
+def _avi_list(ltype: bytes, payload: bytes) -> bytes:
+    return _avi_chunk(b"LIST", ltype + payload)
+
+
+def encode_avi_gray8(
+    frames: list, *, mjpeg: bool = True, fps: int = 10, quant_step: int = 1
+) -> bytes:
+    """Minimal spec-correct AVI from gray uint8 frames — MJPEG (each
+    frame a baseline JPEG from operators/jpeg, '00dc' chunks) or
+    uncompressed 8-bit grayscale-palette DIB ('00db', bottom-up,
+    4-byte row padding).  The independent fixture source for the AVI
+    decode path (same role as the other encode_* twins)."""
+    from beyond_vector_search_spark.operators.jpeg import encode_jpeg_gray8
+
+    h, w = frames[0].shape
+    if mjpeg:
+        payloads = [encode_jpeg_gray8(f, quant_step=quant_step) for f in frames]
+        comp, bits, pal = _MJPG, 24, b""
+    else:
+        stride = (w + 3) & ~3
+        payloads = []
+        for f in frames:
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, :w] = f
+            payloads.append(rows[::-1].tobytes())  # bottom-up
+        comp, bits = 0, 8
+        pal = b"".join(bytes((i, i, i, 0)) for i in range(256))  # gray RGBQUADs
+    strf = (
+        _struct.pack("<IiiHHIIiiII", 40 + len(pal), w, h, 1, bits, comp,
+                     len(payloads[0]), 0, 0, 256 if pal else 0, 0) + pal
+    )
+    strh = _struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG" if mjpeg else b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, len(frames), max(len(p) for p in payloads), 0xFFFFFFFF, 0,
+        0, 0, w, h,
+    )
+    avih = _struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1,
+        max(len(p) for p in payloads), w, h, 0, 0, 0, 0,
+    )
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)),
+    )
+    cid = b"00dc" if mjpeg else b"00db"
+    movi = _avi_list(b"movi", b"".join(_avi_chunk(cid, p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
 def frame_sample(
     videos: DataFrame, *, every_n: int = 10
 ) -> DataFrame:
     """Sample every Nth frame of a 'video' into image rows — the
     explode-shaped multimodal op.
 
-    REAL frame extraction for animated GIF payloads (the one video-ish
-    container stdlib can decode): frames compose onto the logical
-    screen via :func:`_iter_gif_frames` and sampled snapshots re-encode
-    as single-frame GIFs (decodable by every downstream kernel).
-    Other payloads byte-chunk by the ``n_frames`` metadata (the fake
-    path — real MP4/AVI need ffmpeg).
+    REAL frame extraction for animated GIF payloads (frames compose
+    onto the logical screen via :func:`_iter_gif_frames`) AND for AVI
+    containers (:func:`_iter_avi_frames` — MJPEG chunks through the
+    baseline-JPEG decoder, uncompressed 8/24-bit DIB chunks directly);
+    sampled snapshots re-encode as single-frame GIFs (decodable by
+    every downstream kernel).  Other payloads byte-chunk by the
+    ``n_frames`` metadata (the fake path — MP4/H.264 etc. need ffmpeg).
 
     Input:  (media_id, content BINARY, meta STRUCT<format, n_frames INT,
              width INT, height INT>)
@@ -890,6 +1061,22 @@ def frame_sample(
         for pdf in batches:
             rows = []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                if bytes(content[:4]) == b"RIFF" and bytes(content[8:12]) == b"AVI ":
+                    for f, frame in enumerate(_iter_avi_frames(bytes(content))):
+                        if f % every_n:
+                            continue
+                        rows.append(
+                            (
+                                int(mid) * 100000 + f,
+                                bytearray(encode_gif_gray8(frame)),
+                                {
+                                    "format": "gif",
+                                    "width": frame.shape[1],
+                                    "height": frame.shape[0],
+                                },
+                            )
+                        )
+                    continue
                 if bytes(content[:6]) in (b"GIF87a", b"GIF89a"):
                     for f, frame in enumerate(_iter_gif_frames(bytes(content))):
                         if f % every_n:

@@ -1527,3 +1527,49 @@ def test_line_dedup_paragraph_mode(spark):
     )
     assert out[2].clean_text == "another unique paragraph body"
     assert "{2,}" not in out[1].clean_text
+
+
+def test_avi_frame_sample_real_decode(spark):
+    """AVI containers decode REAL frames: MJPEG chunks via the baseline
+    JPEG decoder (|err| <= 1 at quant step 1), uncompressed 8-bit DIB
+    chunks exactly; frame_sample explodes them into decodable GIF image
+    rows with the media_id * 100000 + frame_no convention."""
+    import numpy as np
+
+    from beyond_vector_search_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (24, 33), dtype=np.uint8) for _ in range(6)]
+
+    # container-level roundtrips
+    got_m = list(mm._iter_avi_frames(mm.encode_avi_gray8(frames, mjpeg=True)))
+    assert len(got_m) == 6
+    assert max(
+        int(np.abs(g.astype(int) - f.astype(int)).max()) for g, f in zip(got_m, frames)
+    ) <= 1
+    got_d = list(mm._iter_avi_frames(mm.encode_avi_gray8(frames, mjpeg=False)))
+    assert all(np.array_equal(g, f) for g, f in zip(got_d, frames))
+
+    # Spark end-to-end: sample every 2nd frame, decode the emitted GIFs
+    vids = spark.createDataFrame(
+        [
+            (
+                7,
+                bytearray(mm.encode_avi_gray8(frames, mjpeg=False)),
+                {"format": "avi", "n_frames": 6, "width": 33, "height": 24},
+            )
+        ],
+        "media_id BIGINT, content BINARY, "
+        "meta STRUCT<format STRING, n_frames INT, width INT, height INT>",
+    )
+    rows = mm.frame_sample(vids, every_n=2).collect()
+    assert sorted(r.media_id for r in rows) == [700000, 700002, 700004]
+    for r in sorted(rows, key=lambda r: r.media_id):
+        img = mm._decode_image(bytes(r.content), r.meta.width, r.meta.height)
+        assert np.array_equal(img, frames[r.media_id - 700000])
+
+    # malformed container is loud, not silent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        list(mm._iter_avi_frames(b"RIFF\x04\x00\x00\x00AVI "))
