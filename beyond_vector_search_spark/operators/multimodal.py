@@ -584,12 +584,155 @@ def encode_pgm(img: np.ndarray) -> bytes:
     return b"P5\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first codes, 9->12 bit widths with the
+    EARLY-CHANGE rule (width grows one code earlier than GIF — the
+    libtiff maxcode = (1<<nbits)-2 convention below 12 bits)."""
+    out = bytearray()
+    nbits, maxcode = 9, (1 << 9) - 2
+    table: list[bytes] = []
+    free_ent = 258
+    prev: bytes | None = None
+    acc = accbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while accbits < nbits and pos < n:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            accbits += 8
+        if accbits < nbits:
+            break
+        code = (acc >> (accbits - nbits)) & ((1 << nbits) - 1)
+        accbits -= nbits
+        if code == 256:  # Clear
+            table = [bytes((i,)) for i in range(256)] + [b"", b""]
+            free_ent, nbits, maxcode = 258, 9, (1 << 9) - 2
+            prev = None
+            continue
+        if code == 257:  # EndOfInformation
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < free_ent:
+            entry = table[code]
+        elif code == free_ent:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            free_ent += 1
+            if free_ent > maxcode:
+                nbits += 1
+                maxcode = (1 << nbits) - (1 if nbits == 12 else 2)
+        prev = entry
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Mirror of :func:`_tiff_lzw_decode` (same early-change widths);
+    emits Clear / EOI per TIFF 6.0, resetting at a full table."""
+    out = bytearray()
+    acc = accbits = 0
+
+    def emit(code: int, nbits: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << nbits) | code
+        accbits += nbits
+        while accbits >= 8:
+            out.append((acc >> (accbits - 8)) & 0xFF)
+            accbits -= 8
+
+    # The decoder's table lags the encoder's by exactly one entry (it
+    # adds after reading the NEXT code), so the encoder's width switch
+    # fires at (1<<n)-1 while the decoder's early-change rule fires at
+    # (1<<n)-2 — the streams then agree on every code's width.
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(256)}
+    free_ent, nbits = 258, 9
+    emit(256, nbits)
+    w = b""
+    for b in data:
+        k = w + bytes((b,))
+        if k in table:
+            w = k
+            continue
+        emit(table[w], nbits)
+        table[k] = free_ent
+        free_ent += 1
+        if nbits == 12:
+            if free_ent >= 4094:  # table full: Clear + restart
+                emit(256, nbits)
+                table = {bytes((i,)): i for i in range(256)}
+                free_ent, nbits = 258, 9
+        elif free_ent > (1 << nbits) - 1:
+            nbits += 1
+        w = bytes((b,))
+    if w:
+        emit(table[w], nbits)
+    emit(257, nbits)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (Apple RLE): n in 0..127 -> copy n+1 literals,
+    n in -127..-1 -> repeat next byte 1-n times, -128 -> no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += data[i : i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: runs of >= 3 as repeats, else literals."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append((257 - run) & 0xFF)
+            out.append(data[i])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out.append(i - lit - 1)
+        out += data[lit:i]
+    return bytes(out)
+
+
+_TIFF_STRIP_DECODERS = {
+    1: lambda d: d,
+    5: _tiff_lzw_decode,
+    32773: _packbits_decode,
+}
+
+
 def _decode_tiff(content: bytes) -> np.ndarray:
-    """REAL decode of uncompressed baseline TIFF (both byte orders):
-    first IFD, 8-bit grayscale or RGB (channel-mean reduction), strip
-    layout.  Compressed TIFF (LZW/JPEG/deflate) raises
-    NotImplementedError — the dispatcher falls back when metadata
-    allows."""
+    """REAL decode of baseline TIFF (both byte orders): first IFD,
+    8-bit grayscale or RGB (channel-mean reduction), strip layout;
+    compressions: none, LZW (early change), PackBits, and Deflate
+    (zlib, codes 8/32946).  JPEG-in-TIFF raises NotImplementedError —
+    the dispatcher falls back when metadata allows."""
     import struct
 
     if content[:4] == b"II*\x00":
@@ -615,7 +758,13 @@ def _decode_tiff(content: bytes) -> np.ndarray:
     w = tags[256][0]
     h = tags[257][0]
     comp = tags.get(259, (1,))[0]
-    if comp != 1:
+    if comp in (8, 32946):  # Adobe/legacy Deflate: zlib per strip
+        import zlib
+
+        strip_decode = zlib.decompress
+    elif comp in _TIFF_STRIP_DECODERS:
+        strip_decode = _TIFF_STRIP_DECODERS[comp]
+    else:
         raise NotImplementedError(f"TIFF compression {comp}")
     bits = tags.get(258, (8,))
     if any(b != 8 for b in bits):
@@ -625,7 +774,7 @@ def _decode_tiff(content: bytes) -> np.ndarray:
         raise NotImplementedError(f"TIFF samples-per-pixel {spp}")
     offsets = tags[273]
     counts = tags.get(279, (w * h * spp,))
-    raw = b"".join(content[o : o + c] for o, c in zip(offsets, counts))
+    raw = b"".join(strip_decode(content[o : o + c]) for o, c in zip(offsets, counts))
     px = np.frombuffer(raw, np.uint8, count=w * h * spp)
     if spp == 1:
         img = px.reshape(h, w).copy()
@@ -636,14 +785,34 @@ def _decode_tiff(content: bytes) -> np.ndarray:
     return img
 
 
-def encode_tiff_gray8(img: np.ndarray, *, rows_per_strip: int | None = None) -> bytes:
-    """2-D uint8 -> uncompressed little-endian TIFF (multi-strip when
-    ``rows_per_strip`` is set — exercises the strip-reassembly path)."""
+_TIFF_STRIP_ENCODERS = {
+    "none": (1, lambda d: d),
+    "lzw": (5, _tiff_lzw_encode),
+    "packbits": (32773, _packbits_encode),
+}
+
+
+def encode_tiff_gray8(
+    img: np.ndarray,
+    *,
+    rows_per_strip: int | None = None,
+    compression: str = "none",
+) -> bytes:
+    """2-D uint8 -> little-endian TIFF (multi-strip when
+    ``rows_per_strip`` is set — exercises the strip-reassembly path).
+    ``compression``: "none" | "lzw" | "packbits" | "deflate" — per-strip
+    compression, the fixture source for the compressed decode paths."""
     import struct
 
+    if compression == "deflate":
+        import zlib
+
+        comp_code, enc = 8, zlib.compress
+    else:
+        comp_code, enc = _TIFF_STRIP_ENCODERS[compression]
     h, w = img.shape
     rps = rows_per_strip or h
-    strips = [img[r : r + rps].tobytes() for r in range(0, h, rps)]
+    strips = [enc(img[r : r + rps].tobytes()) for r in range(0, h, rps)]
     n = len(strips)
     # layout: header(8) | pixel strips | IFD | long-value arrays
     data_off = 8
@@ -668,7 +837,7 @@ def encode_tiff_gray8(img: np.ndarray, *, rows_per_strip: int | None = None) -> 
     so_val, so_blob = arr_or_inline(strip_offs)
     sc_val, sc_blob = arr_or_inline([len(s) for s in strips])
     entries = [
-        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, comp_code),
         (262, 3, 1, 1), (273, 4, n, so_val), (278, 4, 1, rps), (279, 4, n, sc_val),
     ]
     ifd = struct.pack("<H", n_tags)

@@ -1208,13 +1208,13 @@ def test_pnm_and_tiff_decode():
             struct.pack_into("<I", blob, off + 8, 0)
     assert np.array_equal(mm._decode_tiff(bytes(blob)), 255 - img)
 
-    lzw = bytearray(mm.encode_tiff_gray8(img))
-    for i in range(struct.unpack_from("<H", lzw, ifd_off)[0]):
+    jpg = bytearray(mm.encode_tiff_gray8(img))
+    for i in range(struct.unpack_from("<H", jpg, ifd_off)[0]):
         off = ifd_off + 2 + 12 * i
-        if struct.unpack_from("<H", lzw, off)[0] == 259:
-            struct.pack_into("<I", lzw, off + 8, 5)  # LZW
+        if struct.unpack_from("<H", jpg, off)[0] == 259:
+            struct.pack_into("<I", jpg, off + 8, 7)  # JPEG-in-TIFF: unsupported
     with pytest.raises(NotImplementedError):
-        mm._decode_tiff(bytes(lzw))
+        mm._decode_tiff(bytes(jpg))
 
     # dispatcher: real decode without metadata for both magics
     assert mm._decode_image(mm.encode_pgm(img), 0, 0).shape == img.shape
@@ -1573,3 +1573,48 @@ def test_avi_frame_sample_real_decode(spark):
 
     with _pytest.raises(ValueError):
         list(mm._iter_avi_frames(b"RIFF\x04\x00\x00\x00AVI "))
+
+
+def test_tiff_compressed_strip_roundtrips():
+    """LZW (TIFF early-change widths), PackBits, and Deflate strips
+    decode exactly, single- and multi-strip; the LZW code stream is
+    pinned against a hand-derived vector (phrases '7', '77' via the
+    KwKwK case, '8'), and a 100kB random payload forces 10/11/12-bit
+    widths plus a table-full Clear restart."""
+    import numpy as np
+
+    from beyond_vector_search_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    img[5:12] = 77  # long runs: PackBits repeats, LZW phrase reuse
+    for comp in ("lzw", "packbits", "deflate"):
+        for rps in (None, 4):
+            blob = mm.encode_tiff_gray8(img, compression=comp, rows_per_strip=rps)
+            assert np.array_equal(mm._decode_tiff(blob), img), (comp, rps)
+
+    def pack9(codes):
+        acc = accbits = 0
+        out = bytearray()
+        for c in codes:
+            acc = (acc << 9) | c
+            accbits += 9
+            while accbits >= 8:
+                out.append((acc >> (accbits - 8)) & 0xFF)
+                accbits -= 8
+        if accbits:
+            out.append((acc << (8 - accbits)) & 0xFF)
+        return bytes(out)
+
+    expected = pack9([256, 7, 258, 8, 257])
+    assert mm._tiff_lzw_encode(bytes([7, 7, 7, 8])) == expected
+    assert mm._tiff_lzw_decode(expected) == bytes([7, 7, 7, 8])
+
+    data = bytes(rng.integers(0, 256, 100_000, dtype=np.uint8))
+    assert mm._tiff_lzw_decode(mm._tiff_lzw_encode(data)) == data
+
+    assert mm._packbits_decode(
+        bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A])
+    ) == bytes([0xAA] * 3 + [0x80, 0x00, 0x2A])
+    runs = bytes([9] * 200 + [1, 2, 3] + [5] * 3)
+    assert mm._packbits_decode(mm._packbits_encode(runs)) == runs

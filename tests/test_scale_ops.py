@@ -704,3 +704,37 @@ def test_streaming_minhash_pairs_exactly_once(spark, tmp_path):
     q2.awaitTermination(300)
     uniq_13 = [r for r in uniq if (r.doc_a, r.doc_b) == (1, 3)]
     assert len(uniq_13) == 1, uniq  # exactly-once across bands
+
+
+def test_streaming_minhash_pair_ts_is_later_doc_within_batch(spark, tmp_path):
+    """Rows inside ONE micro-batch are not time-ordered; the pair stamp
+    must still be the LATER doc's event time (iteration sorts by ts)."""
+    import datetime as dt
+
+    from beyond_vector_search_spark.streaming.neardup import minhash_pairs_stream
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id BIGINT, text STRING, ts TIMESTAMP"
+    src = tmp_path / "ob_src"
+    src.mkdir()
+    # ONE file/batch: the later-ts doc (id 9) listed FIRST
+    spark.createDataFrame(
+        [(9, text, t0 + dt.timedelta(minutes=5)), (1, text, t0)], schema
+    ).coalesce(1).write.parquet(str(src / "b0"))
+
+    out: list = []
+    q = (
+        minhash_pairs_stream(
+            spark.readStream.schema(schema).parquet(str(src / "*")),
+            watermark="30 minutes",
+        )
+        .writeStream.foreachBatch(lambda df, _b: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ob_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    pair_ts = {r.ts for r in out if (r.doc_a, r.doc_b) == (1, 9)}
+    assert pair_ts == {t0 + dt.timedelta(minutes=5)}, out
