@@ -431,13 +431,18 @@ _ALLDOCS_RANK_SQL = (
 )
 
 
-@register(
-    "topk_alldocs_parity",
+# Registered at the catalog TAIL (coverage_queries.register_all): it is
+# a parity twin of bm25/vector/hybrid_topk (zero-score universe
+# restored), so it yields its early driver-window slot to distinctive
+# operators; the full-catalog local artifacts still verify it.
+TOPK_ALLDOCS_PARITY_SQL = (
     f"WITH {_QUERIES_CTE}, {_TOKS_CTE}, {_SCALARS_CTE}, {_EXPLODED_CTE}, "
     f"{_TERM_STATS_CTE}, {_POSTINGS_CTE}, {_BM25_SCORED_CTE}, "
     f"{_GRAMS_CTE}, {_GRAM_STATS_CTE}, {_DOC_VEC_CTE}, {_VEC_QUERY_CTE}, "
-    f"{_VEC_SCORED_CTE}, {_KALL_CTE}, {_HALL_CTE}, {_ALLDOCS_RANK_SQL}",
+    f"{_VEC_SCORED_CTE}, {_KALL_CTE}, {_HALL_CTE}, {_ALLDOCS_RANK_SQL}"
 )
+
+
 def q_topk_alldocs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 

@@ -351,6 +351,63 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pq_topk",
+    # Product-quantization ANN (Jegou et al., TPAMI 2011) in both serving
+    # shapes, one tagged relation: method='adc' is the pure asymmetric-
+    # distance scan over 8-byte PQ codes (32x less I/O than raw float32
+    # vectors at 100 TB); method='adc_rerank' re-ranks the ADC top-50
+    # shortlist with the exact squared L2 (the refinement stage that buys
+    # recall back — the shortlist is q x 50 ids, a broadcast, never a
+    # corpus rescan).  Codebooks are the deterministic head-sample rule
+    # (subspace slices of the 16 lowest-id vectors), so unlike MLlib's
+    # LSH the whole ANN path is cross-engine hash-checkable.
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "heads AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code_id, v AS hv "
+    "FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)), "
+    "pos AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i), "
+    "subpos AS (SELECT i, CAST(floor((i - 1) / 8) AS INTEGER) AS sub FROM pos), "
+    "enc0 AS (SELECT x.vec_id, s.sub, h.code_id, "
+    "round(sum((x.v[s.i] - h.hv[s.i]) * (x.v[s.i] - h.hv[s.i])), 6) AS d2 "
+    "FROM e x CROSS JOIN subpos s CROSS JOIN heads h GROUP BY x.vec_id, s.sub, h.code_id), "
+    "enc AS (SELECT vec_id, sub, code_id FROM ("
+    "SELECT vec_id, sub, code_id, "
+    "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code_id ASC) AS rn "
+    "FROM enc0) WHERE rn = 1), "
+    "q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5), "
+    "lut AS (SELECT qq.query_id, s.sub, h.code_id, "
+    "round(sum((qq.v[s.i] - h.hv[s.i]) * (qq.v[s.i] - h.hv[s.i])), 6) AS d2 "
+    "FROM q qq CROSS JOIN subpos s CROSS JOIN heads h GROUP BY qq.query_id, s.sub, h.code_id), "
+    "adc AS (SELECT l.query_id, en.vec_id AS neighbor_id, round(sum(l.d2), 6) AS dist "
+    "FROM enc en JOIN lut l ON l.sub = en.sub AND l.code_id = en.code_id "
+    "WHERE en.vec_id <> l.query_id GROUP BY l.query_id, en.vec_id), "
+    "adcr AS (SELECT query_id, neighbor_id, dist, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(dist, 6) ASC, neighbor_id ASC) AS INTEGER) AS rank "
+    "FROM adc), "
+    "short AS (SELECT query_id, neighbor_id FROM adcr WHERE rank <= 50), "
+    "exact AS (SELECT s.query_id, s.neighbor_id, "
+    "round(sum((qv.v[p.i] - cv.v[p.i]) * (qv.v[p.i] - cv.v[p.i])), 6) AS dist "
+    "FROM short s JOIN e qv ON qv.vec_id = s.query_id JOIN e cv ON cv.vec_id = s.neighbor_id "
+    "CROSS JOIN pos p GROUP BY s.query_id, s.neighbor_id), "
+    "exr AS (SELECT query_id, neighbor_id, dist, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(dist, 6) ASC, neighbor_id ASC) AS INTEGER) AS rank "
+    "FROM exact) "
+    "SELECT 'adc' AS method, query_id, neighbor_id, dist, rank FROM adcr WHERE rank <= 5 "
+    "UNION ALL "
+    "SELECT 'adc_rerank', query_id, neighbor_id, dist, rank FROM exr WHERE rank <= 5",
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adc = sim.pq_topk(emb, queries, m=8, dim=64, n_codes=16, k=5)
+    rr = sim.pq_topk(emb, queries, m=8, dim=64, n_codes=16, k=5, rerank=50)
+    return adc.select(F.lit("adc").alias("method"), "*").unionByName(
+        rr.select(F.lit("adc_rerank").alias("method"), "*")
+    )
+
+
+@register(
     "sampling_methods",
     # The three deterministic sampling operators in ONE tagged relation
     # (formerly deterministic_sample + stratified_sample_lang +
