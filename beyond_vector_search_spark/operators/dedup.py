@@ -426,6 +426,141 @@ def jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def positioned_shingle_rows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    kernel: bool = True,
+) -> DataFrame:
+    """(doc_id, pos, sh) — every word n-gram shingle WITH its 1-based
+    token position (NOT distinct: the positional long form that span
+    detection needs, vs :func:`shingle_rows`' set form).
+
+    ``kernel=True`` emits the rows from one Arrow pass (same tokenizer
+    as the index build); ``kernel=False`` is the expression twin
+    (posexplode over the shingle sequence) — set-parity pinned by test.
+    """
+    if kernel:
+        from collections.abc import Iterator
+
+        from beyond_vector_search_spark.functions.kernels import _TOKEN_RE, _project
+
+        src, id_type = _project(df, id_col, F.col(text_col))
+
+        def k(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                ids, poss, shs = [], [], []
+                for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
+                    toks = [t.lower() for t in _TOKEN_RE.findall(txt or "")]
+                    for i in range(len(toks) - n + 1):
+                        ids.append(doc_id)
+                        poss.append(i + 1)
+                        shs.append(" ".join(toks[i : i + n]))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                        "pos": pd.Series(poss, dtype="int64"),
+                        "sh": pd.Series(shs, dtype="object"),
+                    }
+                )
+
+        return src.mapInPandas(k, f"doc_id {id_type}, pos long, sh string")
+    toked = df.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
+    grams = toked.select(
+        "doc_id",
+        F.when(F.size("toks") < n, F.array().cast("array<string>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+            )
+        )
+        .alias("shs"),
+    )
+    return grams.select(
+        "doc_id", F.posexplode("shs").alias("p0", "sh")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "sh")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_span_tokens: int | None = None,
+    max_shingle_df: int | None = 1000,
+    kernel: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, start_a, start_b, span_tokens) — MAXIMAL exact
+    duplicated token spans across document pairs: runs of >= 1
+    consecutive matching n-token shingles at a constant positional
+    offset, reported as the covered token span (run_len + n - 1 tokens
+    from each start).  The cross-document core of Lee et al. 2022's
+    "Deduplicating Training Data Makes Language Models Better" exact-
+    substring pass, re-expressed relationally: where that work builds a
+    suffix array, this builds the positional inverted shingle index —
+    the shape Spark executes well — and recovers maximal repeated
+    substrings (at token granularity, quantized by the shingle width)
+    with a gaps-and-islands window instead of suffix-array traversal.
+
+    Plan shape at 100 TB: positioned shingles are a narrow map pass
+    (Arrow kernel); the only corpus-sized shuffle is the inverted join
+    on the shingle key, bounded by ``max_shingle_df`` (a shingle in m
+    docs yields m^2/2 join rows — boilerplate shingles go quadratic, so
+    shingles above the df cap are dropped BEFORE the self-join, same
+    hot-key guard as :func:`jaccard_pairs`/:func:`lsh_candidate_pairs`);
+    the islands window partitions by (pair, offset) — keys whose groups
+    are at most one document long, never corpus-sized.
+
+    ``min_span_tokens`` filters the output (default n — every match
+    reported); span starts are 1-based token positions.  Deterministic
+    end-to-end => DuckDB-oracle-checkable.
+    """
+    min_span = n if min_span_tokens is None else min_span_tokens
+    sh = positioned_shingle_rows(
+        df, id_col=id_col, text_col=text_col, n=n, kernel=kernel
+    )
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count_distinct("doc_id").alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh", "left_semi")
+    a, b = sh.alias("a"), sh.alias("b")
+    matches = a.join(
+        b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+    )
+    # runs of consecutive pos_a at constant offset: within one
+    # (id_a, id_b, offset) partition pos_b is determined by pos_a, so
+    # row_number over pos_a is duplicate-free and pos_a - row_number is
+    # the classic island key
+    off = (F.col("pos_a") - F.col("pos_b")).alias("off")
+    w = Window.partitionBy("id_a", "id_b", "off").orderBy("pos_a")
+    islands = matches.select("id_a", "id_b", "pos_a", "pos_b", off).withColumn(
+        "isl", F.col("pos_a") - F.row_number().over(w)
+    )
+    spans = islands.groupBy("id_a", "id_b", "off", "isl").agg(
+        F.min("pos_a").alias("start_a"),
+        F.min("pos_b").alias("start_b"),
+        (F.count("*") + F.lit(n - 1)).cast("long").alias("span_tokens"),
+    )
+    return spans.where(F.col("span_tokens") >= min_span).select(
+        "id_a", "id_b", "start_a", "start_b", "span_tokens"
+    )
+
+
 def _simhash_kernel(
     df: DataFrame, *, id_col: str, text_col: str, bits: int
 ) -> DataFrame:

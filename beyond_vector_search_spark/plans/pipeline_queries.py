@@ -216,6 +216,51 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(docs, shingle_n=1, threshold=0.8)
 
 
+@register(
+    "duplicate_spans",
+    # Cross-document EXACT duplicated token spans (the relational form
+    # of Lee et al. 2022's exact-substring dedup): maximal runs of
+    # consecutive matching 8-token shingles at constant offset, via the
+    # positional inverted shingle index + a gaps-and-islands window.
+    # The derived corpus plants two signals: a 12-token span shared by
+    # the doc_id%31 docs (df 7 — KEPT, must surface as maximal spans)
+    # and a 10-token boilerplate on every even doc (df 100 — must be
+    # dropped by the max_shingle_df=20 hot-key guard in both engines).
+    "WITH sub AS (SELECT doc_id, "
+    "text || "
+    "CASE WHEN doc_id % 31 = 0 THEN ' exact duplicated training span alpha beta gamma delta epsilon zeta eta theta' ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN ' common boilerplate footer appears in half of all documents here' ELSE '' END AS text "
+    "FROM documents WHERE doc_id < 200), "
+    f"toked AS (SELECT doc_id, {_SQL_TOKENIZE.format(col='text')} AS toks FROM sub), "
+    "sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+    "array_to_string(toks[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS sh "
+    "FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 6, 1))) AS i FROM toked)), "
+    "keep AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh) WHERE df <= 20), "
+    "kept AS (SELECT s.doc_id, s.pos, s.sh FROM sh s JOIN keep USING (sh)), "
+    "m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b "
+    "FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id), "
+    "isl AS (SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS off, "
+    "pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS isl "
+    "FROM m), "
+    "spans AS (SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b, "
+    "CAST(count(*) + 7 AS BIGINT) AS span_tokens "
+    "FROM isl GROUP BY id_a, id_b, off, isl) "
+    "SELECT id_a, id_b, start_a, start_b, span_tokens FROM spans WHERE span_tokens >= 8",
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 200")
+    plant1 = F.when(
+        F.col("doc_id") % 31 == 0,
+        F.lit(" exact duplicated training span alpha beta gamma delta epsilon zeta eta theta"),
+    ).otherwise(F.lit(""))
+    plant2 = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit(" common boilerplate footer appears in half of all documents here"),
+    ).otherwise(F.lit(""))
+    planted = docs.select("doc_id", F.concat("text", plant1, plant2).alias("text"))
+    return dd.duplicate_spans(planted, n=8, max_shingle_df=20)
+
+
 # ------------------------------ text analysis ------------------------------
 
 

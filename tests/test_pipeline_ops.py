@@ -1728,3 +1728,52 @@ def test_pq_refine_codebooks_improves_quantization(spark):
     ref2 = sim.pq_refine_codebooks(emb, m=4, dim=16, n_codes=8, iters=8)
     assert sorted(map(tuple, ref1.collect())) == sorted(map(tuple, ref2.collect()))
     assert total_err(ref1) <= total_err(head) + 1e-9
+
+
+def test_duplicate_spans_maximal_runs(spark):
+    """Cross-document exact-span detection: a planted 12-token shared
+    span surfaces as ONE maximal (start_a, start_b, 12) row per pair
+    (not five separate 8-gram matches); disjoint docs contribute
+    nothing; kernel and expression shingle paths agree."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " tail one"),
+            (2, "different preamble text goes on a bit " + shared + " closing remarks"),
+            (3, "nothing in common with the others at all whatsoever truly"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = sorted(map(tuple, dd.duplicate_spans(docs, n=8).collect()))
+    assert out == [(1, 2, 4, 8, 12)]
+    out_e = sorted(map(tuple, dd.duplicate_spans(docs, n=8, kernel=False).collect()))
+    assert out == out_e
+
+
+def test_duplicate_spans_df_cap_and_min_len(spark):
+    """The max_shingle_df hot-key guard drops boilerplate shared by too
+    many docs BEFORE the self-join; min_span_tokens filters short runs."""
+    boiler = "one two three four five six seven eight nine ten"
+    rows = [(i, f"unique lead {i} " + boiler) for i in range(6)]
+    rows.append((100, "pair special content here repeated tokens marching onward nine more"))
+    rows.append((101, "pair special content here repeated tokens marching onward other thing"))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    # boilerplate in 6 docs; cap at 5 removes it entirely
+    capped = dd.duplicate_spans(docs, n=8, max_shingle_df=5).collect()
+    pairs = {(r.id_a, r.id_b) for r in capped}
+    assert pairs == {(100, 101)}
+    # without the cap the 6 boilerplate docs all pair up
+    uncapped = dd.duplicate_spans(docs, n=8, max_shingle_df=None).collect()
+    assert {(r.id_a, r.id_b) for r in uncapped} >= {(0, 1), (4, 5), (100, 101)}
+    # min_span_tokens above the planted 9-token overlap drops the pair
+    strict = dd.duplicate_spans(docs, n=8, max_shingle_df=5, min_span_tokens=10).collect()
+    assert strict == []
+
+
+def test_positioned_shingle_rows_paths_agree(spark):
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").where("doc_id < 40")
+    k = set(map(tuple, dd.positioned_shingle_rows(docs, n=5).collect()))
+    e = set(map(tuple, dd.positioned_shingle_rows(docs, n=5, kernel=False).collect()))
+    assert k == e and len(k) > 0
