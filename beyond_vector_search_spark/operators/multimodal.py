@@ -15,10 +15,11 @@ Huffman entropy decode + IDCT, luma plane out), and PCM WAV plus G.711
 mu-law/A-law (stdlib ``wave`` / numpy expansion), binary netpbm
 (P5/P6), and uncompressed TIFF (both byte orders, strips, WhiteIsZero)
 — dispatched on magic bytes, with exact/bounded encode/decode
-roundtrips pinned by tests.  Video is REAL for animated GIF and for
-AVI containers (RIFF parse; MJPEG frames through the baseline-JPEG
-decoder, uncompressed 8/24-bit DIB frames directly).  What remains
-codec-bound (progressive JPEG, MP3, MP4/H.264) needs
+roundtrips pinned by tests.  JPEG covers baseline AND progressive
+(SOF2 spectral selection + successive approximation).  Video is REAL
+for animated GIF and for AVI containers (RIFF parse; MJPEG frames
+through the baseline-JPEG decoder, uncompressed 8/24-bit DIB frames
+directly).  What remains codec-bound (MP3, MP4/H.264) needs
 PIL/ffmpeg/librosa, NOT in this container: those fall back to a
 deterministic fake derived from the payload bytes (clearly marked; swap
 for the real library on a cluster image).  Everything Spark-side is
@@ -870,7 +871,7 @@ def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     undecodable file must not fail a 100 TB job — and re-raises the
     decode error only when no fallback is possible.
 
-    Codec-bound formats (progressive JPEG etc.) would be
+    Codec-bound formats (arithmetic-coded JPEG etc.) would be
     ``np.asarray(PIL.Image.open(BytesIO(content)))`` — PIL is not in
     this container, so the fallback derives a deterministic uint8
     grayscale array from the payload bytes (repeating it to fill

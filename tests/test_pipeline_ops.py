@@ -1045,7 +1045,8 @@ def test_jpeg_spark_features_and_fallback(spark):
     """image_features decodes real JPEG bytes (decoded dims without
     metadata; near-exact intensity at step 1); corrupt JPEG-magic
     payloads fall back to the fake when metadata allows and raise when
-    it cannot; progressive SOF raises NotImplementedError."""
+    it cannot; truncated progressive headers fail cleanly; lossless
+    SOF3 stays NotImplementedError."""
     import struct
 
     from beyond_vector_search_spark.operators import jpeg as jp
@@ -1068,14 +1069,24 @@ def test_jpeg_spark_features_and_fallback(spark):
     with pytest.raises(Exception):
         mm._decode_image(corrupt, 0, 0)
 
-    progressive = (
+    # SOF2 is now a real decode path; a header-only progressive stream
+    # must fail CLEANLY (truncation), not with an index error
+    truncated_prog = (
         b"\xff\xd8"
         + struct.pack(">HH", 0xFFC2, 11)
         + struct.pack(">BHHB", 8, 8, 8, 1)
         + bytes([1, 0x11, 0])
     )
+    with pytest.raises(ValueError):
+        jp.decode_jpeg(truncated_prog)
+    lossless = (
+        b"\xff\xd8"
+        + struct.pack(">HH", 0xFFC3, 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+    )
     with pytest.raises(NotImplementedError):
-        jp.decode_jpeg(progressive)
+        jp.decode_jpeg(lossless)
 
 
 def test_jpeg_color_444_luma_extraction():
@@ -1777,3 +1788,113 @@ def test_positioned_shingle_rows_paths_agree(spark):
     k = set(map(tuple, dd.positioned_shingle_rows(docs, n=5).collect()))
     e = set(map(tuple, dd.positioned_shingle_rows(docs, n=5, kernel=False).collect()))
     assert k == e and len(k) > 0
+
+
+def test_jpeg_progressive_roundtrip():
+    """Progressive (SOF2) decode: the successive-approximation +
+    spectral-selection scan script reconstructs the SAME pixels as the
+    baseline coding of the same quantized coefficients; DC-only images
+    are exact; restart markers resync per scan; coarse quantization
+    still decodes."""
+    from beyond_vector_search_spark.operators import jpeg as jp
+
+    rng = np.random.default_rng(7)
+    img0 = np.full((24, 40), 137, dtype=np.uint8)
+    assert np.array_equal(jp.decode_jpeg(jp.encode_jpeg_gray8_progressive(img0)), img0)
+
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    prog = jp.decode_jpeg(jp.encode_jpeg_gray8_progressive(img, quant_step=1))
+    base = jp.decode_jpeg(jp.encode_jpeg_gray8(img, quant_step=1))
+    assert np.array_equal(prog, base)
+    assert int(np.abs(prog.astype(int) - img.astype(int)).max()) <= 1
+
+    rst = jp.decode_jpeg(
+        jp.encode_jpeg_gray8_progressive(img, quant_step=1, restart_interval=3)
+    )
+    assert np.array_equal(rst, prog)
+
+    coarse = jp.decode_jpeg(jp.encode_jpeg_gray8_progressive(img, quant_step=16))
+    assert coarse.shape == img.shape
+
+
+def test_jpeg_progressive_color_chroma_skip():
+    """A hand-built 3-component progressive JPEG (interleaved DC scan,
+    then one AC scan per component): the decoder entropy-decodes the
+    interleaved DC bits for all components, marker-skips the chroma AC
+    scans, and reconstructs the luma plane identically to the baseline
+    coding of the same image."""
+    import struct
+
+    from beyond_vector_search_spark.operators import jpeg as jp
+
+    rng = np.random.default_rng(72)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    cb = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    cr = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+
+    def blocks_of(plane):
+        out = []
+        for by in range(0, plane.shape[0], 8):
+            for bx in range(0, plane.shape[1], 8):
+                block = plane[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+                out.append(
+                    np.round(jp._C @ block @ jp._C.T).astype(np.int64).reshape(-1)[jp._ZZ_FLAT]
+                )
+        return out
+
+    zz = {1: blocks_of(img), 2: blocks_of(cb), 3: blocks_of(cr)}
+
+    # scan 1: interleaved DC, Al=0
+    bw = jp._BitWriter()
+    prev = {1: 0, 2: 0, 3: 0}
+    for i in range(len(zz[1])):
+        for cid in (1, 2, 3):
+            v = int(zz[cid][i][0])
+            diff = v - prev[cid]
+            prev[cid] = v
+            t = jp._category(diff)
+            code, ln = jp._DC_ENC[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    dc_scan = bytes(bw.out)
+
+    # per-component AC 1..63 first scans, Al=0
+    ac_scans = {}
+    for cid in (1, 2, 3):
+        bw = jp._BitWriter()
+        state = jp._RefineBits(bw, jp._PROG_AC_ENC)
+        for b in zz[cid]:
+            jp._encode_ac_first(state, b, 1, 63, 0)
+        state.flush_eob()
+        bw.flush()
+        ac_scans[cid] = bytes(bw.out)
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    q = np.ones((8, 8), dtype=np.int32)
+    dqt = bytes([0]) + bytes(int(q.reshape(-1)[i]) for i in jp._ZZ_FLAT)
+    sof2 = struct.pack(">BHHB", 8, 16, 24, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    blob = (
+        b"\xff\xd8"
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC2, sof2)
+        + seg(0xFFC4, bytes([0x00]) + bytes(jp._DC_BITS) + bytes(jp._DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(jp._PROG_AC_BITS) + bytes(jp._PROG_AC_SYMS))
+        + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x00]))
+        + dc_scan
+        + seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        + ac_scans[1]
+        + seg(0xFFDA, bytes([1, 2, 0x00, 1, 63, 0x00]))
+        + ac_scans[2]
+        + seg(0xFFDA, bytes([1, 3, 0x00, 1, 63, 0x00]))
+        + ac_scans[3]
+        + b"\xff\xd9"
+    )
+    out = jp.decode_jpeg(blob)
+    base = jp.decode_jpeg(jp.encode_jpeg_gray8(img, quant_step=1))
+    assert np.array_equal(out, base)

@@ -232,6 +232,10 @@ def test_prop_jpeg_roundtrip_bound(w, h, rnd):
     out = jp.decode_jpeg(jp.encode_jpeg_gray8(img))
     assert out.shape == img.shape
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+    # the progressive coding of the SAME quantized coefficients must
+    # reconstruct the IDENTICAL pixels (scan splitting is lossless)
+    prog = jp.decode_jpeg(jp.encode_jpeg_gray8_progressive(img))
+    assert np.array_equal(prog, out)
 
 
 def test_signature_kernels_property_parity(spark):
