@@ -1086,6 +1086,9 @@ def _parse_avi(blob: bytes):
                         frames.append((fcc, d, s))
             elif cc == b"strh" and sz >= 8 and blob[data : data + 4] == b"vids":
                 fmt.setdefault("handler", blob[data + 4 : data + 8])
+                if sz >= 28 and "rate" not in fmt:
+                    scale, rate = _struct.unpack_from("<II", blob, data + 20)
+                    fmt.update(scale=scale, rate=rate)
             elif cc == b"strf" and "biW" not in fmt and sz >= 40:
                 (biSize, biW, biH, _planes, bits, comp) = _struct.unpack_from(
                     "<IiiHHI", blob, data
@@ -1207,6 +1210,331 @@ def encode_avi_gray8(
     return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
+# --------------------- MP4 / ISO BMFF container -----------------------------
+#
+# Public spec ISO/IEC 14496-12 (ISO base media file format): length-
+# prefixed box tree — ftyp, then moov(mvhd, trak(tkhd, mdia(mdhd, hdlr,
+# minf(stbl(stsd, stts, stsc, stsz, stco))))), samples in mdat.  The
+# box walk, track metadata, and sample-table resolution are REAL;
+# frame pixels decode only for motion-JPEG sample entries ('jpeg' —
+# each sample is a self-contained JPEG stream through operators/jpeg).
+# H.264/H.265-class codecs genuinely need ffmpeg: _iter_mp4_frames
+# raises NotImplementedError for them and frame_sample falls back to
+# the metadata-driven fake, while video_metadata still reports their
+# REAL container facts (codec fourcc, dims, sample count, duration).
+
+
+def _mp4_boxes(buf: bytes, off: int, end: int):
+    """Yield (fourcc, payload_start, box_end) for each box in a range."""
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off : off + 4], "big")
+        btype = buf[off + 4 : off + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            size = int.from_bytes(buf[off + 8 : off + 16], "big")
+            hdr = 16
+        elif size == 0:  # to end of enclosing box
+            size = end - off
+        if size < hdr or off + size > end:
+            break
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def _mp4_find(buf: bytes, off: int, end: int, path: list) -> tuple | None:
+    for btype, s, e in _mp4_boxes(buf, off, end):
+        if btype == path[0]:
+            return (s, e) if len(path) == 1 else _mp4_find(buf, s, e, path[1:])
+    return None
+
+
+def _mp4_samples(buf: bytes, stbl_s: int, stbl_e: int) -> list:
+    """Resolve the sample tables to [(file_offset, size)] — stsz sizes,
+    stsc chunk mapping, stco/co64 chunk offsets."""
+    sizes: list[int] = []
+    stsc: list[tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
+    offsets: list[int] = []
+    for btype, s, e in _mp4_boxes(buf, stbl_s, stbl_e):
+        if btype == b"stsz":
+            uniform = int.from_bytes(buf[s + 4 : s + 8], "big")
+            count = int.from_bytes(buf[s + 8 : s + 12], "big")
+            if uniform:
+                sizes = [uniform] * count
+            else:
+                sizes = [
+                    int.from_bytes(buf[s + 12 + 4 * i : s + 16 + 4 * i], "big")
+                    for i in range(count)
+                ]
+        elif btype == b"stsc":
+            n = int.from_bytes(buf[s + 4 : s + 8], "big")
+            stsc = [
+                (
+                    int.from_bytes(buf[s + 8 + 12 * i : s + 12 + 12 * i], "big"),
+                    int.from_bytes(buf[s + 12 + 12 * i : s + 16 + 12 * i], "big"),
+                )
+                for i in range(n)
+            ]
+        elif btype in (b"stco", b"co64"):
+            n = int.from_bytes(buf[s + 4 : s + 8], "big")
+            wlen = 4 if btype == b"stco" else 8
+            offsets = [
+                int.from_bytes(buf[s + 8 + wlen * i : s + 8 + wlen * (i + 1)], "big")
+                for i in range(n)
+            ]
+    out = []
+    si = 0
+    for ci, chunk_off in enumerate(offsets, start=1):
+        spc = 1
+        for first, per in stsc:
+            if first <= ci:
+                spc = per
+            else:
+                break
+        pos = chunk_off
+        for _ in range(spc):
+            if si >= len(sizes):
+                break
+            out.append((pos, sizes[si]))
+            pos += sizes[si]
+            si += 1
+    return out
+
+
+def _parse_mp4(blob: bytes) -> dict:
+    """-> {'brand', 'duration_s', 'tracks': [{'handler', 'codec',
+    'width', 'height', 'n_samples', 'samples', 'timescale',
+    'duration_s'}]} from the moov tree."""
+    n = len(blob)
+    if len(blob) < 12 or blob[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF / MP4 file")
+    info: dict = {"brand": blob[8:12].decode("latin-1"), "tracks": [], "duration_s": 0.0}
+    moov = _mp4_find(blob, 0, n, [b"moov"])
+    if moov is None:
+        raise ValueError("MP4 has no moov box")
+    for btype, s, e in _mp4_boxes(blob, *moov):
+        if btype == b"mvhd":
+            ver = blob[s]
+            if ver == 1:
+                ts = int.from_bytes(blob[s + 20 : s + 24], "big")
+                dur = int.from_bytes(blob[s + 24 : s + 32], "big")
+            else:
+                ts = int.from_bytes(blob[s + 12 : s + 16], "big")
+                dur = int.from_bytes(blob[s + 16 : s + 20], "big")
+            info["duration_s"] = dur / ts if ts else 0.0
+        elif btype == b"trak":
+            tr: dict = {"handler": "", "codec": "", "width": 0, "height": 0}
+            tkhd = _mp4_find(blob, s, e, [b"tkhd"])
+            if tkhd:
+                ts0 = tkhd[0]
+                base = ts0 + (88 if blob[ts0] == 1 else 76)
+                tr["width"] = int.from_bytes(blob[base : base + 4], "big") >> 16
+                tr["height"] = int.from_bytes(blob[base + 4 : base + 8], "big") >> 16
+            mdia = _mp4_find(blob, s, e, [b"mdia"])
+            if not mdia:
+                continue
+            hdlr = _mp4_find(blob, *mdia, [b"hdlr"])
+            if hdlr:
+                tr["handler"] = blob[hdlr[0] + 8 : hdlr[0] + 12].decode("latin-1")
+            mdhd = _mp4_find(blob, *mdia, [b"mdhd"])
+            if mdhd:
+                ms = mdhd[0]
+                if blob[ms] == 1:
+                    mts = int.from_bytes(blob[ms + 20 : ms + 24], "big")
+                    mdur = int.from_bytes(blob[ms + 24 : ms + 32], "big")
+                else:
+                    mts = int.from_bytes(blob[ms + 12 : ms + 16], "big")
+                    mdur = int.from_bytes(blob[ms + 16 : ms + 20], "big")
+                tr["timescale"] = mts
+                tr["duration_s"] = mdur / mts if mts else 0.0
+            stbl = _mp4_find(blob, *mdia, [b"minf", b"stbl"])
+            if not stbl:
+                continue
+            stsd = _mp4_find(blob, *stbl, [b"stsd"])
+            if stsd:
+                entry = stsd[0] + 8  # ver/flags + entry_count
+                tr["codec"] = blob[entry + 4 : entry + 8].decode("latin-1")
+                if tr["handler"] == "vide" and not tr["width"]:
+                    tr["width"] = int.from_bytes(blob[entry + 32 : entry + 34], "big")
+                    tr["height"] = int.from_bytes(blob[entry + 34 : entry + 36], "big")
+            tr["samples"] = _mp4_samples(blob, *stbl)
+            tr["n_samples"] = len(tr["samples"])
+            info["tracks"].append(tr)
+    return info
+
+
+def _iter_mp4_frames(blob: bytes):
+    """Decode an MP4's video samples to gray uint8 arrays — motion-JPEG
+    sample entries only ('jpeg': each sample is a full JPEG stream);
+    AVC/HEVC-class codecs raise (they need ffmpeg)."""
+    from beyond_vector_search_spark.operators.jpeg import decode_jpeg
+
+    info = _parse_mp4(blob)
+    vids = [t for t in info["tracks"] if t["handler"] == "vide"]
+    if not vids:
+        raise ValueError("MP4 has no video track")
+    tr = vids[0]
+    if tr["codec"] not in ("jpeg", "mjpa", "MJPG"):
+        raise NotImplementedError(
+            f"MP4 codec '{tr['codec']}' needs ffmpeg (only motion-JPEG decodes here)"
+        )
+    for off, sz in tr["samples"]:
+        yield decode_jpeg(blob[off : off + sz])
+
+
+def _mp4_box(t: bytes, payload: bytes) -> bytes:
+    return _struct.pack(">I", len(payload) + 8) + t + payload
+
+
+def _mp4_full(t: bytes, ver: int, flags: int, payload: bytes) -> bytes:
+    return _mp4_box(t, bytes([ver]) + flags.to_bytes(3, "big") + payload)
+
+
+_MP4_UNITY = (
+    _struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+)
+
+
+def encode_mp4_mjpeg_gray8(
+    frames: list, *, fps: int = 10, quant_step: int = 1
+) -> bytes:
+    """Minimal spec-correct MP4 (isom) from gray uint8 frames as a
+    motion-JPEG track: one sample per frame (baseline JPEGs in mdat),
+    full sample tables (stts/stsc/stsz/stco).  The independent fixture
+    source for the MP4 parse/decode path."""
+    from beyond_vector_search_spark.operators.jpeg import encode_jpeg_gray8
+
+    h, w = frames[0].shape
+    samples = [encode_jpeg_gray8(f, quant_step=quant_step) for f in frames]
+    n = len(samples)
+    timescale = 1000
+    dur = timescale * n // fps
+
+    def moov_bytes(chunk_offset: int) -> bytes:
+        mvhd = _mp4_full(
+            b"mvhd", 0, 0,
+            _struct.pack(">IIII", 0, 0, timescale, dur)
+            + _struct.pack(">iH", 0x00010000, 0x0100)
+            + b"\x00" * 10 + _MP4_UNITY + b"\x00" * 24
+            + _struct.pack(">I", 2),
+        )
+        tkhd = _mp4_full(
+            b"tkhd", 0, 7,
+            _struct.pack(">IIIII", 0, 0, 1, 0, dur)
+            + b"\x00" * 8 + _struct.pack(">hhhh", 0, 0, 0, 0) + _MP4_UNITY
+            + _struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _mp4_full(
+            b"mdhd", 0, 0,
+            _struct.pack(">IIII", 0, 0, timescale, dur)
+            + _struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _mp4_full(
+            b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"video handler\x00"
+        )
+        entry = (
+            b"\x00" * 6 + _struct.pack(">H", 1)
+            + _struct.pack(">HH", 0, 0) + b"\x00" * 12
+            + _struct.pack(">HH", w, h)
+            + _struct.pack(">II", 0x00480000, 0x00480000)
+            + _struct.pack(">I", 0) + _struct.pack(">H", 1)
+            + b"\x00" * 32
+            + _struct.pack(">Hh", 24, -1)
+        )
+        stsd = _mp4_full(
+            b"stsd", 0, 0,
+            _struct.pack(">I", 1) + _mp4_box(b"jpeg", entry),
+        )
+        stts = _mp4_full(
+            b"stts", 0, 0, _struct.pack(">III", 1, n, timescale // fps)
+        )
+        stsc = _mp4_full(b"stsc", 0, 0, _struct.pack(">IIII", 1, 1, n, 1))
+        stsz = _mp4_full(
+            b"stsz", 0, 0,
+            _struct.pack(">II", 0, n) + b"".join(_struct.pack(">I", len(s)) for s in samples),
+        )
+        stco = _mp4_full(b"stco", 0, 0, _struct.pack(">II", 1, chunk_offset))
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = _mp4_full(b"vmhd", 0, 1, _struct.pack(">HHHH", 0, 0, 0, 0))
+        dref = _mp4_full(b"dref", 0, 0, _struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b""))
+        dinf = _mp4_box(b"dinf", dref)
+        minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        return _mp4_box(b"moov", mvhd + trak)
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + _struct.pack(">I", 0x200) + b"isomiso2")
+    # stco holds an absolute file offset; the moov's LENGTH is invariant
+    # to that value, so measure with 0 and rebuild with the real one
+    moov_len = len(moov_bytes(0))
+    mdat_payload = b"".join(samples)
+    chunk_offset = len(ftyp) + moov_len + 8
+    return ftyp + moov_bytes(chunk_offset) + _mp4_box(b"mdat", mdat_payload)
+
+
+def video_metadata(videos: DataFrame) -> DataFrame:
+    """(media_id, container, codec, width, height, n_frames,
+    duration_s) — REAL container facts for MP4/ISO-BMFF (box walk: any
+    codec, including ones whose pixels need ffmpeg), AVI (RIFF walk),
+    and GIF (screen descriptor + frame count); other payloads fall back
+    to the metadata struct with container 'unknown'.  One narrow Arrow
+    pass, no shuffle — the schema-first multimodal contract."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                blob = bytes(content)
+                try:
+                    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+                        info = _parse_mp4(blob)
+                        vids = [t for t in info["tracks"] if t["handler"] == "vide"]
+                        tr = vids[0] if vids else (info["tracks"][0] if info["tracks"] else {})
+                        rows.append(
+                            (int(mid), "mp4", tr.get("codec", ""), tr.get("width", 0),
+                             tr.get("height", 0), tr.get("n_samples", 0),
+                             float(info["duration_s"])))
+                        continue
+                    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                        fmt, frames = _parse_avi(blob)
+                        comp = fmt.get("comp", 0)
+                        codec = "MJPG" if comp == _MJPG else ("raw" if comp == 0 else f"0x{comp:08x}")
+                        fps = (
+                            fmt["rate"] / fmt["scale"]
+                            if fmt.get("rate") and fmt.get("scale")
+                            else 0.0
+                        )
+                        rows.append(
+                            (int(mid), "avi", codec, fmt.get("biW", 0),
+                             abs(fmt.get("biH", 0)),
+                             len(frames), len(frames) / fps if fps else 0.0))
+                        continue
+                    if blob[:6] in (b"GIF87a", b"GIF89a"):
+                        w = int.from_bytes(blob[6:8], "little")
+                        h = int.from_bytes(blob[8:10], "little")
+                        nf = sum(1 for _ in _iter_gif_frames(blob))
+                        rows.append((int(mid), "gif", "gif-lzw", w, h, nf, 0.0))
+                        continue
+                except Exception:  # noqa: BLE001 — corrupt container: fall through
+                    pass
+                rows.append(
+                    (int(mid), "unknown", "",
+                     _meta_int(meta, "width"), _meta_int(meta, "height"),
+                     _meta_int(meta, "n_frames"), 0.0))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "container", "codec", "width", "height",
+                         "n_frames", "duration_s"],
+            )
+
+    return videos.mapInPandas(
+        kernel,
+        schema=(
+            "media_id BIGINT, container STRING, codec STRING, width INT, "
+            "height INT, n_frames INT, duration_s DOUBLE"
+        ),
+    )
+
+
 def frame_sample(
     videos: DataFrame, *, every_n: int = 10
 ) -> DataFrame:
@@ -1214,12 +1542,15 @@ def frame_sample(
     explode-shaped multimodal op.
 
     REAL frame extraction for animated GIF payloads (frames compose
-    onto the logical screen via :func:`_iter_gif_frames`) AND for AVI
+    onto the logical screen via :func:`_iter_gif_frames`), for AVI
     containers (:func:`_iter_avi_frames` — MJPEG chunks through the
-    baseline-JPEG decoder, uncompressed 8/24-bit DIB chunks directly);
-    sampled snapshots re-encode as single-frame GIFs (decodable by
-    every downstream kernel).  Other payloads byte-chunk by the
-    ``n_frames`` metadata (the fake path — MP4/H.264 etc. need ffmpeg).
+    JPEG decoder, uncompressed 8/24-bit DIB chunks directly), and for
+    MP4/ISO-BMFF with a motion-JPEG track (:func:`_iter_mp4_frames` —
+    sample-table walk, one JPEG per sample); sampled snapshots
+    re-encode as single-frame GIFs (decodable by every downstream
+    kernel).  Other payloads — including MP4s whose codec needs ffmpeg
+    (H.264/H.265) — byte-chunk by the ``n_frames`` metadata (the fake
+    path).
 
     Input:  (media_id, content BINARY, meta STRUCT<format, n_frames INT,
              width INT, height INT>)
@@ -1231,6 +1562,27 @@ def frame_sample(
         for pdf in batches:
             rows = []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                if len(content) >= 12 and bytes(content[4:8]) == b"ftyp":
+                    try:
+                        mp4_frames = list(_iter_mp4_frames(bytes(content)))
+                    except NotImplementedError:
+                        mp4_frames = None  # ffmpeg-class codec: fake path below
+                    if mp4_frames is not None:
+                        for f, frame in enumerate(mp4_frames):
+                            if f % every_n:
+                                continue
+                            rows.append(
+                                (
+                                    int(mid) * 100000 + f,
+                                    bytearray(encode_gif_gray8(frame)),
+                                    {
+                                        "format": "gif",
+                                        "width": frame.shape[1],
+                                        "height": frame.shape[0],
+                                    },
+                                )
+                            )
+                        continue
                 if bytes(content[:4]) == b"RIFF" and bytes(content[8:12]) == b"AVI ":
                     for f, frame in enumerate(_iter_avi_frames(bytes(content))):
                         if f % every_n:

@@ -1898,3 +1898,76 @@ def test_jpeg_progressive_color_chroma_skip():
     out = jp.decode_jpeg(blob)
     base = jp.decode_jpeg(jp.encode_jpeg_gray8(img, quant_step=1))
     assert np.array_equal(out, base)
+
+
+def test_mp4_mjpeg_roundtrip_and_metadata():
+    """Minimal ISO-BMFF writer -> box-walk parser -> sample-table frame
+    decode: dims/counts/duration from the real moov tree, pixels within
+    the JPEG bound; an avc1-codec variant still yields REAL metadata
+    while frame decode correctly refuses (ffmpeg territory)."""
+    rng = np.random.default_rng(13)
+    frames = [rng.integers(0, 256, (16, 24), dtype=np.uint8) for _ in range(6)]
+    blob = mm.encode_mp4_mjpeg_gray8(frames, fps=5, quant_step=1)
+
+    info = mm._parse_mp4(blob)
+    tr = info["tracks"][0]
+    assert (tr["handler"], tr["codec"]) == ("vide", "jpeg")
+    assert (tr["width"], tr["height"], tr["n_samples"]) == (24, 16, 6)
+    assert abs(info["duration_s"] - 6 / 5) < 1e-9
+
+    dec = list(mm._iter_mp4_frames(blob))
+    assert len(dec) == 6 and dec[0].shape == (16, 24)
+    assert all(
+        int(np.abs(d.astype(int) - f.astype(int)).max()) <= 1
+        for d, f in zip(dec, frames)
+    )
+
+    avc = blob.replace(b"jpeg", b"avc1", 1)  # only the stsd entry matches
+    info2 = mm._parse_mp4(avc)
+    assert info2["tracks"][0]["codec"] == "avc1"
+    assert info2["tracks"][0]["n_samples"] == 6
+    with pytest.raises(NotImplementedError):
+        list(mm._iter_mp4_frames(avc))
+
+
+def test_video_metadata_and_mp4_frame_sample(spark):
+    """video_metadata reports real container facts for MP4 (both
+    decodable and ffmpeg-class codecs), AVI, and GIF, and falls back to
+    the metadata struct otherwise; frame_sample explodes real MP4
+    motion-JPEG frames and byte-chunks the avc1 twin."""
+    rng = np.random.default_rng(14)
+    frames = [np.full((8, 8), 40 * i, dtype=np.uint8) for i in range(5)]
+    mp4 = mm.encode_mp4_mjpeg_gray8(frames, fps=10)
+    avc = mp4.replace(b"jpeg", b"avc1", 1)
+    avi = mm.encode_avi_gray8(frames, mjpeg=True, fps=10)
+    gif = mm.encode_gif_gray8_frames(frames)
+    rows = [
+        (1, bytearray(mp4), {"format": "mp4", "n_frames": 0, "width": 0, "height": 0}),
+        (2, bytearray(avc), {"format": "mp4", "n_frames": 5, "width": 8, "height": 8}),
+        (3, bytearray(avi), {"format": "avi", "n_frames": 0, "width": 0, "height": 0}),
+        (4, bytearray(gif), {"format": "gif", "n_frames": 0, "width": 0, "height": 0}),
+        (5, bytearray(b"opaque blob"), {"format": "bin", "n_frames": 3, "width": 4, "height": 4}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id BIGINT, content BINARY, "
+        "meta STRUCT<format: STRING, n_frames: INT, width: INT, height: INT>",
+    )
+    got = {r["media_id"]: r for r in mm.video_metadata(df).collect()}
+    assert (got[1]["container"], got[1]["codec"], got[1]["n_frames"]) == ("mp4", "jpeg", 5)
+    assert (got[1]["width"], got[1]["height"]) == (8, 8)
+    assert got[2]["codec"] == "avc1" and got[2]["n_frames"] == 5
+    assert got[3]["container"] == "avi" and got[3]["codec"] == "MJPG"
+    assert abs(got[3]["duration_s"] - 0.5) < 1e-9
+    assert got[4]["container"] == "gif" and got[4]["n_frames"] == 5
+    assert got[5]["container"] == "unknown" and got[5]["n_frames"] == 3
+
+    sampled = mm.frame_sample(df.where("media_id IN (1, 2)"), every_n=2).collect()
+    mjpeg_rows = [r for r in sampled if r["media_id"] // 100000 == 1]
+    fake_rows = [r for r in sampled if r["media_id"] // 100000 == 2]
+    assert len(mjpeg_rows) == 3  # frames 0, 2, 4 decoded for real
+    for r in mjpeg_rows:
+        f = r["media_id"] % 100000
+        dec = mm._decode_gif(bytes(r["content"]))
+        assert int(np.abs(dec.astype(int) - frames[f].astype(int)).max()) <= 1
+    assert len(fake_rows) == 3 and all(r["meta"]["format"] == "raw8" for r in fake_rows)
