@@ -1971,3 +1971,56 @@ def test_video_metadata_and_mp4_frame_sample(spark):
         dec = mm._decode_gif(bytes(r["content"]))
         assert int(np.abs(dec.astype(int) - frames[f].astype(int)).max()) <= 1
     assert len(fake_rows) == 3 and all(r["meta"]["format"] == "raw8" for r in fake_rows)
+
+
+def test_audio_metadata_headers(spark):
+    """audio_metadata parses real WAV fmt chunks, MPEG audio frame
+    headers (ID3v2-skipping, frame counting -> duration), and FLAC
+    STREAMINFO; unknown payloads fall back to the metadata struct."""
+    import struct
+
+    # WAV: 8000 Hz mono PCM16, 1600 samples
+    wav = mm.encode_wav_pcm16(np.zeros(1600, dtype=np.int16), 8000)
+
+    # MP3: 12 hand-built MPEG1 Layer III frames, 128 kbps @ 44100, mono,
+    # behind an ID3v2 tag with a 100-byte syncsafe body
+    def mp3_frame(padding=0):
+        h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (9 << 12) | (0 << 10) | (padding << 9) | (3 << 6)
+        flen = 144 * 128000 // 44100 + padding
+        return h.to_bytes(4, "big") + b"\x00" * (flen - 4)
+
+    id3 = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 100]) + b"\x00" * 100
+    mp3 = id3 + b"".join(mp3_frame(i % 2) for i in range(12))
+
+    # FLAC: fLaC + last-block STREAMINFO, 22050 Hz stereo 16-bit, 44100 samples
+    packed = (22050 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 44100
+    streaminfo = (
+        struct.pack(">HH", 1024, 1024) + b"\x00" * 6
+        + packed.to_bytes(8, "big") + b"\x00" * 16
+    )
+    flac = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    rows = [
+        (1, bytearray(wav), {"format": "wav", "sample_rate": 0, "n_samples": 0}),
+        (2, bytearray(mp3), {"format": "mp3", "sample_rate": 0, "n_samples": 0}),
+        (3, bytearray(flac), {"format": "flac", "sample_rate": 0, "n_samples": 0}),
+        (4, bytearray(b"not audio at all"), {"format": "bin", "sample_rate": 4000, "n_samples": 8000}),
+    ]
+    df = spark.createDataFrame(rows, mm.AUDIO_SCHEMA)
+    got = {r["media_id"]: r for r in mm.audio_metadata(df).collect()}
+
+    assert (got[1]["container"], got[1]["codec"]) == ("wav", "pcm")
+    assert (got[1]["sample_rate"], got[1]["channels"], got[1]["bits"]) == (8000, 1, 16)
+    assert got[1]["n_samples"] == 1600 and abs(got[1]["duration_s"] - 0.2) < 1e-9
+
+    assert (got[2]["container"], got[2]["codec"]) == ("mp3", "mpeg1-layer3")
+    assert (got[2]["sample_rate"], got[2]["channels"]) == (44100, 1)
+    assert got[2]["n_samples"] == 12 * 1152
+    assert abs(got[2]["duration_s"] - 12 * 1152 / 44100) < 1e-9
+
+    assert (got[3]["container"], got[3]["codec"]) == ("flac", "flac")
+    assert (got[3]["sample_rate"], got[3]["channels"], got[3]["bits"]) == (22050, 2, 16)
+    assert got[3]["n_samples"] == 44100 and abs(got[3]["duration_s"] - 2.0) < 1e-9
+
+    assert got[4]["container"] == "unknown"
+    assert got[4]["n_samples"] == 8000 and abs(got[4]["duration_s"] - 2.0) < 1e-9
