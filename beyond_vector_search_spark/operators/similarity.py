@@ -1068,6 +1068,294 @@ def _pq_exact_rerank(
     )
 
 
+def pq_search_codes(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    *,
+    m: int = 8,
+    dim: int = 64,
+    k: int = 5,
+    rerank: int | None = None,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, dist, rank) — ADC top-k over
+    PRE-ENCODED codes (vec_id, codes array<int>): the serving path of a
+    persisted PQ index.  Unlike :func:`pq_topk` (which fuses encode +
+    scan for ad-hoc use), this touches ONLY the m-byte code column —
+    the raw vectors never load, which at 100 TB is the entire point of
+    having encoded them.  ``rerank=R`` needs the raw ``embeddings``
+    frame for the exact second stage (a q x R candidate broadcast, not
+    a corpus scan).
+    """
+    import numpy as np
+
+    from collections.abc import Iterator
+
+    spark = codes.sparkSession
+    d = dim // m
+    cb = _collect_codebooks(codebooks)
+    subs = sorted(cb)
+    qv = as_double_array(F.col("embedding"))
+    qrows = queries.select("query_id", qv.alias("_v")).collect()
+    qid_type = queries.select("query_id").schema["query_id"].dataType.simpleString()
+    nid_type = codes.select("vec_id").schema["vec_id"].dataType.simpleString()
+    out_schema = f"query_id {qid_type}, neighbor_id {nid_type}, dist double"
+    if not qrows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    q_ids = [r["query_id"] for r in qrows]
+    Q, _ = _stack_rows([r["_v"] for r in qrows], dim=dim)
+    lut = {}
+    for s in subs:
+        M, ids = cb[s]
+        sl = Q[:, s * d : (s + 1) * d]
+        diff = sl[:, None, :] - M[None, :, :]
+        lut[s] = (np.round((diff * diff).sum(axis=2), 6), ids)
+    shortlist = k if rerank is None else rerank
+    take = shortlist + 16
+    src = _fan_out(codes.select(F.col("vec_id").alias("neighbor_id"), "codes"))
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(
+                [
+                    np.asarray(c, dtype=np.int64)
+                    if c is not None and len(c) == len(subs)
+                    else np.zeros(len(subs), dtype=np.int64)
+                    for c in pdf["codes"].to_numpy()
+                ]
+            )
+            nbr = pdf["neighbor_id"].to_numpy()
+            dist = np.zeros((len(q_ids), len(pdf)))
+            for j, s in enumerate(subs):
+                table, ids = lut[s]
+                pos = np.searchsorted(ids, C[:, j])
+                pos = np.clip(pos, 0, len(ids) - 1)
+                dist += table[:, pos]
+            dr = np.round(dist, 6)
+            out_q, out_n, out_d = [], [], []
+            for qi, qid in enumerate(q_ids):
+                row = dr[qi]
+                order = sorted(
+                    (j for j in range(len(nbr)) if nbr[j] != qid),
+                    key=lambda j: (row[j], nbr[j]),
+                )[:take]
+                for j in order:
+                    out_q.append(qid)
+                    out_n.append(nbr[j])
+                    out_d.append(row[j])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q),
+                    "neighbor_id": pd.Series(out_n, dtype=pdf["neighbor_id"].dtype),
+                    "dist": pd.Series(out_d, dtype="float64"),
+                }
+            )
+
+    cand = src.mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc(F.round(F.col("dist"), 6)), F.asc("neighbor_id")
+    )
+    ranked = (
+        cand.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .where(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rank")
+    )
+    if rerank is None:
+        return ranked
+    if embeddings is None:
+        raise ValueError("rerank requires the raw embeddings frame")
+    return _pq_exact_rerank(
+        ranked, embeddings, queries, id_col=id_col, vec_col=vec_col, k=k
+    )
+
+
+class PQIndex:
+    """Persisted product-quantization index: broadcast-sized codebooks
+    plus the m-byte-per-vector code table.  ``build`` encodes the
+    corpus ONCE (the expensive pass); ``search`` is then pure ADC over
+    the stored codes (:func:`pq_search_codes`) — re-encoding per query
+    batch, which :func:`pq_topk` does for ad-hoc calls, is exactly what
+    a 100 TB deployment must not do.  ``save``/``load`` round-trip both
+    tables plus the (m, dim) geometry through parquet, mirroring
+    CorpusIndex's layout conventions (corpus_index.py:244)."""
+
+    def __init__(self, codebooks: DataFrame, codes: DataFrame, *, m: int, dim: int):
+        self.codebooks = codebooks
+        self.codes = codes
+        self.m = m
+        self.dim = dim
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        m: int = 8,
+        dim: int = 64,
+        n_codes: int = 16,
+        refine: bool = False,
+        codebooks: DataFrame | None = None,
+    ) -> "PQIndex":
+        if codebooks is None:
+            if refine:
+                codebooks = pq_refine_codebooks(
+                    embeddings, id_col=id_col, vec_col=vec_col, m=m, dim=dim, n_codes=n_codes
+                )
+            else:
+                codebooks = pq_codebooks(
+                    embeddings, id_col=id_col, vec_col=vec_col, m=m, dim=dim, n_codes=n_codes
+                )
+        codes = pq_encode(
+            embeddings, codebooks, id_col=id_col, vec_col=vec_col, m=m, dim=dim
+        )
+        return cls(codebooks, codes, m=m, dim=dim)
+
+    def save(self, path: str) -> None:
+        self.codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+        self.codes.write.mode("overwrite").parquet(f"{path}/codes")
+        spark = self.codes.sparkSession
+        spark.createDataFrame(
+            [(self.m, self.dim)], "m INT, dim INT"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PQIndex":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        return cls(
+            spark.read.parquet(f"{path}/codebooks"),
+            spark.read.parquet(f"{path}/codes"),
+            m=meta["m"],
+            dim=meta["dim"],
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        *,
+        k: int = 5,
+        rerank: int | None = None,
+        embeddings: DataFrame | None = None,
+    ) -> DataFrame:
+        return pq_search_codes(
+            self.codes,
+            self.codebooks,
+            queries,
+            m=self.m,
+            dim=self.dim,
+            k=k,
+            rerank=rerank,
+            embeddings=embeddings,
+        )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    n_codes: int = 16,
+    k: int = 5,
+    nprobe: int = 2,
+    codebooks: DataFrame | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, dist, rank) — IVF-PQ: the two ANN
+    stages composed the way FAISS's IVFADC does (Jegou et al. 2011):
+    the IVF coarse quantizer prunes the scan to ``nprobe`` centroid
+    buckets (~nprobe/K of the corpus), and PQ's ADC lookup scores only
+    the surviving candidates from their m-byte codes.  Both stages are
+    deterministic (rounded distances, id tie-breaks).  ``rerank=R``
+    adds the exact top-R refinement.  This codes WHOLE vectors (not
+    residuals — determinism and oracle-checkability over the last few
+    percent of recall; plug residual codebooks in via ``codebooks`` if
+    trained externally)."""
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            embeddings, id_col=id_col, vec_col=vec_col, m=m, dim=dim, n_codes=n_codes
+        )
+    d = dim // m
+    assigned = assign_centroids(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    qv = as_double_array(F.col("embedding"))
+    q = queries.select("query_id", qv.alias("qv"), l2_norm(qv).alias("qn"))
+    ccv = as_double_array(F.col("embedding"))
+    c = centroids.select("centroid_id", ccv.alias("cv"), l2_norm(ccv).alias("cn"))
+    q_probe = _with_cos_hoisted(F.broadcast(q).crossJoin(F.broadcast(c)))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 6)), F.asc("centroid_id")
+    )
+    probed = (
+        q_probe.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = probed.join(
+        assigned.select(F.col("vec_id").alias("neighbor_id"), "centroid_id"),
+        "centroid_id",
+    ).select("query_id", "neighbor_id")
+    # ADC over candidates only: LUT broadcast, encoded corpus exploded
+    enc = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"), F.slice("_v", s * d + 1, d).alias("sv")
+            )
+            for s in range(m)
+        ]
+    )
+    qx = queries.select("query_id", qv.alias("_v")).select(
+        "query_id", F.explode(slices).alias("sc")
+    ).select("query_id", F.col("sc.sub").alias("sub"), F.col("sc.sv").alias("sv"))
+    lut_d2 = F.round(
+        F.aggregate(
+            F.zip_with("sv", "codeword", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    lut = qx.join(F.broadcast(codebooks), "sub").select(
+        "query_id", "sub", "code_id", lut_d2.alias("d2")
+    )
+    ecx = enc.select(
+        F.col("vec_id").alias("neighbor_id"), F.posexplode("codes").alias("sub", "code_id")
+    )
+    scored = (
+        ecx.join(cand, "neighbor_id", "left_semi")
+        .join(F.broadcast(lut), ["sub", "code_id"])
+        .join(cand, ["query_id", "neighbor_id"], "left_semi")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), 6).alias("dist"))
+    )
+    shortlist = k if rerank is None else rerank
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc(F.round(F.col("dist"), 6)), F.asc("neighbor_id")
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .where(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rank")
+    )
+    if rerank is None:
+        return ranked
+    return _pq_exact_rerank(
+        ranked, embeddings, queries, id_col=id_col, vec_col=vec_col, k=k
+    )
+
+
 def pq_refine_codebooks(
     embeddings: DataFrame,
     *,

@@ -2024,3 +2024,48 @@ def test_audio_metadata_headers(spark):
 
     assert got[4]["container"] == "unknown"
     assert got[4]["n_samples"] == 8000 and abs(got[4]["duration_s"] - 2.0) < 1e-9
+
+
+def test_pq_index_persist_and_ivfpq(spark, tmp_path):
+    """PQIndex: build-once/serve-from-codes parity with the fused
+    pq_topk (both pure-ADC and rerank), surviving a save/load
+    round-trip; ivfpq_topk with nprobe=K (no pruning) reproduces the
+    full PQ result exactly, and nprobe=2 still fills top-k."""
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    idx = sim.PQIndex.build(emb, m=8, dim=64, n_codes=16)
+    path = str(tmp_path / "pq_index")
+    idx.save(path)
+    idx2 = sim.PQIndex.load(spark, path)
+    assert (idx2.m, idx2.dim) == (8, 64)
+
+    served = sorted(map(tuple, idx2.search(q, k=5).collect()))
+    fused = sorted(map(tuple, sim.pq_topk(emb, q, m=8, dim=64, n_codes=16, k=5).collect()))
+    assert served == fused
+    served_rr = sorted(
+        map(tuple, idx2.search(q, k=5, rerank=100, embeddings=emb).collect())
+    )
+    fused_rr = sorted(
+        map(tuple, sim.pq_topk(emb, q, m=8, dim=64, n_codes=16, k=5, rerank=100).collect())
+    )
+    assert served_rr == fused_rr
+    with pytest.raises(ValueError):
+        idx2.search(q, k=5, rerank=100)  # rerank needs the raw vectors
+
+    cents = emb.where("vec_id < 8").select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    allprobe = sorted(
+        map(
+            tuple,
+            sim.ivfpq_topk(
+                emb, q, cents, m=8, dim=64, n_codes=16, k=5, nprobe=8, rerank=100
+            ).collect(),
+        )
+    )
+    assert allprobe == fused_rr  # no pruning => identical to full PQ
+    pruned = sim.ivfpq_topk(emb, q, cents, m=8, dim=64, n_codes=16, k=5, nprobe=2).collect()
+    assert len(pruned) == 25  # 5 queries x k: pruning never starves top-k here

@@ -102,6 +102,19 @@ def probe(spark, copies: int) -> dict:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     timed("knn_exact_top5", lambda: sim.knn_bruteforce(emb, queries).count())
+    # PQ ADC + exact rerank: the scan reads 8-byte codes, the rerank
+    # touches q x 50 candidates — should stay near-flat in corpus size
+    timed(
+        "pq_topk_rerank",
+        lambda: sim.pq_topk(emb, queries, m=8, dim=64, n_codes=16, rerank=50).count(),
+    )
+    # duplicate spans: inverted positional shingle join (df-capped) +
+    # islands window — join-bound like jaccard, probed at the same caps
+    if copies <= ALLPAIRS_MAX_COPIES:
+        timed(
+            "duplicate_spans",
+            lambda: dd.duplicate_spans(docs, n=8, max_shingle_df=50).count(),
+        )
     import math
 
     cents = (
