@@ -765,6 +765,13 @@ def pq_encode(
     codebook, min_by argmin, regroup) — the semantic definition the
     tests pin the kernel against, and the shape the DuckDB oracle
     reproduces.
+
+    Dirty-input contract: the kernel coerces NULL / length-mismatched
+    vectors to all-zeros (same tolerance as the kNN kernel's
+    ``_stack_rows``); the expression path assumes well-formed
+    ``dim``-length vectors (a short vector null-propagates through
+    ``zip_with`` and its argmin is unspecified) — pre-filter ragged
+    rows before using ``kernel=False`` on untrusted data.
     """
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")

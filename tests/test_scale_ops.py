@@ -738,3 +738,104 @@ def test_streaming_minhash_pair_ts_is_later_doc_within_batch(spark, tmp_path):
     q.awaitTermination(300)
     pair_ts = {r.ts for r in out if (r.doc_a, r.doc_b) == (1, 9)}
     assert pair_ts == {t0 + dt.timedelta(minutes=5)}, out
+
+
+def test_streaming_embedding_neardup_across_batches(spark, tmp_path):
+    """A near-duplicate EMBEDDING arriving in a later micro-batch pairs
+    with the original through centroid-bucket state (exact cosine
+    verified in-state, threshold applied); the deduped pair set equals
+    the batch operator's over the same vectors and centroids."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators import similarity as sim
+    from beyond_vector_search_spark.streaming.embed_neardup import (
+        embedding_neardup_stream,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.9999, 0.0001, 0.0, 0.0]        # cos ~ 0.9999+
+    other = [0.0, 1.0, 0.0, 0.0]
+    scaled = [2.0, 0.0, 0.0, 0.0]            # exact dup direction of base
+    b1 = [(1, base, t0), (2, other, t0)]
+    b2 = [(3, near, t0 + dt.timedelta(minutes=1)),
+          (4, scaled, t0 + dt.timedelta(minutes=1))]
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>, ts TIMESTAMP"
+    src = tmp_path / "end_src"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    cents = [(1, base), (2, other)]          # lowest-id rule, explicit
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out: list = []
+    q = (
+        embedding_neardup_stream(stream, cents, threshold=0.999, watermark="30 minutes")
+        .writeStream.foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "end_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {(r.id_a, r.id_b) for r in out}
+    assert (1, 3) in got and (1, 4) in got and (3, 4) in got
+    assert not any(2 in p for p in got)
+    # every emitted pair carries its true cosine above the threshold
+    assert all(r.cos >= 0.999 for r in out)
+
+    # batch agreement on the same vectors + same centroid rule
+    all_vecs = spark.createDataFrame(b1 + b2, schema).select("vec_id", "embedding")
+    batch = {
+        (r.id_a, r.id_b)
+        for r in sim.embedding_neardup_pairs(
+            all_vecs, threshold=0.999, n_centroids=2, probe=2
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_streaming_embedding_neardup_hot_bucket_guard(spark, tmp_path):
+    """A degenerate stream (everything in one centroid bucket) stops
+    emitting once the bucket crosses max_bucket_size — bounded state,
+    bounded output."""
+    import datetime as dt
+
+    from beyond_vector_search_spark.streaming.embed_neardup import (
+        embedding_neardup_stream,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(i, [1.0, 0.0], t0 + dt.timedelta(seconds=i)) for i in range(8)]
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>, ts TIMESTAMP"
+    src = tmp_path / "hot_src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "b0"))
+
+    out: list = []
+    q = (
+        embedding_neardup_stream(
+            stream := spark.readStream.schema(schema).parquet(str(src / "*")),
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            threshold=0.999,
+            probe=1,
+            max_bucket_size=3,
+            watermark="30 minutes",
+        )
+        .writeStream.foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hot_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # 8 identical vectors would emit 28 pairs unguarded; the cap drops
+    # the bucket at the 4th arrival within the single micro-batch
+    assert out == []
