@@ -190,3 +190,82 @@ def stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w).cast("integer"))
         .where(F.col("sample_rank") <= n_per_stratum)
     )
+
+
+def zorder_value(*cols, bits: int = 16):
+    """Column: the Z-order (Morton) index of 1+ non-negative integer
+    rank columns, ``bits`` bits each, interleaved MSB-first.
+
+    The multi-dimensional data-layout lever: sorting/range-partitioning
+    files by this value clusters rows that are close in EVERY key
+    dimension, so parquet row-group min/max stats become selective for
+    filters on ANY of the keys — the same reason Delta/Iceberg OPTIMIZE
+    ZORDER exists, expressed as plain Spark (see :func:`write_zordered`).
+    Inputs must already be small non-negative ints (use ``ntile`` or a
+    width_bucket-style rank to get them — interleaving raw skewed
+    values wastes high bits).  Pure bit arithmetic (shiftleft / bitwise
+    or), codegen-side, deterministic across engines.
+    """
+    n = len(cols)
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    z = F.lit(0).cast("long")
+    for b in range(bits - 1, -1, -1):  # MSB first
+        for i, c in enumerate(cs):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = F.shiftleft(z, 1).bitwiseOR(bit)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *cols,
+    bits: int = 10,
+    n_buckets: int | None = None,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet Z-ordered on ``cols`` (numeric):
+    each key is rank-bucketed to ``2^bits`` quantile buckets (ntile —
+    rank space, so skew cannot waste interleave bits), rows are
+    range-partitioned then sorted by the interleaved Z-value, and each
+    output file covers a compact hyper-rectangle of the key space.
+
+    Effect (pinned by test): a predicate on ANY of the z-ordered
+    columns prunes most row groups via parquet min/max stats — the
+    reader-side win that linear sort order only gives the FIRST sort
+    key.  The ntile ranking is one global-ish window per key at write
+    time (write-time cost, read-time win); at true 100 TB scale swap it
+    for approxQuantile-derived bucket bounds to avoid the window
+    entirely (same z-space, sampled bounds).
+    """
+    from pyspark.sql import Window
+
+    nb = n_buckets or (1 << bits)
+    ranked = df
+    rank_cols = []
+    for i, c in enumerate(cols):
+        rc = f"_zr{i}"
+        ranked = ranked.withColumn(
+            rc, (F.ntile(nb).over(Window.orderBy(F.col(c))) - 1).cast("long")
+        )
+        rank_cols.append(rc)
+    zed = ranked.withColumn("_z", zorder_value(*rank_cols, bits=bits)).drop(*rank_cols)
+    # Partition by the z-value's TOP bits via directory partitioning —
+    # EXACT quadrant boundaries, where repartitionByRange's sampled
+    # cuts would straddle them and smear two hyper-rectangles into one
+    # file.  Each _zprefix directory is one compact hyper-rectangle of
+    # the rank space; files inside sort by the full z for row-group-
+    # level locality.
+    file_bits = max(1, (n_files - 1).bit_length())
+    total_bits = len(cols) * bits
+    zed = zed.withColumn(
+        "_zprefix", F.shiftright(F.col("_z"), max(0, total_bits - file_bits))
+    )
+    (
+        zed.repartition(n_files, "_zprefix")
+        .sortWithinPartitions("_zprefix", "_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .partitionBy("_zprefix")
+        .parquet(path)
+    )

@@ -839,3 +839,85 @@ def test_streaming_embedding_neardup_hot_bucket_guard(spark, tmp_path):
     # 8 identical vectors would emit 28 pairs unguarded; the cap drops
     # the bucket at the 4th arrival within the single micro-batch
     assert out == []
+
+
+def test_zorder_value_interleave():
+    """zorder_value is exact MSB-first bit interleaving (python-checked
+    on known values) and monotone in each dimension holding others."""
+    from pyspark.sql import Row
+
+    from beyond_vector_search_spark.operators.scale import zorder_value
+    from beyond_vector_search_spark.session import get_spark
+
+    spark = get_spark("bvs-tests", shuffle_partitions=8)
+    rows = [(x, y) for x in (0, 1, 2, 3, 5) for y in (0, 1, 2, 3, 7)]
+    df = spark.createDataFrame(rows, "x BIGINT, y BIGINT")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_value("x", "y", bits=4)).collect()
+    }
+
+    def ref(x, y, bits=4):
+        z = 0
+        for b in range(bits - 1, -1, -1):
+            z = (z << 1) | ((x >> b) & 1)
+            z = (z << 1) | ((y >> b) & 1)
+        return z
+
+    assert got == {(x, y): ref(x, y) for x, y in rows}
+
+
+def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
+    """The Z-ordered parquet layout makes per-file min/max stats
+    selective for predicates on EITHER key; a linear sort only serves
+    its first key (the second-dimension predicate touches every file)."""
+    import pyarrow.parquet as pq
+
+    from beyond_vector_search_spark.operators.scale import write_zordered
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.pmod(F.xxhash64("id"), F.lit(10_000))).alias("x"),
+        (F.pmod(F.xxhash64((F.col("id") + 1).cast("long")), F.lit(10_000))).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "linear")
+    write_zordered(df, zpath, "x", "y", bits=10, n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    def hit_files(path, col, lo, hi):
+        import glob
+
+        hits = total = 0
+        files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+        for f in files:
+            md = pq.read_metadata(f)
+            fmin = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            total += 1
+            if fmax >= lo and fmin <= hi:
+                hits += 1
+        return hits, total
+
+    # narrow slab on each dimension (~5% of the key space)
+    zx, zt = hit_files(zpath, "x", 4000, 4500)
+    zy, _ = hit_files(zpath, "y", 4000, 4500)
+    lx, lt = hit_files(lpath, "x", 4000, 4500)
+    ly, _ = hit_files(lpath, "y", 4000, 4500)
+    assert zt == 16 and lt == 16
+    assert lx <= 3           # linear serves its own sort key...
+    assert ly == 16          # ...and nothing else
+    # z-order serves BOTH keys: the slab sits inside one rank-space
+    # quadrant per dimension, and quadrant-aligned files mean ~4 of 16
+    # files intersect it (a cushion for ntile boundary rows)
+    assert zx <= 6 and zy <= 6
