@@ -2069,3 +2069,37 @@ def test_pq_index_persist_and_ivfpq(spark, tmp_path):
     assert allprobe == fused_rr  # no pruning => identical to full PQ
     pruned = sim.ivfpq_topk(emb, q, cents, m=8, dim=64, n_codes=16, k=5, nprobe=2).collect()
     assert len(pruned) == 25  # 5 queries x k: pruning never starves top-k here
+
+
+def test_container_metadata_survives_corrupt_payloads(spark):
+    """One bad file must not fail the job: payloads that carry a
+    container magic but are truncated/garbage inside fall through to
+    the 'unknown' row with the metadata struct, never an exception."""
+    rng = np.random.default_rng(21)
+    garbage = bytes(rng.integers(0, 256, 256, dtype=np.uint8))
+    vids = [
+        (1, bytearray(b"\x00\x00\x00\x08ftyp" + garbage), {"format": "mp4", "n_frames": 2, "width": 3, "height": 3}),
+        (2, bytearray(b"RIFF\x10\x00\x00\x00AVI " + garbage), {"format": "avi", "n_frames": 1, "width": 2, "height": 2}),
+        (3, bytearray(b"GIF89a" + garbage[:4]), {"format": "gif", "n_frames": 1, "width": 2, "height": 2}),
+    ]
+    vdf = spark.createDataFrame(
+        vids,
+        "media_id BIGINT, content BINARY, "
+        "meta STRUCT<format: STRING, n_frames: INT, width: INT, height: INT>",
+    )
+    vrows = {r["media_id"]: r for r in mm.video_metadata(vdf).collect()}
+    assert len(vrows) == 3
+    assert vrows[1]["container"] == "unknown" and vrows[1]["n_frames"] == 2
+
+    auds = [
+        (1, bytearray(b"RIFF\x08\x00\x00\x00WAVE" + garbage[:8]), {"format": "wav", "sample_rate": 100, "n_samples": 5}),
+        (2, bytearray(b"ID3" + garbage), {"format": "mp3", "sample_rate": 200, "n_samples": 7}),
+        (3, bytearray(b"fLaC\x00\x00"), {"format": "flac", "sample_rate": 300, "n_samples": 9}),
+        (4, bytearray(b"\xff\xe0 not really"), {"format": "mp3", "sample_rate": 400, "n_samples": 11}),
+    ]
+    adf = spark.createDataFrame(auds, mm.AUDIO_SCHEMA)
+    arows = {r["media_id"]: r for r in mm.audio_metadata(adf).collect()}
+    assert len(arows) == 4
+    for mid, r in arows.items():
+        assert r["container"] == "unknown", (mid, r)
+    assert arows[2]["n_samples"] == 7 and arows[4]["sample_rate"] == 400

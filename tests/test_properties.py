@@ -264,3 +264,39 @@ def test_signature_kernels_property_parity(spark):
         for r in minhash_signatures(docs, kernel=False).collect()
     )
     assert k == e
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.sampled_from([(2, 8), (4, 8), (4, 16), (8, 16)]),
+    st.integers(min_value=3, max_value=30),
+    st.randoms(use_true_random=False),
+)
+def test_prop_pq_encode_paths_agree(shape, n, rnd):
+    """Product-quantization property sweep: for random corpora and
+    (m, dim) geometries the Arrow encode kernel and the expression path
+    produce identical codes, and codebook-source vectors always encode
+    to their own code in every subspace."""
+    from beyond_vector_search_spark.operators import similarity as sim
+    from beyond_vector_search_spark.session import get_spark
+
+    m, dim = shape
+    spark = get_spark("bvs-tests", shuffle_partitions=8)
+    n_codes = min(4, n)
+    # the +7i offset keeps every vector's subspace slices pairwise
+    # distinct: hypothesis shrinks the uniforms to all-zeros, where
+    # duplicate codewords tie and the argmin correctly prefers the
+    # SMALLER code — which would falsify the own-code assertion below
+    rows = [
+        (i, [rnd.uniform(-1, 1) + i * 7.0 for _ in range(dim)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    cb = sim.pq_codebooks(emb, m=m, dim=dim, n_codes=n_codes)
+    k = {r.vec_id: list(r.codes) for r in sim.pq_encode(emb, cb, m=m, dim=dim).collect()}
+    e = {
+        r.vec_id: list(r.codes)
+        for r in sim.pq_encode(emb, cb, m=m, dim=dim, kernel=False).collect()
+    }
+    assert k == e
+    for code in range(n_codes):
+        assert k[code] == [code] * m
