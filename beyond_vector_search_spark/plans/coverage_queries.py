@@ -695,5 +695,58 @@ def register_all() -> None:
     )
 
     register_shared_sql("lineitem_frames", LINEITEM_FRAMES)
+    register("data_quality", _DATA_QUALITY_SQL)(q_data_quality)
     register("line_dedup", _LINE_DEDUP_SQL)(q_line_dedup)
     register("topk_alldocs_parity", TOPK_ALLDOCS_PARITY_SQL)(q_topk_alldocs_parity)
+
+
+_DATA_QUALITY_SQL = (
+    # one aggregate row -> one report row per rule, same math as the
+    # single-pass Spark aggregation (validation.data_quality_report)
+    "WITH agg AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0, "
+    "CAST(count(l_orderkey) - count(DISTINCT l_orderkey) AS BIGINT) AS v1, "
+    "CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_quantity < 1 THEN 1 ELSE 0 END) AS BIGINT) AS v2, "
+    "CAST(sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS v3, "
+    "CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS v4, "
+    "CAST(sum(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_full_match(l_linestatus, '[OF]') THEN 1 ELSE 0 END) AS BIGINT) AS v5 "
+    "FROM lineitem) "
+    "SELECT r.rule_id, r.column, r.kind, agg.n AS n_rows, "
+    "CASE r.rule_id WHEN 'orderkey_present' THEN v0 WHEN 'orderkey_unique' THEN v1 "
+    "WHEN 'qty_min' THEN v2 WHEN 'discount_range' THEN v3 "
+    "WHEN 'returnflag_domain' THEN v4 WHEN 'linestatus_format' THEN v5 END AS n_violations, "
+    "CASE r.rule_id WHEN 'orderkey_present' THEN v0 WHEN 'orderkey_unique' THEN v1 "
+    "WHEN 'qty_min' THEN v2 WHEN 'discount_range' THEN v3 "
+    "WHEN 'returnflag_domain' THEN v4 WHEN 'linestatus_format' THEN v5 END = 0 AS passed "
+    "FROM agg, (VALUES "
+    "('orderkey_present', 'l_orderkey', 'not_null'), "
+    "('orderkey_unique', 'l_orderkey', 'unique'), "
+    "('qty_min', 'l_quantity', 'min'), "
+    "('discount_range', 'l_discount', 'between'), "
+    "('returnflag_domain', 'l_returnflag', 'allowed'), "
+    "('linestatus_format', 'l_linestatus', 'regex')"
+    ") AS r(rule_id, \"column\", kind)"
+)
+
+
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validation.data_quality_report over lineitem: six rule kinds in
+    one single-pass aggregate.  Two rules FAIL by design on real data
+    (l_orderkey repeats across line numbers; the discount range is
+    deliberately tightened to 0.08) — the report's count math, not just
+    all-green booleans, is what the oracle pins."""
+    from beyond_vector_search_spark.operators.validation import (
+        Rule,
+        data_quality_report,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        Rule("orderkey_present", "l_orderkey", "not_null"),
+        Rule("orderkey_unique", "l_orderkey", "unique"),
+        Rule("qty_min", "l_quantity", "min", (1,)),
+        Rule("discount_range", "l_discount", "between", (0.0, 0.08)),
+        Rule("returnflag_domain", "l_returnflag", "allowed", (("A", "N", "R"),)),
+        Rule("linestatus_format", "l_linestatus", "regex", ("[OF]",)),
+    ]
+    return data_quality_report(li, rules)

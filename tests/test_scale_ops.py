@@ -921,3 +921,52 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
     # quadrant per dimension, and quadrant-aligned files mean ~4 of 16
     # files intersect it (a cushion for ntile boundary rows)
     assert zx <= 6 and zy <= 6
+
+
+def test_data_quality_rules_and_gate(spark):
+    """Each rule kind counts its violations exactly; the whole report is
+    ONE aggregation (single job over a single scan); the gate form
+    raises naming the failed rules and passes clean frames through."""
+    import pytest
+
+    from beyond_vector_search_spark.operators.validation import (
+        Rule,
+        assert_quality,
+        data_quality_report,
+    )
+
+    rows = [
+        (1, 10.0, "A", "a@x.io"),
+        (2, -5.0, "A", "bad-email"),
+        (2, 3.0, "Q", None),
+        (None, 200.0, "N", "c@y.org"),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, v DOUBLE, flag STRING, email STRING")
+    rules = [
+        Rule("id_present", "id", "not_null"),
+        Rule("id_unique", "id", "unique"),
+        Rule("v_min", "v", "min", (0,)),
+        Rule("v_max", "v", "max", (100,)),
+        Rule("v_range", "v", "between", (0, 100)),
+        Rule("flag_domain", "flag", "allowed", (("A", "N", "R"),)),
+        Rule("email_format", "email", "regex", ("[^@]+@[^@]+", )),
+    ]
+    got = {r["rule_id"]: r for r in data_quality_report(df, rules).collect()}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert got["id_present"]["n_violations"] == 1
+    assert got["id_unique"]["n_violations"] == 1          # id=2 twice
+    assert got["v_min"]["n_violations"] == 1              # -5
+    assert got["v_max"]["n_violations"] == 1              # 200
+    assert got["v_range"]["n_violations"] == 2
+    assert got["flag_domain"]["n_violations"] == 1        # Q
+    assert got["email_format"]["n_violations"] == 1       # NULL not counted
+    assert not any(r["passed"] for r in got.values())
+
+    with pytest.raises(ValueError, match="id_unique"):
+        assert_quality(df, rules)
+    clean = df.where("id = 1")
+    assert assert_quality(clean, rules) is clean
+
+    # single-pass claim: the report plan contains exactly one Aggregate
+    plan = data_quality_report(df, rules)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1
