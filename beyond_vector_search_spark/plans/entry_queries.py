@@ -538,6 +538,7 @@ def q_router_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _load_extensions() -> None:
     """Import the extension catalogs (they self-register)."""
+    from beyond_vector_search_spark.plans import fusion_queries  # noqa: F401
     from beyond_vector_search_spark.plans import pipeline_queries  # noqa: F401
     from beyond_vector_search_spark.plans import pretrain_queries  # noqa: F401
     from beyond_vector_search_spark.plans import coverage_queries, relational_queries

@@ -1,0 +1,219 @@
+"""Fusion / expansion / diversification catalog entries (operators/
+fusion.py): Reciprocal Rank Fusion, pseudo-relevance-feedback BM25,
+and Maximal Marginal Relevance — each against a full DuckDB oracle
+built from the same CTE stacks as the core retrieval entries.
+
+The MMR oracle unrolls the greedy selection loop as ``k`` CTE steps
+(argmax → union into the selected set → next argmax): plain ANSI SQL,
+no recursion, bit-deterministic because every comparison value is
+rounded to 6 decimals with ascending-id tie-breaks — the same rule the
+Spark kernel applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.operators import fusion as fu
+from beyond_vector_search_spark.plans.entry_queries import (
+    _BM25_SCORED_CTE,
+    _CFG,
+    _DOC_VEC_CTE,
+    _EXPLODED_CTE,
+    _GRAM_STATS_CTE,
+    _GRAMS_CTE,
+    _QUERIES_CTE,
+    _SCALARS_CTE,
+    _TERM_STATS_CTE,
+    _TOKS_CTE,
+    _POSTINGS_CTE,
+    _VEC_QUERY_CTE,
+    _VEC_SCORED_CTE,
+    _docs_index,
+    _queries_df,
+    _ranked,
+    _rank_sql,
+    _scores,
+    register,
+)
+
+_BOTH_ARMS_STACK = (
+    f"{_QUERIES_CTE}, {_TOKS_CTE}, {_SCALARS_CTE}, {_EXPLODED_CTE}, "
+    f"{_TERM_STATS_CTE}, {_POSTINGS_CTE}, {_BM25_SCORED_CTE}, "
+    f"{_GRAMS_CTE}, {_GRAM_STATS_CTE}, {_DOC_VEC_CTE}, {_VEC_QUERY_CTE}, "
+    f"{_VEC_SCORED_CTE}"
+)
+
+# ------------------------- reciprocal rank fusion ---------------------------
+
+_RRF_K0 = 60
+
+_RRF_CTE = (
+    "kr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY round(score, 6) DESC, doc_id ASC) AS r FROM kscored), "
+    "vr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY round(score, 6) DESC, doc_id ASC) AS r FROM vscored), "
+    f"rrf AS (SELECT query_id, doc_id, sum(1.0 / ({_RRF_K0} + r)) AS score "
+    "FROM (SELECT * FROM kr UNION ALL SELECT * FROM vr) GROUP BY query_id, doc_id)"
+)
+
+
+@register(
+    "rrf_topk",
+    f"WITH {_BOTH_ARMS_STACK}, {_RRF_CTE} {_rank_sql('rrf')}",
+)
+def q_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of the BM25 and cosine arms (Cormack et
+    al. 2009): rank-only fusion, no score normalization — the robust
+    default when arm score scales are incomparable."""
+    fused = fu.rrf_scores(
+        {
+            "keyword": _scores(spark, sf_dir, "keyword"),
+            "vector": _scores(spark, sf_dir, "vector"),
+        },
+        k0=_RRF_K0,
+    )
+    return _ranked(fused)
+
+
+# ---------------------- pseudo-relevance feedback ---------------------------
+
+_PRF_FEEDBACK = 5
+_PRF_TERMS = 10
+_PRF_BETA = 0.4
+
+_PRF_CTE = (
+    # top-n_feedback docs of the first BM25 pass
+    "fb AS (SELECT query_id, doc_id FROM (SELECT query_id, doc_id, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rn "
+    f"FROM kscored) WHERE rn <= {_PRF_FEEDBACK}), "
+    # Rocchio-style expansion-term mass: idf * sum of tf over feedback docs,
+    # original query terms excluded
+    "emass AS (SELECT f.query_id, p.term, sum(p.tf) AS ftf "
+    "FROM fb f JOIN postings p ON p.doc_id = f.doc_id GROUP BY f.query_id, p.term), "
+    "ew AS (SELECT m.query_id, m.term, i.idf * m.ftf AS weight "
+    "FROM emass m JOIN term_idf i USING (term) "
+    "WHERE NOT EXISTS (SELECT 1 FROM qterms q WHERE q.query_id = m.query_id AND q.term = m.term)), "
+    "etop AS (SELECT query_id, term FROM (SELECT query_id, term, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY round(weight, 6) DESC, term ASC) AS rn "
+    f"FROM ew) WHERE rn <= {_PRF_TERMS}), "
+    # second BM25 pass over the expansion terms, weighted by beta
+    f"econtrib AS (SELECT e.query_id, p.doc_id, {_PRF_BETA!r} * "
+    "i.idf * (p.tf * (1.5 + 1.0)) / (p.tf + 1.5 * (1.0 - 0.75 + 0.75 * (d.dl / "
+    "coalesce(nullif(s.avg_dl, 0.0), 1.0)))) AS part "
+    "FROM etop e JOIN term_idf i USING (term) JOIN postings p USING (term) "
+    "JOIN (SELECT doc_id, CAST(len(tokens) AS DOUBLE) AS dl FROM toks) d ON p.doc_id = d.doc_id, scalars s), "
+    "pscored AS (SELECT query_id, doc_id, sum(part) AS score FROM ("
+    "SELECT query_id, doc_id, score AS part FROM kscored "
+    "UNION ALL SELECT query_id, doc_id, part FROM econtrib) GROUP BY query_id, doc_id)"
+)
+
+
+@register(
+    "prf_topk",
+    f"WITH {_QUERIES_CTE}, {_TOKS_CTE}, {_SCALARS_CTE}, {_EXPLODED_CTE}, "
+    f"{_TERM_STATS_CTE}, {_POSTINGS_CTE}, {_BM25_SCORED_CTE}, {_PRF_CTE} "
+    f"{_rank_sql('pscored')}",
+)
+def q_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 (Rocchio/RM3 family): mine the
+    top-5 first-pass docs for the 10 highest-weight expansion terms,
+    add a beta-weighted second scoring pass."""
+    idx = _docs_index(spark, sf_dir)
+    scored = fu.prf_bm25_scores(
+        _queries_df(spark),
+        idx,
+        _scores(spark, sf_dir, "keyword"),
+        cfg=_CFG,
+        n_feedback=_PRF_FEEDBACK,
+        n_terms=_PRF_TERMS,
+        beta=_PRF_BETA,
+    )
+    return _ranked(scored)
+
+
+# ----------------------- maximal marginal relevance -------------------------
+
+_MMR_N = 12   # candidate pool: top-N cosine docs per query
+_MMR_K = 5    # selected set size
+_MMR_LAM = 0.7
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR as plain CTE steps (no recursion): step i
+    computes every remaining candidate's marginal value against the
+    selected set u{i-1}, picks the (rounded val DESC, doc_id ASC)
+    argmax, and unions it in."""
+    lam = repr(float(_MMR_LAM))
+    one_minus = repr(1.0 - float(_MMR_LAM))
+    # AS MATERIALIZED throughout: DuckDB inlines CTEs by default, and
+    # each step references the previous selected-set CTE three times
+    # (join / NOT EXISTS / union) — inlined, the u-chain re-derives the
+    # whole vector pipeline 3^k times (measured: 170 s at sf0.001 vs
+    # ~1 s materialized).
+    steps = [
+        "cand AS MATERIALIZED (SELECT query_id, doc_id, round(score, 6) AS rel FROM ("
+        "SELECT query_id, doc_id, score, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id ASC) AS rn FROM vscored) "
+        f"WHERE rn <= {_MMR_N})",
+        "cd AS (SELECT DISTINCT doc_id FROM cand)",
+        "cv AS (SELECT v.doc_id, v.gram, v.weight, n.norm "
+        "FROM doc_vec v JOIN doc_norm n USING (doc_id) JOIN cd USING (doc_id))",
+        "psim AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "round(sum(a.weight * b.weight) / (max(a.norm) * max(b.norm)), 6) AS sim "
+        "FROM cv a JOIN cv b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id)",
+        f"m1 AS (SELECT query_id, doc_id, round({lam} * rel, 6) AS val FROM cand)",
+        "sel1 AS MATERIALIZED (SELECT query_id, doc_id, val FROM (SELECT query_id, doc_id, val, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY val DESC, doc_id ASC) AS rn "
+        "FROM m1) WHERE rn = 1)",
+        "u1 AS MATERIALIZED (SELECT query_id, doc_id, val FROM sel1)",
+    ]
+    for i in range(2, _MMR_K + 1):
+        prev = f"u{i - 1}"
+        steps.append(
+            f"m{i} AS (SELECT c.query_id, c.doc_id, "
+            f"round({lam} * c.rel - {one_minus} * max(coalesce(p.sim, 0.0)), 6) AS val "
+            f"FROM cand c JOIN {prev} s ON s.query_id = c.query_id "
+            "LEFT JOIN psim p ON p.doc_a = least(c.doc_id, s.doc_id) "
+            "AND p.doc_b = greatest(c.doc_id, s.doc_id) "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {prev} x "
+            "WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id) "
+            "GROUP BY c.query_id, c.doc_id, c.rel)"
+        )
+        steps.append(
+            f"sel{i} AS MATERIALIZED (SELECT query_id, doc_id, val FROM (SELECT query_id, doc_id, val, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY val DESC, doc_id ASC) AS rn "
+            f"FROM m{i}) WHERE rn = 1)"
+        )
+        steps.append(
+            f"u{i} AS MATERIALIZED (SELECT query_id, doc_id, val FROM {prev} "
+            f"UNION ALL SELECT query_id, doc_id, val FROM sel{i})"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT query_id, doc_id, CAST({i} AS INTEGER) AS mmr_rank, val AS mmr_score FROM sel{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return ", ".join(steps) + " " + final
+
+
+@register(
+    "mmr_topk",
+    f"WITH {_QUERIES_CTE}, {_GRAMS_CTE}, {_GRAM_STATS_CTE}, {_DOC_VEC_CTE}, "
+    f"{_VEC_QUERY_CTE}, {_VEC_SCORED_CTE}, {_mmr_sql()}",
+)
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein 1998): greedy λ-tradeoff selection of 5 docs from each
+    query's top-12 cosine candidates, pair similarities from the
+    char-gram TF-IDF space, greedy loop as a cogrouped Arrow kernel."""
+    idx = _docs_index(spark, sf_dir)
+    cand = _ranked(_scores(spark, sf_dir, "vector"), k=_MMR_N).select(
+        "query_id", "doc_id", "score"
+    )
+    return fu.mmr_rerank(cand, idx, k=_MMR_K, lam=_MMR_LAM)
+
+
+def register_all() -> None:
+    """Import side effect already registered everything."""

@@ -206,12 +206,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "shard_stats",
+# Registered at the catalog TAIL (fusion/coverage register_tail): a
+# plain groupBy over pack_sequences' own sharding CTE — the in-window
+# pack_sequences entry already pins the hash-shard assignment.
+SHARD_STATS_SQL = (
     f"WITH {_TOKS}, {_COUNTS_SQL} "
     "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, "
-    "CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM sharded GROUP BY shard",
+    "CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM sharded GROUP BY shard"
 )
+
+
 def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.select(
@@ -259,8 +263,9 @@ _MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
 # ------------------------ unigram log-perplexity ---------------------------
 
 
-@register(
-    "unigram_logppl",
+# Tail entry: the in-window bigram_logppl below subsumes this shape
+# (same explode/agg/join skeleton, higher-order counts + interpolation).
+UNIGRAM_LOGPPL_SQL = (
     f"WITH {_TOKS}, "
     "w AS (SELECT doc_id, unnest(tokens) AS term FROM toks), "
     "wtf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term), "
@@ -269,10 +274,110 @@ _MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
     "probs AS (SELECT term, ctf / n AS p FROM ctf, z) "
     "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
     "round(sum(tf * -ln(p)) / sum(tf), 6) AS logppl "
-    "FROM wtf JOIN probs USING (term) GROUP BY doc_id",
+    "FROM wtf JOIN probs USING (term) GROUP BY doc_id"
 )
+
+
 def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pt.unigram_logppl(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------- bigram LM log-perplexity (in-window) ------------------
+
+_BIGRAM_LAM = 0.9
+
+_BG_CTES = (
+    "bgx AS (SELECT doc_id, unnest(CASE WHEN len(tokens) < 2 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(range(1, len(tokens)), i -> array_to_string(tokens[i:i+1], ' ')) END) AS bg FROM toks), "
+    "btf AS (SELECT doc_id, bg, count(*) AS tf FROM bgx GROUP BY doc_id, bg), "
+    "cbg AS (SELECT bg, sum(tf) AS cbg FROM btf GROUP BY bg), "
+    "w AS (SELECT doc_id, unnest(tokens) AS term FROM toks), "
+    "wtf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term), "
+    "ctf AS (SELECT term, sum(tf) AS ctf FROM wtf GROUP BY term), "
+    "z AS (SELECT sum(ctf) AS n FROM ctf), "
+    f"bprobs AS (SELECT bg, {_BIGRAM_LAM!r} * (cbg / c1.ctf) + {1.0 - _BIGRAM_LAM!r} * (c2.ctf / n) AS p "
+    "FROM cbg JOIN ctf c1 ON c1.term = split_part(bg, ' ', 1) "
+    "JOIN ctf c2 ON c2.term = split_part(bg, ' ', 2), z)"
+)
+
+
+@register(
+    "bigram_logppl",
+    f"WITH {_TOKS}, {_BG_CTES} "
+    "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, "
+    "round(sum(tf * -ln(p)) / sum(tf), 6) AS logppl2 "
+    "FROM btf JOIN bprobs USING (bg) GROUP BY doc_id",
+)
+def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer-interpolated corpus bigram LM perplexity per doc
+    (operators/pretrain.bigram_logppl) — the 2-gram form of the CCNet
+    LM-quality filter."""
+    return pt.bigram_logppl(load_table(spark, sf_dir, "documents"), lam=_BIGRAM_LAM)
+
+
+# ------------------------ document chunking (RAG) --------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@register(
+    "doc_chunks",
+    f"WITH {_TOKS}, "
+    "t2 AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) > 0), "
+    f"offs AS (SELECT doc_id, tokens, n, unnest(range(0, greatest(n - {_CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE})) AS o FROM t2) "
+    f"SELECT doc_id, CAST(floor(o / {_CHUNK_STRIDE}.0) AS BIGINT) AS chunk_id, "
+    "CAST(o AS BIGINT) AS start, "
+    f"CAST(len(tokens[o + 1:o + {_CHUNK_SIZE}]) AS BIGINT) AS n_chunk_tokens, "
+    f"array_to_string(tokens[o + 1:o + {_CHUNK_SIZE}], ' ') AS chunk_text FROM offs",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token-window chunking
+    (operators/pretrain.chunk_documents) — the RAG/embedding
+    preprocessing fan-out, 64-token windows sliding by 48."""
+    return pt.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+# ------------------------ Gopher quality rules -----------------------------
+
+_GOPHER_STOP_SQL = "['" + "', '".join(pt.GOPHER_STOPWORDS) + "']"
+
+_GOPHER_CTES = (
+    "gw AS (SELECT doc_id, text, tokens, "
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS words FROM documents JOIN toks USING (doc_id)), "
+    "gm AS (SELECT doc_id, "
+    "CAST(len(words) AS BIGINT) AS n_words, "
+    "coalesce(round(list_sum(list_transform(words, w -> length(w))) / CAST(len(words) AS DOUBLE), 6), 0.0) AS mean_word_len, "
+    "coalesce(round((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))) / CAST(len(words) AS DOUBLE), 6), 0.0) AS symbol_ratio, "
+    "coalesce(round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) / CAST(len(words) AS DOUBLE), 6), 0.0) AS alpha_word_frac, "
+    f"CAST(len(list_intersect(list_distinct(tokens), {_GOPHER_STOP_SQL})) AS BIGINT) AS n_stopwords "
+    "FROM gw), "
+    "gf AS (SELECT *, "
+    "(n_words >= 50 AND n_words <= 100000) AS flag_word_count, "
+    "(mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS flag_word_len, "
+    "(symbol_ratio <= 0.1) AS flag_symbol, "
+    "(alpha_word_frac >= 0.8) AS flag_alpha, "
+    "(n_stopwords >= 2) AS flag_stopwords FROM gm)"
+)
+
+
+@register(
+    "gopher_quality",
+    f"WITH {_TOKS}, {_GOPHER_CTES} "
+    "SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, n_stopwords, "
+    "flag_word_count, flag_word_len, flag_symbol, flag_alpha, flag_stopwords, "
+    "(flag_word_count AND flag_word_len AND flag_symbol AND flag_alpha AND flag_stopwords) AS keep "
+    "FROM gf",
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule set (Rae et al. 2021 appendix A) as
+    per-document metrics + flags (operators/pretrain.gopher_quality)."""
+    return pt.gopher_quality(load_table(spark, sf_dir, "documents"))
 
 
 # ------------------- end-to-end corpus preparation -------------------------

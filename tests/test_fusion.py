@@ -1,0 +1,295 @@
+"""Fusion / expansion / diversification operators (operators/fusion.py)
+and the chunking / Gopher / bigram-LM pipeline additions
+(operators/pretrain.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.operators import fusion as fu
+from beyond_vector_search_spark.operators import pretrain as pt
+from beyond_vector_search_spark.operators.corpus_index import build_index
+
+
+@pytest.fixture(scope="module")
+def tiny_index(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins shuffle data across the cluster"),
+            (2, "broadcast joins avoid the shuffle for small tables"),
+            (3, "window functions rank data rows within partitions"),
+            (4, "spark joins shuffle data across the cluster"),  # dup of 1
+            (5, "completely unrelated cooking recipe with garlic and onions"),
+        ],
+        "doc_id long, text string",
+    )
+    return docs, build_index(docs).cache()
+
+
+# ------------------------------- RRF ---------------------------------------
+
+
+def test_rrf_scores_exact(spark):
+    # two arms with known per-query orderings: scores don't matter,
+    # only ranks do
+    k = spark.createDataFrame(
+        [("q", 1, 9.0), ("q", 2, 5.0), ("q", 3, 1.0)],
+        "query_id string, doc_id long, score double",
+    )
+    v = spark.createDataFrame(
+        [("q", 2, 0.9), ("q", 3, 0.8)],
+        "query_id string, doc_id long, score double",
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in fu.rrf_scores({"k": k, "v": v}, k0=60).collect()
+    }
+    assert out[1] == pytest.approx(1 / 61)          # rank 1 keyword only
+    assert out[2] == pytest.approx(1 / 62 + 1 / 61)  # rank 2 + rank 1
+    assert out[3] == pytest.approx(1 / 63 + 1 / 62)
+    # doc 2 fuses highest despite being keyword rank 2
+    assert max(out, key=out.get) == 2
+
+
+def test_rrf_per_arm_truncation(spark):
+    k = spark.createDataFrame(
+        [("q", i, 10.0 - i) for i in range(1, 6)],
+        "query_id string, doc_id long, score double",
+    )
+    out = fu.rrf_scores({"k": k}, k0=60, per_arm_k=2).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+# ------------------------------- PRF ---------------------------------------
+
+
+def test_prf_expansion_finds_related_doc(spark, tiny_index):
+    docs, idx = tiny_index
+    queries = spark.createDataFrame(
+        [("q1", "shuffle cluster")], "query_id string, query string"
+    )
+    from beyond_vector_search_spark.operators.retrieval import bm25_scores
+    from beyond_vector_search_spark.config import EngineConfig
+
+    cfg = EngineConfig(include_zero_score_docs=False)
+    base = bm25_scores(queries, idx, cfg=cfg)
+    base_docs = {r["doc_id"] for r in base.collect()}
+    # doc 3 shares no term with the query — the first pass cannot reach it
+    assert 3 not in base_docs
+
+    exp = fu.prf_expansion_terms(queries, idx, base, n_feedback=3, n_terms=10)
+    exp_terms = {r["term"] for r in exp.collect()}
+    # original query terms are excluded from the expansion set
+    assert not exp_terms & {"shuffle", "cluster"}
+    # expansion mines feedback-doc vocabulary ("joins", "data", ...)
+    assert "joins" in exp_terms and "data" in exp_terms
+
+    scored = fu.prf_bm25_scores(queries, idx, base, cfg=cfg, n_feedback=3, n_terms=10)
+    prf_docs = {r["doc_id"] for r in scored.collect()}
+    # the expansion pass pulls in docs matched only via expansion terms
+    assert base_docs <= prf_docs and len(prf_docs) > len(base_docs)
+
+
+def test_prf_beta_zero_is_identity_ranking(spark, tiny_index):
+    docs, idx = tiny_index
+    queries = spark.createDataFrame(
+        [("q1", "spark shuffle")], "query_id string, query string"
+    )
+    from beyond_vector_search_spark.operators.retrieval import bm25_scores
+    from beyond_vector_search_spark.config import EngineConfig
+
+    cfg = EngineConfig(include_zero_score_docs=False)
+    base = bm25_scores(queries, idx, cfg=cfg)
+    scored = fu.prf_bm25_scores(queries, idx, base, cfg=cfg, beta=0.0)
+    merged = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in base.collect()
+    }
+    for r in scored.collect():
+        key = (r["query_id"], r["doc_id"])
+        if key in merged:  # docs matched only by expansion gain score 0
+            assert r["score"] == pytest.approx(merged[key])
+        else:
+            assert r["score"] == pytest.approx(0.0)
+
+
+# ------------------------------- MMR ---------------------------------------
+
+
+def test_mmr_diversifies_duplicates(spark, tiny_index):
+    docs, idx = tiny_index
+    # candidates: doc 1 and its exact duplicate doc 4 lead on
+    # relevance; docs 2/3 trail.  Pure relevance would pick 1 then 4;
+    # MMR must demote the duplicate.
+    cand = spark.createDataFrame(
+        [("q", 1, 0.95), ("q", 4, 0.94), ("q", 2, 0.90), ("q", 3, 0.85)],
+        "query_id string, doc_id long, score double",
+    )
+    out = fu.mmr_rerank(cand, idx, k=3, lam=0.7)
+    picked = [r["doc_id"] for r in out.orderBy("mmr_rank").collect()]
+    assert picked[0] == 1
+    assert picked[1] != 4  # the duplicate is NOT the second pick
+    assert 4 not in picked[:2]
+
+
+def test_mmr_lam_one_is_relevance_order(spark, tiny_index):
+    docs, idx = tiny_index
+    cand = spark.createDataFrame(
+        [("q", 1, 0.95), ("q", 4, 0.94), ("q", 2, 0.5)],
+        "query_id string, doc_id long, score double",
+    )
+    out = fu.mmr_rerank(cand, idx, k=3, lam=1.0)
+    picked = [r["doc_id"] for r in out.orderBy("mmr_rank").collect()]
+    assert picked == [1, 4, 2]
+
+
+def test_candidate_pair_sims_duplicate_is_one(spark, tiny_index):
+    docs, idx = tiny_index
+    cand = spark.createDataFrame(
+        [("q", 1, 1.0), ("q", 4, 1.0), ("q", 5, 0.1)],
+        "query_id string, doc_id long, score double",
+    )
+    sims = {
+        (r["doc_a"], r["doc_b"]): r["sim"]
+        for r in fu.candidate_pair_sims(cand, idx).collect()
+    }
+    assert sims[(1, 4)] == pytest.approx(1.0)  # identical docs
+    # unrelated docs share almost nothing
+    assert sims.get((1, 5), 0.0) < 0.3
+
+
+# ----------------------------- chunking ------------------------------------
+
+
+def _chunks(spark, text, size, overlap):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return (
+        pt.chunk_documents(df, size=size, overlap=overlap)
+        .orderBy("chunk_id")
+        .collect()
+    )
+
+
+def test_chunk_exact_window(spark):
+    text = " ".join(f"w{i}" for i in range(64))
+    rows = _chunks(spark, text, 64, 16)
+    assert len(rows) == 1
+    assert rows[0]["n_chunk_tokens"] == 64
+    assert rows[0]["start"] == 0
+
+
+def test_chunk_one_past_window(spark):
+    # 65 tokens: second window starts at 48 and has 17 tokens (> overlap)
+    text = " ".join(f"w{i}" for i in range(65))
+    rows = _chunks(spark, text, 64, 16)
+    assert [(r["start"], r["n_chunk_tokens"]) for r in rows] == [(0, 64), (48, 17)]
+    assert [r["chunk_id"] for r in rows] == [0, 1]
+
+
+def test_chunk_tail_fully_overlapped_not_emitted(spark):
+    # 70 tokens: window at 48 covers 48..69 (22 new tokens) — emitted;
+    # there is no window at 96.  At 64+16=80 tokens the offset-64...
+    # check the boundary: n = size + overlap exactly -> second chunk
+    # would add zero new tokens beyond overlap and IS still emitted
+    # only while offset + overlap < n.
+    text = " ".join(f"w{i}" for i in range(80))
+    rows = _chunks(spark, text, 64, 16)
+    # offsets: range(0, max(80-16,1)-1 = 63, 48) -> 0, 48
+    assert [r["start"] for r in rows] == [0, 48]
+    assert rows[1]["n_chunk_tokens"] == 32
+
+
+def test_chunk_short_and_empty_docs(spark):
+    assert len(_chunks(spark, "one two three", 64, 16)) == 1
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert pt.chunk_documents(df, size=64, overlap=16).count() == 0
+
+
+def test_chunk_reconstruction(spark):
+    # stride-prefixes of all chunks + the last chunk reconstruct the doc
+    text = " ".join(f"w{i}" for i in range(150))
+    rows = _chunks(spark, text, 64, 16)
+    rebuilt: list[str] = []
+    for i, r in enumerate(rows):
+        toks = r["chunk_text"].split(" ")
+        rebuilt.extend(toks if i == len(rows) - 1 else toks[:48])
+    assert " ".join(rebuilt) == text
+
+
+def test_chunk_invalid_overlap(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pt.chunk_documents(df, size=16, overlap=16)
+
+
+# --------------------------- Gopher quality --------------------------------
+
+
+def test_gopher_flags(spark):
+    good = "the quick brown fox jumps over the lazy dog and that " + " ".join(
+        f"word{i}" for i in range(45)
+    )  # >= 50 words, stopwords present, alphabetic
+    short = "too short"
+    symbols = "the of " + " ".join(["###"] * 60)
+    no_alpha = "the of " + " ".join(str(i) for i in range(60))
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, no_alpha)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pt.gopher_quality(df).collect()}
+    assert rows[1]["keep"]
+    assert not rows[2]["flag_word_count"] and not rows[2]["keep"]
+    assert not rows[3]["flag_symbol"] and not rows[3]["keep"]
+    assert not rows[4]["flag_alpha"] and not rows[4]["keep"]
+
+
+def test_gopher_stopword_rule(spark):
+    text = " ".join(f"noun{i}" for i in range(60))  # zero stopwords
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = pt.gopher_quality(df).first()
+    assert row["n_stopwords"] == 0 and not row["flag_stopwords"]
+
+
+# --------------------------- bigram log-ppl --------------------------------
+
+
+def test_bigram_logppl_hand_computed(spark):
+    # corpus: "a b a b" and "a b c": bigrams ab(x2+1)=3, ba=1, bc=1
+    # unigrams: a=3, b=3, c=1, N=7
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in pt.bigram_logppl(df, lam=0.9).collect()}
+    p_ab = 0.9 * (3 / 3) + (1.0 - 0.9) * (3 / 7)
+    p_ba = 0.9 * (1 / 3) + (1.0 - 0.9) * (3 / 7)
+    p_bc = 0.9 * (1 / 3) + (1.0 - 0.9) * (1 / 7)
+    exp1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    exp2 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["logppl2"] == pytest.approx(exp1, abs=1e-6)
+    assert rows[2]["logppl2"] == pytest.approx(exp2, abs=1e-6)
+
+
+def test_bigram_logppl_skips_single_token_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens")], "doc_id long, text string"
+    )
+    out = pt.bigram_logppl(df).collect()
+    assert [r["doc_id"] for r in out] == [2]
+
+
+def test_bigram_repetitive_doc_scores_lower(spark):
+    # a doc repeating one common bigram has lower perplexity than a
+    # doc of corpus-rare transitions
+    common = " ".join(["the cat"] * 20)
+    rare = "zephyr quixotic bramble ossify lurid vexing"
+    filler = [(i, common) for i in range(3, 10)]
+    df = spark.createDataFrame(
+        [(1, common), (2, rare)] + filler, "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["logppl2"] for r in pt.bigram_logppl(df).collect()}
+    assert rows[1] < rows[2]
