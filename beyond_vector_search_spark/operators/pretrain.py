@@ -379,6 +379,7 @@ def bigram_logppl(
     id_col: str = "doc_id",
     text_col: str = "text",
     lam: float = 0.9,
+    cache: bool = False,
 ) -> DataFrame:
     """(doc_id, n_bigrams, logppl2) — per-document log-perplexity under
     an interpolated corpus BIGRAM model:
@@ -400,7 +401,14 @@ def bigram_logppl(
     joins are keyed on the n-gram — co-partitioned with their own
     aggregation shuffles, broadcast while vocabularies are small.  The
     cross-row float sum is rounded to 6 (catalog determinism rule).
+
+    Lazy, the plan re-derives the tokenize + tf relations once per
+    aggregate consumer (the corpus is scanned ~5x — Catalyst does not
+    share subtrees across joins).  ``cache=True`` persists the two tf
+    relations so the corpus is scanned exactly twice; at cluster scale,
+    materialize them to parquet instead (the IndexDelta pattern).
     """
+    keep = (lambda d: d.cache()) if cache else (lambda d: d)
     toked = df.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
     bigrams = F.when(
         F.size("toks") < 2, F.array().cast("array<string>")
@@ -410,13 +418,13 @@ def bigram_logppl(
             lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
         )
     )
-    btf = (
+    btf = keep(
         toked.select("doc_id", F.explode(bigrams).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count("*").alias("tf"))
     )
     cbg = btf.groupBy("bg").agg(F.sum("tf").alias("cbg"))
-    wtf = (
+    wtf = keep(
         toked.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
