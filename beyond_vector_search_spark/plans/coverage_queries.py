@@ -176,32 +176,38 @@ _COS_SQL = (
 )
 
 
-@register(
-    "embed_neardup_pairs",
-    # near-dups planted deterministically, two grades:
-    # - ids+100000: 2x-scaled copies of vec_id < 50 — cosine exactly
-    #   1.0 by scale invariance (the exact-duplicate dedup case);
-    # - ids+200000: alternating +/-2% coordinate scaling of vec_id < 10
-    #   — TRUE near-pairs.  cos(v, v .* (1 +/- a)) =
-    #   (1 + c*a) / sqrt(1 + 2*c*a + a^2) with c = (even-index mass) -
-    #   (odd-index mass) in [-1, 1], so for a = 0.02 the cosine lies in
-    #   [0.9998, 1.0] for EVERY vector — above the 0.999 threshold but
-    #   (generically) strictly below 1.0, exercising the centroid
-    #   blocker's recall on merely-near directions, not just scale
-    #   twins.  (DuckDB lambda index is 1-based, Spark's 0-based —
-    #   hence (i-1) here.)
-    "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100 "
+# near-dups planted deterministically, two grades:
+# - ids+100000: 2x-scaled copies of vec_id < 50 — cosine exactly
+#   1.0 by scale invariance (the exact-duplicate dedup case);
+# - ids+200000: alternating +/-2% coordinate scaling of vec_id < 10
+#   — TRUE near-pairs.  cos(v, v .* (1 +/- a)) =
+#   (1 + c*a) / sqrt(1 + 2*c*a + a^2) with c = (even-index mass) -
+#   (odd-index mass) in [-1, 1], so for a = 0.02 the cosine lies in
+#   [0.9998, 1.0] for EVERY vector — above the 0.999 threshold but
+#   (generically) strictly below 1.0, exercising the centroid
+#   blocker's recall on merely-near directions, not just scale
+#   twins.  (DuckDB lambda index is 1-based, Spark's 0-based —
+#   hence (i-1) here.)
+_EMBED_BASE_SQL = (
+    "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100 "
     "UNION ALL SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) "
     "FROM embeddings WHERE vec_id < 50 "
     "UNION ALL SELECT vec_id + 200000, list_transform(CAST(embedding AS DOUBLE[]), "
     "(x, i) -> x * (CASE WHEN (i - 1) % 2 = 0 THEN CAST(1.02 AS DOUBLE) ELSE CAST(0.98 AS DOUBLE) END)) "
-    "FROM embeddings WHERE vec_id < 10), "
+    "FROM embeddings WHERE vec_id < 10)"
+)
+
+_EMBED_PAIRS_SQL = (
     "a AS (SELECT vec_id AS id_a, v AS qv FROM base), "
     "b AS (SELECT vec_id AS id_b, v AS cv FROM base), "
-    f"pairs AS (SELECT id_a, id_b, {_COS_SQL} AS cos FROM a CROSS JOIN b WHERE id_a < id_b) "
-    "SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE round(cos, 6) >= 0.999",
+    f"pairs AS (SELECT id_a, id_b, {_COS_SQL} AS cos FROM a CROSS JOIN b WHERE id_a < id_b)"
 )
-def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def _embed_neardup_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted near-dup corpus shared by embed_neardup_pairs and
+    semantic_dedup: 100 base vectors + 2x-scaled copies (exact cosine
+    twins) + alternating ±2% wobbles (true near-pairs)."""
     emb = load_table(spark, sf_dir, "embeddings").where("vec_id < 100")
     scaled = (
         load_table(spark, sf_dir, "embeddings")
@@ -225,12 +231,60 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("embedding"),
         )
     )
-    base = (
+    return (
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
         .unionByName(scaled)
         .unionByName(wobble)
     )
-    return sim.embedding_neardup_pairs(base, threshold=0.999)
+
+
+@register(
+    "embed_neardup_pairs",
+    f"WITH {_EMBED_BASE_SQL}, {_EMBED_PAIRS_SQL} "
+    "SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE round(cos, 6) >= 0.999",
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_neardup_pairs(
+        _embed_neardup_base(spark, sf_dir), threshold=0.999
+    )
+
+
+# Tail entry (register_all): SemDeDup-style semantic deduplication
+# (Abbas et al. 2023 — cluster embeddings, keep one representative per
+# near-duplicate cluster).  Pure COMPOSITION of two in-window operators:
+# embedding_neardup_pairs (centroid-blocked candidates + exact-cosine
+# verify) feeds dedup.dedup_clusters (iterative min-label connected
+# components); canonical = the minimum id of each cluster.  The oracle
+# recomputes the pair graph all-pairs and closes it with a recursive
+# reachability CTE — the same independent-truth shape as the
+# dedup_clusters entry.
+_SEMANTIC_DEDUP_SQL = (
+    "WITH RECURSIVE "
+    f"{_EMBED_BASE_SQL}, {_EMBED_PAIRS_SQL}, "
+    "near AS (SELECT id_a, id_b FROM pairs WHERE round(cos, 6) >= 0.999), "
+    "edges AS (SELECT id_a AS u, id_b AS v FROM near UNION SELECT id_b, id_a FROM near), "
+    "reach(node, r) AS (SELECT u, u FROM edges "
+    "UNION SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u), "
+    "comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node) "
+    "SELECT b.vec_id, coalesce(c.component, b.vec_id) AS cluster_id, "
+    "b.vec_id = coalesce(c.component, b.vec_id) AS is_canonical "
+    "FROM base b LEFT JOIN comp c ON b.vec_id = c.node"
+)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the planted near-dup corpus: every scaled
+    copy and ±2% wobble must cluster under its base vector, leaving
+    exactly the 100 base vectors canonical."""
+    from beyond_vector_search_spark.operators import dedup as dd
+
+    base = _embed_neardup_base(spark, sf_dir)
+    pairs = sim.embedding_neardup_pairs(base, threshold=0.999)
+    return dd.dedup_clusters(
+        base, pairs, id_col="vec_id", src="id_a", dst="id_b"
+    ).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "is_canonical"
+    )
 
 
 @register(
@@ -708,6 +762,7 @@ def register_all() -> None:
         q_unigram_logppl,
     )
 
+    register("semantic_dedup", _SEMANTIC_DEDUP_SQL)(q_semantic_dedup)
     register("curation_pipeline", _CURATION_SQL)(q_curation_pipeline)
     register_shared_sql("lineitem_frames", LINEITEM_FRAMES)
     register("data_quality", _DATA_QUALITY_SQL)(q_data_quality)

@@ -293,3 +293,22 @@ def test_bigram_repetitive_doc_scores_lower(spark):
     )
     rows = {r["doc_id"]: r["logppl2"] for r in pt.bigram_logppl(df).collect()}
     assert rows[1] < rows[2]
+
+
+# --------------------------- semantic dedup --------------------------------
+
+
+def test_semantic_dedup_collapses_planted_copies(spark):
+    """The semantic_dedup catalog entry: scaled copies and ±2% wobbles
+    must cluster under their base vector — exactly the base corpus
+    stays canonical."""
+    from beyond_vector_search_spark.plans.coverage_queries import q_semantic_dedup
+
+    out = q_semantic_dedup(spark, "/root/testdata/sf0.001").collect()
+    canon = [r["vec_id"] for r in out if r["is_canonical"]]
+    assert sorted(canon) == list(range(100))
+    by_id = {r["vec_id"]: r["cluster_id"] for r in out}
+    for i in range(50):
+        assert by_id[i + 100000] == by_id[i]  # scaled copy joins base
+    for i in range(10):
+        assert by_id[i + 200000] == by_id[i]  # wobble joins base
