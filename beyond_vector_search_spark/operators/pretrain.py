@@ -455,6 +455,93 @@ def bigram_logppl(
     )
 
 
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(doc_id, n_feats, logw) — DSIR importance weights (Xie et al.
+    2023, Data Selection via Importance Resampling): score every RAW
+    document by how much more likely its hashed-bigram features are
+    under the TARGET distribution than under the raw distribution:
+
+        logw(x) = Σ over bigram occurrences f of
+                  ln p_target(bucket(f)) − ln p_raw(bucket(f))
+
+    with add-``alpha`` smoothing over the ``n_buckets`` hashed
+    vocabulary (p(b) = (c(b) + α) / (N + α·B)).  High-logw documents
+    look like the target domain; resampling proportional to exp(logw)
+    is the DSIR selection step (combine with
+    :func:`scale.mixture_sample`-style deterministic hashing for a
+    reproducible draw).
+
+    Feature hashing uses the portable md5-derived
+    :func:`functions.hashing.hash64` mod ``n_buckets``, so the DuckDB
+    oracle reproduces bucket assignment byte-for-byte.
+
+    Shape: one bigram explode per side; bucket counts are partial
+    aggregations bounded by ``n_buckets`` rows (broadcast); the log-
+    ratio table joins the raw occurrences map-side and the per-doc sum
+    is one partial agg.  The target side is an eval-set / domain
+    sample — small by definition, like the decontamination benchmark.
+    """
+    def bigram_rows(df: DataFrame) -> DataFrame:
+        toked = df.select(
+            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+        )
+        bigrams = F.when(
+            F.size("toks") < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
+            )
+        )
+        return toked.select("doc_id", F.explode(bigrams).alias("bg")).select(
+            "doc_id", F.pmod(hash64("bg"), F.lit(n_buckets)).alias("bucket")
+        )
+
+    raw_rows = bigram_rows(raw)
+    tgt_rows = bigram_rows(target)
+    raw_counts = raw_rows.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt_counts = tgt_rows.groupBy("bucket").agg(F.count("*").alias("ct"))
+    # scalar totals derive from the (≤ n_buckets-row) count tables and
+    # ride in as broadcast 1-row frames — plan construction stays fully
+    # lazy (no eager count() job inside what looks like lazy lineage)
+    n_raw = raw_counts.agg(F.sum("cr").cast("double").alias("n_raw"))
+    n_tgt = tgt_counts.agg(F.sum("ct").cast("double").alias("n_tgt"))
+    ratios = (
+        raw_counts.join(tgt_counts, "bucket", "full")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + alpha)
+                    / (F.coalesce(F.col("n_tgt"), F.lit(0.0)) + alpha * n_buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + alpha)
+                    / (F.coalesce(F.col("n_raw"), F.lit(0.0)) + alpha * n_buckets)
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        raw_rows.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.round(F.sum("lr"), 6).alias("logw"),
+        )
+    )
+
+
 def assign_shards(
     df: DataFrame, *, id_col: str = "doc_id", n_shards: int = 8, seed: int | None = None
 ) -> DataFrame:

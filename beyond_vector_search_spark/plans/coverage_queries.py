@@ -756,13 +756,16 @@ def register_all() -> None:
         q_topk_alldocs_parity,
     )
     from beyond_vector_search_spark.plans.pretrain_queries import (
+        DSIR_LOGWEIGHTS_SQL,
         SHARD_STATS_SQL,
         UNIGRAM_LOGPPL_SQL,
+        q_dsir_logweights,
         q_shard_stats,
         q_unigram_logppl,
     )
 
     register("semantic_dedup", _SEMANTIC_DEDUP_SQL)(q_semantic_dedup)
+    register("dsir_logweights", DSIR_LOGWEIGHTS_SQL)(q_dsir_logweights)
     register("curation_pipeline", _CURATION_SQL)(q_curation_pipeline)
     register_shared_sql("lineitem_frames", LINEITEM_FRAMES)
     register("data_quality", _DATA_QUALITY_SQL)(q_data_quality)

@@ -380,6 +380,43 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pt.gopher_quality(load_table(spark, sf_dir, "documents"))
 
 
+# ------------------ DSIR importance weights (tail) -------------------------
+
+# Tail entry: raw = documents not divisible by 97, target = the same
+# every-97th benchmark slice the decontamination entry uses — so the
+# weights measure "looks like the benchmark domain".
+_DSIR_BUCKETS = 4096
+
+DSIR_LOGWEIGHTS_SQL = (
+    f"WITH {_TOKS}, "
+    "bgall AS (SELECT doc_id, unnest(CASE WHEN len(tokens) < 2 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(range(1, len(tokens)), i -> array_to_string(tokens[i:i+1], ' ')) END) AS bg FROM toks), "
+    f"brows AS (SELECT doc_id, CAST('0x' || substring(md5(bg), 1, 15) AS BIGINT) % {_DSIR_BUCKETS} AS bucket FROM bgall), "
+    "traw AS (SELECT * FROM brows WHERE doc_id % 97 <> 0), "
+    "ttgt AS (SELECT * FROM brows WHERE doc_id % 97 = 0), "
+    "rc AS (SELECT bucket, count(*) AS cr FROM traw GROUP BY bucket), "
+    "tc AS (SELECT bucket, count(*) AS ct FROM ttgt GROUP BY bucket), "
+    "nr AS (SELECT CAST(sum(cr) AS DOUBLE) AS n_raw FROM rc), "
+    "nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n_tgt FROM tc), "
+    "ratios AS (SELECT bucket, "
+    f"ln((coalesce(ct, 0) + 1.0) / (coalesce(n_tgt, 0.0) + {1.0 * _DSIR_BUCKETS!r})) - "
+    f"ln((coalesce(cr, 0) + 1.0) / (coalesce(n_raw, 0.0) + {1.0 * _DSIR_BUCKETS!r})) AS lr "
+    "FROM rc FULL OUTER JOIN tc USING (bucket), nr, nt) "
+    "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_feats, round(sum(lr), 6) AS logw "
+    "FROM traw t JOIN ratios USING (bucket) GROUP BY t.doc_id"
+)
+
+
+def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) of the raw corpus
+    against the every-97th-doc benchmark slice as the target domain
+    (operators/pretrain.dsir_logweights)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = docs.where(F.col("doc_id") % 97 != 0)
+    target = docs.where(F.col("doc_id") % 97 == 0)
+    return pt.dsir_logweights(raw, target, n_buckets=_DSIR_BUCKETS)
+
+
 # ------------------- end-to-end corpus preparation -------------------------
 
 _PIPE_SQL = (

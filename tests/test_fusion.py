@@ -312,3 +312,40 @@ def test_semantic_dedup_collapses_planted_copies(spark):
         assert by_id[i + 100000] == by_id[i]  # scaled copy joins base
     for i in range(10):
         assert by_id[i + 200000] == by_id[i]  # wobble joins base
+
+
+# ------------------------ DSIR importance weights --------------------------
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Documents sharing the target domain's bigrams score higher than
+    off-domain documents."""
+    target = spark.createDataFrame(
+        [(100 + i, "machine learning model training loss gradient descent")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "machine learning model training converges"),
+            (2, "garlic onion soup recipe with fresh bread"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["logw"] for r in pt.dsir_logweights(raw, target).collect()}
+    assert rows[1] > rows[2]
+
+
+def test_dsir_plan_is_lazy(spark):
+    """Constructing the DSIR plan must launch no Spark job (the totals
+    ride in as broadcast 1-row aggregates, not eager counts)."""
+    docs = spark.createDataFrame(
+        [(i, f"token{i} token{i+1} token{i+2}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    df = pt.dsir_logweights(docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"))
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before
+    assert df.count() > 0  # and it still executes
