@@ -193,9 +193,36 @@ def candidate_pair_sims(candidates: DataFrame, index: CorpusIndex) -> DataFrame:
     per query — bounded by the caller's top-N cut, never corpus-sized.
     """
     cand_ids = candidates.select("doc_id").distinct()
-    vec = index.doc_vec.join(F.broadcast(cand_ids), "doc_id").select(
-        "doc_id", "gram", "weight", "norm"
-    )
+    gram_tf = getattr(index, "gram_tf", None)
+    if gram_tf is not None:
+        # in-session index: prune the RAW per-doc gram counts to the
+        # candidate set FIRST, then reconstruct weights and norms from
+        # the pruned rows only — the full-corpus doc_vec/doc_norm chain
+        # (every gram row of the corpus through two broadcast builds)
+        # never runs.  A candidate's norm needs all of ITS OWN grams,
+        # which the doc_id-pruned relation retains, so the norms here
+        # are identical to index.doc_norm's (same gram_stats inner
+        # join, same ``or 1.0`` guard).
+        w = (
+            gram_tf.join(F.broadcast(cand_ids), "doc_id")
+            .join(F.broadcast(index.gram_stats.select("gram", "idf")), "gram")
+            .select(
+                "doc_id", "gram", ((1.0 + F.log("tf")) * F.col("idf")).alias("weight")
+            )
+        )
+        norms = w.groupBy("doc_id").agg(
+            F.coalesce(
+                F.nullif(F.sqrt(F.sum(F.col("weight") * F.col("weight"))), F.lit(0.0)),
+                F.lit(1.0),
+            ).alias("norm")
+        )
+        vec = w.join(F.broadcast(norms), "doc_id")
+    else:
+        # parquet-loaded index: doc_vec is a flat pre-joined relation —
+        # one broadcast semi-join prunes it
+        vec = index.doc_vec.join(F.broadcast(cand_ids), "doc_id").select(
+            "doc_id", "gram", "weight", "norm"
+        )
     a = vec.select(
         F.col("doc_id").alias("doc_a"), "gram",
         F.col("weight").alias("wa"), F.col("norm").alias("na"),
@@ -256,11 +283,17 @@ def mmr_rerank(
         m = 10.0 ** digits
         return (math.floor(x * m + 0.5) if x >= 0 else math.ceil(x * m - 0.5)) / m
 
-    sims = candidate_pair_sims(candidates, index)
-    # re-key pairs per query so the cogroup sees only that query's pairs
+    # The candidate relation is referenced four times below (pair-sim
+    # id set, both membership sides, and the cogroup input) — cache it
+    # LAZILY so a caller passing a raw scoring chain doesn't pay four
+    # re-executions of the retrieval plan.  No job runs at plan
+    # construction; the first action materializes the (per-query-
+    # bounded) candidate rows once.  Callers that pass an already-
+    # cached/memoized relation lose nothing.
     cand = candidates.select(
         "query_id", "doc_id", F.round("score", round_to).alias("rel")
-    )
+    ).cache()
+    sims = candidate_pair_sims(cand, index)
     # distinct column names on the two candidate projections: both
     # derive from the same plan, and Spark's self-join ambiguity check
     # rejects a shared `query_id` joined twice
