@@ -181,6 +181,65 @@ def prf_bm25_scores(
     )
 
 
+def spell_suggestions(
+    terms: DataFrame,
+    index: CorpusIndex,
+    *,
+    max_distance: int = 2,
+    top_n: int = 3,
+    gram_n: int = 3,
+) -> DataFrame:
+    """(term, suggestion, distance, df, rank) — "did you mean"
+    spell-correction of query terms against the index vocabulary:
+    char-``gram_n``-gram blocking proposes vocabulary terms sharing at
+    least one gram, then exact Levenshtein distance (JVM built-in — no
+    Python) verifies within ``max_distance``; suggestions rank by
+    (distance asc, df desc, suggestion asc), top ``top_n`` per term.
+
+    The classic two-stage fuzzy-match shape: blocking makes the
+    candidate set proportional to shared-gram collisions instead of
+    |terms| x |vocabulary|, and the expensive edit distance runs only
+    on survivors.  The vocabulary gram index derives from term_stats
+    (aggregated rows, not the corpus); at cluster scale persist it
+    alongside the index and broadcast the (tiny) misspelled-term side.
+
+    ``terms``: a (term) or (query_id, term) relation — typically the
+    OOV terms of a query batch (anti-join against term_stats).
+    """
+    from beyond_vector_search_spark.functions.text import char_ngrams
+
+    vocab = index.term_stats.select(F.col("term").alias("suggestion"), "df")
+    vgrams = vocab.select(
+        "suggestion", "df",
+        F.explode(F.array_distinct(char_ngrams(F.col("suggestion"), gram_n))).alias("g"),
+    )
+    tgrams = terms.select(
+        "term", F.explode(F.array_distinct(char_ngrams(F.col("term"), gram_n))).alias("g")
+    )
+    cand = (
+        F.broadcast(tgrams)
+        .join(vgrams, "g")
+        .select("term", "suggestion", "df")
+        .distinct()
+    )
+    verified = cand.where(
+        (F.levenshtein("term", "suggestion") <= max_distance)
+        & (F.col("term") != F.col("suggestion"))
+    ).select(
+        "term",
+        "suggestion",
+        F.levenshtein("term", "suggestion").cast("int").alias("distance"),
+        F.col("df").cast("long").alias("df"),
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("suggestion")
+    )
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+    )
+
+
 def candidate_pair_sims(candidates: DataFrame, index: CorpusIndex) -> DataFrame:
     """(doc_a, doc_b, sim) — char-gram TF-IDF cosine between every
     unordered pair of DISTINCT candidate documents (doc_a < doc_b).

@@ -764,8 +764,14 @@ def register_all() -> None:
         q_unigram_logppl,
     )
 
+    from beyond_vector_search_spark.plans.fusion_queries import (
+        SPELL_SUGGEST_SQL,
+        q_spell_suggest,
+    )
+
     register("semantic_dedup", _SEMANTIC_DEDUP_SQL)(q_semantic_dedup)
     register("dsir_logweights", DSIR_LOGWEIGHTS_SQL)(q_dsir_logweights)
+    register("spell_suggest", SPELL_SUGGEST_SQL)(q_spell_suggest)
     register("curation_pipeline", _CURATION_SQL)(q_curation_pipeline)
     register_shared_sql("lineitem_frames", LINEITEM_FRAMES)
     register("data_quality", _DATA_QUALITY_SQL)(q_data_quality)

@@ -215,5 +215,56 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fu.mmr_rerank(cand, idx, k=_MMR_K, lam=_MMR_LAM)
 
 
+# ------------------- spell correction (catalog tail) ------------------------
+
+_WORD_GRAMS_SQL = (
+    "CASE WHEN length({c}) < 3 THEN [{c}] "
+    "ELSE list_transform(range(1, length({c}) - 1), i -> substring({c}, i, 3)) END"
+)
+
+# Typos synthesized from the vocabulary itself (last char -> 'x',
+# distance exactly 1 from the source term), filtered to those that are
+# genuinely OOV — both engines derive the identical typo set.
+SPELL_SUGGEST_SQL = (
+    f"WITH {_TOKS_CTE}, {_SCALARS_CTE}, {_EXPLODED_CTE}, {_TERM_STATS_CTE}, "
+    "typos AS (SELECT DISTINCT substring(term, 1, length(term) - 1) || 'x' AS term "
+    "FROM term_idf WHERE length(term) >= 4), "
+    "oov AS (SELECT t.term FROM typos t "
+    "WHERE NOT EXISTS (SELECT 1 FROM term_idf v WHERE v.term = t.term)), "
+    "vg AS (SELECT term AS suggestion, df, "
+    f"unnest(list_distinct({_WORD_GRAMS_SQL.format(c='term')})) AS g FROM term_idf), "
+    "tg AS (SELECT term, "
+    f"unnest(list_distinct({_WORD_GRAMS_SQL.format(c='term')})) AS g FROM oov), "
+    "cand AS (SELECT DISTINCT term, suggestion, df FROM tg JOIN vg USING (g)), "
+    "ver AS (SELECT term, suggestion, CAST(levenshtein(term, suggestion) AS INTEGER) AS distance, "
+    "CAST(df AS BIGINT) AS df FROM cand "
+    "WHERE levenshtein(term, suggestion) <= 2 AND term <> suggestion) "
+    "SELECT term, suggestion, distance, df, "
+    "CAST(row_number() OVER (PARTITION BY term ORDER BY distance ASC, df DESC, suggestion ASC) AS INTEGER) AS rank "
+    "FROM ver QUALIFY rank <= 3"
+)
+
+
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-blocked + Levenshtein-verified spell correction
+    (operators/fusion.spell_suggestions) over typos synthesized from
+    the index vocabulary (last char mutated, OOV-filtered)."""
+    idx = _docs_index(spark, sf_dir)
+    vocab = idx.term_stats
+    typos = (
+        vocab.where(F.length("term") >= 4)
+        .select(
+            F.concat(
+                F.col("term").substr(F.lit(1), F.length("term") - 1), F.lit("x")
+            ).alias("term")
+        )
+        .distinct()
+    )
+    oov = typos.join(vocab.select("term"), "term", "left_anti")
+    return fu.spell_suggestions(oov, idx)
+
+
 def register_all() -> None:
-    """Import side effect already registered everything."""
+    """Import side effect already registered everything (the in-window
+    entries); spell_suggest registers at the catalog tail via
+    coverage_queries.register_all."""

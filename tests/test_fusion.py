@@ -349,3 +349,28 @@ def test_dsir_plan_is_lazy(spark):
     after = len(tracker.getJobIdsForGroup() or [])
     assert after == before
     assert df.count() > 0  # and it still executes
+
+
+# --------------------------- spell correction ------------------------------
+
+
+def test_spell_suggestions_finds_typo(spark, tiny_index):
+    docs, idx = tiny_index
+    terms = spark.createDataFrame([("shufle",), ("brodcast",)], "term string")
+    out = fu.spell_suggestions(terms, idx)
+    best = {
+        r["term"]: r["suggestion"]
+        for r in out.where("rank = 1").collect()
+    }
+    assert best["shufle"] == "shuffle"
+    assert best["brodcast"] == "broadcast"
+    # distances are true edit distances
+    for r in out.collect():
+        assert r["distance"] <= 2
+
+
+def test_spell_suggestions_no_self_match(spark, tiny_index):
+    docs, idx = tiny_index
+    terms = spark.createDataFrame([("shuffle",)], "term string")  # in-vocab
+    out = fu.spell_suggestions(terms, idx).collect()
+    assert all(r["suggestion"] != "shuffle" for r in out)
