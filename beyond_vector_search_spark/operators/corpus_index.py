@@ -368,6 +368,31 @@ class IndexDelta:
             getattr(self, f).cache()
         return self
 
+    def remove(self, doc_ids: DataFrame) -> "IndexDelta":
+        """Delete documents: anti-join the given ids out of every
+        relation.  Every delta row belongs to exactly one document, so
+        removal is exact; global statistics re-derive on the next
+        :func:`index_from_delta` (no stale df/idf).
+
+        This is the update path promised by :meth:`union`'s docstring:
+        replacing changed documents = ``remove(ids).union(new_delta)``.
+        The anti-join broadcasts the (small) removal set — postings and
+        gram_tf never shuffle.
+        """
+        ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id")).distinct()
+
+        def anti(df: DataFrame) -> DataFrame:
+            # restore the relation's own column order: the join puts
+            # its key first, and delta unions are position-sensitive
+            return df.join(F.broadcast(ids), "doc_id", "left_anti").select(df.columns)
+
+        return IndexDelta(**{f: anti(getattr(self, f)) for f in self._FIELDS})
+
+    def replace(self, new_docs_delta: "IndexDelta") -> "IndexDelta":
+        """Upsert changed/new documents: remove every doc_id present in
+        ``new_docs_delta``, then union its rows in."""
+        return self.remove(new_docs_delta.doc_ids).union(new_docs_delta)
+
     def checkpoint(self, *, target_partitions: int | None = None) -> "IndexDelta":
         """Materialize eagerly via ``localCheckpoint`` (concurrent jobs)
         and truncate lineage.

@@ -171,3 +171,48 @@ def test_delta_store_compact_preserves_relations(spark, ref_corpus, tmp_path):
         assert getattr(after, f).count() == counts[f], f
     # content (not just counts) survived
     assert after.postings.agg(F.sum("tf")).collect()[0][0] == tf_sum
+
+
+def test_delta_remove_and_replace_equals_rebuild(spark, ref_corpus, ref_index):
+    """Document update path: remove() anti-joins a doc out of every
+    delta relation; replace() upserts changed docs.  Both must derive
+    the SAME index as a from-scratch build over the resulting corpus."""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.corpus_index import (
+        build_delta,
+        index_from_delta,
+    )
+
+    text = F.concat_ws(" ", "title", "text")
+    full = build_delta(ref_corpus, text=text)
+
+    # delete two documents
+    gone = ref_corpus.where("doc_id IN ('DOC-100', 'DOC-190')").select("doc_id")
+    removed = full.remove(gone)
+    expect = index_from_delta(
+        build_delta(
+            ref_corpus.where("doc_id NOT IN ('DOC-100', 'DOC-190')"), text=text
+        )
+    )
+    got = index_from_delta(removed)
+    for field in ("postings", "doc_stats", "term_stats", "gram_stats", "doc_norm"):
+        g, e = getattr(got, field), getattr(expect, field)
+        assert g.exceptAll(e).count() == 0, field
+        assert e.exceptAll(g).count() == 0, field
+
+    # replace: mutate one document's text, upsert, compare to rebuild
+    changed = ref_corpus.where("doc_id = 'DOC-100'").select(
+        "doc_id", F.lit("t").alias("title"),
+        F.lit("entirely new body text").alias("text"),
+    )
+    upserted = full.replace(build_delta(changed, text=text))
+    rebuilt_corpus = ref_corpus.where("doc_id <> 'DOC-100'").select(
+        "doc_id", "title", "text"
+    ).unionByName(changed)
+    expect2 = index_from_delta(build_delta(rebuilt_corpus, text=text))
+    got2 = index_from_delta(upserted)
+    for field in ("postings", "term_stats", "doc_norm"):
+        g, e = getattr(got2, field), getattr(expect2, field)
+        assert g.exceptAll(e).count() == 0, field
+        assert e.exceptAll(g).count() == 0, field
