@@ -240,6 +240,64 @@ def spell_suggestions(
     )
 
 
+def phrase_counts(
+    docs: DataFrame,
+    phrases: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, phrase, phrase_tf) — exact-phrase occurrence counts:
+    how many token positions start the given token sequence (overlap
+    counted, standard positional-index semantics).  Only documents
+    containing a phrase appear.
+
+    Pure per-row array expressions (``aggregate`` over a window-slice
+    equality) — whole-stage codegen, zero shuffles, embarrassingly
+    parallel: the phrase list is a literal folded into the plan, so at
+    100 TB this is one narrow scan regardless of corpus size.  For a
+    LARGE phrase set, build a positional inverted index instead
+    (dedup.positioned_shingle_rows) and join on the first term.
+    """
+    import re
+
+    from beyond_vector_search_spark.functions.text import TOKEN_PATTERN, tokenize
+
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+    )
+    arms = []
+    for phrase in phrases:
+        ptoks = [t.lower() for t in re.findall(TOKEN_PATTERN, phrase)]
+        if not ptoks:
+            continue
+        m = len(ptoks)
+        target = F.array(*[F.lit(t) for t in ptoks])
+        # positions 1 .. n-m+1; guard the degenerate n < m case (Spark's
+        # sequence(1, 0) would count DOWN)
+        n_starts = F.size("toks") - (m - 1)
+        count = F.when(n_starts < 1, F.lit(0)).otherwise(
+            F.aggregate(
+                F.sequence(F.lit(1), n_starts),
+                F.lit(0),
+                lambda acc, i: acc + F.when(F.slice("toks", i, m) == target, 1).otherwise(0),
+            )
+        )
+        arms.append(
+            toked.select(
+                "doc_id",
+                F.lit(phrase).alias("phrase"),
+                count.cast("long").alias("phrase_tf"),
+            ).where(F.col("phrase_tf") > 0)
+        )
+    if not arms:
+        raise ValueError("no non-empty phrases given")
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
 def candidate_pair_sims(candidates: DataFrame, index: CorpusIndex) -> DataFrame:
     """(doc_a, doc_b, sim) — char-gram TF-IDF cosine between every
     unordered pair of DISTINCT candidate documents (doc_a < doc_b).

@@ -765,13 +765,16 @@ def register_all() -> None:
     )
 
     from beyond_vector_search_spark.plans.fusion_queries import (
+        PHRASE_SEARCH_SQL,
         SPELL_SUGGEST_SQL,
+        q_phrase_search,
         q_spell_suggest,
     )
 
     register("semantic_dedup", _SEMANTIC_DEDUP_SQL)(q_semantic_dedup)
     register("dsir_logweights", DSIR_LOGWEIGHTS_SQL)(q_dsir_logweights)
     register("spell_suggest", SPELL_SUGGEST_SQL)(q_spell_suggest)
+    register("phrase_search", PHRASE_SEARCH_SQL)(q_phrase_search)
     register("curation_pipeline", _CURATION_SQL)(q_curation_pipeline)
     register_shared_sql("lineitem_frames", LINEITEM_FRAMES)
     register("data_quality", _DATA_QUALITY_SQL)(q_data_quality)

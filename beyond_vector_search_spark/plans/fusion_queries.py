@@ -215,6 +215,38 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fu.mmr_rerank(cand, idx, k=_MMR_K, lam=_MMR_LAM)
 
 
+# -------------------- phrase search (catalog tail) --------------------------
+
+_PHRASES = ["spark join", "hash index scan", "slow query"]
+
+
+def _phrase_arm_sql(phrase: str) -> str:
+    toks = phrase.split(" ")
+    m = len(toks)
+    target = "[" + ", ".join(f"'{t}'" for t in toks) + "]"
+    return (
+        f"SELECT doc_id, '{phrase}' AS phrase, CAST(CASE WHEN len(tokens) - {m - 1} < 1 THEN 0 ELSE "
+        f"list_sum(list_transform(range(1, len(tokens) - {m - 1} + 1), "
+        f"i -> CASE WHEN tokens[i:i+{m - 1}] = {target} THEN 1 ELSE 0 END)) END AS BIGINT) AS phrase_tf "
+        "FROM toks"
+    )
+
+
+PHRASE_SEARCH_SQL = (
+    f"WITH {_TOKS_CTE}, arms AS ("
+    + " UNION ALL ".join(_phrase_arm_sql(p) for p in _PHRASES)
+    + ") SELECT doc_id, phrase, phrase_tf FROM arms WHERE phrase_tf > 0"
+)
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase positional matching (operators/fusion.phrase_counts)
+    over the documents table for a fixed phrase workload."""
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    return fu.phrase_counts(load_table(spark, sf_dir, "documents"), _PHRASES)
+
+
 # ------------------- spell correction (catalog tail) ------------------------
 
 _WORD_GRAMS_SQL = (

@@ -374,3 +374,33 @@ def test_spell_suggestions_no_self_match(spark, tiny_index):
     terms = spark.createDataFrame([("shuffle",)], "term string")  # in-vocab
     out = fu.spell_suggestions(terms, idx).collect()
     assert all(r["suggestion"] != "shuffle" for r in out)
+
+
+# ----------------------------- phrase search -------------------------------
+
+
+def test_phrase_counts_exact_and_overlapping(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # "a b a" occurs at 1 and 3 (overlap)
+            (2, "a b"),             # too short for "a b a"
+            (3, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["phrase"]): r["phrase_tf"]
+        for r in fu.phrase_counts(df, ["a b a", "a b"]).collect()
+    }
+    assert rows[(1, "a b a")] == 2      # overlapping starts counted
+    assert rows[(1, "a b")] == 2
+    assert rows[(2, "a b")] == 1
+    assert (2, "a b a") not in rows     # doc shorter than phrase
+    assert not any(d == 3 for d, _ in rows)  # non-matching doc absent
+
+
+def test_phrase_counts_tokenizes_phrase(spark):
+    # phrase tokenization matches document tokenization (case, punct)
+    df = spark.createDataFrame([(1, "Spark JOIN performance")], "doc_id long, text string")
+    rows = fu.phrase_counts(df, ["spark join"]).collect()
+    assert rows and rows[0]["phrase_tf"] == 1
