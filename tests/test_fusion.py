@@ -404,3 +404,40 @@ def test_phrase_counts_tokenizes_phrase(spark):
     df = spark.createDataFrame([(1, "Spark JOIN performance")], "doc_id long, text string")
     rows = fu.phrase_counts(df, ["spark join"]).collect()
     assert rows and rows[0]["phrase_tf"] == 1
+
+
+# --------------------- parquet-loaded index path ---------------------------
+
+
+def test_fusion_ops_on_loaded_index(spark, tiny_index, tmp_path):
+    """mmr/spell work identically on an index reloaded from parquet
+    (no gram_tf — candidate_pair_sims takes the flat doc_vec branch)."""
+    from beyond_vector_search_spark.operators.corpus_index import CorpusIndex
+
+    docs, idx = tiny_index
+    path = str(tmp_path / "idx")
+    idx.save(path)
+    loaded = CorpusIndex.load(spark, path)
+    assert getattr(loaded, "gram_tf", None) is None
+
+    cand = spark.createDataFrame(
+        [("q", 1, 0.95), ("q", 4, 0.94), ("q", 2, 0.90)],
+        "query_id string, doc_id long, score double",
+    )
+    live = {(r["doc_a"], r["doc_b"]): r["sim"]
+            for r in fu.candidate_pair_sims(cand, idx).collect()}
+    cold = {(r["doc_a"], r["doc_b"]): r["sim"]
+            for r in fu.candidate_pair_sims(cand, loaded).collect()}
+    assert set(live) == set(cold)
+    for k in live:
+        assert live[k] == pytest.approx(cold[k], abs=1e-9)
+
+    live_mmr = [(r["doc_id"], r["mmr_rank"])
+                for r in fu.mmr_rerank(cand, idx, k=3).orderBy("mmr_rank").collect()]
+    cold_mmr = [(r["doc_id"], r["mmr_rank"])
+                for r in fu.mmr_rerank(cand, loaded, k=3).orderBy("mmr_rank").collect()]
+    assert live_mmr == cold_mmr
+
+    terms = spark.createDataFrame([("shufle",)], "term string")
+    cold_spell = fu.spell_suggestions(terms, loaded).where("rank = 1").first()
+    assert cold_spell["suggestion"] == "shuffle"
