@@ -1,0 +1,132 @@
+"""Streaming percolation: standing queries over a document stream —
+reverse search (the Elasticsearch "percolator" / alerting pattern).
+
+Classic search runs many queries against a fixed corpus; percolation
+inverts it: a FIXED set of registered queries is evaluated against
+every arriving document, emitting (query, doc, score) matches above a
+threshold — saved-search alerts, routing rules, topic subscriptions.
+
+The Spark-first shape: the standing queries are COMPILED INTO THE PLAN.
+Their terms and idf weights come from a frozen serving-index snapshot
+(a one-time driver-side collect over the queries' own terms — tiny by
+definition), and scoring is pure per-row column expressions over the
+arriving document's token array:
+
+    readStream(docs) ── tokenize ── per-query BM25 fold (literals)
+                     ── explode (query, score) ── score >= threshold
+                     ──> match stream
+
+Zero streaming state, zero shuffles, append mode with immediate
+emission — a document is scored the moment it arrives, and 1 or 1000
+executors percolate independently.  Contrast a stream-side
+groupBy(query, doc) aggregation: Spark would hold state for every
+(query, doc) pair until a watermark passes, delaying every alert by
+the watermark for no benefit (a document's tokens all arrive in one
+row).
+
+Semantics match operators/retrieval.bm25_scores (matched-only profile)
+on the frozen statistics: same smoothed idf, same k1/b saturation,
+same duplicate-query-term dedup — pinned by a stream==batch parity
+test.  Index updates (new df/idf) are a recompile: call
+``compile_standing_queries`` again and restart the query — the
+percolator set is configuration, not state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.config import DEFAULT, EngineConfig
+from beyond_vector_search_spark.functions.text import tokenize
+from beyond_vector_search_spark.operators.corpus_index import CorpusIndex
+
+
+@dataclass(frozen=True)
+class StandingQueries:
+    """Compiled standing-query set: per query, the (term, idf) weights
+    from the serving snapshot, plus the snapshot's avg_dl."""
+
+    terms: dict[str, list[tuple[str, float]]]  # query_id -> [(term, idf)]
+    avg_dl: float
+
+
+def compile_standing_queries(
+    queries: DataFrame,
+    index: CorpusIndex,
+    *,
+    cfg: EngineConfig = DEFAULT,
+) -> StandingQueries:
+    """Resolve each standing query's terms against the index snapshot.
+
+    One driver-side collect bounded by |queries| x terms-per-query —
+    the standing set is small by definition (it is configuration).
+    OOV terms drop (the bm25_scores inner-join rule); a query whose
+    terms are all OOV compiles to an empty weight list and never
+    matches.
+    """
+    q_terms = (
+        queries.select(
+            "query_id", F.explode(F.array_distinct(tokenize("query"))).alias("term")
+        )
+        .join(index.term_stats.select("term", "idf"), "term")
+        .collect()
+    )
+    terms: dict[str, list[tuple[str, float]]] = {}
+    for r in sorted(q_terms, key=lambda r: (r["query_id"], r["term"])):
+        terms.setdefault(r["query_id"], []).append((r["term"], float(r["idf"])))
+    # queries with zero in-vocabulary terms still register (empty arm)
+    for r in queries.select("query_id").distinct().collect():
+        terms.setdefault(r["query_id"], [])
+    _, avg_dl = index.scalar_values()
+    return StandingQueries(terms=terms, avg_dl=avg_dl if avg_dl != 0.0 else 1.0)
+
+
+def percolate_doc_stream(
+    doc_stream: DataFrame,
+    standing: StandingQueries,
+    *,
+    id_col: str = "doc_id",
+    text: Column | str = "text",
+    threshold: float = 0.0,
+    cfg: EngineConfig = DEFAULT,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, query_id, score[, extra_cols...]) — matches of the
+    standing queries against each arriving document, score strictly
+    above ``threshold``.
+
+    Works identically on a batch DataFrame (the parity tests run both):
+    the plan is a stateless projection either way.
+    """
+    text_col = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(text_col)
+    dl = F.size(toks).cast("double")
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+    norm = k1 * (1.0 - b + b * (dl / F.lit(standing.avg_dl)))
+
+    def term_tf(term: str) -> Column:
+        return F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("double")
+
+    arms = []
+    for query_id, weights in sorted(standing.terms.items()):
+        score = F.lit(0.0)
+        for term, idf in weights:
+            tf = term_tf(term)
+            score = score + F.when(
+                tf > 0, F.lit(idf) * (tf * (k1 + 1.0)) / (tf + norm)
+            ).otherwise(F.lit(0.0))
+        arms.append(F.struct(F.lit(query_id).alias("query_id"), score.alias("score")))
+    if not arms:
+        raise ValueError("no standing queries compiled")
+    return (
+        doc_stream.select(
+            F.col(id_col).alias("doc_id"),
+            *extra_cols,
+            F.explode(F.array(*arms)).alias("m"),
+        )
+        .select("doc_id", *extra_cols, F.col("m.query_id"), F.col("m.score"))
+        .where(F.col("score") > threshold)
+    )

@@ -970,3 +970,102 @@ def test_data_quality_rules_and_gate(spark):
     # single-pass claim: the report plan contains exactly one Aggregate
     plan = data_quality_report(df, rules)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") == 1
+
+
+def test_percolate_matches_batch_bm25(spark):
+    """Percolation parity: the compiled standing-query fold scores a
+    document batch identically to operators/retrieval.bm25_scores on
+    the frozen index statistics (matched-only profile)."""
+    from beyond_vector_search_spark.config import EngineConfig
+    from beyond_vector_search_spark.operators.corpus_index import build_index
+    from beyond_vector_search_spark.operators.retrieval import bm25_scores
+    from beyond_vector_search_spark.streaming.percolate import (
+        compile_standing_queries,
+        percolate_doc_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins shuffle data across the cluster"),
+            (2, "broadcast joins avoid the shuffle"),
+            (3, "window functions rank rows"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs).cache()
+    queries = spark.createDataFrame(
+        [("q1", "shuffle joins"), ("q2", "window rank"), ("q3", "zzz-oov-only")],
+        "query_id string, query string",
+    )
+    cfg = EngineConfig(include_zero_score_docs=False)
+    standing = compile_standing_queries(queries, idx, cfg=cfg)
+    assert standing.terms["q3"] == []  # all-OOV query compiles empty
+
+    got = {
+        (r["query_id"], r["doc_id"]): round(r["score"], 9)
+        for r in percolate_doc_stream(docs, standing, cfg=cfg).collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"]): round(r["score"], 9)
+        for r in bm25_scores(queries, idx, cfg=cfg).collect()
+        if r["score"] > 0
+    }
+    assert got == want
+
+
+def test_percolate_streams_immediate_matches(spark, tmp_path):
+    """Live micro-batch drive: matches emit per batch with no state —
+    each arriving document alerts its standing queries immediately."""
+    import datetime as dt
+
+    from beyond_vector_search_spark.config import EngineConfig
+    from beyond_vector_search_spark.operators.corpus_index import build_index
+    from beyond_vector_search_spark.streaming.percolate import (
+        compile_standing_queries,
+        percolate_doc_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "spark joins shuffle data"), (2, "cooking garlic soup")],
+        "doc_id long, text string",
+    )
+    idx = build_index(corpus).cache()
+    queries = spark.createDataFrame(
+        [("alerts-spark", "spark shuffle"), ("alerts-soup", "garlic soup")],
+        "query_id string, query string",
+    )
+    cfg = EngineConfig(include_zero_score_docs=False)
+    standing = compile_standing_queries(queries, idx, cfg=cfg)
+
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+    schema = "doc_id BIGINT, text STRING, ts TIMESTAMP"
+    src = tmp_path / "perc_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, "fresh spark shuffle regression report", t0)], schema
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(
+        [(11, "garlic soup recipe", t0), (12, "unrelated text", t0)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    seen: list = []
+    q = (
+        percolate_doc_stream(stream, standing, cfg=cfg, extra_cols=("ts",))
+        .writeStream.foreachBatch(lambda df, _bid: seen.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "perc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    matches = {(r.doc_id, r.query_id) for r in seen}
+    assert (10, "alerts-spark") in matches
+    assert (11, "alerts-soup") in matches
+    assert not any(d == 12 for d, _ in matches)  # unrelated doc never alerts
+    assert all(r.score > 0 for r in seen)
