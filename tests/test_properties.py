@@ -300,3 +300,89 @@ def test_prop_pq_encode_paths_agree(shape, n, rnd):
     assert k == e
     for code in range(n_codes):
         assert k[code] == [code] * m
+
+
+def test_chunk_documents_property_invariants(spark):
+    """chunk_documents invariants over random (n_tokens, size, overlap):
+    chunks cover every token exactly once when overlaps are stripped,
+    every chunk except possibly the last is full-size, every chunk adds
+    at least one new token, and chunk_ids are gap-free."""
+    import random
+
+    from beyond_vector_search_spark.operators.pretrain import chunk_documents
+
+    rng = random.Random(42)
+    cases = []
+    for case_id in range(60):
+        size = rng.randint(2, 40)
+        overlap = rng.randint(0, size - 1)
+        n = rng.randint(0, 120)
+        cases.append((case_id, size, overlap, n))
+
+    # group cases by (size, overlap) so each config is one Spark job
+    by_cfg: dict = {}
+    for case_id, size, overlap, n in cases:
+        by_cfg.setdefault((size, overlap), []).append((case_id, n))
+
+    for (size, overlap), docs in by_cfg.items():
+        stride = size - overlap
+        df = spark.createDataFrame(
+            [(cid, " ".join(f"t{cid}x{i}" for i in range(n))) for cid, n in docs],
+            "doc_id long, text string",
+        )
+        rows = chunk_documents(df, size=size, overlap=overlap).collect()
+        got: dict = {}
+        for r in rows:
+            got.setdefault(r["doc_id"], []).append(r)
+        for cid, n in docs:
+            chunks = sorted(got.get(cid, []), key=lambda r: r["chunk_id"])
+            if n == 0:
+                assert chunks == []
+                continue
+            assert chunks, (size, overlap, n)
+            # gap-free ids, correct starts
+            assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+            assert all(c["start"] == c["chunk_id"] * stride for c in chunks)
+            # every chunk except the last is full-size; all add >= 1 new token
+            for c in chunks[:-1]:
+                assert c["n_chunk_tokens"] == size
+            for c in chunks:
+                assert c["start"] + overlap < n or c["start"] == 0
+            # reconstruction: stride prefixes + last chunk == original
+            rebuilt = []
+            for i, c in enumerate(chunks):
+                toks = c["chunk_text"].split(" ")
+                rebuilt.extend(toks if i == len(chunks) - 1 else toks[:stride])
+            assert rebuilt == [f"t{cid}x{i}" for i in range(n)], (size, overlap, n)
+
+
+def test_phrase_counts_property_parity(spark):
+    """phrase_counts equals a direct Python sliding-window count over
+    random token sequences and random phrases drawn from the same
+    small alphabet (so collisions actually occur)."""
+    import random
+
+    from beyond_vector_search_spark.operators.fusion import phrase_counts
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "c"]
+    docs = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30))))
+        for i in range(80)
+    ]
+    phrases = ["a b", "b b", "a b c", "c", "a a b"]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["phrase"]): r["phrase_tf"]
+        for r in phrase_counts(df, phrases).collect()
+    }
+
+    def py_count(toks, ptoks):
+        m = len(ptoks)
+        return sum(1 for i in range(len(toks) - m + 1) if toks[i:i + m] == ptoks)
+
+    for doc_id, text in docs:
+        toks = text.split(" ") if text else []
+        for phrase in phrases:
+            want = py_count(toks, phrase.split(" "))
+            assert got.get((doc_id, phrase), 0) == want, (doc_id, phrase)
