@@ -298,6 +298,64 @@ def phrase_counts(
     return out
 
 
+def proximity_counts(
+    docs: DataFrame,
+    term_pairs: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+) -> DataFrame:
+    """(doc_id, term_a, term_b, min_dist, n_within) — positional
+    proximity of term pairs: the minimum token distance between any
+    occurrence of ``term_a`` and any occurrence of ``term_b``, and how
+    many (a, b) occurrence pairs fall within ``window`` tokens.  Only
+    documents containing BOTH terms appear; ``min_dist`` is the
+    standard proximity-scoring input (score ~ 1/(1+min_dist)).
+
+    Like :func:`phrase_counts` this is pure per-row array expressions —
+    position lists come from a ``filter`` over the index sequence, the
+    distance matrix from nested ``transform``s (occurrence counts are
+    per-document small) — one narrow codegen scan, no shuffle, no
+    Python.  Terms are matched post-tokenization (lowercased).
+    """
+    from beyond_vector_search_spark.functions.text import tokenize
+
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+    )
+
+    def positions(term: str) -> Column:
+        # F.get is 0-based and NULL-safe out of bounds (element_at
+        # throws under ANSI mode on the empty-document guard index)
+        return F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1))),
+            lambda i: F.get("toks", i - 1) == F.lit(term.lower()),
+        )
+
+    arms = []
+    for a, b in term_pairs:
+        pa, pb = positions(a), positions(b)
+        dists = F.flatten(
+            F.transform(pa, lambda x: F.transform(pb, lambda y: F.abs(x - y)))
+        )
+        arms.append(
+            toked.select(
+                "doc_id",
+                F.lit(a).alias("term_a"),
+                F.lit(b).alias("term_b"),
+                F.array_min(dists).cast("long").alias("min_dist"),
+                F.size(F.filter(dists, lambda d: d <= window)).cast("long").alias("n_within"),
+            ).where(F.col("min_dist").isNotNull())
+        )
+    if not arms:
+        raise ValueError("no term pairs given")
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out
+
+
 def candidate_pair_sims(candidates: DataFrame, index: CorpusIndex) -> DataFrame:
     """(doc_a, doc_b, sim) — char-gram TF-IDF cosine between every
     unordered pair of DISTINCT candidate documents (doc_a < doc_b).

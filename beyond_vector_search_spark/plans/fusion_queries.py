@@ -247,6 +247,47 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fu.phrase_counts(load_table(spark, sf_dir, "documents"), _PHRASES)
 
 
+# ------------------ proximity search (catalog tail) -------------------------
+
+_PROX_PAIRS = [("spark", "join"), ("hash", "index"), ("slow", "query")]
+_PROX_WINDOW = 5
+
+
+def _prox_arm_sql(a: str, b: str) -> str:
+    def pos(t: str) -> str:
+        return (
+            "list_filter(range(1, greatest(len(tokens), 1) + 1), "
+            f"i -> tokens[i] = '{t}')"
+        )
+
+    return (
+        f"SELECT doc_id, '{a}' AS term_a, '{b}' AS term_b, "
+        f"CAST(list_min(dists) AS BIGINT) AS min_dist, "
+        f"CAST(len(list_filter(dists, d -> d <= {_PROX_WINDOW})) AS BIGINT) AS n_within "
+        f"FROM (SELECT doc_id, flatten(list_transform({pos(a)}, "
+        f"x -> list_transform({pos(b)}, y -> abs(x - y)))) AS dists FROM toks)"
+    )
+
+
+PROXIMITY_SEARCH_SQL = (
+    f"WITH {_TOKS_CTE}, arms AS ("
+    + " UNION ALL ".join(_prox_arm_sql(a, b) for a, b in _PROX_PAIRS)
+    + ") SELECT doc_id, term_a, term_b, min_dist, n_within FROM arms "
+    "WHERE min_dist IS NOT NULL"
+)
+
+
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional proximity (operators/fusion.proximity_counts): minimum
+    token distance + within-window pair counts for a fixed term-pair
+    workload over the documents table."""
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    return fu.proximity_counts(
+        load_table(spark, sf_dir, "documents"), _PROX_PAIRS, window=_PROX_WINDOW
+    )
+
+
 # ------------------- spell correction (catalog tail) ------------------------
 
 _WORD_GRAMS_SQL = (

@@ -441,3 +441,54 @@ def test_fusion_ops_on_loaded_index(spark, tiny_index, tmp_path):
     terms = spark.createDataFrame([("shufle",)], "term string")
     cold_spell = fu.spell_suggestions(terms, loaded).where("rank = 1").first()
     assert cold_spell["suggestion"] == "shuffle"
+
+
+# --------------------------- proximity search ------------------------------
+
+
+def test_proximity_counts_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark is a fast join engine spark join"),
+            (2, "spark only here"),
+            (3, "join appears without the other word nearby nearby nearby spark"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"]): r
+        for r in fu.proximity_counts(df, [("spark", "join")], window=3).collect()
+    }
+    # doc 1: spark@{1,7}, join@{5,8} -> min |7-8| = 1
+    assert rows[1]["min_dist"] == 1
+    # pairs within 3: (1,?): |1-5|=4 no; (7,5)=2 yes; (7,8)=1 yes; (1,8)=7 no
+    assert rows[1]["n_within"] == 2
+    # doc 2 lacks 'join' -> absent
+    assert 2 not in rows
+    # doc 3: join@1, spark@10 -> min 9, none within 3
+    assert rows[3]["min_dist"] == 9 and rows[3]["n_within"] == 0
+
+
+def test_proximity_counts_python_parity(spark):
+    import random
+
+    rng = random.Random(11)
+    alphabet = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(0, 25))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["min_dist"], r["n_within"])
+        for r in fu.proximity_counts(df, [("a", "b")], window=2).collect()
+    }
+    for doc_id, text in docs:
+        toks = text.split(" ") if text else []
+        pa = [i for i, t in enumerate(toks) if t == "a"]
+        pb = [i for i, t in enumerate(toks) if t == "b"]
+        dists = [abs(x - y) for x in pa for y in pb]
+        if dists:
+            assert got[doc_id] == (min(dists), sum(1 for d in dists if d <= 2))
+        else:
+            assert doc_id not in got
