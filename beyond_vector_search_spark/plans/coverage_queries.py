@@ -765,9 +765,11 @@ def register_all() -> None:
     )
 
     from beyond_vector_search_spark.plans.fusion_queries import (
+        LTR_FEATURES_SQL,
         PHRASE_SEARCH_SQL,
         PROXIMITY_SEARCH_SQL,
         SPELL_SUGGEST_SQL,
+        q_ltr_features,
         q_phrase_search,
         q_proximity_search,
         q_spell_suggest,
@@ -778,6 +780,7 @@ def register_all() -> None:
     register("spell_suggest", SPELL_SUGGEST_SQL)(q_spell_suggest)
     register("phrase_search", PHRASE_SEARCH_SQL)(q_phrase_search)
     register("proximity_search", PROXIMITY_SEARCH_SQL)(q_proximity_search)
+    register("ltr_features", LTR_FEATURES_SQL)(q_ltr_features)
     register("curation_pipeline", _CURATION_SQL)(q_curation_pipeline)
     register_shared_sql("lineitem_frames", LINEITEM_FRAMES)
     register("data_quality", _DATA_QUALITY_SQL)(q_data_quality)

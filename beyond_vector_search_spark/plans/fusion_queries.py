@@ -247,6 +247,61 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fu.phrase_counts(load_table(spark, sf_dir, "documents"), _PHRASES)
 
 
+# ---------------- learning-to-rank feature export (tail) --------------------
+
+# The (query, doc) feature relation an LTR trainer consumes: both arm
+# scores (0 when unmatched), document length, and vector norm — the
+# engine's score relations re-used as feature columns, the standard
+# "export features from the retrieval stack" job.
+LTR_FEATURES_SQL = (
+    f"WITH {_QUERIES_CTE}, {_TOKS_CTE}, {_SCALARS_CTE}, {_EXPLODED_CTE}, "
+    f"{_TERM_STATS_CTE}, {_POSTINGS_CTE}, {_BM25_SCORED_CTE}, "
+    f"{_GRAMS_CTE}, {_GRAM_STATS_CTE}, {_DOC_VEC_CTE}, {_VEC_QUERY_CTE}, "
+    f"{_VEC_SCORED_CTE}, "
+    "pairs AS (SELECT query_id, doc_id FROM kscored "
+    "UNION SELECT query_id, doc_id FROM vscored), "
+    "feats AS (SELECT p.query_id, p.doc_id, "
+    "round(coalesce(k.score, 0.0), 6) AS f_bm25, "
+    "round(coalesce(v.score, 0.0), 6) AS f_cosine "
+    "FROM pairs p LEFT JOIN kscored k USING (query_id, doc_id) "
+    "LEFT JOIN vscored v USING (query_id, doc_id)) "
+    "SELECT f.query_id, f.doc_id, f.f_bm25, f.f_cosine, "
+    "CAST(len(t.tokens) AS BIGINT) AS f_doc_len, "
+    "round(n.norm, 6) AS f_doc_norm "
+    "FROM feats f JOIN toks t ON t.doc_id = f.doc_id "
+    "JOIN doc_norm n ON n.doc_id = f.doc_id"
+)
+
+
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR feature export: the union of both arms' matched (query, doc)
+    pairs with per-pair scores and per-doc stats as feature columns."""
+    idx = _docs_index(spark, sf_dir)
+    key = _scores(spark, sf_dir, "keyword")
+    vec = _scores(spark, sf_dir, "vector")
+    pairs = key.select("query_id", "doc_id").union(
+        vec.select("query_id", "doc_id")
+    ).distinct()
+    feats = (
+        pairs.join(key.withColumnRenamed("score", "_k"), ["query_id", "doc_id"], "left")
+        .join(vec.withColumnRenamed("score", "_v"), ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.coalesce("_k", F.lit(0.0)), 6).alias("f_bm25"),
+            F.round(F.coalesce("_v", F.lit(0.0)), 6).alias("f_cosine"),
+        )
+    )
+    return (
+        feats.join(
+            idx.doc_stats.select("doc_id", F.col("doc_len").cast("long").alias("f_doc_len")),
+            "doc_id",
+        )
+        .join(idx.doc_norm.select("doc_id", F.round("norm", 6).alias("f_doc_norm")), "doc_id")
+        .select("query_id", "doc_id", "f_bm25", "f_cosine", "f_doc_len", "f_doc_norm")
+    )
+
+
 # ------------------ proximity search (catalog tail) -------------------------
 
 _PROX_PAIRS = [("spark", "join"), ("hash", "index"), ("slow", "query")]
