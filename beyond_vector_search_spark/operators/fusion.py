@@ -222,13 +222,15 @@ def spell_suggestions(
         .select("term", "suggestion", "df")
         .distinct()
     )
+    # compare case-folded: the vocabulary is lowercase (tokenize), and a
+    # caller's "Shufle" should still be distance-1 from "shuffle"
+    dist = F.levenshtein(F.lower("term"), "suggestion")
     verified = cand.where(
-        (F.levenshtein("term", "suggestion") <= max_distance)
-        & (F.col("term") != F.col("suggestion"))
+        (dist <= max_distance) & (F.lower("term") != F.col("suggestion"))
     ).select(
         "term",
         "suggestion",
-        F.levenshtein("term", "suggestion").cast("int").alias("distance"),
+        dist.cast("int").alias("distance"),
         F.col("df").cast("long").alias("df"),
     )
     w = Window.partitionBy("term").orderBy(
@@ -305,6 +307,7 @@ def proximity_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 5,
+    max_positions: int | None = None,
 ) -> DataFrame:
     """(doc_id, term_a, term_b, min_dist, n_within) — positional
     proximity of term pairs: the minimum token distance between any
@@ -318,6 +321,12 @@ def proximity_counts(
     distance matrix from nested ``transform``s (occurrence counts are
     per-document small) — one narrow codegen scan, no shuffle, no
     Python.  Terms are matched post-tokenization (lowercased).
+
+    The distance matrix is |positions(a)| x |positions(b)| PER ROW — a
+    degenerate document repeating both terms thousands of times makes
+    that quadratic.  ``max_positions`` caps each position list to its
+    first N occurrences (min_dist then approximates over the prefix);
+    None = exact, the oracle-parity setting.
     """
     from beyond_vector_search_spark.functions.text import tokenize
 
@@ -328,10 +337,11 @@ def proximity_counts(
     def positions(term: str) -> Column:
         # F.get is 0-based and NULL-safe out of bounds (element_at
         # throws under ANSI mode on the empty-document guard index)
-        return F.filter(
+        pos = F.filter(
             F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1))),
             lambda i: F.get("toks", i - 1) == F.lit(term.lower()),
         )
+        return pos if max_positions is None else F.slice(pos, 1, max_positions)
 
     arms = []
     for a, b in term_pairs:

@@ -463,6 +463,7 @@ def dsir_logweights(
     text_col: str = "text",
     n_buckets: int = 4096,
     alpha: float = 1.0,
+    cache: bool = False,
 ) -> DataFrame:
     """(doc_id, n_feats, logw) — DSIR importance weights (Xie et al.
     2023, Data Selection via Importance Resampling): score every RAW
@@ -483,11 +484,15 @@ def dsir_logweights(
     :func:`functions.hashing.hash64` mod ``n_buckets``, so the DuckDB
     oracle reproduces bucket assignment byte-for-byte.
 
-    Shape: one bigram explode per side; bucket counts are partial
-    aggregations bounded by ``n_buckets`` rows (broadcast); the log-
-    ratio table joins the raw occurrences map-side and the per-doc sum
-    is one partial agg.  The target side is an eval-set / domain
-    sample — small by definition, like the decontamination benchmark.
+    Shape: bucket counts are partial aggregations bounded by
+    ``n_buckets`` rows (broadcast); the log-ratio table joins the raw
+    occurrences map-side and the per-doc sum is one partial agg.  The
+    target side is an eval-set / domain sample — small by definition,
+    like the decontamination benchmark.  Lazy, the raw-side bigram
+    explode re-runs per consumer (counts + totals + final join — the
+    corpus is scanned ~3x); ``cache=True`` persists both bigram-row
+    relations so each side is scanned once, and at cluster scale the
+    tf relations would be materialized parquet (IndexDelta pattern).
     """
     def bigram_rows(df: DataFrame) -> DataFrame:
         toked = df.select(
@@ -505,8 +510,9 @@ def dsir_logweights(
             "doc_id", F.pmod(hash64("bg"), F.lit(n_buckets)).alias("bucket")
         )
 
-    raw_rows = bigram_rows(raw)
-    tgt_rows = bigram_rows(target)
+    keep = (lambda d: d.cache()) if cache else (lambda d: d)
+    raw_rows = keep(bigram_rows(raw))
+    tgt_rows = keep(bigram_rows(target))
     raw_counts = raw_rows.groupBy("bucket").agg(F.count("*").alias("cr"))
     tgt_counts = tgt_rows.groupBy("bucket").agg(F.count("*").alias("ct"))
     # scalar totals derive from the (≤ n_buckets-row) count tables and
