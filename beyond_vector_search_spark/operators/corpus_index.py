@@ -437,17 +437,33 @@ class IndexDelta:
             getattr(self, f).write.mode("overwrite").parquet(f"{path}/{f}")
 
     @classmethod
-    def load(cls, spark, path: str) -> "IndexDelta":
+    def load(cls, spark, path: str, *, up_to_batch: int | None = None) -> "IndexDelta":
         """Load a delta store.  Streaming ingest writes each batch into
         a ``batch_id=N`` partition directory (retry-idempotent
         overwrites — streaming/ingest.py); partition discovery surfaces
         that as a ``batch_id`` column, which is storage layout, not
-        index data — dropped here."""
+        index data — dropped here.
+
+        ``up_to_batch`` is time travel over the append-only store: keep
+        only partitions with ``batch_id <= N`` — the index exactly as it
+        stood after ingest batch N (global stats re-derive on
+        ``index_from_delta``, so df/idf/avg_dl are the HISTORICAL
+        values, not the current ones).  A partition-column filter, so
+        Catalyst prunes the newer directories at the scan — the cost of
+        a historical load is proportional to the history read, not the
+        store size."""
         out = {}
         for f in cls._FIELDS:
             df = spark.read.parquet(f"{path}/{f}")
             if "batch_id" in df.columns:
+                if up_to_batch is not None:
+                    df = df.where(F.col("batch_id") <= up_to_batch)
                 df = df.drop("batch_id")
+            elif up_to_batch is not None:
+                raise ValueError(
+                    f"{path}/{f} has no batch_id partitioning — "
+                    "up_to_batch requires a streaming-ingest store"
+                )
             out[f] = df
         return cls(**out)
 

@@ -1069,3 +1069,56 @@ def test_percolate_streams_immediate_matches(spark, tmp_path):
     assert (11, "alerts-soup") in matches
     assert not any(d == 12 for d, _ in matches)  # unrelated doc never alerts
     assert all(r.score > 0 for r in seen)
+
+
+def test_ingest_store_time_travel(spark, tmp_path, ref_corpus):
+    """up_to_batch loads the delta store exactly as it stood after
+    ingest batch N: the historical index equals a batch build over the
+    first N+1 micro-batches' documents (historical df/idf, not
+    current), and the newer partitions are pruned at the scan."""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.corpus_index import (
+        IndexDelta,
+        build_index,
+        index_from_delta,
+    )
+    from beyond_vector_search_spark.streaming.ingest import start_index_ingest
+
+    src = tmp_path / "tt_src"
+    src.mkdir()
+    ref_corpus.where("doc_id < 'DOC-100'").coalesce(1).write.parquet(str(src / "f1"))
+    ref_corpus.where("doc_id >= 'DOC-100'").coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(ref_corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    store = str(tmp_path / "tt_store")
+    text = F.concat_ws(" ", "title", "text")
+    q = start_index_ingest(stream, store, text=text, trigger={"availableNow": True})
+    q.awaitTermination(300)
+
+    asof = index_from_delta(IndexDelta.load(spark, store, up_to_batch=0))
+    want = build_index(ref_corpus.where("doc_id < 'DOC-100'"), text=text)
+    assert asof.doc_ids.count() == want.doc_ids.count()
+    for field in ("postings", "term_stats", "doc_stats"):
+        a, w = getattr(asof, field), getattr(want, field)
+        assert a.exceptAll(w).count() == 0, field
+        assert w.exceptAll(a).count() == 0, field
+
+    # the partition filter reaches the scan (newer batch dirs pruned)
+    plan = (
+        IndexDelta.load(spark, store, up_to_batch=0)
+        .postings._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "batch_id" in plan
+
+    # a plain (non-partitioned) store rejects up_to_batch loudly
+    flat = str(tmp_path / "flat_store")
+    IndexDelta.load(spark, store).save(flat)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        IndexDelta.load(spark, flat, up_to_batch=0)
