@@ -65,7 +65,44 @@ def cmd_run(args) -> dict:
     queries = spark.createDataFrame([("q", args.query)], "query_id STRING, query STRING")
     routed = route(query_features(queries, idx.term_stats), state).collect()[0]
 
-    tops = search_all(queries, idx, k=args.k)[routed.strategy]
+    # --strategy auto (default) = the reference behavior: the learned
+    # router picks the arm.  Explicit names override it; rrf/mmr are
+    # the engine's fusion extensions (operators/fusion.py).
+    strategy = routed.strategy if args.strategy == "auto" else args.strategy
+    if strategy == "rrf":
+        from pyspark.sql import functions as _F
+
+        from beyond_vector_search_spark.operators.fusion import rrf_scores
+        from beyond_vector_search_spark.operators.retrieval import (
+            bm25_scores,
+            stable_topk,
+            vector_scores,
+        )
+
+        fused = rrf_scores(
+            {"keyword": bm25_scores(queries, idx), "vector": vector_scores(queries, idx)}
+        )
+        tops = stable_topk(fused, args.k)
+    elif strategy == "mmr":
+        from pyspark.sql import functions as _F
+
+        from beyond_vector_search_spark.operators.fusion import mmr_rerank
+        from beyond_vector_search_spark.operators.retrieval import (
+            stable_topk,
+            vector_scores,
+        )
+
+        cand = stable_topk(vector_scores(queries, idx), max(3 * args.k, 12)).select(
+            "query_id", "doc_id", "score"
+        )
+        tops = mmr_rerank(cand, idx, k=args.k).select(
+            "query_id",
+            "doc_id",
+            _F.col("mmr_score").alias("score"),
+            _F.col("mmr_rank").alias("rank"),
+        )
+    else:
+        tops = search_all(queries, idx, k=args.k)[strategy]
     ans = generate_answers(tops, docs, queries).collect()[0]
     top_rows = sorted(tops.collect(), key=lambda r: r.rank)
 
@@ -78,13 +115,13 @@ def cmd_run(args) -> dict:
 
     store.log_run(
         query=args.query,
-        strategy=routed.strategy,
+        strategy=strategy,
         score=score,
         meta={"k": args.k, "top_doc_ids": list(ans.top_doc_ids)},
     )
     out = {
         "query": args.query,
-        "strategy": routed.strategy,
+        "strategy": strategy,
         "top_k": [{"doc_id": r.doc_id, "score": r.score} for r in top_rows],
         "answer": ans.answer,
         "score": score,
@@ -118,6 +155,10 @@ def main() -> None:
     pr = sub.add_parser("run", help="single query end-to-end")
     pr.add_argument("--query", required=True)
     pr.add_argument("--k", type=int, default=5)
+    pr.add_argument("--strategy", default="auto",
+                    choices=["auto", "keyword", "vector", "hybrid", "rrf", "mmr"],
+                    help="auto = learned router (reference behavior); "
+                         "rrf/mmr = fusion extensions")
     pr.add_argument("--corpus", default=DEFAULT_CORPUS)
     pr.add_argument("--labels", default=DEFAULT_LABELS)
     pr.add_argument("--db", default=None, help="telemetry directory")

@@ -530,11 +530,15 @@ def mmr_rerank(
             }
         )
 
+    # output id/query types follow the input (the catalog uses bigint
+    # doc_ids, the reference corpus uses strings — both must work)
+    dtypes = dict(candidates.dtypes)
+    schema = (
+        f"query_id {dtypes['query_id']}, doc_id {dtypes['doc_id']}, "
+        "mmr_rank int, mmr_score double"
+    )
     return (
         cand.groupBy("query_id")
         .cogroup(pair_q.groupBy("query_id"))
-        .applyInPandas(
-            _mmr,
-            schema="query_id string, doc_id bigint, mmr_rank int, mmr_score double",
-        )
+        .applyInPandas(_mmr, schema=schema)
     )

@@ -1122,3 +1122,32 @@ def test_ingest_store_time_travel(spark, tmp_path, ref_corpus):
 
     with _pytest.raises(ValueError):
         IndexDelta.load(spark, flat, up_to_batch=0)
+
+
+def test_cli_strategy_override_rrf_mmr(spark, tmp_path):
+    """cli run --strategy rrf|mmr drives the fusion extensions end to
+    end on the reference corpus (string doc_ids — the kernel schema
+    must follow the input id type)."""
+    import argparse
+
+    from beyond_vector_search_spark.cli import cmd_run
+
+    def run(strategy):
+        args = argparse.Namespace(
+            query="INC-49217 details", k=5, strategy=strategy,
+            corpus="/root/reference/data/corpus.jsonl",
+            labels="/root/reference/data/labels.jsonl",
+            db=str(tmp_path / f"db_{strategy}"), index_dir=None,
+            index_format="parquet",
+        )
+        return cmd_run(args)
+
+    rrf = run("rrf")
+    assert rrf["strategy"] == "rrf" and len(rrf["top_k"]) == 5
+    assert rrf["top_k"][0]["doc_id"] == "DOC-190"  # both arms agree on top-1
+
+    mmr = run("mmr")
+    assert mmr["strategy"] == "mmr" and len(mmr["top_k"]) == 5
+    assert mmr["top_k"][0]["doc_id"] == "DOC-190"
+    # diversified set has no duplicate docs
+    assert len({x["doc_id"] for x in mmr["top_k"]}) == 5
