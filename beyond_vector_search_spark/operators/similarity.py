@@ -1427,6 +1427,175 @@ def pq_refine_codebooks(
     return spark.createDataFrame(out, "sub INT, code_id INT, codeword ARRAY<DOUBLE>")
 
 
+def opq_train(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    n_codes: int = 16,
+    iters: int = 8,
+    lloyd_iters: int = 5,
+    max_train_rows: int = 50_000,
+    seed: int = 42,
+):
+    """(rotation R as list-of-lists, codebooks DataFrame) — Optimized
+    Product Quantization (Ge et al., CVPR 2013): learn an ORTHOGONAL
+    rotation of the embedding space that decorrelates the subspaces
+    before product quantization, then fit codebooks in the rotated
+    space.
+
+    Plain PQ splits the vector into contiguous subspaces — if variance
+    concentrates in a few correlated dimensions (the usual case for
+    learned embeddings), some subspaces carry most of the error.  OPQ
+    alternates:
+
+        1. fit per-subspace Lloyd's codebooks on X·R, reconstruct X̂
+        2. R ← U·Vᵀ from the SVD of Xᵀ·X̂   (orthogonal Procrustes)
+
+    which provably never increases quantization error.  Like
+    :func:`pq_refine_codebooks`, the fit runs in numpy on a bounded
+    deterministic-hash sample (distribution shape, not every row);
+    encode/search stay distributed over the full corpus.  Rows-only
+    territory (SVD/float-iteration internals are engine-specific) —
+    pinned by tests asserting orthogonality and error ≤ plain PQ.
+
+    Serve with ``rotate_embeddings(df, R)`` → :func:`pq_encode` /
+    :func:`pq_topk` over the ROTATED vectors and these codebooks
+    (queries rotate with the same R — see :func:`opq_topk`).
+    """
+    import numpy as np
+
+    from beyond_vector_search_spark.operators.scale import deterministic_sample
+
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    d = dim // m
+    n = _estimate_rows(embeddings)
+    if n is None:
+        n = embeddings.count()
+    frac = min(1.0, max_train_rows / max(n, 1))
+    sample = embeddings
+    if frac < 1.0:
+        sample = deterministic_sample(embeddings, key_col=id_col, fraction=frac, seed=seed)
+    rows = sample.select(as_double_array(F.col(vec_col)).alias("_v")).collect()
+    X, _ = _stack_rows([r["_v"] for r in rows], dim=dim)
+
+    rng = np.random.default_rng(seed)
+    R = np.eye(dim)
+
+    def fit_codebooks(Y: "np.ndarray") -> list["np.ndarray"]:
+        books = []
+        for s in range(m):
+            sl = Y[:, s * d : (s + 1) * d]
+            # deterministic init: first n_codes distinct-ish rows
+            C = sl[: n_codes].copy()
+            if len(C) < n_codes:
+                C = np.vstack([C, rng.standard_normal((n_codes - len(C), d))])
+            for _ in range(lloyd_iters):
+                diff = sl[:, None, :] - C[None, :, :]
+                assign = np.argmin((diff * diff).sum(axis=2), axis=1)
+                for c in range(n_codes):
+                    mask = assign == c
+                    if mask.any():
+                        C[c] = sl[mask].mean(axis=0)
+            books.append(C)
+        return books
+
+    def reconstruct(Y: "np.ndarray", books) -> "np.ndarray":
+        out = np.empty_like(Y)
+        for s in range(m):
+            sl = Y[:, s * d : (s + 1) * d]
+            C = books[s]
+            diff = sl[:, None, :] - C[None, :, :]
+            assign = np.argmin((diff * diff).sum(axis=2), axis=1)
+            out[:, s * d : (s + 1) * d] = C[assign]
+        return out
+
+    books = fit_codebooks(X @ R)
+    for _ in range(iters):
+        Yhat = reconstruct(X @ R, books)
+        U, _, Vt = np.linalg.svd(X.T @ Yhat)
+        R = U @ Vt
+        books = fit_codebooks(X @ R)
+
+    spark = embeddings.sparkSession
+    cb_rows = [
+        (s, c, [float(x) for x in books[s][c]])
+        for s in range(m)
+        for c in range(n_codes)
+    ]
+    codebooks = spark.createDataFrame(cb_rows, "sub INT, code_id INT, codeword ARRAY<DOUBLE>")
+    return [[float(x) for x in row] for row in R], codebooks
+
+
+def rotate_embeddings(
+    embeddings: DataFrame,
+    rotation: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply an orthogonal rotation to the embedding column — one numpy
+    matmul per Arrow batch (a 64x64 rotation as per-element expressions
+    would be 4096 interpreted terms per row).  Narrow, fully lazy; the
+    rotation rides into the closure as a broadcast-sized constant."""
+    import numpy as np
+    import pandas as pd
+
+    Rm = np.asarray(rotation, dtype=np.float64)
+    out_col = out_col or vec_col
+
+    # no type annotations: `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint inspection rejects
+    def _rot(col):
+        M, _ = _stack_rows(col.to_numpy(), dim=Rm.shape[0])
+        Y = M @ Rm
+        return pd.Series([row.tolist() for row in Y])
+
+    rot = F.pandas_udf(_rot, "array<double>")
+    return embeddings.withColumn(out_col, rot(as_double_array(F.col(vec_col))))
+
+
+def opq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    n_codes: int = 16,
+    k: int = 5,
+    rerank: int | None = 50,
+    rotation: list[list[float]] | None = None,
+    codebooks: DataFrame | None = None,
+    **train_kwargs,
+) -> DataFrame:
+    """OPQ ANN search: rotate corpus AND queries with the learned R,
+    then the standard PQ ADC scan (+ optional exact rerank) in the
+    rotated space.  Rotation is orthogonal, so exact distances are
+    unchanged — the rerank arm reranks with true geometry.
+
+    Pass a trained ``(rotation, codebooks)`` pair to serve; omit to
+    train on the fly (bounded sample — see :func:`opq_train`).
+    """
+    if rotation is None or codebooks is None:
+        rotation, codebooks = opq_train(
+            embeddings, id_col=id_col, vec_col=vec_col, m=m, dim=dim,
+            n_codes=n_codes, **train_kwargs,
+        )
+    emb_r = rotate_embeddings(embeddings, rotation, vec_col=vec_col)
+    q_r = rotate_embeddings(queries, rotation, vec_col=vec_col)
+    return pq_topk(
+        emb_r, q_r,
+        id_col=id_col, vec_col=vec_col,
+        m=m, dim=dim, n_codes=n_codes, k=k, rerank=rerank,
+        codebooks=codebooks,
+    )
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     *,

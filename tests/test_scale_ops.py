@@ -1151,3 +1151,60 @@ def test_cli_strategy_override_rrf_mmr(spark, tmp_path):
     assert mmr["top_k"][0]["doc_id"] == "DOC-190"
     # diversified set has no duplicate docs
     assert len({x["doc_id"] for x in mmr["top_k"]}) == 5
+
+
+def test_opq_rotation_orthogonal_and_reduces_error(spark):
+    """OPQ invariants: the learned rotation is orthogonal, and on
+    anisotropic (correlated) data the rotated-space quantization error
+    is at most plain trained-PQ's error (Ge et al. 2013's guarantee)."""
+    import random
+
+    import numpy as np
+
+    from beyond_vector_search_spark.operators import similarity as sim
+
+    # correlated data: isotropic gaussians through a fixed skew matrix
+    rng = np.random.default_rng(3)
+    dim, n = 16, 400
+    skew = rng.standard_normal((dim, dim)) * np.linspace(3.0, 0.1, dim)[None, :]
+    X = rng.standard_normal((n, dim)) @ skew
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+
+    m, n_codes = 4, 8
+    R, books = sim.opq_train(emb, m=m, dim=dim, n_codes=n_codes, iters=6)
+    Rm = np.asarray(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(dim), atol=1e-8)
+
+    def mse(Y, books_df):
+        rows = books_df.collect()
+        by_sub = {}
+        for r in rows:
+            by_sub.setdefault(r["sub"], {})[r["code_id"]] = np.array(r["codeword"])
+        d = dim // m
+        err = 0.0
+        for s in range(m):
+            C = np.stack([by_sub[s][c] for c in sorted(by_sub[s])])
+            sl = Y[:, s * d:(s + 1) * d]
+            diff = sl[:, None, :] - C[None, :, :]
+            err += (diff * diff).sum(axis=2).min(axis=1).sum()
+        return err / len(Y)
+
+    plain_books = sim.pq_refine_codebooks(emb, m=m, dim=dim, n_codes=n_codes)
+    opq_err = mse(X @ Rm, books)
+    plain_err = mse(X, plain_books)
+    assert opq_err <= plain_err * 1.001  # never worse; usually much better
+
+    # end-to-end search: rotation preserves exact geometry, so the
+    # reranked OPQ top-k agrees with exact brute-force on the planted
+    # nearest neighbor
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in X[7] + 1e-4])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = sim.opq_topk(
+        emb, q, m=m, dim=dim, n_codes=n_codes, k=3, rerank=50,
+        rotation=R, codebooks=books,
+    ).orderBy("rank").collect()
+    assert got[0]["neighbor_id"] == 7
