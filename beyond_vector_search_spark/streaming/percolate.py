@@ -84,6 +84,52 @@ def compile_standing_queries(
     return StandingQueries(terms=terms, avg_dl=avg_dl if avg_dl != 0.0 else 1.0)
 
 
+def percolate_embedding_stream(
+    vec_stream: DataFrame,
+    standing_vectors: list[tuple[str, list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(vec_id, query_id, cos[, extra...]) — the vector twin of
+    :func:`percolate_doc_stream`: a fixed set of (query_id, embedding)
+    standing vectors is folded into the plan as literals, and every
+    arriving embedding row is cosine-scored against all of them —
+    matches at or above ``threshold`` emit immediately.
+
+    Same scale shape as the text percolator: stateless per-row
+    expressions (one ``aggregate`` dot product per standing vector),
+    no shuffle, no Python; the standing set is configuration-sized.
+    Semantic-alerting use: "tell me when something near THIS embedding
+    arrives" — topic subscriptions over an embedding firehose.
+    """
+    import math
+
+    v = F.col(vec_col).cast("array<double>")
+    v_norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    arms = []
+    for query_id, qv in standing_vectors:
+        qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in qv]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cos = F.when(v_norm == 0.0, F.lit(0.0)).otherwise(dot / (v_norm * qn))
+        arms.append(F.struct(F.lit(query_id).alias("query_id"), cos.alias("cos")))
+    if not arms:
+        raise ValueError("no standing vectors given")
+    return (
+        vec_stream.select(
+            F.col(id_col).alias("vec_id"), *extra_cols, F.explode(F.array(*arms)).alias("m")
+        )
+        .select("vec_id", *extra_cols, F.col("m.query_id"), F.col("m.cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def percolate_doc_stream(
     doc_stream: DataFrame,
     standing: StandingQueries,

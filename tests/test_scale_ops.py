@@ -1208,3 +1208,52 @@ def test_opq_rotation_orthogonal_and_reduces_error(spark):
         rotation=R, codebooks=books,
     ).orderBy("rank").collect()
     assert got[0]["neighbor_id"] == 7
+
+
+def test_percolate_embedding_stream(spark, tmp_path):
+    """Standing-vector percolation: arriving embeddings alert the
+    standing queries they are cosine-near, immediately and statelessly;
+    scale-invariant duplicates always match (cos = 1)."""
+    import datetime as dt
+
+    from beyond_vector_search_spark.streaming.percolate import (
+        percolate_embedding_stream,
+    )
+
+    q1 = [1.0, 0.0, 0.0, 0.0]
+    q2 = [0.0, 1.0, 0.0, 0.0]
+    standing = [("topic-x", q1), ("topic-y", q2)]
+
+    t0 = dt.datetime(2026, 1, 1, 7, 0, 0)
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>, ts TIMESTAMP"
+    src = tmp_path / "vp_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, [2.0, 0.1, 0.0, 0.0], t0), (2, [0.0, 5.0, 0.0, 0.0], t0)], schema
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(
+        [(3, [0.5, 0.5, 0.5, 0.5], t0), (4, [0.0, 0.0, 0.0, 0.0], t0)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    seen: list = []
+    q = (
+        percolate_embedding_stream(stream, standing, threshold=0.9)
+        .writeStream.foreachBatch(lambda df, _bid: seen.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "vp_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    matches = {(r.vec_id, r.query_id) for r in seen}
+    assert (1, "topic-x") in matches      # near-axis vector alerts topic-x
+    assert (2, "topic-y") in matches      # scaled axis vector: cos == 1
+    assert not any(v == 3 for v, _ in matches)  # diagonal: cos = 0.5 < 0.9
+    assert not any(v == 4 for v, _ in matches)  # zero vector never matches
+    assert all(r.cos >= 0.9 for r in seen)
