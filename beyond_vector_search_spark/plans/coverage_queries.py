@@ -768,10 +768,12 @@ def register_all() -> None:
         LTR_FEATURES_SQL,
         PHRASE_SEARCH_SQL,
         PROXIMITY_SEARCH_SQL,
+        RANKING_METRICS_SQL,
         SPELL_SUGGEST_SQL,
         q_ltr_features,
         q_phrase_search,
         q_proximity_search,
+        q_ranking_metrics,
         q_spell_suggest,
     )
 
@@ -781,6 +783,7 @@ def register_all() -> None:
     register("phrase_search", PHRASE_SEARCH_SQL)(q_phrase_search)
     register("proximity_search", PROXIMITY_SEARCH_SQL)(q_proximity_search)
     register("ltr_features", LTR_FEATURES_SQL)(q_ltr_features)
+    register("ranking_metrics", RANKING_METRICS_SQL)(q_ranking_metrics)
     register("curation_pipeline", _CURATION_SQL)(q_curation_pipeline)
     register_shared_sql("lineitem_frames", LINEITEM_FRAMES)
     register("data_quality", _DATA_QUALITY_SQL)(q_data_quality)

@@ -23,6 +23,7 @@ from beyond_vector_search_spark.plans.entry_queries import (
     _EXPLODED_CTE,
     _GRAM_STATS_CTE,
     _GRAMS_CTE,
+    _HYBRID_CTE,
     _QUERIES_CTE,
     _SCALARS_CTE,
     _TERM_STATS_CTE,
@@ -245,6 +246,110 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beyond_vector_search_spark.sources.readers import load_table
 
     return fu.phrase_counts(load_table(spark, sf_dir, "documents"), _PHRASES)
+
+
+# ---------------- ranking-quality metrics (catalog tail) --------------------
+
+# MRR / nDCG@k / hit@k per strategy, with the BM25 top-1 doc as the
+# (single, binary) pseudo-relevant document — the answer_eval entry's
+# expected-doc convention extended into the standard ranking metrics.
+# With one relevant doc, nDCG@k = 1/log2(1+rank) (ideal DCG = 1).
+_RM_K = 5
+
+_RM_CTE = (
+    # deterministic per-arm rankings (the catalog rule)
+    "krank AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM kscored), "
+    "vrank AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM vscored), "
+    "hrank AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM blended), "
+    "expected AS (SELECT query_id, doc_id AS exp_doc FROM krank WHERE rank = 1), "
+    "tagged AS (SELECT 'keyword' AS strategy, * FROM krank "
+    "UNION ALL SELECT 'vector', * FROM vrank "
+    "UNION ALL SELECT 'hybrid', * FROM hrank), "
+    f"hits AS (SELECT t.strategy, t.query_id, t.rank FROM tagged t "
+    f"JOIN expected e ON e.query_id = t.query_id AND e.exp_doc = t.doc_id "
+    f"WHERE t.rank <= {_RM_K}), "
+    "per_q AS (SELECT e.query_id, s.strategy, "
+    "coalesce(1.0 / h.rank, 0.0) AS rr, "
+    "coalesce(1.0 / (ln(1.0 + h.rank) / ln(2.0)), 0.0) AS ndcg, "
+    "CASE WHEN h.rank IS NOT NULL THEN 1.0 ELSE 0.0 END AS hit "
+    "FROM expected e CROSS JOIN (VALUES ('keyword'), ('vector'), ('hybrid')) AS s(strategy) "
+    "LEFT JOIN hits h ON h.query_id = e.query_id AND h.strategy = s.strategy)"
+)
+
+RANKING_METRICS_SQL = (
+    f"WITH {_QUERIES_CTE}, {_TOKS_CTE}, {_SCALARS_CTE}, {_EXPLODED_CTE}, "
+    f"{_TERM_STATS_CTE}, {_POSTINGS_CTE}, {_BM25_SCORED_CTE}, "
+    f"{_GRAMS_CTE}, {_GRAM_STATS_CTE}, {_DOC_VEC_CTE}, {_VEC_QUERY_CTE}, "
+    f"{_VEC_SCORED_CTE}, {_HYBRID_CTE}, {_RM_CTE} "
+    "SELECT strategy, CAST(count(*) AS BIGINT) AS n_queries, "
+    "round(avg(rr), 6) AS mrr, round(avg(ndcg), 6) AS ndcg, "
+    "round(avg(hit), 6) AS hit_rate "
+    "FROM per_q GROUP BY strategy"
+)
+
+
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / nDCG@5 / hit@5 per strategy against the BM25-top-1
+    pseudo-truth — per-query metric rows reduced by one aggregation."""
+    from pyspark.sql import Window
+
+    idx = _docs_index(spark, sf_dir)
+    key = _scores(spark, sf_dir, "keyword")
+    vec = _scores(spark, sf_dir, "vector")
+    from beyond_vector_search_spark.operators import retrieval as _rt
+
+    hyb = _rt.hybrid_scores(_queries_df(spark), idx, cfg=_CFG, keyword=key, vector=vec)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id")
+    )
+
+    def ranked(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("strategy"), "query_id", "doc_id",
+            F.row_number().over(w).alias("rank"),
+        )
+
+    krank = ranked(key, "keyword")
+    # renamed columns: expected shares krank's lineage with tagged's
+    # first arm — qualified self-join references would be ambiguous
+    expected = krank.where("rank = 1").select(
+        F.col("query_id").alias("eq"), F.col("doc_id").alias("exp_doc")
+    )
+    tagged = krank.unionByName(ranked(vec, "vector")).unionByName(ranked(hyb, "hybrid"))
+    hits = (
+        tagged.where(F.col("rank") <= _RM_K)
+        .join(
+            F.broadcast(expected),
+            (F.col("query_id") == F.col("eq")) & (F.col("doc_id") == F.col("exp_doc")),
+        )
+        .select("strategy", "query_id", "rank")
+    )
+    strategies = spark.createDataFrame(
+        [("keyword",), ("vector",), ("hybrid",)], "strategy string"
+    )
+    per_q = (
+        expected.select(F.col("eq").alias("query_id"))
+        .crossJoin(F.broadcast(strategies))
+        .join(F.broadcast(hits), ["query_id", "strategy"], "left")
+        .select(
+            "strategy",
+            F.coalesce(1.0 / F.col("rank"), F.lit(0.0)).alias("rr"),
+            F.coalesce(
+                1.0 / (F.log(1.0 + F.col("rank")) / F.log(F.lit(2.0))), F.lit(0.0)
+            ).alias("ndcg"),
+            F.when(F.col("rank").isNotNull(), 1.0).otherwise(0.0).alias("hit"),
+        )
+    )
+    return per_q.groupBy("strategy").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg("rr"), 6).alias("mrr"),
+        F.round(F.avg("ndcg"), 6).alias("ndcg"),
+        F.round(F.avg("hit"), 6).alias("hit_rate"),
+    )
 
 
 # ---------------- learning-to-rank feature export (tail) --------------------
