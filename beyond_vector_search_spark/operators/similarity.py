@@ -1193,11 +1193,23 @@ class PQIndex:
     tables plus the (m, dim) geometry through parquet, mirroring
     CorpusIndex's layout conventions (corpus_index.py:244)."""
 
-    def __init__(self, codebooks: DataFrame, codes: DataFrame, *, m: int, dim: int):
+    def __init__(
+        self,
+        codebooks: DataFrame,
+        codes: DataFrame,
+        *,
+        m: int,
+        dim: int,
+        rotation: list[list[float]] | None = None,
+    ):
         self.codebooks = codebooks
         self.codes = codes
         self.m = m
         self.dim = dim
+        # OPQ: the orthogonal rotation the corpus was encoded under
+        # (opq_train).  Queries must rotate with the same R before the
+        # ADC scan; None = plain PQ.
+        self.rotation = rotation
 
     @classmethod
     def build(
@@ -1211,7 +1223,15 @@ class PQIndex:
         n_codes: int = 16,
         refine: bool = False,
         codebooks: DataFrame | None = None,
+        opq: bool = False,
+        rotation: list[list[float]] | None = None,
     ) -> "PQIndex":
+        if opq and rotation is None and codebooks is None:
+            rotation, codebooks = opq_train(
+                embeddings, id_col=id_col, vec_col=vec_col, m=m, dim=dim, n_codes=n_codes
+            )
+        if rotation is not None:
+            embeddings = rotate_embeddings(embeddings, rotation, vec_col=vec_col)
         if codebooks is None:
             if refine:
                 codebooks = pq_refine_codebooks(
@@ -1224,7 +1244,7 @@ class PQIndex:
         codes = pq_encode(
             embeddings, codebooks, id_col=id_col, vec_col=vec_col, m=m, dim=dim
         )
-        return cls(codebooks, codes, m=m, dim=dim)
+        return cls(codebooks, codes, m=m, dim=dim, rotation=rotation)
 
     def save(self, path: str) -> None:
         self.codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
@@ -1233,15 +1253,27 @@ class PQIndex:
         spark.createDataFrame(
             [(self.m, self.dim)], "m INT, dim INT"
         ).write.mode("overwrite").parquet(f"{path}/meta")
+        if self.rotation is not None:
+            spark.createDataFrame(
+                [(i, row) for i, row in enumerate(self.rotation)],
+                "i INT, row ARRAY<DOUBLE>",
+            ).write.mode("overwrite").parquet(f"{path}/rotation")
 
     @classmethod
     def load(cls, spark, path: str) -> "PQIndex":
+        import os
+
         meta = spark.read.parquet(f"{path}/meta").first()
+        rotation = None
+        if os.path.isdir(f"{path}/rotation"):
+            rows = spark.read.parquet(f"{path}/rotation").collect()
+            rotation = [list(r["row"]) for r in sorted(rows, key=lambda r: r["i"])]
         return cls(
             spark.read.parquet(f"{path}/codebooks"),
             spark.read.parquet(f"{path}/codes"),
             m=meta["m"],
             dim=meta["dim"],
+            rotation=rotation,
         )
 
     def search(
@@ -1252,6 +1284,10 @@ class PQIndex:
         rerank: int | None = None,
         embeddings: DataFrame | None = None,
     ) -> DataFrame:
+        if self.rotation is not None:
+            queries = rotate_embeddings(queries, self.rotation)
+            if embeddings is not None:
+                embeddings = rotate_embeddings(embeddings, self.rotation)
         return pq_search_codes(
             self.codes,
             self.codebooks,

@@ -1257,3 +1257,43 @@ def test_percolate_embedding_stream(spark, tmp_path):
     assert not any(v == 3 for v, _ in matches)  # diagonal: cos = 0.5 < 0.9
     assert not any(v == 4 for v, _ in matches)  # zero vector never matches
     assert all(r.cos >= 0.9 for r in seen)
+
+
+def test_pqindex_opq_roundtrip(spark, tmp_path):
+    """PQIndex(opq=True) stores the rotation; a reloaded index serves
+    identical results, and its reranked top-1 finds the planted
+    neighbor (rotation applied to queries AND rerank vectors)."""
+    import numpy as np
+
+    from beyond_vector_search_spark.operators.similarity import PQIndex
+
+    rng = np.random.default_rng(5)
+    dim, n = 16, 300
+    skew = rng.standard_normal((dim, dim)) * np.linspace(3.0, 0.1, dim)[None, :]
+    X = rng.standard_normal((n, dim)) @ skew
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    idx = PQIndex.build(emb, m=4, dim=dim, n_codes=8, opq=True)
+    assert idx.rotation is not None
+
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in X[11] + 1e-4])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    live = [
+        (r["neighbor_id"], r["rank"])
+        for r in idx.search(q, k=3, rerank=40, embeddings=emb).orderBy("rank").collect()
+    ]
+    assert live[0][0] == 11
+
+    path = str(tmp_path / "opq_idx")
+    idx.save(path)
+    cold = PQIndex.load(spark, path)
+    assert cold.rotation is not None
+    np_live = [
+        (r["neighbor_id"], r["rank"])
+        for r in cold.search(q, k=3, rerank=40, embeddings=emb).orderBy("rank").collect()
+    ]
+    assert np_live == live
