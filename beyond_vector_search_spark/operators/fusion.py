@@ -4,9 +4,11 @@ of :mod:`operators.retrieval`.
 
 The reference stops at a fixed min-max blend of its two retrievers
 (retrievers.py:147-188, the ``hybrid_scores`` parity path).  Real
-retrieval stacks run three further stages, each published and each
-purely relational — so they compose onto the inverted-index join
-plans with no new scan of the corpus:
+retrieval stacks run further stages — fusion, expansion,
+diversification, spell correction, phrase/proximity matching — each
+published and each purely relational, so they compose onto the
+inverted-index join plans with no new scan of the corpus.  The three
+headline ones:
 
 - **Reciprocal Rank Fusion** (Cormack, Clarke & Buettcher, SIGIR 2009):
   score-free fusion, ``sum over arms of 1/(k0 + rank)``.  Ranks come
@@ -33,7 +35,7 @@ ties broken by ascending id — identical rules in the DuckDB oracle SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from beyond_vector_search_spark.config import DEFAULT, EngineConfig
