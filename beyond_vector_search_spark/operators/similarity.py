@@ -1399,6 +1399,140 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    n_codes: int = 16,
+    k: int = 5,
+    nprobe: int = 2,
+    codebooks: DataFrame | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, dist, rank) — IVF-PQ over RESIDUALS,
+    the full FAISS-IVFADC form (Jegou et al. 2011 §IV): each vector is
+    coded as its offset from its assigned centroid, and a query
+    scores bucket members with a PER-PROBED-CENTROID lookup table
+    built from the QUERY residual (q − centroid).
+
+    Residual coding is what makes PQ codes cheap on clustered data:
+    the coarse quantizer absorbs the between-cluster offsets, so the
+    codebooks only need to cover the (much smaller) within-cluster
+    spread — same code budget, less quantization error.  The cost is
+    an nprobe×-larger LUT per query (still broadcast-sized:
+    q × nprobe × m × n_codes doubles) and a join keyed on
+    (centroid, sub, code) instead of (sub, code).
+
+    :func:`ivfpq_topk` stays the whole-vector variant (simpler LUT and
+    a DuckDB-oracle-friendly shape); this one is tests-pinned
+    (quantization-error ordering + planted-neighbor recall).
+    """
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    d = dim // m
+    cent = centroids.select(
+        "centroid_id", as_double_array(F.col(vec_col)).alias("cv")
+    )
+    assigned = assign_centroids(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    resid = (
+        embeddings.select(F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("v"))
+        .join(assigned.select("vec_id", "centroid_id"), "vec_id")
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("embedding"),
+        )
+    )
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            resid.select("vec_id", "embedding"), m=m, dim=dim, n_codes=n_codes
+        )
+    enc = pq_encode(resid, codebooks, m=m, dim=dim).join(
+        resid.select("vec_id", "centroid_id"), "vec_id"
+    )
+
+    # probe: same cosine coarse ranking as ivfpq_topk / assign_centroids
+    qv = as_double_array(F.col(vec_col))
+    q = queries.select("query_id", qv.alias("qv"), l2_norm(qv).alias("qn"))
+    c_n = centroids.select(
+        "centroid_id", as_double_array(F.col(vec_col)).alias("cv"),
+        l2_norm(as_double_array(F.col(vec_col))).alias("cn"),
+    )
+    q_probe = _with_cos_hoisted(F.broadcast(q).crossJoin(F.broadcast(c_n)))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 6)), F.asc("centroid_id")
+    )
+    probed = (
+        q_probe.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+
+    # per-(query, probed centroid) residual LUT
+    qres = (
+        probed.join(F.broadcast(queries.select("query_id", qv.alias("qv2"))), "query_id")
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            "query_id", "centroid_id",
+            F.zip_with("qv2", "cv", lambda a, b: a - b).alias("_v"),
+        )
+    )
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"), F.slice("_v", s * d + 1, d).alias("sv")
+            )
+            for s in range(m)
+        ]
+    )
+    qx = qres.select("query_id", "centroid_id", F.explode(slices).alias("sc")).select(
+        "query_id", "centroid_id", F.col("sc.sub").alias("sub"), F.col("sc.sv").alias("sv")
+    )
+    lut_d2 = F.round(
+        F.aggregate(
+            F.zip_with("sv", "codeword", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    lut = qx.join(F.broadcast(codebooks), "sub").select(
+        "query_id", "centroid_id", "sub", "code_id", lut_d2.alias("d2")
+    )
+
+    ecx = enc.select(
+        F.col("vec_id").alias("neighbor_id"), "centroid_id",
+        F.posexplode("codes").alias("sub", "code_id"),
+    ).join(probed.select("centroid_id").distinct(), "centroid_id", "left_semi")
+    scored = (
+        ecx.join(F.broadcast(lut), ["centroid_id", "sub", "code_id"])
+        .join(probed, ["query_id", "centroid_id"], "left_semi")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), 6).alias("dist"))
+    )
+    shortlist = k if rerank is None else rerank
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc(F.round(F.col("dist"), 6)), F.asc("neighbor_id")
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .where(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rank")
+    )
+    if rerank is None:
+        return ranked
+    return _pq_exact_rerank(
+        ranked, embeddings, queries, id_col=id_col, vec_col=vec_col, k=k
+    )
+
+
 def pq_refine_codebooks(
     embeddings: DataFrame,
     *,

@@ -1297,3 +1297,55 @@ def test_pqindex_opq_roundtrip(spark, tmp_path):
         for r in cold.search(q, k=3, rerank=40, embeddings=emb).orderBy("rank").collect()
     ]
     assert np_live == live
+
+
+def test_ivfpq_residual_beats_wholevector_quantization(spark):
+    """Residual IVF-PQ on clustered data: the within-bucket residual
+    spread is what the codes must cover, so the planted nearest
+    neighbor survives ADC where whole-vector coding may blur it; with
+    exact rerank the neighbor is found at rank 1."""
+    import numpy as np
+
+    from beyond_vector_search_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(9)
+    dim, per = 16, 60
+    # three well-separated clusters with small local spread
+    centers = np.array(
+        [[30.0] + [0.0] * (dim - 1), [0.0, 30.0] + [0.0] * (dim - 2),
+         [0.0, 0.0, 30.0] + [0.0] * (dim - 3)]
+    )
+    X = np.vstack([c + rng.standard_normal((per, dim)) for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(3)],
+        "centroid_id INT, embedding ARRAY<DOUBLE>",
+    )
+    # query: a small perturbation of corpus vector 5 (cluster 0)
+    q = spark.createDataFrame(
+        [(999, [float(x) for x in X[5] + 0.01])], "query_id LONG, embedding ARRAY<DOUBLE>"
+    )
+
+    got = sim.ivfpq_residual_topk(
+        emb, q, cents, m=4, dim=dim, n_codes=16, k=3, nprobe=1, rerank=30
+    ).orderBy("rank").collect()
+    assert got[0]["neighbor_id"] == 5
+
+    # ADC-only (no rerank): residual coding ranks the true neighbor
+    # no worse than whole-vector coding does
+    res_rank = {
+        r["neighbor_id"]: r["rank"]
+        for r in sim.ivfpq_residual_topk(
+            emb, q, cents, m=4, dim=dim, n_codes=16, k=60, nprobe=1
+        ).collect()
+    }.get(5, 10_000)
+    whole_rank = {
+        r["neighbor_id"]: r["rank"]
+        for r in sim.ivfpq_topk(
+            emb, q, cents, m=4, dim=dim, n_codes=16, k=60, nprobe=1
+        ).collect()
+    }.get(5, 10_000)
+    assert res_rank <= whole_rank
