@@ -45,7 +45,15 @@ def main() -> None:
     from beyond_vector_search_spark.plans.entry_queries import all_queries
     from beyond_vector_search_spark.session import get_spark
 
-    spark = get_spark("bvs-bench")
+    # Shuffle partitions sized to the bench data, not the core count:
+    # every suite relation is a few MB, so 32-way shuffles are pure
+    # scheduler overhead (AQE coalesces reduce side, but the map side
+    # and the AQE replan loop still pay per-partition).  At cluster
+    # scale this knob is sized to the data volume instead — same rule.
+    spark = get_spark(
+        "bvs-bench",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8")),
+    )
     queries = all_queries()
 
     # Warm the JVM, parquet readers, and the whole-stage-codegen class

@@ -207,7 +207,11 @@ class CorpusIndex:
     _WAVES = [
         ["postings", "term_stats", "doc_stats", "gram_stats", "scalars", "doc_ids"],
         ["doc_norm"],
-        ["doc_vec"],
+        # gram_tf rides the last wave for serving profiles that cache a
+        # norm-denormalized copy (it joins doc_norm); the plain
+        # checkpointed delta relation is never cached and is skipped by
+        # the is_cached guard below.
+        ["doc_vec", "gram_tf"],
     ]
 
     def materialize(self) -> "CorpusIndex":
@@ -223,7 +227,11 @@ class CorpusIndex:
         import concurrent.futures as cf
 
         for wave in self._WAVES:
-            todo = [f for f in wave if getattr(self, f).is_cached]
+            todo = [
+                f
+                for f in wave
+                if getattr(self, f, None) is not None and getattr(self, f).is_cached
+            ]
             if not todo:
                 continue
             with cf.ThreadPoolExecutor(max_workers=len(todo)) as ex:

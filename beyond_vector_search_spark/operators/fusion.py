@@ -75,6 +75,8 @@ def rrf_scores(
     why it is the robust default for fusing arms whose score scales
     are incomparable (BM25 vs cosine).
     """
+    if not arms:
+        raise ValueError("no arms given")
     parts = []
     for df in arms.values():
         ranked = _arm_ranks(df)
@@ -476,7 +478,11 @@ def mmr_rerank(
     # re-executions of the retrieval plan.  No job runs at plan
     # construction; the first action materializes the (per-query-
     # bounded) candidate rows once.  Callers that pass an already-
-    # cached/memoized relation lose nothing.
+    # cached/memoized relation lose nothing.  The cache is SCOPED to
+    # the returned DataFrame's lifetime (weakref finalizer below):
+    # repeated mmr_rerank calls in a long-lived session release each
+    # call's candidate cache once its result is dropped — unpersisting
+    # is always safe (worst case the candidates recompute).
     cand = candidates.select(
         "query_id", "doc_id", F.round("score", round_to).alias("rel")
     ).cache()
@@ -539,8 +545,22 @@ def mmr_rerank(
         f"query_id {dtypes['query_id']}, doc_id {dtypes['doc_id']}, "
         "mmr_rank int, mmr_score double"
     )
-    return (
+    out = (
         cand.groupBy("query_id")
         .cogroup(pair_q.groupBy("query_id"))
         .applyInPandas(_mmr, schema=schema)
     )
+
+    # Release the candidate cache when the result DataFrame is garbage
+    # collected: blocking=False and a broad guard because the finalizer
+    # may fire at interpreter shutdown, after the JVM is gone.
+    import weakref
+
+    def _release(df=cand):
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — session/JVM already stopped
+            pass
+
+    weakref.finalize(out, _release)
+    return out

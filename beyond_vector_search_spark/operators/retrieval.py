@@ -222,14 +222,31 @@ def vector_scores(
     return scored
 
 
-def minmax_normalize(scored: DataFrame, *, score_col: str = "score") -> DataFrame:
+def minmax_normalize(
+    scored: DataFrame, *, score_col: str = "score", via: str = "agg"
+) -> DataFrame:
     """Per-query min-max normalization with the constant-array guard
     (retrievers.py:169-176: hi <= lo -> all 0.0).
 
-    groupBy + broadcast-join back beats a window here: the agg output is
-    one row per query, so the join is a broadcast and the big score
-    relation is touched exactly once.
+    ``via="agg"`` (default): groupBy + broadcast-join back — the agg
+    output is one row per query, so the join is a broadcast, BUT the
+    score relation is referenced twice (agg input + join probe): right
+    when it is cached or cheap.  ``via="window"``: min/max as window
+    functions over the query partition — the input plan executes
+    exactly ONCE, which is the right shape for an uncached compiled
+    serving plan (the agg form would recompute the whole arm for the
+    bounds).  Identical math either way.
     """
+    if via == "window":
+        w = Window.partitionBy("query_id")
+        lo, hi = F.min(score_col).over(w), F.max(score_col).over(w)
+        return scored.select(
+            "query_id",
+            "doc_id",
+            F.when(hi <= lo, F.lit(0.0))
+            .otherwise((F.col(score_col) - lo) / (hi - lo))
+            .alias("norm_score"),
+        )
     bounds = scored.groupBy("query_id").agg(
         F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi")
     )
@@ -249,6 +266,7 @@ def hybrid_scores(
     cfg: EngineConfig = DEFAULT,
     keyword: DataFrame | None = None,
     vector: DataFrame | None = None,
+    minmax_via: str = "agg",
 ) -> DataFrame:
     """(query_id, doc_id, score) — min-max-normalized blend
     0.60*keyword + 0.40*vector (retrievers.py:147-188).
@@ -257,10 +275,18 @@ def hybrid_scores(
     k=len(docs), retrievers.py:165-166); with zero-restored inputs the
     full outer join + coalesce(0.0) reproduces the missing-doc -> 0.0
     rule (retrievers.py:183-184).  Pass precomputed ``keyword``/``vector``
-    score DFs to reuse work (the eval loop does).
+    score DFs to reuse work (the eval loop does); pass
+    ``minmax_via="window"`` when the arms are UNCACHED plans so each
+    arm executes once (see :func:`minmax_normalize`).
     """
-    key_n = minmax_normalize(keyword if keyword is not None else bm25_scores(queries, index, cfg=cfg))
-    vec_n = minmax_normalize(vector if vector is not None else vector_scores(queries, index, cfg=cfg))
+    key_n = minmax_normalize(
+        keyword if keyword is not None else bm25_scores(queries, index, cfg=cfg),
+        via=minmax_via,
+    )
+    vec_n = minmax_normalize(
+        vector if vector is not None else vector_scores(queries, index, cfg=cfg),
+        via=minmax_via,
+    )
     # Blend as union + re-aggregation rather than a full-outer join:
     # same semantics (a doc missing from one arm contributes 0.0 to the
     # sum, exactly the coalesce(.,0.0) of retrievers.py:183-184), but
@@ -279,6 +305,325 @@ def hybrid_scores(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("part").alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Compiled serving path: query batch folded into the plan as literals
+# ---------------------------------------------------------------------------
+#
+# The join-form scorers above are the INGEST/BULK shape: queries as a
+# DataFrame, scored by broadcast joins — right when the "query" side is
+# itself large (the eval workload, reranking jobs).  Interactive serving
+# is the opposite regime: a handful of queries against a big index.  For
+# that, the batch is COMPILED — the queries' term/gram weights are
+# resolved against the index once (a driver-side collect bounded by
+# |queries| x terms-per-query, the same contract as
+# streaming/percolate.compile_standing_queries) and folded into the plan
+# as literal maps.  Scoring is then:
+#
+#     postings.where(term IN (<query terms>))   -- scan-prunable filter
+#         -> explode(term -> [(query_id, idf)]) -> groupBy agg -> top-k
+#
+# Two scale wins over the broadcast-join form, beyond the fewer-stages
+# latency win measured at sf0.1 (bm25 0.67s -> ~0.3s):
+# - the IN-list pushes into the scan (parquet row-group stats / bucket
+#   pruning on a term-bucketed postings table), so a 100 TB index reads
+#   only the touched slivers — a broadcast join still scans everything;
+# - no broadcast exchange at all: zero build-side latency, no driver
+#   round-trip per join.
+#
+# Semantics are IDENTICAL to bm25_scores/vector_scores (same formulas,
+# same OOV drop, same matched-only vs zero-restored profiles) — pinned
+# by parity tests (tests/test_index_and_retrieval.py) and by the catalog
+# entries sharing one DuckDB oracle with the join form.
+
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CompiledQueryBatch:
+    """A query batch resolved against an index snapshot, ready to fold
+    into serving plans as literals.
+
+    ``term_weights``: term -> [(query_id, idf)] — BM25 arm.
+    ``gram_weights``: gram -> [(query_id, qw, idf)] — cosine arm (qw =
+    query-side sublinear TF-IDF weight; idf rides along to reconstruct
+    the doc weight at the matched gram, exactly like
+    :func:`query_gram_vec`).
+    ``q_norms``: query_id -> query-vector L2 norm (the ``or 1.0`` guard
+    applied).  ``avg_dl``: the snapshot's average doc length.
+    """
+
+    term_weights: dict = field(default_factory=dict)
+    gram_weights: dict = field(default_factory=dict)
+    q_norms: dict = field(default_factory=dict)
+    avg_dl: float = 1.0
+
+
+def compile_query_batch(
+    queries,
+    index: CorpusIndex,
+    *,
+    cfg: EngineConfig = DEFAULT,
+) -> CompiledQueryBatch:
+    """Resolve a (small) query batch against the index.
+
+    ``queries``: a (query_id, query) DataFrame or a plain list of
+    (query_id, query) tuples.  Tokenization/shingling run driver-side
+    through the SAME compiled regexes as the Arrow index kernels
+    (functions/kernels.py — parity-tested against the Spark
+    expressions), so the only cluster work is two isin-FILTERED
+    COLLECTS (term_stats / gram_stats lookups for the queries' own
+    terms), run concurrently: no join, no shuffle, and on a persisted
+    index the IN-list pushes into the stats scans."""
+    import concurrent.futures as cf
+    import math
+    from collections import Counter
+
+    from beyond_vector_search_spark.functions.kernels import _TOKEN_RE, _WS_RE
+
+    if isinstance(queries, DataFrame):
+        rows = [(r["query_id"], r["query"]) for r in queries.collect()]
+    else:
+        rows = list(queries)
+    rows.sort(key=lambda x: str(x[0]))
+
+    # per-query distinct terms (BM25 dedups duplicate query terms) and
+    # gram tf counts — reference text.py:8-17 / retrievers.py:33-44
+    q_toks: dict[str, list[str]] = {}
+    q_gram_tf: dict[str, Counter] = {}
+    n = cfg.ngram_n
+    for qid, q in rows:
+        q_toks[qid] = sorted({t.lower() for t in _TOKEN_RE.findall(q or "")})
+        s = _WS_RE.sub(" ", (q or "").lower()).strip()
+        if not s:
+            grams: list[str] = []
+        elif len(s) < n:
+            grams = [s]
+        else:
+            grams = [s[i : i + n] for i in range(len(s) - n + 1)]
+        q_gram_tf[qid] = Counter(grams)
+
+    all_terms = sorted({t for ts in q_toks.values() for t in ts})
+    all_grams = sorted({g for c in q_gram_tf.values() for g in c})
+
+    def _lookup(stats: DataFrame, key: str, keys: list[str]) -> dict[str, float]:
+        if not keys:
+            return {}
+        return {
+            r[key]: float(r["idf"])
+            for r in stats.where(F.col(key).isin(keys)).select(key, "idf").collect()
+        }
+
+    with cf.ThreadPoolExecutor(max_workers=2) as ex:
+        f_t = ex.submit(_lookup, index.term_stats, "term", all_terms)
+        f_g = ex.submit(_lookup, index.gram_stats, "gram", all_grams)
+        term_idf, gram_idf = f_t.result(), f_g.result()
+
+    term_weights: dict[str, list[tuple[str, float]]] = {}
+    for qid, _ in rows:
+        for t in q_toks[qid]:
+            if t in term_idf:  # OOV terms drop (the inner-join rule)
+                term_weights.setdefault(t, []).append((qid, term_idf[t]))
+
+    gram_weights: dict[str, list[tuple[str, float, float]]] = {}
+    q_norms: dict[str, float] = {}
+    for qid, _ in rows:
+        sq = 0.0
+        for g in sorted(q_gram_tf[qid]):
+            idf = gram_idf.get(g)
+            if idf is None:  # unknown grams drop (retrievers.py:87-95)
+                continue
+            qw = (1.0 + math.log(q_gram_tf[qid][g])) * idf
+            gram_weights.setdefault(g, []).append((qid, qw, idf))
+            sq += qw * qw
+        if sq > 0.0:
+            q_norms[qid] = math.sqrt(sq) or 1.0
+
+    _, avg_dl = index.scalar_values()
+    return CompiledQueryBatch(
+        term_weights=term_weights,
+        gram_weights=gram_weights,
+        q_norms=q_norms,
+        avg_dl=avg_dl if avg_dl != 0.0 else 1.0,
+    )
+
+
+def _json_map(mapping: dict, value_schema: str) -> Column:
+    """A literal map column built from ONE ``from_json`` expression.
+
+    Building literal maps with nested ``create_map``/``struct``/``lit``
+    calls costs hundreds of py4j round-trips per plan (one per
+    expression node) — measured at ~0.3 s for a 60-gram query batch.
+    A single JSON literal is one round-trip, and Catalyst constant-folds
+    ``from_json`` of a foldable input into a plain literal, so nothing
+    is parsed per row.  ``json.dumps`` emits shortest-round-trip floats
+    (repr), so doubles survive exactly."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(mapping)), f"map<string, {value_schema}>")
+
+
+def _empty_scores(index: CorpusIndex) -> DataFrame:
+    """Empty (query_id, doc_id, score) with the index's doc_id type
+    (bigint for the testdata tables, string for the reference corpus)."""
+    doc_t = dict(index.doc_ids.dtypes)["doc_id"]
+    return index.doc_ids.sparkSession.createDataFrame(
+        [], f"query_id string, doc_id {doc_t}, score double"
+    )
+
+
+def compiled_bm25_scores(
+    index: CorpusIndex,
+    compiled: CompiledQueryBatch,
+    *,
+    queries: DataFrame | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """(query_id, doc_id, score) — BM25 over a compiled query batch:
+    one scan-prunable IN filter on postings, one aggregation.  Same
+    math as :func:`bm25_scores`.  ``queries`` is only needed for the
+    zero-restore parity profile."""
+    terms = sorted(compiled.term_weights)
+    if not terms:
+        scored = _empty_scores(index)
+    else:
+        qmap = _json_map(
+            {
+                t: [{"query_id": qid, "idf": idf} for qid, idf in compiled.term_weights[t]]
+                for t in terms
+            },
+            "array<struct<query_id:string, idf:double>>",
+        )
+        k1, b = cfg.bm25_k1, cfg.bm25_b
+        avg_dl = F.lit(compiled.avg_dl)
+        pairs = index.postings.where(F.col("term").isin(terms)).select(
+            "doc_id", "tf", "dl", F.explode(F.element_at(qmap, F.col("term"))).alias("q")
+        )
+        contrib = (
+            F.col("q.idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / avg_dl)))
+        )
+        scored = (
+            pairs.select(F.col("q.query_id").alias("query_id"), "doc_id", contrib.alias("contrib"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+    if cfg.include_zero_score_docs:
+        if queries is None:
+            raise ValueError("zero-restore profile needs the queries DataFrame")
+        scored = _restore_zero_docs(scored, queries, index.doc_ids)
+    return scored
+
+
+def compiled_vector_scores(
+    index: CorpusIndex,
+    compiled: CompiledQueryBatch,
+    *,
+    queries: DataFrame | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """(query_id, doc_id, score) — char-gram TF-IDF cosine over a
+    compiled query batch.  Same math as :func:`vector_scores`; the
+    doc-side weight is reconstructed at the matched gram from the
+    literal idf (gram_tf path) or read off doc_vec (persisted path,
+    norm already denormalized — no doc_norm join at all)."""
+    grams = sorted(compiled.gram_weights)
+    if not grams:
+        scored = _empty_scores(index)
+    else:
+        gmap = _json_map(
+            {
+                g: [
+                    {"query_id": qid, "qw": qw, "idf": idf}
+                    for qid, qw, idf in compiled.gram_weights[g]
+                ]
+                for g in grams
+            },
+            "array<struct<query_id:string, qw:double, idf:double>>",
+        )
+        nmap = _json_map(dict(sorted(compiled.q_norms.items())), "double")
+        gram_tf = getattr(index, "gram_tf", None)
+        if gram_tf is not None:
+            contrib = F.col("q.qw") * ((1.0 + F.log("tf")) * F.col("q.idf"))
+            if "norm" in gram_tf.columns:
+                # serving profile: the doc L2 norm is denormalized onto
+                # the gram_tf cache (same pattern as doc_vec) — the
+                # whole arm is filter -> explode -> one aggregation,
+                # no join, no broadcast build.
+                pairs = gram_tf.where(F.col("gram").isin(grams)).select(
+                    "doc_id",
+                    "tf",
+                    "norm",
+                    F.explode(F.element_at(gmap, F.col("gram"))).alias("q"),
+                )
+                scored = (
+                    pairs.select(
+                        F.col("q.query_id").alias("query_id"),
+                        "doc_id",
+                        contrib.alias("contrib"),
+                        "norm",
+                    )
+                    .groupBy("query_id", "doc_id")
+                    .agg(F.sum("contrib").alias("dot"), F.first("norm").alias("norm"))
+                    .select(
+                        "query_id",
+                        "doc_id",
+                        (
+                            F.col("dot")
+                            / (F.element_at(nmap, F.col("query_id")) * F.col("norm"))
+                        ).alias("score"),
+                    )
+                )
+            else:
+                pairs = gram_tf.where(F.col("gram").isin(grams)).select(
+                    "doc_id", "tf", F.explode(F.element_at(gmap, F.col("gram"))).alias("q")
+                )
+                dots = (
+                    pairs.select(
+                        F.col("q.query_id").alias("query_id"), "doc_id", contrib.alias("contrib")
+                    )
+                    .groupBy("query_id", "doc_id")
+                    .agg(F.sum("contrib").alias("dot"))
+                )
+                scored = dots.join(index.doc_norm, "doc_id").select(
+                    "query_id",
+                    "doc_id",
+                    (F.col("dot") / (F.element_at(nmap, F.col("query_id")) * F.col("norm"))).alias(
+                        "score"
+                    ),
+                )
+        else:
+            pairs = index.doc_vec.where(F.col("gram").isin(grams)).select(
+                "doc_id",
+                "norm",
+                "weight",
+                F.explode(F.element_at(gmap, F.col("gram"))).alias("q"),
+            )
+            scored = (
+                pairs.select(
+                    F.col("q.query_id").alias("query_id"),
+                    "doc_id",
+                    (F.col("q.qw") * F.col("weight")).alias("contrib"),
+                    "norm",
+                )
+                .groupBy("query_id", "doc_id")
+                .agg(F.sum("contrib").alias("dot"), F.first("norm").alias("norm"))
+                .select(
+                    "query_id",
+                    "doc_id",
+                    (
+                        F.col("dot") / (F.element_at(nmap, F.col("query_id")) * F.col("norm"))
+                    ).alias("score"),
+                )
+            )
+    if cfg.include_zero_score_docs:
+        if queries is None:
+            raise ValueError("zero-restore profile needs the queries DataFrame")
+        scored = _restore_zero_docs(scored, queries, index.doc_ids)
+    return scored
 
 
 def search_all(

@@ -255,6 +255,86 @@ def _knn_kernel_topk(
     )
 
 
+def _centroid_topk_assign_kernel(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    probe: int,
+    out_id: str = "bvec_id",
+) -> DataFrame:
+    """(out_id, centroid_id) — each vector's ``probe`` nearest centroids
+    (rounded-cosine desc, centroid_id asc), as ONE Arrow matrix kernel.
+
+    The expression form (crossJoin(broadcast(centroids)) → row_number
+    window) materializes n x K cosine ROWS before the window cut — at
+    the IVF sizing K ~ sqrt(n) that is an n^1.5-row intermediate plus a
+    full shuffle on vec id.  Here the centroid matrix rides into the
+    ``mapInPandas`` closure (K x dim doubles — bounded, an eager
+    bounded collect at call time), each partition computes its cosine
+    block as one BLAS matmul, and only the n x probe assignment rows
+    ever exist.  No shuffle at all: assignment is embarrassingly
+    per-row.
+
+    Ordering parity with the expression form: cosines are rounded
+    half-AWAY-FROM-ZERO to 6 decimals (numpy's np.round is half-even;
+    Spark's F.round is HALF_UP) and ties break toward the smaller
+    centroid_id via a stable sort over the id-ascending centroid
+    matrix.
+
+    ``centroids``: (centroid_id, cv array<double>) — any extra columns
+    ignored.
+    """
+    import numpy as np
+
+    from collections.abc import Iterator
+
+    crows = sorted(
+        centroids.select("centroid_id", "cv").collect(), key=lambda r: r["centroid_id"]
+    )
+    cent_ids = [r["centroid_id"] for r in crows]
+    C, dim = _stack_rows([r["cv"] for r in crows])
+    cn = np.sqrt((C * C).sum(axis=1))
+    take = min(probe, len(cent_ids))
+
+    src = _fan_out(
+        embeddings.select(
+            F.col(id_col).alias(out_id), as_double_array(F.col(vec_col)).alias("_v")
+        )
+    )
+    idt = src.schema[out_id].dataType.simpleString()
+    cidt = centroids.schema["centroid_id"].dataType.simpleString()
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cid_arr = np.asarray(cent_ids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E, _ = _stack_rows(pdf["_v"].to_numpy(), dim=dim)
+            en = np.sqrt((E * E).sum(axis=1))
+            denom = en[:, None] * cn[None, :]
+            cos = np.where(denom == 0.0, 0.0, (E @ C.T) / np.where(denom == 0.0, 1.0, denom))
+            # half-away-from-zero at 6 decimals — F.round's rule, not
+            # numpy's half-even
+            scaled = cos * 1e6
+            cr = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / 1e6
+            # stable argsort over the id-ascending axis: ties keep the
+            # smaller centroid_id first
+            order = np.argsort(-cr, axis=1, kind="stable")[:, :take]
+            ids = pdf[out_id].to_numpy()
+            yield pd.DataFrame(
+                {
+                    out_id: pd.Series(np.repeat(ids, take), dtype=pdf[out_id].dtype),
+                    "centroid_id": pd.Series(cid_arr[order].ravel()),
+                }
+            )
+
+    return src.mapInPandas(kernel, f"{out_id} {idt}, centroid_id {cidt}")
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -501,17 +581,13 @@ def embedding_neardup_pairs(
                 l2_norm(av).alias("cn"),
             )
         )
-        e = embeddings.select(
-            F.col(id_col).alias("bvec_id"), av.alias("qv"), l2_norm(av).alias("qn")
-        )
-        scored = _with_cos_arrow(e.crossJoin(F.broadcast(cents)))
-        w = Window.partitionBy("bvec_id").orderBy(
-            F.desc(F.round(F.col("cos"), 6)), F.asc("centroid_id")
-        )
-        buckets = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= probe)
-            .select("bvec_id", "centroid_id")
+        # top-probe assignment via the Arrow matrix kernel: emits the
+        # n x probe (bvec_id, centroid_id) rows DIRECTLY — the old
+        # crossJoin(broadcast(cents)) -> row_number form materialized
+        # n x K cosine rows (an n^1.5-row intermediate at K ~ sqrt(n))
+        # plus a full shuffle before cutting to probe
+        buckets = _centroid_topk_assign_kernel(
+            embeddings, cents, id_col=id_col, vec_col=vec_col, probe=probe
         )
         if max_bucket_size is not None:
             wb = Window.partitionBy("centroid_id")
@@ -1250,8 +1326,13 @@ class PQIndex:
         self.codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
         self.codes.write.mode("overwrite").parquet(f"{path}/codes")
         spark = self.codes.sparkSession
+        # has_rotation is recorded IN the meta so load() never probes
+        # the filesystem: an os.path check is local-FS-only, and on
+        # HDFS/S3 a silently-missed rotation would scan UNROTATED
+        # queries against rotated codes — wrong neighbors, no error.
         spark.createDataFrame(
-            [(self.m, self.dim)], "m INT, dim INT"
+            [(self.m, self.dim, self.rotation is not None)],
+            "m INT, dim INT, has_rotation BOOLEAN",
         ).write.mode("overwrite").parquet(f"{path}/meta")
         if self.rotation is not None:
             spark.createDataFrame(
@@ -1263,10 +1344,22 @@ class PQIndex:
     def load(cls, spark, path: str) -> "PQIndex":
         import os
 
-        meta = spark.read.parquet(f"{path}/meta").first()
+        meta_df = spark.read.parquet(f"{path}/meta")
+        meta = meta_df.first()
+        if "has_rotation" in meta_df.columns:
+            has_rotation = bool(meta["has_rotation"])
+        else:
+            # legacy store (pre-flag): fall back to the local-FS probe
+            has_rotation = os.path.isdir(f"{path}/rotation")
         rotation = None
-        if os.path.isdir(f"{path}/rotation"):
+        if has_rotation:
+            # fail loudly if the recorded rotation is unreadable — a
+            # None fallback here would serve wrong neighbors silently
             rows = spark.read.parquet(f"{path}/rotation").collect()
+            if not rows:
+                raise ValueError(
+                    f"{path}/meta records an OPQ rotation but {path}/rotation is empty"
+                )
             rotation = [list(r["row"]) for r in sorted(rows, key=lambda r: r["i"])]
         return cls(
             spark.read.parquet(f"{path}/codebooks"),
@@ -1574,7 +1667,15 @@ def pq_refine_codebooks(
     sample = embeddings
     if frac < 1.0:
         sample = deterministic_sample(embeddings, key_col=id_col, fraction=frac, seed=seed)
-    rows = sample.select(as_double_array(F.col(vec_col)).alias("_v")).collect()
+    # sort the sample by id BEFORE stacking: collect() order follows
+    # partition layout, and the numpy fit below is row-order sensitive
+    # (head-rows init / float-sum means) — unsorted, the learned (and
+    # persisted) artifacts would differ across repartitionings despite
+    # the seed
+    rows = sample.select(
+        F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v")
+    ).collect()
+    rows.sort(key=lambda r: r["_id"])
     X, _ = _stack_rows([r["_v"] for r in rows], dim=dim)
     init = _collect_codebooks(
         pq_codebooks(embeddings, id_col=id_col, vec_col=vec_col, m=m, dim=dim, n_codes=n_codes)
@@ -1649,7 +1750,15 @@ def opq_train(
     sample = embeddings
     if frac < 1.0:
         sample = deterministic_sample(embeddings, key_col=id_col, fraction=frac, seed=seed)
-    rows = sample.select(as_double_array(F.col(vec_col)).alias("_v")).collect()
+    # sort the sample by id BEFORE stacking: collect() order follows
+    # partition layout, and the numpy fit below is row-order sensitive
+    # (head-rows init / float-sum means) — unsorted, the learned (and
+    # persisted) artifacts would differ across repartitionings despite
+    # the seed
+    rows = sample.select(
+        F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v")
+    ).collect()
+    rows.sort(key=lambda r: r["_id"])
     X, _ = _stack_rows([r["_v"] for r in rows], dim=dim)
 
     rng = np.random.default_rng(seed)

@@ -177,23 +177,24 @@ def _scores(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
     _SCORES_CACHE = session_memo(spark)
     key = ("scores", sf_dir, strategy)
     if key not in _SCORES_CACHE:
-        # Both strategies' score relations are always consumed by the
-        # suite (their own top-k + the hybrid blend), so build BOTH on
-        # first request and materialize the two caches as concurrent
-        # jobs — the scheduler interleaves their tiny stages, so the
-        # pair costs ~max, not sum (same trick as
-        # CorpusIndex.materialize's dependency waves).
-        import concurrent.futures as cf
-
+        # Serving shape: the 3-query workload is COMPILED against the
+        # index (retrieval.compile_query_batch — driver-side
+        # tokenization + two concurrent isin-filtered stats collects,
+        # memoized per session/sf) and scored via IN-filtered scans of
+        # postings/gram_tf, the scan-prunable low-latency path.  The
+        # score relations are deliberately UNCACHED: at 14k matched
+        # rows the Spark cache-fill overhead (~0.6 s measured) dwarfs
+        # the ~0.3 s recompute, so consumers that touch an arm twice
+        # (hybrid's blend) use the window-form min-max instead (one
+        # pass per arm, see retrieval.minmax_normalize window mode).
         idx = _docs_index(spark, sf_dir)
-        qdf = _queries_df(spark)
-        pair = {
-            ("scores", sf_dir, "keyword"): rt.bm25_scores(qdf, idx, cfg=_CFG).cache(),
-            ("scores", sf_dir, "vector"): rt.vector_scores(qdf, idx, cfg=_CFG).cache(),
-        }
-        with cf.ThreadPoolExecutor(max_workers=2) as ex:
-            list(ex.map(lambda df: df.count(), pair.values()))
-        _SCORES_CACHE.update(pair)
+        compiled = rt.compile_query_batch(QUERY_SET, idx, cfg=_CFG)
+        _SCORES_CACHE[("scores", sf_dir, "keyword")] = rt.compiled_bm25_scores(
+            idx, compiled, cfg=_CFG
+        )
+        _SCORES_CACHE[("scores", sf_dir, "vector")] = rt.compiled_vector_scores(
+            idx, compiled, cfg=_CFG
+        )
     return _SCORES_CACHE[key]
 
 
@@ -388,6 +389,7 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cfg=_CFG,
         keyword=_scores(spark, sf_dir, "keyword"),
         vector=_scores(spark, sf_dir, "vector"),
+        minmax_via="window",  # arms are uncached compiled plans
     )
     return _ranked(scored)
 

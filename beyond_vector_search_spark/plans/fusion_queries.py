@@ -60,10 +60,13 @@ _RRF_CTE = (
 )
 
 
-@register(
-    "rrf_topk",
-    f"WITH {_BOTH_ARMS_STACK}, {_RRF_CTE} {_rank_sql('rrf')}",
-)
+# Registered at the catalog TAIL (coverage_queries.register_all):
+# RRF restates hybrid_topk's union + single-hash-agg shape, so it
+# yields its driver-window slot to distinctive operators
+# (semantic_dedup, data_quality).
+RRF_TOPK_SQL = f"WITH {_BOTH_ARMS_STACK}, {_RRF_CTE} {_rank_sql('rrf')}"
+
+
 def q_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal Rank Fusion of the BM25 and cosine arms (Cormack et
     al. 2009): rank-only fusion, no score normalization — the robust
@@ -111,12 +114,15 @@ _PRF_CTE = (
 )
 
 
-@register(
-    "prf_topk",
+# Catalog tail, same rationale as RRF_TOPK_SQL (PRF reuses the
+# broadcast BM25 shape already pinned by bm25_topk).
+PRF_TOPK_SQL = (
     f"WITH {_QUERIES_CTE}, {_TOKS_CTE}, {_SCALARS_CTE}, {_EXPLODED_CTE}, "
     f"{_TERM_STATS_CTE}, {_POSTINGS_CTE}, {_BM25_SCORED_CTE}, {_PRF_CTE} "
-    f"{_rank_sql('pscored')}",
+    f"{_rank_sql('pscored')}"
 )
+
+
 def q_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance-feedback BM25 (Rocchio/RM3 family): mine the
     top-5 first-pass docs for the 10 highest-weight expansion terms,

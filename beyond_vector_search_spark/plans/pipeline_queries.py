@@ -435,10 +435,63 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CROSS JOIN pos p GROUP BY s.query_id, s.neighbor_id), "
     "exr AS (SELECT query_id, neighbor_id, dist, "
     "CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(dist, 6) ASC, neighbor_id ASC) AS INTEGER) AS rank "
-    "FROM exact) "
+    "FROM exact), "
+    # --- method='ivfpq_residual': the full FAISS-IVFADC composition ---
+    # vectors coded as offsets from their assigned centroid; queries
+    # probe top-2 centroids and score bucket members with a
+    # per-probed-centroid LUT built from the QUERY residual.  Centroids
+    # are the 8 lowest-id vectors (the ivf_topk_probe convention);
+    # residual codebooks are the head-sample rule applied to RESIDUALS.
+    "cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8), "
+    "rass0 AS (SELECT e.vec_id, c.centroid_id, "
+    "CASE WHEN sqrt(list_sum(list_transform(e.v, x -> x * x))) * "
+    "sqrt(list_sum(list_transform(c.cv, x -> x * x))) = 0 THEN 0.0 "
+    "ELSE list_dot_product(e.v, c.cv) / (sqrt(list_sum(list_transform(e.v, x -> x * x))) * "
+    "sqrt(list_sum(list_transform(c.cv, x -> x * x)))) END AS cos "
+    "FROM e CROSS JOIN cents c), "
+    "rass AS (SELECT vec_id, centroid_id FROM ("
+    "SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id "
+    "ORDER BY round(cos, 6) DESC, centroid_id ASC) AS rn FROM rass0) WHERE rn = 1), "
+    "resid AS MATERIALIZED (SELECT a.vec_id, a.centroid_id, "
+    "list_transform(range(1, 65), i -> e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS rv "
+    "FROM rass a JOIN e ON e.vec_id = a.vec_id JOIN cents c USING (centroid_id)), "
+    "rheads AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code_id, rv AS hv "
+    "FROM (SELECT * FROM resid ORDER BY vec_id LIMIT 16)), "
+    "renc0 AS (SELECT r.vec_id, r.centroid_id, s.sub, h.code_id, "
+    "round(sum((r.rv[s.i] - h.hv[s.i]) * (r.rv[s.i] - h.hv[s.i])), 6) AS d2 "
+    "FROM resid r CROSS JOIN subpos s CROSS JOIN rheads h GROUP BY r.vec_id, r.centroid_id, s.sub, h.code_id), "
+    "renc AS MATERIALIZED (SELECT vec_id, centroid_id, sub, code_id FROM ("
+    "SELECT vec_id, centroid_id, sub, code_id, "
+    "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code_id ASC) AS rn "
+    "FROM renc0) WHERE rn = 1), "
+    "rprobe0 AS (SELECT qq.query_id, c.centroid_id, "
+    "CASE WHEN sqrt(list_sum(list_transform(qq.v, x -> x * x))) * "
+    "sqrt(list_sum(list_transform(c.cv, x -> x * x))) = 0 THEN 0.0 "
+    "ELSE list_dot_product(qq.v, c.cv) / (sqrt(list_sum(list_transform(qq.v, x -> x * x))) * "
+    "sqrt(list_sum(list_transform(c.cv, x -> x * x)))) END AS cos "
+    "FROM q qq CROSS JOIN cents c), "
+    "rprobe AS (SELECT query_id, centroid_id FROM ("
+    "SELECT query_id, centroid_id, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY round(cos, 6) DESC, centroid_id ASC) AS rn FROM rprobe0) WHERE rn <= 2), "
+    "qres AS (SELECT p.query_id, p.centroid_id, "
+    "list_transform(range(1, 65), i -> qq.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS rv "
+    "FROM rprobe p JOIN q qq USING (query_id) JOIN cents c USING (centroid_id)), "
+    "rlut AS MATERIALIZED (SELECT qr.query_id, qr.centroid_id, s.sub, h.code_id, "
+    "round(sum((qr.rv[s.i] - h.hv[s.i]) * (qr.rv[s.i] - h.hv[s.i])), 6) AS d2 "
+    "FROM qres qr CROSS JOIN subpos s CROSS JOIN rheads h "
+    "GROUP BY qr.query_id, qr.centroid_id, s.sub, h.code_id), "
+    "radc AS (SELECT l.query_id, en.vec_id AS neighbor_id, round(sum(l.d2), 6) AS dist "
+    "FROM renc en JOIN rlut l ON l.centroid_id = en.centroid_id "
+    "AND l.sub = en.sub AND l.code_id = en.code_id "
+    "WHERE en.vec_id <> l.query_id GROUP BY l.query_id, en.vec_id), "
+    "radcr AS (SELECT query_id, neighbor_id, dist, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(dist, 6) ASC, neighbor_id ASC) AS INTEGER) AS rank "
+    "FROM radc) "
     "SELECT 'adc' AS method, query_id, neighbor_id, dist, rank FROM adcr WHERE rank <= 5 "
     "UNION ALL "
-    "SELECT 'adc_rerank', query_id, neighbor_id, dist, rank FROM exr WHERE rank <= 5",
+    "SELECT 'adc_rerank', query_id, neighbor_id, dist, rank FROM exr WHERE rank <= 5 "
+    "UNION ALL "
+    "SELECT 'ivfpq_residual', query_id, neighbor_id, dist, rank FROM radcr WHERE rank <= 5",
 )
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -447,8 +500,16 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = sim.pq_topk(emb, queries, m=8, dim=64, n_codes=16, k=5)
     rr = sim.pq_topk(emb, queries, m=8, dim=64, n_codes=16, k=5, rerank=50)
-    return adc.select(F.lit("adc").alias("method"), "*").unionByName(
-        rr.select(F.lit("adc_rerank").alias("method"), "*")
+    centroids = emb.where("vec_id < 8").select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    rez = sim.ivfpq_residual_topk(
+        emb, queries, centroids, m=8, dim=64, n_codes=16, k=5, nprobe=2
+    )
+    return (
+        adc.select(F.lit("adc").alias("method"), "*")
+        .unionByName(rr.select(F.lit("adc_rerank").alias("method"), "*"))
+        .unionByName(rez.select(F.lit("ivfpq_residual").alias("method"), "*"))
     )
 
 

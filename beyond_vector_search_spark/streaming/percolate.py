@@ -141,8 +141,15 @@ def percolate_doc_stream(
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, query_id, score[, extra_cols...]) — matches of the
-    standing queries against each arriving document, score strictly
-    above ``threshold``.
+    standing queries against each arriving document: the document must
+    share at least one term with the query (matched-only, the
+    bm25_scores profile) AND score at or above ``threshold``.
+
+    The ``>=`` rule is shared with :func:`percolate_embedding_stream`
+    (one matching rule for both percolators); at the default
+    ``threshold=0.0`` the matched-terms condition alone decides, which
+    is exactly batch matched-only BM25 (matched docs always score > 0:
+    tf > 0 and the smoothed idf is strictly positive).
 
     Works identically on a batch DataFrame (the parity tests run both):
     the plan is a stateless projection either way.
@@ -159,12 +166,20 @@ def percolate_doc_stream(
     arms = []
     for query_id, weights in sorted(standing.terms.items()):
         score = F.lit(0.0)
+        matched = F.lit(False)
         for term, idf in weights:
             tf = term_tf(term)
             score = score + F.when(
                 tf > 0, F.lit(idf) * (tf * (k1 + 1.0)) / (tf + norm)
             ).otherwise(F.lit(0.0))
-        arms.append(F.struct(F.lit(query_id).alias("query_id"), score.alias("score")))
+            matched = matched | (tf > 0)
+        arms.append(
+            F.struct(
+                F.lit(query_id).alias("query_id"),
+                score.alias("score"),
+                matched.alias("matched"),
+            )
+        )
     if not arms:
         raise ValueError("no standing queries compiled")
     return (
@@ -173,6 +188,6 @@ def percolate_doc_stream(
             *extra_cols,
             F.explode(F.array(*arms)).alias("m"),
         )
+        .where(F.col("m.matched") & (F.col("m.score") >= threshold))
         .select("doc_id", *extra_cols, F.col("m.query_id"), F.col("m.score"))
-        .where(F.col("score") > threshold)
     )

@@ -55,6 +55,11 @@ def test_rrf_scores_exact(spark):
     assert max(out, key=out.get) == 2
 
 
+def test_rrf_empty_arms_raises(spark):
+    with pytest.raises(ValueError, match="no arms"):
+        fu.rrf_scores({})
+
+
 def test_rrf_per_arm_truncation(spark):
     k = spark.createDataFrame(
         [("q", i, 10.0 - i) for i in range(1, 6)],
@@ -145,6 +150,33 @@ def test_mmr_lam_one_is_relevance_order(spark, tiny_index):
     out = fu.mmr_rerank(cand, idx, k=3, lam=1.0)
     picked = [r["doc_id"] for r in out.orderBy("mmr_rank").collect()]
     assert picked == [1, 4, 2]
+
+
+def test_mmr_rerank_releases_candidate_cache(spark, tiny_index):
+    """The per-call candidate cache is scoped to the returned DataFrame:
+    repeated mmr_rerank calls in a long-lived session must not
+    accumulate cached relations (weakref-finalizer release)."""
+    import gc
+
+    docs, idx = tiny_index
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_persistent() -> int:
+        return jsc.getPersistentRDDs().size()
+
+    cand = spark.createDataFrame(
+        [("q", 1, 0.95), ("q", 4, 0.94), ("q", 2, 0.90)],
+        "query_id string, doc_id long, score double",
+    )
+    gc.collect()
+    base = n_persistent()
+    for _ in range(4):
+        out = fu.mmr_rerank(cand, idx, k=2, lam=0.7)
+        assert out.count() > 0
+        del out
+        gc.collect()
+    # every dropped result released its candidate cache
+    assert n_persistent() == base
 
 
 def test_candidate_pair_sims_duplicate_is_one(spark, tiny_index):

@@ -1299,6 +1299,60 @@ def test_pqindex_opq_roundtrip(spark, tmp_path):
     assert np_live == live
 
 
+def test_pqindex_meta_records_rotation_flag(spark, tmp_path):
+    """load() trusts the has_rotation flag in the meta parquet, not a
+    local-FS directory probe (HDFS/S3-safe), and fails LOUDLY when the
+    recorded rotation is unreadable instead of silently serving
+    unrotated queries against rotated codes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from beyond_vector_search_spark.operators.similarity import PQIndex
+
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((80, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(80)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    # no OPQ: meta records has_rotation = false
+    plain = PQIndex.build(emb, m=4, dim=16, n_codes=8)
+    p1 = str(tmp_path / "plain")
+    plain.save(p1)
+    meta = spark.read.parquet(f"{p1}/meta").first()
+    assert meta["has_rotation"] is False
+    assert PQIndex.load(spark, p1).rotation is None
+
+    # OPQ: flag true; blanking the rotation store must raise, not
+    # silently load rotation=None
+    opq = PQIndex.build(emb, m=4, dim=16, n_codes=8, opq=True)
+    p2 = str(tmp_path / "opq")
+    opq.save(p2)
+    assert spark.read.parquet(f"{p2}/meta").first()["has_rotation"] is True
+    spark.createDataFrame([], "i INT, row ARRAY<DOUBLE>").write.mode(
+        "overwrite"
+    ).parquet(f"{p2}/rotation")
+    with _pytest.raises(ValueError, match="rotation"):
+        PQIndex.load(spark, p2)
+
+
+def test_opq_train_reproducible_across_partitionings(spark):
+    """The persisted rotation must retrain identically regardless of
+    partition layout: the numpy fit sorts its collected sample by id."""
+    import numpy as np
+
+    from beyond_vector_search_spark.operators.similarity import opq_train
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((120, 16))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(120)]
+    emb1 = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    emb2 = emb1.repartition(7)
+    r1, _ = opq_train(emb1, m=4, dim=16, n_codes=8, iters=2, lloyd_iters=2)
+    r2, _ = opq_train(emb2, m=4, dim=16, n_codes=8, iters=2, lloyd_iters=2)
+    assert np.allclose(np.asarray(r1), np.asarray(r2), atol=0.0)
+
+
 def test_ivfpq_residual_beats_wholevector_quantization(spark):
     """Residual IVF-PQ on clustered data: the within-bucket residual
     spread is what the codes must cover, so the planted nearest
