@@ -263,9 +263,12 @@ def _centroid_topk_assign_kernel(
     vec_col: str,
     probe: int,
     out_id: str = "bvec_id",
+    with_cos: bool = False,
 ) -> DataFrame:
-    """(out_id, centroid_id) — each vector's ``probe`` nearest centroids
-    (rounded-cosine desc, centroid_id asc), as ONE Arrow matrix kernel.
+    """(out_id, centroid_id[, cos]) — each vector's ``probe`` nearest
+    centroids (rounded-cosine desc, centroid_id asc), as ONE Arrow
+    matrix kernel.  ``with_cos=True`` adds the rounded cosine column
+    (the :func:`assign_centroids` contract).
 
     The expression form (crossJoin(broadcast(centroids)) → row_number
     window) materializes n x K cosine ROWS before the window cut — at
@@ -325,14 +328,20 @@ def _centroid_topk_assign_kernel(
             # smaller centroid_id first
             order = np.argsort(-cr, axis=1, kind="stable")[:, :take]
             ids = pdf[out_id].to_numpy()
-            yield pd.DataFrame(
-                {
-                    out_id: pd.Series(np.repeat(ids, take), dtype=pdf[out_id].dtype),
-                    "centroid_id": pd.Series(cid_arr[order].ravel()),
-                }
-            )
+            out = {
+                out_id: pd.Series(np.repeat(ids, take), dtype=pdf[out_id].dtype),
+                "centroid_id": pd.Series(cid_arr[order].ravel()),
+            }
+            if with_cos:
+                out["cos"] = pd.Series(
+                    np.take_along_axis(cr, order, axis=1).ravel(), dtype="float64"
+                )
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(kernel, f"{out_id} {idt}, centroid_id {cidt}")
+    schema = f"{out_id} {idt}, centroid_id {cidt}"
+    if with_cos:
+        schema += ", cos double"
+    return src.mapInPandas(kernel, schema)
 
 
 def knn_bruteforce(
@@ -528,7 +537,11 @@ def embedding_neardup_pairs(
     always pair (each probes its twin first), but merely-near recall
     tightens to mutual-nearest-probe; pass ``n_centroids`` explicitly
     on such lineage.  Only lineage with no file source at all (pure
-    in-memory frames) falls back to an eager ``count()`` job.  A
+    in-memory frames) falls back to an eager ``count()`` job.  Since
+    round 6, construction ALSO runs one bounded eager job — the K-row
+    centroid collect loading the coarse quantizer into the Arrow
+    assignment kernel (the FAISS "load the quantizer" step; never a
+    corpus scan).  A
     FIXED centroid count does not scale — with K constant, buckets hold
     n/K vectors and the within-bucket join is still O(n^2/K).  Total
     work is assignment O(n*K) + bucket joins O(probe^2*n^2/K), which
@@ -562,12 +575,14 @@ def embedding_neardup_pairs(
         if n_centroids is None:
             import math
 
-            # Sizing must not launch a job during what looks like lazy
-            # plan construction: estimate n from parquet footers on the
-            # driver (any file-backed lineage, filters included — the
-            # base-table upper bound only makes K larger, i.e. buckets
-            # smaller).  Only a plan with no file source at all (pure
-            # in-memory lineage) falls back to an eager count().
+            # Sizing must not launch a corpus-count job: estimate n
+            # from parquet footers on the driver (any file-backed
+            # lineage, filters included — the base-table upper bound
+            # only makes K larger, i.e. buckets smaller).  Only a plan
+            # with no file source at all (pure in-memory lineage)
+            # falls back to an eager count().  (The kernel's bounded
+            # K-row centroid collect below is a separate, deliberate
+            # eager step.)
             n = _estimate_rows(embeddings)
             if n is None:
                 n = embeddings.count()
@@ -624,14 +639,26 @@ def assign_centroids(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: bool = True,
 ) -> DataFrame:
     """(vec_id, centroid_id, cos) — nearest-centroid assignment (IVF
     coarse quantizer).  ``centroids``: (centroid_id, embedding).
 
-    argmax over centroids via max_by on a (rounded cos, -centroid_id)
-    struct — deterministic tie-break toward the smaller centroid id.
-    At scale: centroids broadcast; one map-side pass over the corpus.
+    ``kernel=True`` (default) runs the Arrow matrix kernel
+    (:func:`_centroid_topk_assign_kernel`): the centroid matrix rides
+    into the closure, each partition argmaxes its block with one BLAS
+    matmul, and only the n assignment rows ever exist — no n x K
+    intermediate, no shuffle.  ``kernel=False`` keeps the expression
+    form (crossJoin(broadcast) → row_number window); both share the
+    same rounded-cos/centroid-id ordering, pinned identical by test.
     """
+    if kernel:
+        ccv = as_double_array(F.col("embedding"))
+        cents = centroids.select("centroid_id", ccv.alias("cv"))
+        return _centroid_topk_assign_kernel(
+            embeddings, cents, id_col=id_col, vec_col=vec_col, probe=1,
+            out_id="vec_id", with_cos=True,
+        )
     ev = as_double_array(F.col(vec_col))
     e = embeddings.select(F.col(id_col).alias("vec_id"), ev.alias("qv"), l2_norm(ev).alias("qn"))
     ccv = as_double_array(F.col("embedding"))

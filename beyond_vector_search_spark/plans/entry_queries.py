@@ -182,19 +182,22 @@ def _scores(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
         # tokenization + two concurrent isin-filtered stats collects,
         # memoized per session/sf) and scored via IN-filtered scans of
         # postings/gram_tf, the scan-prunable low-latency path.  The
-        # score relations are deliberately UNCACHED: at 14k matched
-        # rows the Spark cache-fill overhead (~0.6 s measured) dwarfs
-        # the ~0.3 s recompute, so consumers that touch an arm twice
-        # (hybrid's blend) use the window-form min-max instead (one
-        # pass per arm, see retrieval.minmax_normalize window mode).
+        # arm caches are LAZY (no materialization jobs here): each
+        # fills as a side effect of its first consumer's action, so
+        # bm25_topk pays the keyword arm, vector_topk the vector arm,
+        # and every later consumer (the hybrid blend, rrf/prf/mmr,
+        # ranking metrics) reads the filled caches.  Measured at
+        # sf0.1: lazy-cache beats both eager double-count (the extra
+        # actions cost more than the fill) and no-cache (hybrid would
+        # recompute both arms).
         idx = _docs_index(spark, sf_dir)
         compiled = rt.compile_query_batch(QUERY_SET, idx, cfg=_CFG)
         _SCORES_CACHE[("scores", sf_dir, "keyword")] = rt.compiled_bm25_scores(
             idx, compiled, cfg=_CFG
-        )
+        ).cache()
         _SCORES_CACHE[("scores", sf_dir, "vector")] = rt.compiled_vector_scores(
             idx, compiled, cfg=_CFG
-        )
+        ).cache()
     return _SCORES_CACHE[key]
 
 

@@ -311,8 +311,13 @@ _BG_CTES = (
 def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jelinek-Mercer-interpolated corpus bigram LM perplexity per doc
     (operators/pretrain.bigram_logppl) — the 2-gram form of the CCNet
-    LM-quality filter."""
-    return pt.bigram_logppl(load_table(spark, sf_dir, "documents"), lam=_BIGRAM_LAM)
+    LM-quality filter.  ``cache=True`` persists the two per-doc tf
+    relations so the corpus text is tokenized exactly twice instead of
+    ~5x (Catalyst does not share subtrees across joins) — the 100 TB
+    form materializes the same relations to parquet."""
+    return pt.bigram_logppl(
+        load_table(spark, sf_dir, "documents"), lam=_BIGRAM_LAM, cache=True
+    )
 
 
 # ------------------------ document chunking (RAG) --------------------------
@@ -414,7 +419,9 @@ def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     raw = docs.where(F.col("doc_id") % 97 != 0)
     target = docs.where(F.col("doc_id") % 97 == 0)
-    return pt.dsir_logweights(raw, target, n_buckets=_DSIR_BUCKETS)
+    # cache=True: each side's hashed-bigram rows persist, so the raw
+    # corpus is scanned once (not ~3x) — the single-scan 100 TB form
+    return pt.dsir_logweights(raw, target, n_buckets=_DSIR_BUCKETS, cache=True)
 
 
 # ------------------- end-to-end corpus preparation -------------------------

@@ -57,7 +57,10 @@ if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
 PAIRS_SCHEMA = "doc_a BIGINT, doc_b BIGINT, band_id INT, band_key STRING, ts TIMESTAMP"
-_STATE_SCHEMA = "doc_ids ARRAY<BIGINT>, saturated BOOLEAN"
+# ts_ms parallels doc_ids (arrival event time per stored doc) — the
+# buffered mode stamps its at-eviction pairs from it; immediate mode
+# maintains it too so both modes share one state layout.
+_STATE_SCHEMA = "doc_ids ARRAY<BIGINT>, ts_ms ARRAY<BIGINT>, saturated BOOLEAN"
 
 
 def banded_signatures_stream(
@@ -118,7 +121,7 @@ def _empty_pairs():
     )
 
 
-def _make_bucket_update(max_bucket_size: int, ttl_ms: int):
+def _make_bucket_update(max_bucket_size: int, ttl_ms: int, buffered: bool = False):
     import pandas as pd
 
     def update(
@@ -126,11 +129,40 @@ def _make_bucket_update(max_bucket_size: int, ttl_ms: int):
     ) -> Iterator["pd.DataFrame"]:
         band_id, band_key = int(key[0]), str(key[1])
         if state.hasTimedOut:
+            # bucket eviction: in buffered mode this is THE emission
+            # point — the bucket provably stayed under cap for the
+            # whole watermark horizon, so its pairs are final (an
+            # over-cap bucket's saturated flag suppresses them all)
+            seen, tss, saturated = (
+                (list(state.get[0]), list(state.get[1]), bool(state.get[2]))
+                if state.exists
+                else ([], [], False)
+            )
             state.remove()
-            yield _empty_pairs()
+            if buffered and not saturated and len(seen) >= 2:
+                by_id: dict[int, int] = {}
+                for d, t in zip(seen, tss):
+                    by_id[d] = max(by_id.get(d, t), t)
+                ids = sorted(by_id)
+                pairs = [
+                    (
+                        ids[i],
+                        ids[j],
+                        band_id,
+                        band_key,
+                        pd.Timestamp(max(by_id[ids[i]], by_id[ids[j]]), unit="ms"),
+                    )
+                    for i in range(len(ids))
+                    for j in range(i + 1, len(ids))
+                ]
+                yield pd.DataFrame(
+                    pairs, columns=["doc_a", "doc_b", "band_id", "band_key", "ts"]
+                )
+            else:
+                yield _empty_pairs()
             return
-        seen, saturated = ([], False) if not state.exists else (
-            list(state.get[0]), bool(state.get[1])
+        seen, tss, saturated = ([], [], False) if not state.exists else (
+            list(state.get[0]), list(state.get[1]), bool(state.get[2])
         )
         pairs: list[tuple] = []
         last_ms = 0
@@ -143,24 +175,27 @@ def _make_bucket_update(max_bucket_size: int, ttl_ms: int):
                 # genuinely the LATER doc's ts (docs already in state
                 # are from earlier batches/rows, so current ts >= both)
                 pdf = pdf.sort_values("ts", kind="stable")
-            tss = pdf["ts"].tolist() if has_ts else [None] * len(pdf)
-            for d, t in zip(pdf["doc_id"].astype("int64").tolist(), tss):
+            tss_in = pdf["ts"].tolist() if has_ts else [None] * len(pdf)
+            for d, t in zip(pdf["doc_id"].astype("int64").tolist(), tss_in):
                 if saturated:
                     continue
-                for s in seen:
-                    if s != d:
-                        # pair event time = the LATER doc's arrival (the
-                        # moment the pair became knowable) — carried on
-                        # the output row so downstream watermark-bounded
-                        # dedup (dropDuplicatesWithinWatermark) composes
-                        pairs.append((min(s, d), max(s, d), band_id, band_key, t))
+                if not buffered:
+                    for s in seen:
+                        if s != d:
+                            # pair event time = the LATER doc's arrival
+                            # (the moment the pair became knowable) —
+                            # carried on the output row so downstream
+                            # watermark-bounded dedup
+                            # (dropDuplicatesWithinWatermark) composes
+                            pairs.append((min(s, d), max(s, d), band_id, band_key, t))
                 seen.append(d)
+                tss.append(0 if t is None else int(t.value // 1_000_000))
                 if len(seen) > max_bucket_size:
                     # batch-guard semantics: an over-cap bucket emits
                     # NOTHING (its pairs are all suspect); state keeps
                     # only the flag, not the m doc ids
-                    saturated, seen, pairs = True, [], []
-        state.update((seen, saturated))
+                    saturated, seen, tss, pairs = True, [], [], []
+        state.update((seen, tss, saturated))
         # evict the whole bucket once the watermark passes last arrival
         # + TTL (clamped above the current watermark, which Spark
         # requires of event-time timeouts)
@@ -189,6 +224,7 @@ def minhash_pairs_stream(
     bands: int = 4,
     max_bucket_size: int = 1_000,
     state_ttl_ms: int = 60 * 60 * 1000,
+    emit: str = "immediate",
 ) -> DataFrame:
     """(doc_a, doc_b, band_id, band_key, ts) near-dup candidate stream.
 
@@ -215,16 +251,29 @@ def minhash_pairs_stream(
     bounds how long an idle bucket's doc ids stay pairable (event time
     since the bucket's last arrival).
 
-    **Saturation caveat vs the batch guard**: ``max_bucket_size`` here
-    drops a bucket's pairs only from the saturating arrival ONWARD.
-    Pairs the bucket emitted in EARLIER micro-batches are already
-    downstream — append-mode output cannot be retracted — whereas the
-    batch operator's guard drops the whole over-cap bucket's pairs at
-    once.  Streamed and batch results over the same documents therefore
-    agree exactly iff no bucket crosses the cap mid-stream; size the
-    cap for the watermark horizon's worst-case bucket, or treat early
-    pairs from a bucket that later saturates as suspect downstream.
+    **Saturation caveat vs the batch guard** (``emit="immediate"``,
+    the default): ``max_bucket_size`` drops a bucket's pairs only from
+    the saturating arrival ONWARD.  Pairs the bucket emitted in
+    EARLIER micro-batches are already downstream — append-mode output
+    cannot be retracted — whereas the batch operator's guard drops the
+    whole over-cap bucket's pairs at once.  Streamed and batch results
+    over the same documents therefore agree exactly iff no bucket
+    crosses the cap mid-stream; size the cap for the watermark
+    horizon's worst-case bucket, or treat early pairs from a bucket
+    that later saturates as suspect downstream.
+
+    ``emit="buffered"`` closes that gap by trading latency for it:
+    nothing is emitted while a bucket is live; its pairs materialize
+    ONCE, at bucket eviction (watermark horizon past the last
+    arrival), and only if the bucket never crossed the cap — an
+    over-cap bucket emits ZERO pairs, exactly the batch guard.  State
+    stays O(bucket size) (ids + arrival times, never the m^2/2
+    pairs); each pair is stamped with the later member's arrival
+    time, same as immediate mode.  Alerting-style consumers want
+    immediate; batch-parity curation wants buffered.
     """
+    if emit not in ("immediate", "buffered"):
+        raise ValueError(f"emit must be 'immediate' or 'buffered', got {emit!r}")
     banded = banded_signatures_stream(
         doc_stream,
         id_col=id_col,
@@ -235,7 +284,7 @@ def minhash_pairs_stream(
         bands=bands,
     ).withWatermark("ts", watermark)
     return banded.groupBy("band_id", "band_key").applyInPandasWithState(
-        _make_bucket_update(max_bucket_size, state_ttl_ms),
+        _make_bucket_update(max_bucket_size, state_ttl_ms, buffered=emit == "buffered"),
         outputStructType=PAIRS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

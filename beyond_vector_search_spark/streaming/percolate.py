@@ -130,6 +130,63 @@ def percolate_embedding_stream(
     )
 
 
+def live_percolate_batch_fn(
+    queries_path: str,
+    index: CorpusIndex,
+    sink,
+    *,
+    id_col: str = "doc_id",
+    text: Column | str = "text",
+    threshold: float = 0.0,
+    cfg: EngineConfig = DEFAULT,
+    extra_cols: tuple[str, ...] = (),
+):
+    """A ``foreachBatch`` function that RE-READS the standing-query set
+    from ``queries_path`` (a small (query_id, query) parquet table) on
+    every micro-batch, so alert rules can change live — no stream
+    restart.
+
+    :func:`compile_standing_queries` is configuration-as-plan: the
+    compiled literals are frozen into the streaming plan, so adding a
+    rule normally means recompile + restart.  This variant moves the
+    compile INSIDE the batch function — per micro-batch it costs one
+    bounded collect (the standing set is configuration-sized) plus the
+    same stateless zero-shuffle percolation over the batch rows, and
+    batch N+1 sees whatever rules batch N+1's read finds.  There is
+    still no per-(query, doc) state of any kind.
+
+    ``sink(matches_df, batch_id)`` receives each batch's matches (the
+    usual foreachBatch contract: write to a table, push alerts, ...).
+    An EMPTY standing table emits nothing for that batch — unlike the
+    compiled form, which treats zero queries as a configuration error.
+
+    Wire it up:
+
+        stream.writeStream.foreachBatch(
+            live_percolate_batch_fn(path, idx, my_sink)
+        ).start()
+    """
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        queries = spark.read.parquet(queries_path)
+        standing = compile_standing_queries(queries, index, cfg=cfg)
+        if not standing.terms:
+            return
+        matches = percolate_doc_stream(
+            batch_df,
+            standing,
+            id_col=id_col,
+            text=text,
+            threshold=threshold,
+            cfg=cfg,
+            extra_cols=extra_cols,
+        )
+        sink(matches, batch_id)
+
+    return _fn
+
+
 def percolate_doc_stream(
     doc_stream: DataFrame,
     standing: StandingQueries,

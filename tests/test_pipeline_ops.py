@@ -86,6 +86,17 @@ def test_assign_centroids(spark):
     out = {r.vec_id: r.centroid_id for r in sim.assign_centroids(emb, cents).collect()}
     assert out[10] == 0 and out[11] == 1
     assert out[0] == 0 and out[1] == 1
+    # Arrow kernel (default) and expression form agree exactly —
+    # assignment, tie-break, and the rounded cos value
+    kern = {
+        (r.vec_id, r.centroid_id, r.cos)
+        for r in sim.assign_centroids(emb, cents, kernel=True).collect()
+    }
+    expr = {
+        (r.vec_id, r.centroid_id, r.cos)
+        for r in sim.assign_centroids(emb, cents, kernel=False).collect()
+    }
+    assert kern == expr
 
 
 def test_multimodal_image_features(spark):

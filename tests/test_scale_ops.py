@@ -458,6 +458,74 @@ def test_streaming_minhash_hot_bucket_guard(spark, tmp_path):
     assert out == []  # bucket saturated before emitting anything durable
 
 
+def test_streaming_minhash_buffered_mode_batch_guard_parity(spark, tmp_path):
+    """emit='buffered' holds a bucket's pairs in state until eviction:
+    a bucket that crosses the cap across MICRO-BATCHES emits zero pairs
+    ever (immediate mode would have leaked its pre-saturation pairs
+    downstream), and an under-cap bucket emits its pairs exactly once,
+    at eviction, stamped with the later member's arrival time."""
+    import datetime as dt
+
+    from beyond_vector_search_spark.streaming.neardup import minhash_pairs_stream
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "doc_id BIGINT, text STRING, ts TIMESTAMP"
+    src = tmp_path / "buf_src"
+    src.mkdir()
+    hot = "same degenerate text everywhere"
+    rare = "rare unique snippet alpha bravo charlie delta"
+    # b0: hot bucket UNDER cap (3 docs) + the rare near-dup pair
+    spark.createDataFrame(
+        [(1, hot, t0), (2, hot, t0), (3, hot, t0),
+         (20, rare, t0), (21, rare, t0 + dt.timedelta(minutes=1))],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    # b1: hot bucket crosses the cap in a LATER batch — immediate mode
+    # would already have emitted (1,2),(1,3),(2,3) in b0
+    spark.createDataFrame(
+        [(i, hot, t0 + dt.timedelta(minutes=2)) for i in range(4, 8)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    # b2/b3: late unrelated docs advance the watermark past eviction
+    spark.createDataFrame(
+        [(30, "completely different words here", t0 + dt.timedelta(hours=3))], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    spark.createDataFrame(
+        [(31, "other unrelated filler words", t0 + dt.timedelta(hours=3, minutes=1))],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b3"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    per_batch: dict[int, list] = {}
+    q = (
+        minhash_pairs_stream(
+            stream, watermark="30 minutes", max_bucket_size=3, emit="buffered"
+        )
+        .writeStream.foreachBatch(
+            lambda df, bid: per_batch.setdefault(bid, []).extend(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "buf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    out = [r for rows in per_batch.values() for r in rows]
+    # the over-cap bucket emitted ZERO pairs — including the three
+    # pairs that existed before it crossed the cap
+    assert not any(r.doc_a <= 8 and r.doc_b <= 8 for r in out)
+    # the under-cap rare pair emitted at eviction, later member's ts
+    rare_pairs = [r for r in out if (r.doc_a, r.doc_b) == (20, 21)]
+    assert rare_pairs, out
+    assert all(r.ts == t0 + dt.timedelta(minutes=1) for r in rare_pairs)
+    # nothing emitted while buckets were live: batches 0-1 are silent
+    assert not per_batch.get(0) and not per_batch.get(1)
+
+
 def test_streaming_tar_shards_compose_with_dedup(spark, tmp_path):
     """Shards dropped over time stream as micro-batches of members; the
     caption (txt) stream composes with the stateful exact-content dedup
@@ -502,11 +570,14 @@ def test_streaming_tar_shards_compose_with_dedup(spark, tmp_path):
     assert sorted(r.text for r in out) == ["a bird", "a cat", "a dog"]
 
 
-def test_embedding_neardup_sizing_launches_no_job(spark):
+def test_embedding_neardup_sizing_launches_no_count_job(spark):
     """Auto-sizing the centroid count on FILE-BACKED lineage (filters /
-    unions over parquet) must not run a Spark job at plan-construction
-    time — n comes from parquet footers on the driver.  Pure in-memory
-    lineage still counts (documented fallback)."""
+    unions over parquet) must not run a corpus-count job — n comes from
+    parquet footers on the driver.  Since round 6 plan construction DOES
+    launch exactly one bounded job: the K-row centroid collect that
+    loads the coarse quantizer into the Arrow assignment kernel
+    (TakeOrderedAndProject of K ~ sqrt(n) vectors — the FAISS "train/
+    load the quantizer" step, never a corpus scan or shuffle)."""
     from beyond_vector_search_spark.operators import similarity as sim
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
@@ -517,13 +588,16 @@ def test_embedding_neardup_sizing_launches_no_job(spark):
     # stragglers from earlier (streaming) tests could advance the
     # counter and flake; a sizing job launched synchronously from THIS
     # thread would land in the group
-    sc.setJobGroup("neardup-sizing-test", "plan construction must launch no job")
+    sc.setJobGroup("neardup-sizing-test", "construction: only the centroid collect")
     try:
         plan = sim.embedding_neardup_pairs(emb, threshold=0.999)
         group_jobs = sc.statusTracker().getJobIdsForGroup("neardup-sizing-test")
     finally:
         sc.setJobGroup(None, None)
-    assert not group_jobs, "plan construction launched a Spark job"
+    assert len(group_jobs) <= 1, (
+        f"plan construction launched {len(group_jobs)} jobs — "
+        "only the bounded centroid collect is allowed"
+    )
     assert plan.count() >= 0  # the plan itself still executes
 
 
@@ -1069,6 +1143,87 @@ def test_percolate_streams_immediate_matches(spark, tmp_path):
     assert (11, "alerts-soup") in matches
     assert not any(d == 12 for d, _ in matches)  # unrelated doc never alerts
     assert all(r.score > 0 for r in seen)
+
+
+def test_live_percolation_picks_up_new_rules_mid_stream(spark, tmp_path):
+    """live_percolate_batch_fn re-reads the standing set each
+    micro-batch: a rule registered after batch 0 matches batch 1's
+    documents with no stream restart, and each batch's matches equal
+    the batch-mode percolation under the rules visible to that batch."""
+    import datetime as dt
+
+    from beyond_vector_search_spark.config import EngineConfig
+    from beyond_vector_search_spark.operators.corpus_index import build_index
+    from beyond_vector_search_spark.streaming.percolate import (
+        compile_standing_queries,
+        live_percolate_batch_fn,
+        percolate_doc_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "spark joins shuffle data"), (2, "cooking garlic soup")],
+        "doc_id long, text string",
+    )
+    idx = build_index(corpus).cache()
+    cfg = EngineConfig(include_zero_score_docs=False)
+
+    qdir = str(tmp_path / "standing")
+    qschema = "query_id string, query string"
+    spark.createDataFrame([("alerts-spark", "spark shuffle")], qschema).coalesce(
+        1
+    ).write.parquet(qdir)
+
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+    schema = "doc_id BIGINT, text STRING, ts TIMESTAMP"
+    src = tmp_path / "live_src"
+    src.mkdir()
+    b0 = [(10, "fresh spark shuffle regression report", t0)]
+    b1 = [(11, "garlic soup recipe", t0), (12, "spark shuffle once more", t0)]
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    seen: dict[int, list] = {}
+
+    def sink(matches, batch_id):
+        seen[batch_id] = matches.collect()
+        if batch_id == 0:
+            # register a NEW standing query mid-stream
+            spark.createDataFrame(
+                [("alerts-soup", "garlic soup")], qschema
+            ).coalesce(1).write.mode("append").parquet(qdir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            live_percolate_batch_fn(qdir, idx, sink, cfg=cfg)
+        )
+        .option("checkpointLocation", str(tmp_path / "live_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    m0 = {(r.doc_id, r.query_id) for r in seen.get(0, [])}
+    m1 = {(r.doc_id, r.query_id) for r in seen.get(1, [])}
+    assert m0 == {(10, "alerts-spark")}  # soup rule did not exist yet
+    assert (11, "alerts-soup") in m1     # new rule live on the NEXT batch
+    assert (12, "alerts-spark") in m1    # old rule still active
+
+    # batch parity: batch 1 under the full rule set == batch-mode run
+    standing = compile_standing_queries(
+        spark.read.parquet(qdir), idx, cfg=cfg
+    )
+    want = {
+        (r.doc_id, r.query_id, round(r.score, 9))
+        for r in percolate_doc_stream(
+            spark.createDataFrame(b1, schema), standing, cfg=cfg
+        ).collect()
+    }
+    assert {(r.doc_id, r.query_id, round(r.score, 9)) for r in seen[1]} == want
 
 
 def test_ingest_store_time_travel(spark, tmp_path, ref_corpus):

@@ -96,13 +96,14 @@ def time_spark(spark, copies: int, queries_df) -> dict:
     ).cache(skip=("postings", "doc_ids", "doc_vec", "scalars")).materialize()
     out = {"index_build": round(time.time() - t0, 3)}
 
+    # the compiled serving path (entry_queries._scores shape): the
+    # query batch folds into the plan as literals, arms are uncached
+    # single-action plans, hybrid min-maxes via windows so each arm
+    # executes once
     t0 = time.time()
-    kw = rt.bm25_scores(queries_df, idx, cfg=_CFG).cache()
-    vec = rt.vector_scores(queries_df, idx, cfg=_CFG).cache()
-    import concurrent.futures as cf
-
-    with cf.ThreadPoolExecutor(max_workers=2) as ex:
-        list(ex.map(lambda df: df.count(), (kw, vec)))
+    compiled = rt.compile_query_batch(queries_df, idx, cfg=_CFG)
+    kw = rt.compiled_bm25_scores(idx, compiled, cfg=_CFG)
+    vec = rt.compiled_vector_scores(idx, compiled, cfg=_CFG)
     _ranked(kw).count()
     out["bm25_topk"] = round(time.time() - t0, 3)
 
@@ -111,15 +112,17 @@ def time_spark(spark, copies: int, queries_df) -> dict:
     out["vector_topk"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    _ranked(rt.hybrid_scores(queries_df, idx, cfg=_CFG, keyword=kw, vector=vec)).count()
+    _ranked(
+        rt.hybrid_scores(
+            queries_df, idx, cfg=_CFG, keyword=kw, vector=vec, minmax_via="window"
+        )
+    ).count()
     out["hybrid_topk"] = round(time.time() - t0, 3)
     out["total"] = round(sum(out.values()), 3)
 
     # release executor memory between scales
     for f in idx._FIELDS:
         getattr(idx, f).unpersist()
-    kw.unpersist()
-    vec.unpersist()
     return out
 
 
