@@ -107,6 +107,24 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
 
+    # Steady-state serve latency: the retrieval trio re-timed on the
+    # warm session (plans analyzed, arm caches filled).  The headline
+    # numbers above are FIRST-call latencies — they carry one-off plan
+    # analysis and cache fills; a serving deployment pays those once
+    # per index snapshot, then serves at these repeat-call times.
+    steady: dict[str, float] = {}
+    for name in ("bm25_topk", "vector_topk", "hybrid_topk"):
+        if name in errors:
+            continue
+        t0 = time.time()
+        try:
+            queries[name](spark, SF_DIR).count()
+        except Exception:  # noqa: BLE001 — informational metric only
+            continue
+        steady[name] = round(time.time() - t0, 3)
+    if steady:
+        print(f"# steady serve: {steady}", file=sys.stderr)
+
     # Crossover row: the retrieval family re-timed on the same documents
     # table concatenated N times (offset doc_ids, no new content).  At
     # sf0.1's 5k docs, Spark's fixed per-action overhead dominates and a
@@ -139,6 +157,8 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if steady:
+        out["steady_serve"] = steady
     if crossover is not None:
         out["crossover"] = crossover
     if errors:

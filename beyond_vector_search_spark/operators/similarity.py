@@ -774,6 +774,108 @@ def knn_quantized_topk(
     )
 
 
+def knn_dual_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """(method, query_id, neighbor_id, cos, rank) — BOTH brute-force
+    serving precisions ('exact' float64 and 'int8' quantized) from ONE
+    Arrow pass over the corpus.
+
+    :func:`knn_bruteforce` and :func:`knn_quantized_topk` each cross
+    the Python boundary once per corpus vector; a dashboard/bench that
+    wants both precisions pays two scans, two kernels, and two rank
+    windows.  Here each Arrow batch computes the float cosine block
+    AND its int8-quantized twin from the same stacked matrix (the
+    quantization is a numpy one-liner on data already in cache), emits
+    per-method local top-(k+16) candidates, and one window ranks both
+    methods.  Results are bit-identical to the two single-method
+    kernels — pinned by test.
+    """
+    import numpy as np
+
+    from collections.abc import Iterator
+
+    spark = embeddings.sparkSession
+    qrows = queries.select(
+        "query_id", as_double_array(F.col("embedding")).alias("_v")
+    ).collect()
+    nid_src = embeddings.select(F.col(id_col).alias("neighbor_id"))
+    nid_type = nid_src.schema["neighbor_id"].dataType.simpleString()
+    qid_type = queries.select("query_id").schema["query_id"].dataType.simpleString()
+    out_schema = f"method string, query_id {qid_type}, neighbor_id {nid_type}, cos double"
+    if not qrows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    q_ids = [r["query_id"] for r in qrows]
+    Q, q_dim = _stack_rows([r["_v"] for r in qrows])
+    Qq = _quantize_rows(Q)
+    qns = {
+        "exact": np.sqrt((Q * Q).sum(axis=1)),
+        "int8": np.sqrt((Qq * Qq).sum(axis=1)),
+    }
+    qmats = {"exact": Q, "int8": Qq}
+    take = k + 16  # same boundary-rounding cushion as _knn_kernel_topk
+
+    src = _fan_out(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("_v"),
+        )
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C, _ = _stack_rows(pdf["_v"].to_numpy(), dim=q_dim)
+            cmats = {"exact": C, "int8": _quantize_rows(C)}
+            nbr = pdf["neighbor_id"].to_numpy()
+            out_m, out_q, out_n, out_c = [], [], [], []
+            for method in ("exact", "int8"):
+                Qm, Cm, qn = qmats[method], cmats[method], qns[method]
+                cn = np.sqrt((Cm * Cm).sum(axis=1))
+                denom = qn[:, None] * cn[None, :]
+                cos = np.where(
+                    denom == 0.0, 0.0, (Qm @ Cm.T) / np.where(denom == 0.0, 1.0, denom)
+                )
+                cr = np.round(cos, 6)
+                for qi, qid in enumerate(q_ids):
+                    row_c, row_r = cos[qi], cr[qi]
+                    order = sorted(
+                        (j for j in range(len(nbr)) if nbr[j] != qid),
+                        key=lambda j: (-row_r[j], nbr[j]),
+                    )[:take]
+                    for j in order:
+                        out_m.append(method)
+                        out_q.append(qid)
+                        out_n.append(nbr[j])
+                        out_c.append(row_c[j])
+            yield pd.DataFrame(
+                {
+                    "method": pd.Series(out_m),
+                    "query_id": pd.Series(out_q),
+                    "neighbor_id": pd.Series(out_n, dtype=pdf["neighbor_id"].dtype),
+                    "cos": pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    cand = src.mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("method", "query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .where(F.col("rank") <= k)
+        .select("method", "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def pq_codebooks(
     embeddings: DataFrame,
     *,

@@ -388,11 +388,10 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = sim.knn_bruteforce(emb, queries, k=5)
-    int8 = sim.knn_quantized_topk(emb, emb.where("vec_id < 5"), k=5)
-    return exact.select(F.lit("exact").alias("method"), "*").unionByName(
-        int8.select(F.lit("int8").alias("method"), "*")
-    )
+    # one fused Arrow pass for both precisions (knn_dual_topk) — each
+    # corpus vector crosses the Python boundary once for the pair of
+    # arms; bit-identical to the single-method kernels (pinned)
+    return sim.knn_dual_topk(emb, queries, k=5)
 
 
 @register(

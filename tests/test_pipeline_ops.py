@@ -1269,6 +1269,14 @@ def test_knn_kernel_matches_expression_paths(spark):
     want8 = rows(sim.knn_quantized_topk(emb, qs, k=5, kernel=False))
     assert got8 == want8
 
+    # the fused dual kernel (one Arrow pass for both precisions) is
+    # bit-identical to the two single-method kernels
+    dual = sim.knn_dual_topk(emb, queries, k=5)
+    got_dual_exact = rows(dual.where("method = 'exact'").drop("method"))
+    got_dual_int8 = rows(dual.where("method = 'int8'").drop("method"))
+    assert got_dual_exact == got
+    assert got_dual_int8 == got8
+
 
 def test_knn_kernel_edge_inputs(spark):
     """Kernel path: empty query set yields an empty frame with the full
