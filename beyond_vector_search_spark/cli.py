@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from beyond_vector_search_spark.operators.answer import generate_answers
 from beyond_vector_search_spark.operators.corpus_index import CorpusIndex, build_index
 from beyond_vector_search_spark.operators.evaluate import evaluate_all
-from beyond_vector_search_spark.operators.retrieval import search_all
 from beyond_vector_search_spark.operators.router import (
     STATE_KEY,
     RouterState,
@@ -102,7 +101,30 @@ def cmd_run(args) -> dict:
             _F.col("mmr_rank").alias("rank"),
         )
     else:
-        tops = search_all(queries, idx, k=args.k)[strategy]
+        # single-query interactive serving = the COMPILED low-latency
+        # path (retrieval.compile_query_batch): the query's term/gram
+        # weights fold into the plan as literals and scoring is one
+        # scan-prunable IN-filtered pass — identical results to the
+        # join-form search_all (parity-pinned), fewer stages per run.
+        from beyond_vector_search_spark.operators.retrieval import (
+            compile_query_batch,
+            compiled_bm25_scores,
+            compiled_vector_scores,
+            hybrid_scores,
+            stable_topk,
+        )
+
+        compiled = compile_query_batch([("q", args.query)], idx)
+        key = compiled_bm25_scores(idx, compiled, queries=queries)
+        vec = compiled_vector_scores(idx, compiled, queries=queries)
+        scored = {
+            "keyword": key,
+            "vector": vec,
+            "hybrid": hybrid_scores(
+                queries, idx, keyword=key, vector=vec, minmax_via="window"
+            ),
+        }[strategy]
+        tops = stable_topk(scored, args.k)
     ans = generate_answers(tops, docs, queries).collect()[0]
     top_rows = sorted(tops.collect(), key=lambda r: r.rank)
 

@@ -45,9 +45,18 @@ if TYPE_CHECKING:  # pragma: no cover
 
 # Reference text.py:8 — same pattern as functions.text.TOKEN_PATTERN.
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:[-_][A-Za-z0-9]+)*")
-# Reference retrievers.py:42 — Python \s on str is Unicode-aware, as is
-# the expression path's (?U)\s+ (both are the White_Space property).
-_WS_RE = re.compile(r"\s+")
+# Reference retrievers.py:42.  NOT Python's ``\s``: the expression
+# path's ``(?U)\s`` is exactly the Unicode White_Space property, while
+# Python's ``\s`` additionally matches the C0 separators \x1c-\x1f
+# (bidi-class whitespace) — a '\x1f' in a document would collapse here
+# but survive the JVM path (found by hypothesis).  The explicit class
+# below is the Unicode 15 White_Space set, byte-for-byte the JVM rule.
+_WS_RE = re.compile(
+    "[\t\n\x0b\x0c\r \x85\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+"
+)
+# F.trim strips ' ' only — after the collapse above the only whitespace
+# left at the edges IS the replacement ' ', so callers use strip(" ")
+# (a bare .strip() would also eat \x1c-\x1f, diverging again).
 
 
 def fan_out(src: DataFrame) -> DataFrame:
@@ -135,7 +144,7 @@ def gram_tf_frame(
             grams: list = []
             tfs: list = []
             for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
-                s = _WS_RE.sub(" ", (txt or "").lower()).strip()
+                s = _WS_RE.sub(" ", (txt or "").lower()).strip(" ")
                 length = len(s)
                 if length >= n:
                     counts = Counter(s[i : i + n] for i in range(length - n + 1))

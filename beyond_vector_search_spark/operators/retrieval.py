@@ -396,7 +396,7 @@ def compile_query_batch(
     n = cfg.ngram_n
     for qid, q in rows:
         q_toks[qid] = sorted({t.lower() for t in _TOKEN_RE.findall(q or "")})
-        s = _WS_RE.sub(" ", (q or "").lower()).strip()
+        s = _WS_RE.sub(" ", (q or "").lower()).strip(" ")
         if not s:
             grams: list[str] = []
         elif len(s) < n:

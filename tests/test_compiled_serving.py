@@ -106,6 +106,102 @@ def test_compiled_on_string_doc_ids(spark, ref_index):
     )
 
 
+def test_compiled_filter_pushes_into_parquet_scan(spark, docs_index, qdf, tmp_path):
+    """The compiled path's IN filter reaches the postings PARQUET scan
+    on a persisted index (PushedFilters in the formatted plan) — the
+    property that makes it the 100 TB shape: a bucketed/sorted postings
+    table then reads only matching row groups, where a broadcast join
+    would scan everything."""
+    import contextlib
+    import io
+
+    from beyond_vector_search_spark.operators.corpus_index import CorpusIndex
+
+    path = str(tmp_path / "idx")
+    docs_index.save(path)
+    cold = CorpusIndex.load(spark, path)
+    compiled = rt.compile_query_batch(QUERIES, cold, cfg=MATCHED)
+    plan = rt.compiled_bm25_scores(cold, compiled, cfg=MATCHED)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan.explain("formatted")
+    txt = buf.getvalue()
+    scan_lines = [
+        line for line in txt.splitlines() if "PushedFilters" in line and "In(term" in line
+    ]
+    assert scan_lines, f"no In(term,...) pushed to the postings scan:\n{txt[:2000]}"
+    # and the cold-index results still match the in-session index
+    got = _as_dict(plan)
+    want = _as_dict(
+        rt.compiled_bm25_scores(
+            docs_index, rt.compile_query_batch(QUERIES, docs_index, cfg=MATCHED),
+            cfg=MATCHED,
+        )
+    )
+    _assert_close(got, want)
+
+
+def test_compiled_tokenization_matches_spark_exprs(spark, docs_index):
+    """compile_query_batch tokenizes/shingles DRIVER-side (the Arrow
+    kernel regexes); this pins the derived term and gram-tf sets equal
+    to the Spark expression forms over adversarial strings — unicode,
+    emoji, hyphen/underscore joins, whitespace runs, empties."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from beyond_vector_search_spark.functions.kernels import _TOKEN_RE, _WS_RE
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            max_size=40,
+        )
+    )
+    def check(text):
+        qdf = spark.createDataFrame([("q", text)], "query_id STRING, query STRING")
+        want_terms = sorted(
+            {
+                r["t"]
+                for r in qdf.select(
+                    F.explode_outer(
+                        F.array_distinct(
+                            __import__(
+                                "beyond_vector_search_spark.functions.text",
+                                fromlist=["tokenize"],
+                            ).tokenize("query")
+                        )
+                    ).alias("t")
+                ).collect()
+                if r["t"] is not None
+            }
+        )
+        got_terms = sorted({t.lower() for t in _TOKEN_RE.findall(text)})
+        assert got_terms == want_terms, (text, got_terms, want_terms)
+
+        from beyond_vector_search_spark.functions.text import char_ngrams
+
+        want_grams = Counter(
+            g
+            for r in qdf.select(F.explode_outer(char_ngrams("query", 4)).alias("g")).collect()
+            if (g := r["g"]) is not None
+        )
+        s = _WS_RE.sub(" ", text.lower()).strip(" ")
+        if not s:
+            grams = []
+        elif len(s) < 4:
+            grams = [s]
+        else:
+            grams = [s[i : i + 4] for i in range(len(s) - 3)]
+        assert Counter(grams) == want_grams, (text, grams, dict(want_grams))
+
+    check()
+
+
 def test_minmax_window_form_matches_agg_form(spark, docs_index, qdf):
     scored = rt.bm25_scores(qdf, docs_index, cfg=MATCHED)
     via_agg = {
