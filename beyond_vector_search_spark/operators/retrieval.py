@@ -388,6 +388,8 @@ def compile_query_batch(
     else:
         rows = list(queries)
     rows.sort(key=lambda x: str(x[0]))
+    if len({qid for qid, _ in rows}) != len(rows):
+        raise ValueError("duplicate query_id in batch — ids must be unique")
 
     # per-query distinct terms (BM25 dedups duplicate query terms) and
     # gram tf counts — reference text.py:8-17 / retrievers.py:33-44

@@ -504,6 +504,6 @@ def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def register_all() -> None:
-    """Import side effect already registered everything (the in-window
-    entries); spell_suggest registers at the catalog tail via
-    coverage_queries.register_all."""
+    """Import side effect registered the in-window entry (mmr_topk);
+    rrf/prf/spell/phrase/proximity/ltr/ranking-metrics register at the
+    catalog tail via coverage_queries.register_all."""

@@ -82,6 +82,13 @@ def test_compiled_zero_restore_profile(spark, docs_index, qdf):
         rt.compiled_bm25_scores(docs_index, compiled, cfg=cfg)
 
 
+def test_compiled_duplicate_query_ids_raise(spark, docs_index):
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        rt.compile_query_batch(
+            [("q1", "spark join"), ("q1", "other text")], docs_index, cfg=MATCHED
+        )
+
+
 def test_compiled_all_oov_query_is_empty(spark, docs_index):
     compiled = rt.compile_query_batch(
         [("q1", "zzzzqqqqxxxx wwwwvvvv")], docs_index, cfg=MATCHED
