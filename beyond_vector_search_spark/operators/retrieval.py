@@ -366,6 +366,7 @@ def compile_query_batch(
     index: CorpusIndex,
     *,
     cfg: EngineConfig = DEFAULT,
+    max_features: int = 100_000,
 ) -> CompiledQueryBatch:
     """Resolve a (small) query batch against the index.
 
@@ -409,6 +410,13 @@ def compile_query_batch(
 
     all_terms = sorted({t for ts in q_toks.values() for t in ts})
     all_grams = sorted({g for c in q_gram_tf.values() for g in c})
+    if len(all_terms) + len(all_grams) > max_features:
+        raise ValueError(
+            f"query batch compiles to {len(all_terms) + len(all_grams)} distinct "
+            f"terms+grams (> max_features={max_features}): literal folding is the "
+            "INTERACTIVE regime — for large query workloads use the join-form "
+            "scorers (bm25_scores/vector_scores), which broadcast the query side"
+        )
 
     def _lookup(stats: DataFrame, key: str, keys: list[str]) -> dict[str, float]:
         if not keys:

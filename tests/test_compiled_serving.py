@@ -82,6 +82,16 @@ def test_compiled_zero_restore_profile(spark, docs_index, qdf):
         rt.compiled_bm25_scores(docs_index, compiled, cfg=cfg)
 
 
+def test_compiled_oversized_batch_raises(spark, docs_index):
+    """Literal folding is the interactive regime: a batch compiling to
+    more features than max_features fails loudly, pointing at the
+    join-form scorers."""
+    with pytest.raises(ValueError, match="join-form"):
+        rt.compile_query_batch(
+            [("q1", "spark join performance")], docs_index, cfg=MATCHED, max_features=3
+        )
+
+
 def test_compiled_duplicate_query_ids_raise(spark, docs_index):
     with pytest.raises(ValueError, match="duplicate query_id"):
         rt.compile_query_batch(
