@@ -264,11 +264,16 @@ def _centroid_topk_assign_kernel(
     probe: int,
     out_id: str = "bvec_id",
     with_cos: bool = False,
+    with_vec: bool = False,
 ) -> DataFrame:
-    """(out_id, centroid_id[, cos]) — each vector's ``probe`` nearest
-    centroids (rounded-cosine desc, centroid_id asc), as ONE Arrow
-    matrix kernel.  ``with_cos=True`` adds the rounded cosine column
-    (the :func:`assign_centroids` contract).
+    """(out_id, centroid_id[, cos][, _v]) — each vector's ``probe``
+    nearest centroids (rounded-cosine desc, centroid_id asc), as ONE
+    Arrow matrix kernel.  ``with_cos=True`` adds the rounded cosine
+    column (the :func:`assign_centroids` contract); ``with_vec=True``
+    carries the vector itself on each assignment row, so a downstream
+    per-bucket consumer (the near-dup bucket verify) needs no join
+    back to the corpus — probe x corpus bytes of shuffle, in exchange
+    for zero joins.
 
     The expression form (crossJoin(broadcast(centroids)) → row_number
     window) materializes n x K cosine ROWS before the window cut — at
@@ -336,11 +341,17 @@ def _centroid_topk_assign_kernel(
                 out["cos"] = pd.Series(
                     np.take_along_axis(cr, order, axis=1).ravel(), dtype="float64"
                 )
+            if with_vec:
+                out["_v"] = pd.Series(
+                    np.repeat(pdf["_v"].to_numpy(dtype=object), take)
+                )
             yield pd.DataFrame(out)
 
     schema = f"{out_id} {idt}, centroid_id {cidt}"
     if with_cos:
         schema += ", cos double"
+    if with_vec:
+        schema += ", _v array<double>"
     return src.mapInPandas(kernel, schema)
 
 
@@ -511,10 +522,12 @@ def embedding_neardup_pairs(
     Default is the centroid-BLOCKED form (the only shape that survives
     100 TB): every vector is assigned to its ``probe`` nearest of
     ``n_centroids`` deterministic centroids (the lowest-id input vectors
-    — no training pass), candidate pairs are generated ONLY within a
-    shared centroid bucket (equi-join on centroid_id, never an
-    unblocked crossJoin of the corpus with itself), then verified with
-    the exact cosine.  Blocking can only prune candidates, never
+    — no training pass) by an Arrow matrix kernel that carries the
+    vector onto each assignment row; pairs are then verified PER
+    BUCKET by a cogrouped Arrow kernel (one m x m BLAS cosine block
+    per bucket, threshold applied in-kernel) — one groupBy shuffle
+    total, no self-join, and candidate pairs below threshold never
+    materialize as rows.  Blocking can only prune candidates, never
     corrupt results: every emitted pair carries its true cosine.
     Recall: EXACT duplicates (identical directions — the dedup case,
     and what the testdata plants) always co-bucket because cosine is
@@ -596,35 +609,63 @@ def embedding_neardup_pairs(
                 l2_norm(av).alias("cn"),
             )
         )
-        # top-probe assignment via the Arrow matrix kernel: emits the
-        # n x probe (bvec_id, centroid_id) rows DIRECTLY — the old
-        # crossJoin(broadcast(cents)) -> row_number form materialized
-        # n x K cosine rows (an n^1.5-row intermediate at K ~ sqrt(n))
-        # plus a full shuffle before cutting to probe
+        # Top-probe assignment via the Arrow matrix kernel, carrying the
+        # vector onto each assignment row (the old crossJoin(broadcast)
+        # -> row_number form materialized n x K cosine rows — an
+        # n^1.5-row intermediate at K ~ sqrt(n)).  The within-bucket
+        # verify is then a PER-BUCKET matrix kernel: one groupBy
+        # shuffle of the n x probe (centroid, id, vec) rows, one m x m
+        # BLAS block per bucket, and only pairs AT/ABOVE threshold are
+        # ever materialized as rows — the old shape emitted m^2/2
+        # candidate rows per bucket, joined the corpus back TWICE for
+        # the vectors, and verified pair-by-pair.
         buckets = _centroid_topk_assign_kernel(
-            embeddings, cents, id_col=id_col, vec_col=vec_col, probe=probe
+            embeddings, cents, id_col=id_col, vec_col=vec_col, probe=probe, with_vec=True
         )
-        if max_bucket_size is not None:
-            wb = Window.partitionBy("centroid_id")
-            buckets = (
-                buckets.withColumn("_bucket_n", F.count("*").over(wb))
-                .where(F.col("_bucket_n") <= max_bucket_size)
-                .drop("_bucket_n")
+        idt = dict(buckets.dtypes)["bvec_id"]
+        thr = float(threshold)
+        cap = max_bucket_size
+
+        def bucket_verify(key, pdf) -> "object":
+            import numpy as np
+            import pandas as pd
+
+            empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            m = len(pdf)
+            if m < 2 or (cap is not None and m > cap):
+                # over-cap bucket: drop ALL its pairs (the batch-guard
+                # semantics the join form applied via a window count)
+                return empty
+            pdf = pdf.sort_values("bvec_id", kind="stable")
+            ids = pdf["bvec_id"].to_numpy()
+            V, _ = _stack_rows(pdf["_v"].to_numpy())
+            norms = np.sqrt((V * V).sum(axis=1))
+            denom = norms[:, None] * norms[None, :]
+            cos = np.where(denom == 0.0, 0.0, (V @ V.T) / np.where(denom == 0.0, 1.0, denom))
+            iu, ju = np.triu_indices(m, k=1)
+            c = cos[iu, ju]
+            # half-away-from-zero 6-decimal threshold — F.round's rule
+            scaled = c * 1e6
+            cr = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / 1e6
+            keep = cr >= thr
+            # drop same-id self pairs (a doc double-probing two buckets
+            # never pairs with itself here: ids are distinct per bucket,
+            # but duplicated source ids in the INPUT frame could tie)
+            keep &= ids[iu] != ids[ju]
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(ids[iu][keep], dtype=pdf["bvec_id"].dtype),
+                    "id_b": pd.Series(ids[ju][keep], dtype=pdf["bvec_id"].dtype),
+                    "cos": pd.Series(c[keep], dtype="float64"),
+                }
             )
-        # a pair sharing both probed buckets would surface twice: dedup
-        # the candidate ids BEFORE the (expensive) exact cosine verify
-        cand = (
-            buckets.alias("x")
-            .join(buckets.alias("y"), "centroid_id")
-            .where(F.col("x.bvec_id") < F.col("y.bvec_id"))
-            .select(
-                F.col("x.bvec_id").alias("id_a"), F.col("y.bvec_id").alias("id_b")
-            )
-            .distinct()
-        )
-        pairs = _with_cos_arrow(
-            cand.join(a.withColumnRenamed("id_a", "ja"), F.col("id_a") == F.col("ja"))
-            .join(b.withColumnRenamed("id_b", "jb"), F.col("id_b") == F.col("jb"))
+
+        pairs = (
+            buckets.groupBy("centroid_id")
+            .applyInPandas(bucket_verify, schema=f"id_a {idt}, id_b {idt}, cos double")
+            # a pair sharing BOTH probed buckets surfaces once per
+            # shared bucket with the identical cosine — dedup by ids
+            .dropDuplicates(["id_a", "id_b"])
         )
     else:
         pairs = _with_cos_arrow(a.crossJoin(b)).where(F.col("id_a") < F.col("id_b"))
