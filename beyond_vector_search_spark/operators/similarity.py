@@ -569,21 +569,15 @@ def embedding_neardup_pairs(
     ``max_bucket_size`` is the same hot-bucket guard as
     :func:`dedup.lsh_candidate_pairs`: a bucket of m vectors emits
     m^2/2 candidates, so a degenerate corpus (everything near one
-    centroid) goes quadratic.  Buckets above the cap are dropped BEFORE
-    the self-join (window count on the join key — the shuffle the join
-    needs anyway), trading recall inside pathological buckets for a
-    bounded plan; raise ``n_centroids`` (or pre-train real centroids)
-    to shrink buckets instead of capping when recall matters.  ``None``
-    (default) disables the cap — the catalog entry runs uncapped so the
+    centroid) goes quadratic.  An over-cap bucket is dropped wholesale
+    inside the verify kernel (its pairs are all suspect), trading
+    recall inside pathological buckets for a bounded plan; raise
+    ``n_centroids`` (or pre-train real centroids) to shrink buckets
+    instead of capping when recall matters.  ``None`` (default)
+    disables the cap — the catalog entry runs uncapped so the
     all-pairs oracle matches exactly.
     """
     av = as_double_array(F.col(vec_col))
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), av.alias("qv"), l2_norm(av).alias("qn")
-    )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), av.alias("cv"), l2_norm(av).alias("cn")
-    )
     if block:
         if n_centroids is None:
             import math
@@ -668,6 +662,12 @@ def embedding_neardup_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
+        a = embeddings.select(
+            F.col(id_col).alias("id_a"), av.alias("qv"), l2_norm(av).alias("qn")
+        )
+        b = embeddings.select(
+            F.col(id_col).alias("id_b"), av.alias("cv"), l2_norm(av).alias("cn")
+        )
         pairs = _with_cos_arrow(a.crossJoin(b)).where(F.col("id_a") < F.col("id_b"))
     return pairs.where(F.round(F.col("cos"), 6) >= threshold).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")
