@@ -391,6 +391,17 @@ def compile_query_batch(
     rows.sort(key=lambda x: str(x[0]))
     if len({qid for qid, _ in rows}) != len(rows):
         raise ValueError("duplicate query_id in batch — ids must be unique")
+    # The compiled plan's from_json literal maps (and _empty_scores) fix
+    # query_id as STRING; silently stringifying a non-string id would
+    # change the output schema vs the join-form scorers (which preserve
+    # the id type).  Fail loudly instead of diverging.
+    bad = [qid for qid, _ in rows if not isinstance(qid, str)]
+    if bad:
+        raise ValueError(
+            f"compiled serving requires STRING query ids (got {type(bad[0]).__name__}: "
+            f"{bad[0]!r}) — cast ids to string, or use the join-form scorers "
+            "(bm25_scores/vector_scores), which preserve the id type"
+        )
 
     # per-query distinct terms (BM25 dedups duplicate query terms) and
     # gram tf counts — reference text.py:8-17 / retrievers.py:33-44

@@ -1,0 +1,180 @@
+"""Shared serving-arm protocol: build each retrieval arm's score
+relation ONCE per (index, query batch) and serve every consumer from
+the cached relation.
+
+Motivation (SCALING.jsonl, rounds 5-6): the fusion family — RRF, PRF,
+MMR — and the ranking-metrics/LTR exports each need one or more of the
+keyword/vector/hybrid score relations.  Called naively, every operator
+re-derives its arms from the index (4-7 s each at 50k-100k docs), while
+the catalog's `hybrid_topk` serves in well under a second from its
+session-local `_scores` memo.  This module lifts that memo out of the
+plans layer into a public operator surface, so any deployment gets the
+single-scan shape: ONE arm build per (index snapshot, query batch),
+then every fusion/rerank/export call is pure post-processing of cached
+rows.
+
+The arm relations are the same objects the catalog oracles pin
+(compiled_bm25_scores / compiled_vector_scores / hybrid_scores), so
+serving through ``ServingArms`` cannot change any result — only how
+often the arm plans execute.
+
+Reference note: the reference engine rebuilds its whole in-memory index
+per process and re-scores per call (run.py:18-23, retrievers.py); an
+explicit shared-arm object is the Spark-side analogue of its
+`retrievers` dict living for the process lifetime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from beyond_vector_search_spark.config import DEFAULT, EngineConfig
+from beyond_vector_search_spark.operators import retrieval as rt
+from beyond_vector_search_spark.operators.corpus_index import CorpusIndex
+
+_ARM_NAMES = ("keyword", "vector", "hybrid")
+
+
+class ServingArms:
+    """Lazily-built, cached arm score relations for one query batch.
+
+    ``queries``: a (query_id, query) DataFrame or a list of
+    (query_id, query) tuples.  ``compiled=True`` (default) resolves the
+    batch against the index once and scores via the scan-prunable
+    literal-fold path (:func:`retrieval.compile_query_batch`); batches
+    the compiled path rejects — non-string ids, or more distinct
+    features than ``max_features`` — fall back to the join-form
+    scorers automatically (the bulk regime, where broadcasting the
+    query side is the right plan anyway).
+
+    Each arm builds on FIRST ACCESS and is ``.cache()``-ed (lazily —
+    no job runs until a consumer acts); ``hybrid`` blends the two
+    cached arms, so the three relations cost two corpus scans total.
+    Call :meth:`release` (or use as a context manager) to unpersist.
+
+    Usage::
+
+        arms = ServingArms(index, [("q1", "spark join performance")])
+        rrf   = rrf_scores(arms.as_dict("keyword", "vector"))
+        prf   = prf_bm25_scores(qdf, index, arms.arm("keyword"))
+        mmr   = mmr_rerank(arms.topk("vector", 12), index, k=5)
+        arms.release()
+    """
+
+    def __init__(
+        self,
+        index: CorpusIndex,
+        queries,
+        *,
+        cfg: EngineConfig = DEFAULT,
+        compiled: bool = True,
+        cache: bool = True,
+    ) -> None:
+        self.index = index
+        self.cfg = cfg
+        self._want_compiled = compiled
+        self._cache = cache
+        if isinstance(queries, DataFrame):
+            self._queries_df: DataFrame | None = queries
+            self._rows: list[tuple] | None = None
+        else:
+            self._queries_df = None
+            self._rows = list(queries)
+        self._batch = None  # CompiledQueryBatch | False (fallback) | None (unresolved)
+        self._arms: dict[str, DataFrame] = {}
+
+    # -- inputs ------------------------------------------------------------
+
+    def queries_df(self) -> DataFrame:
+        """The (query_id, query) DataFrame form (built once if the batch
+        came in as tuples)."""
+        if self._queries_df is None:
+            spark = self.index.doc_ids.sparkSession
+            self._queries_df = spark.createDataFrame(
+                self._rows, "query_id STRING, query STRING"
+            )
+        return self._queries_df
+
+    def _compiled_batch(self):
+        """The compiled batch, or False when the batch is not
+        compilable (falls back to the join form)."""
+        if self._batch is None:
+            if not self._want_compiled:
+                self._batch = False
+            else:
+                src = self._rows if self._rows is not None else self._queries_df
+                try:
+                    self._batch = rt.compile_query_batch(src, self.index, cfg=self.cfg)
+                except ValueError:
+                    # non-string ids or feature count over max_features:
+                    # the documented bulk regime — join-form scorers
+                    self._batch = False
+        return self._batch
+
+    # -- arms --------------------------------------------------------------
+
+    def arm(self, name: str) -> DataFrame:
+        """(query_id, doc_id, score) for ``name`` in keyword | vector |
+        hybrid — built on first access, cached, reused thereafter."""
+        if name not in _ARM_NAMES:
+            raise ValueError(f"unknown arm {name!r} (expected one of {_ARM_NAMES})")
+        if name not in self._arms:
+            if name == "hybrid":
+                df = rt.hybrid_scores(
+                    self.queries_df(),
+                    self.index,
+                    cfg=self.cfg,
+                    keyword=self.arm("keyword"),
+                    vector=self.arm("vector"),
+                    # cached arms: the two-pass agg min-max re-reads
+                    # cached rows; uncached arms: window form so each
+                    # arm plan executes once
+                    minmax_via="agg" if self._cache else "window",
+                )
+            else:
+                batch = self._compiled_batch()
+                if batch is not False:
+                    scorer = (
+                        rt.compiled_bm25_scores
+                        if name == "keyword"
+                        else rt.compiled_vector_scores
+                    )
+                    df = scorer(
+                        self.index, batch, queries=self.queries_df(), cfg=self.cfg
+                    )
+                else:
+                    scorer = rt.bm25_scores if name == "keyword" else rt.vector_scores
+                    df = scorer(self.queries_df(), self.index, cfg=self.cfg)
+            self._arms[name] = df.cache() if self._cache else df
+        return self._arms[name]
+
+    def as_dict(self, *names: str) -> dict[str, DataFrame]:
+        """{name: score relation} — the :func:`fusion.rrf_scores` arms
+        input.  Defaults to keyword + vector."""
+        names = names or ("keyword", "vector")
+        return {n: self.arm(n) for n in names}
+
+    def topk(self, name: str, k: int) -> DataFrame:
+        """stable_topk of one arm (the MMR/export candidate shape)."""
+        return rt.stable_topk(self.arm(name), k)
+
+    def materialize(self, *names: str) -> "ServingArms":
+        """Force-build the named arms (default keyword + vector) so
+        later consumers serve entirely from cache — the explicit
+        'index warm-up' step of a serving deployment."""
+        for n in names or ("keyword", "vector"):
+            self.arm(n).count()
+        return self
+
+    def release(self) -> None:
+        """Unpersist every cached arm (idempotent)."""
+        if self._cache:
+            for df in self._arms.values():
+                df.unpersist()
+        self._arms.clear()
+
+    def __enter__(self) -> "ServingArms":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()

@@ -620,7 +620,10 @@ def embedding_neardup_pairs(
         thr = float(threshold)
         cap = max_bucket_size
 
-        def bucket_verify(key, pdf) -> "object":
+        # no return annotation: applyInPandas infers the eval type from
+        # hints when present, and a non-DataFrame hint ('object') makes
+        # it emit a 'Cannot infer the eval type' UserWarning per run
+        def bucket_verify(key, pdf):
             import numpy as np
             import pandas as pd
 

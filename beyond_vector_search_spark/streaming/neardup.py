@@ -60,6 +60,14 @@ PAIRS_SCHEMA = "doc_a BIGINT, doc_b BIGINT, band_id INT, band_key STRING, ts TIM
 # ts_ms parallels doc_ids (arrival event time per stored doc) — the
 # buffered mode stamps its at-eviction pairs from it; immediate mode
 # maintains it too so both modes share one state layout.
+#
+# CHECKPOINT COMPATIBILITY: adding ts_ms changed the state-store row
+# layout, so a stream restarted from a checkpoint written BEFORE this
+# field existed fails Spark's state schema compatibility check.
+# Existing immediate-mode deployments must restart with a FRESH
+# checkpoint directory (state here is a bounded dedup memory, not
+# source progress — the cost is transiently re-emitting pairs for
+# in-flight docs, bounded by the state TTL).
 _STATE_SCHEMA = "doc_ids ARRAY<BIGINT>, ts_ms ARRAY<BIGINT>, saturated BOOLEAN"
 
 
@@ -271,6 +279,16 @@ def minhash_pairs_stream(
     pairs); each pair is stamped with the later member's arrival
     time, same as immediate mode.  Alerting-style consumers want
     immediate; batch-parity curation wants buffered.
+
+    **Buffered output is late by construction**: pairs emit only after
+    the watermark passes ``ts + TTL``, so their event timestamps are
+    already BEHIND the watermark at emission.  The
+    ``dropDuplicatesWithinWatermark`` composition documented above is
+    for immediate mode only — applied downstream of buffered output it
+    would silently drop EVERY pair as late data, as would any other
+    watermark-bounded/stateful event-time operator.  Deduplicate
+    buffered pairs in processing time or batch-side instead (buffered
+    mode emits each pair at most once per band anyway).
     """
     if emit not in ("immediate", "buffered"):
         raise ValueError(f"emit must be 'immediate' or 'buffered', got {emit!r}")

@@ -208,6 +208,13 @@ def percolate_doc_stream(
     is exactly batch matched-only BM25 (matched docs always score > 0:
     tf > 0 and the smoothed idf is strictly positive).
 
+    .. note:: **Boundary change (release note).** The rule used to be
+       ``score > threshold``; it is now ``matched AND score >=
+       threshold`` for cross-percolator consistency.  Callers running a
+       nonzero threshold will see documents scoring EXACTLY the
+       threshold start matching where they previously did not; at the
+       default 0.0 behavior is unchanged.
+
     Works identically on a batch DataFrame (the parity tests run both):
     the plan is a stateless projection either way.
     """

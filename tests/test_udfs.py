@@ -46,3 +46,20 @@ def test_top_terms_udtf(spark):
     rows = top_terms_udtf(df, n=2).collect()
     got = [(r.doc_id, r.term, r.tf, r.rank) for r in sorted(rows, key=lambda r: (r.doc_id, r.rank))]
     assert got == [(1, "b", 3, 1), (1, "a", 2, 2)]       # empty doc emits nothing
+
+
+def test_hll_sketch_error_bound(spark):
+    # approx_count_distinct(rsd=0.02): estimates must land within a
+    # conservative 5x-rsd band of the exact counts (the sketch itself is
+    # engine-internal, so the catalog's approx_distinct_hll entry is
+    # rows-only — this bound is its standing correctness evidence).
+    n = 5000
+    df = spark.range(n).select(
+        (F.col("id") % 997).alias("k997"), (F.col("id") % 3000).alias("k3000")
+    )
+    row = df.agg(
+        F.approx_count_distinct("k997", 0.02).alias("a997"),
+        F.approx_count_distinct("k3000", 0.02).alias("a3000"),
+    ).collect()[0]
+    assert abs(row.a997 - 997) / 997 < 0.10
+    assert abs(row.a3000 - 3000) / 3000 < 0.10
