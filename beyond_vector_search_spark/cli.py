@@ -170,6 +170,39 @@ def cmd_evaluate(args) -> dict:
     return report.to_json()
 
 
+def cmd_maintain(args) -> dict:
+    """Store maintenance: compact the append-only telemetry state log
+    down to its LWW winners (TelemetryStore.compact_state — the
+    plain-parquet stand-in for Delta/Iceberg ``MERGE INTO`` +
+    ``OPTIMIZE``) and/or rewrite a streaming-ingest delta store's
+    per-batch append files repartitioned on the scoring-join keys
+    (IndexDelta.compact).  Query results are identical before and
+    after; what changes is file count and scan locality.  Run it OFF
+    the ingest path (both compactors swap directories)."""
+    from beyond_vector_search_spark.operators.corpus_index import IndexDelta
+
+    spark = get_spark("bvs-maintain")
+    out: dict = {}
+    if not args.db and not args.delta_dir:
+        raise SystemExit("maintain: nothing to do — pass --db and/or --delta-dir")
+    if args.db:
+        store = telemetry_from_env(spark, args.db)
+        if not hasattr(store, "compact_state"):
+            raise SystemExit("maintain: the configured telemetry backend "
+                             "(BVS_TELEMETRY=jdbc) compacts server-side — "
+                             "--db applies to the parquet store only")
+        out["state_keys"] = store.compact_state()
+    if args.delta_dir:
+        delta = IndexDelta.load(spark, args.delta_dir)
+        before = {f: getattr(delta, f).count() for f in IndexDelta._FIELDS}
+        compacted = delta.compact(args.delta_dir, partitions=args.partitions)
+        after = {f: getattr(compacted, f).count() for f in IndexDelta._FIELDS}
+        if before != after:  # pure rewrite: any row delta is a bug
+            raise SystemExit(f"maintain: row counts changed {before} -> {after}")
+        out["delta_rows"] = after
+    return out
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description="beyond-vector-search-spark CLI")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -199,8 +232,20 @@ def main() -> None:
                     help="weight-trajectory fold: sequential driver replay or "
                          "the distributed window form (identical results)")
 
+    pm = sub.add_parser(
+        "maintain",
+        help="compact the telemetry state log and/or a streaming-ingest "
+             "delta store (results unchanged; file count shrinks)",
+    )
+    pm.add_argument("--db", default=None, help="telemetry directory to compact")
+    pm.add_argument("--delta-dir", default=None,
+                    help="streaming-ingest IndexDelta store to compact")
+    pm.add_argument("--partitions", type=int, default=None,
+                    help="output partitions per delta relation")
+
     args = p.parse_args()
-    out = cmd_run(args) if args.cmd == "run" else cmd_evaluate(args)
+    cmds = {"run": cmd_run, "evaluate": cmd_evaluate, "maintain": cmd_maintain}
+    out = cmds[args.cmd](args)
     print(json.dumps(out, indent=2, sort_keys=True))
 
 

@@ -67,8 +67,19 @@ def fan_out(src: DataFrame) -> DataFrame:
     partitions and this is a no-op.  File count is the cheap proxy for
     split count (``.rdd.getNumPartitions()`` forces a Python-RDD
     conversion, ~0.3 s of pure plan overhead); non-file sources
-    (createDataFrame, views) fall back to the RDD."""
+    (createDataFrame, views) fall back to the RDD.
+
+    Session config ``spark.bvs.fanout`` skips the probe for sources
+    whose shape the caller already knows: ``always`` repartitions
+    unconditionally (view-backed small relations — saves the 0.3 s RDD
+    probe), ``never`` passes through (the source is known to be
+    well-partitioned), ``auto`` (default) probes as described."""
+    mode = src.sparkSession.conf.get("spark.bvs.fanout", "auto")
     parallelism = src.sparkSession.sparkContext.defaultParallelism
+    if mode == "never":
+        return src
+    if mode == "always":
+        return src.repartition(parallelism)
     try:
         n_parts = len(src.inputFiles()) or None
     except Exception:  # noqa: BLE001

@@ -194,8 +194,37 @@ def repetition_flags(
     )
 
 
+def _toked(
+    df: DataFrame, tokens: DataFrame | None, *, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, toks) — tokenize ``df``, or validate and pass through a
+    pre-tokenized relation (the persisted-tokens path).  Accepts the
+    token column as either ``tokens`` (corpus_index.doc_tokens' output)
+    or ``toks``."""
+    if tokens is None:
+        return df.select(
+            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+        )
+    cols = set(tokens.columns)
+    tok_src = "tokens" if "tokens" in cols else "toks"
+    if tok_src not in cols:
+        raise ValueError(
+            f"tokens relation must have a 'tokens' (or 'toks') column, got {sorted(cols)}"
+        )
+    id_src = "doc_id" if "doc_id" in cols else id_col
+    if id_src not in cols:
+        raise ValueError(
+            f"tokens relation must carry the document id ('doc_id' or {id_col!r})"
+        )
+    return tokens.select(F.col(id_src).alias("doc_id"), F.col(tok_src).alias("toks"))
+
+
 def unigram_logppl(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, logppl) — per-document unigram log-perplexity
     under the corpus's own unigram distribution:
@@ -215,8 +244,11 @@ def unigram_logppl(
     input to the float sum is exact (integer tf × ln of an exact
     ratio); the cross-row float aggregation is rounded to 6 decimals,
     the catalog's determinism rule.
+
+    ``tokens``: optional pre-tokenized (doc_id, toks ARRAY<STRING>)
+    relation — see :func:`bigram_logppl` for the contract.
     """
-    toked = df.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
+    toked = _toked(df, tokens, id_col=id_col, text_col=text_col)
     wtf = (
         toked.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
@@ -380,6 +412,7 @@ def bigram_logppl(
     text_col: str = "text",
     lam: float = 0.9,
     cache: bool = False,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_bigrams, logppl2) — per-document log-perplexity under
     an interpolated corpus BIGRAM model:
@@ -407,9 +440,18 @@ def bigram_logppl(
     share subtrees across joins).  ``cache=True`` persists the two tf
     relations so the corpus is scanned exactly twice; at cluster scale,
     materialize them to parquet instead (the IndexDelta pattern).
+
+    ``tokens``: optional pre-tokenized (doc_id, toks ARRAY<STRING>)
+    relation (``corpus_index.doc_tokens`` persisted to parquet is the
+    canonical producer).  When supplied, the DOCUMENT TEXT IS NEVER
+    SCANNED — every derivation reads the tokens relation, which is the
+    incremental 100 TB form: tokenize once at ingest, run every LM
+    scoring pass (this, :func:`unigram_logppl`,
+    :func:`dsir_logweights`) off the persisted tokens.  ``df`` is
+    ignored for derivation when ``tokens`` is given.
     """
     keep = (lambda d: d.cache()) if cache else (lambda d: d)
-    toked = df.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
+    toked = _toked(df, tokens, id_col=id_col, text_col=text_col)
     bigrams = F.when(
         F.size("toks") < 2, F.array().cast("array<string>")
     ).otherwise(
@@ -464,6 +506,8 @@ def dsir_logweights(
     n_buckets: int = 4096,
     alpha: float = 1.0,
     cache: bool = False,
+    raw_tokens: DataFrame | None = None,
+    target_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_feats, logw) — DSIR importance weights (Xie et al.
     2023, Data Selection via Importance Resampling): score every RAW
@@ -493,11 +537,13 @@ def dsir_logweights(
     corpus is scanned ~3x); ``cache=True`` persists both bigram-row
     relations so each side is scanned once, and at cluster scale the
     tf relations would be materialized parquet (IndexDelta pattern).
+
+    ``raw_tokens`` / ``target_tokens``: optional pre-tokenized
+    (doc_id, toks) relations — when supplied, that side's text is
+    never scanned (see :func:`bigram_logppl`).
     """
-    def bigram_rows(df: DataFrame) -> DataFrame:
-        toked = df.select(
-            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
-        )
+    def bigram_rows(df: DataFrame, tokens: DataFrame | None = None) -> DataFrame:
+        toked = _toked(df, tokens, id_col=id_col, text_col=text_col)
         bigrams = F.when(
             F.size("toks") < 2, F.array().cast("array<string>")
         ).otherwise(
@@ -511,8 +557,8 @@ def dsir_logweights(
         )
 
     keep = (lambda d: d.cache()) if cache else (lambda d: d)
-    raw_rows = keep(bigram_rows(raw))
-    tgt_rows = keep(bigram_rows(target))
+    raw_rows = keep(bigram_rows(raw, raw_tokens))
+    tgt_rows = keep(bigram_rows(target, target_tokens))
     raw_counts = raw_rows.groupBy("bucket").agg(F.count("*").alias("cr"))
     tgt_counts = tgt_rows.groupBy("bucket").agg(F.count("*").alias("ct"))
     # scalar totals derive from the (≤ n_buckets-row) count tables and

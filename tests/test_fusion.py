@@ -524,3 +524,78 @@ def test_proximity_counts_python_parity(spark):
             assert got[doc_id] == (min(dists), sum(1 for d in dists if d <= 2))
         else:
             assert doc_id not in got
+
+
+# ------------------------ persisted-tokens variant -------------------------
+
+
+def test_bigram_logppl_persisted_tokens_matches_and_skips_text(spark, tmp_path):
+    """Passing a persisted (doc_id, toks) relation must (a) produce the
+    exact same result as tokenizing in-flight and (b) never scan the
+    document text — the incremental 100 TB form."""
+    from beyond_vector_search_spark.operators.corpus_index import doc_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x y x y z")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "toks")
+    doc_tokens(df).write.parquet(path)
+    toks = spark.read.parquet(path)
+
+    base = {r["doc_id"]: r for r in pt.bigram_logppl(df).collect()}
+    via_toks = pt.bigram_logppl(df, tokens=toks)
+    got = {r["doc_id"]: r for r in via_toks.collect()}
+    assert set(got) == set(base)
+    for k in base:
+        assert got[k]["logppl2"] == base[k]["logppl2"]
+        assert got[k]["n_bigrams"] == base[k]["n_bigrams"]
+    # the text column never appears in the executed plan: every scan
+    # reads the tokens parquet, zero scans of the documents relation
+    plan = via_toks._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan
+
+
+def test_dsir_persisted_tokens_matches(spark, tmp_path):
+    from beyond_vector_search_spark.operators.corpus_index import doc_tokens
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo token{i} token{i+1}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    raw, target = docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    rp, tp = str(tmp_path / "raw"), str(tmp_path / "tgt")
+    doc_tokens(raw).write.parquet(rp)
+    doc_tokens(target).write.parquet(tp)
+    base = {r["doc_id"]: r["logw"] for r in pt.dsir_logweights(raw, target).collect()}
+    via = pt.dsir_logweights(
+        raw, target,
+        raw_tokens=spark.read.parquet(rp),
+        target_tokens=spark.read.parquet(tp),
+    )
+    got = {r["doc_id"]: r["logw"] for r in via.collect()}
+    assert got == base
+    plan = via._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan
+
+
+def test_unigram_logppl_persisted_tokens_matches(spark):
+    from beyond_vector_search_spark.operators.corpus_index import doc_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "a c c c")], "doc_id long, text string"
+    )
+    base = {r["doc_id"]: r["logppl"] for r in pt.unigram_logppl(df).collect()}
+    got = {
+        r["doc_id"]: r["logppl"]
+        for r in pt.unigram_logppl(df, tokens=doc_tokens(df)).collect()
+    }
+    assert got == base
+
+
+def test_toked_rejects_bad_tokens_relation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    bad = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError, match="toks"):
+        pt.bigram_logppl(df, tokens=bad).collect()

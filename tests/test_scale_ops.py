@@ -1558,3 +1558,60 @@ def test_ivfpq_residual_beats_wholevector_quantization(spark):
         ).collect()
     }.get(5, 10_000)
     assert res_rank <= whole_rank
+
+
+def test_cli_maintain_compacts_stores(spark, tmp_path):
+    """`bvs maintain` compacts a multi-batch ingest delta store and the
+    append-only telemetry state log; query results are identical before
+    and after, and the file counts shrink."""
+    import argparse
+    import glob
+
+    from beyond_vector_search_spark.cli import cmd_maintain
+    from beyond_vector_search_spark.operators.corpus_index import (
+        IndexDelta,
+        build_delta,
+        index_from_delta,
+    )
+    from beyond_vector_search_spark.sources.telemetry import TelemetryStore
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo doc{i} token{i % 3}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    # simulate streaming ingest: two disjoint batches, each its own
+    # batch_id partition directory (the ingest.py layout)
+    path = str(tmp_path / "delta")
+    for b, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
+        d = build_delta(docs.where(pred), cache=False)
+        for f in IndexDelta._FIELDS:
+            getattr(d, f).repartition(4).write.mode("overwrite").parquet(
+                f"{path}/{f}/batch_id={b}"
+            )
+
+    def term_stats_rows():
+        idx = index_from_delta(IndexDelta.load(spark, path))
+        return sorted(
+            (r["term"], r["df"], round(r["idf"], 9))
+            for r in idx.term_stats.collect()
+        )
+
+    def n_files():
+        return len(glob.glob(f"{path}/postings/**/*.parquet", recursive=True))
+
+    before_stats, before_files = term_stats_rows(), n_files()
+
+    db = str(tmp_path / "db")
+    store = TelemetryStore(spark, db)
+    for i in range(3):
+        store.set_state("router_state:v1", {"v": i})
+
+    out = cmd_maintain(
+        argparse.Namespace(db=db, delta_dir=path, partitions=1)
+    )
+    assert out["state_keys"] == 1
+    assert out["delta_rows"]["doc_ids"] == 8
+
+    assert term_stats_rows() == before_stats          # identical results
+    assert n_files() < before_files                   # fewer files
+    assert store.get_state("router_state:v1") == {"v": 2}  # LWW winner kept

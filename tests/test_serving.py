@@ -1,0 +1,116 @@
+"""ServingArms — the shared cached-arm protocol for the fusion family."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.config import EngineConfig
+from beyond_vector_search_spark.operators import retrieval as rt
+from beyond_vector_search_spark.operators.corpus_index import build_index
+from beyond_vector_search_spark.operators.serving import ServingArms
+
+_CFG = EngineConfig(include_zero_score_docs=False)
+
+
+@pytest.fixture(scope="module")
+def corpus_index(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join performance tuning guide"),
+            (2, "vector hash index scan strategies"),
+            (3, "slow query filter predicate pushdown"),
+            (4, "join reordering and broadcast hints"),
+            (5, "hash partitioning for shuffle joins"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs).cache()
+    return docs, idx
+
+
+QS = [("q1", "spark join performance"), ("q2", "vector hash index")]
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 9)) for r in df.collect()
+    )
+
+
+def test_arms_match_direct_scorers(spark, corpus_index):
+    docs, idx = corpus_index
+    qdf = spark.createDataFrame(QS, "query_id string, query string")
+    with ServingArms(idx, QS, cfg=_CFG) as arms:
+        comp = rt.compile_query_batch(QS, idx, cfg=_CFG)
+        assert _rows(arms.arm("keyword")) == _rows(
+            rt.compiled_bm25_scores(idx, comp, cfg=_CFG)
+        )
+        assert _rows(arms.arm("vector")) == _rows(
+            rt.compiled_vector_scores(idx, comp, cfg=_CFG)
+        )
+        # hybrid = blend of the two cached arms, same as hybrid_scores
+        direct = rt.hybrid_scores(
+            qdf, idx, cfg=_CFG,
+            keyword=arms.arm("keyword"), vector=arms.arm("vector"),
+        )
+        assert _rows(arms.arm("hybrid")) == _rows(direct)
+
+
+def test_arm_relations_are_cached_and_reused(spark, corpus_index):
+    _, idx = corpus_index
+    arms = ServingArms(idx, QS, cfg=_CFG)
+    k1 = arms.arm("keyword")
+    k2 = arms.arm("keyword")
+    assert k1 is k2                       # one relation per arm
+    assert k1.storageLevel.useMemory      # cached
+    arms.materialize()
+    assert arms.arm("vector").storageLevel.useMemory
+    arms.release()
+    assert not k1.storageLevel.useMemory  # release unpersists
+
+
+def test_as_dict_and_topk_shapes(spark, corpus_index):
+    _, idx = corpus_index
+    with ServingArms(idx, QS, cfg=_CFG) as arms:
+        d = arms.as_dict()
+        assert set(d) == {"keyword", "vector"}
+        top = arms.topk("keyword", 2)
+        assert top.where("rank > 2").count() == 0
+        assert {r["query_id"] for r in top.collect()} == {"q1", "q2"}
+
+
+def test_non_string_ids_fall_back_to_join_form(spark, corpus_index):
+    """The compiled path requires string ids; ServingArms must fall back
+    to the join-form scorers and preserve the id type."""
+    docs, idx = corpus_index
+    qdf = spark.createDataFrame([(7, "spark join")], "query_id int, query string")
+    with ServingArms(idx, qdf, cfg=_CFG) as arms:
+        key = arms.arm("keyword")
+        assert dict(key.dtypes)["query_id"] == "int"
+        direct = rt.bm25_scores(qdf, idx, cfg=_CFG)
+        assert _rows(key) == _rows(direct)
+
+
+def test_oversized_batch_falls_back(spark, corpus_index):
+    """A batch over max_features compiles to too many literals — the
+    documented bulk regime; ServingArms silently uses the join form."""
+    docs, idx = corpus_index
+    import beyond_vector_search_spark.operators.retrieval as rtm
+
+    qdf = spark.createDataFrame(QS, "query_id string, query string")
+    arms = ServingArms(idx, qdf, cfg=_CFG)
+    # monkeypatch-free forcing: compile with an impossible budget by
+    # asking compile_query_batch directly, then checking ServingArms'
+    # behavior through its public contract
+    with pytest.raises(ValueError):
+        rtm.compile_query_batch(QS, idx, cfg=_CFG, max_features=1)
+    # the arms object itself still serves (its internal compile uses the
+    # default budget, which these tiny queries are far under)
+    assert arms.arm("keyword").count() > 0
+    arms.release()
+
+
+def test_unknown_arm_rejected(spark, corpus_index):
+    _, idx = corpus_index
+    arms = ServingArms(idx, QS, cfg=_CFG)
+    with pytest.raises(ValueError, match="unknown arm"):
+        arms.arm("bm42")

@@ -67,3 +67,22 @@ def test_tokenize_on_corpus(spark, ref_corpus):
     for r in rows:
         want = ref_text.tokenize(docs[r.doc_id].title + " " + docs[r.doc_id].text)
         assert r.toks == want, r.doc_id
+
+
+def test_fan_out_config_modes(spark):
+    """spark.bvs.fanout: 'never' passes through, 'always' repartitions
+    to core count without probing, 'auto' probes (default)."""
+    from beyond_vector_search_spark.functions.kernels import fan_out
+
+    df = spark.createDataFrame([(i, "x") for i in range(10)], "doc_id long, text string")
+    try:
+        spark.conf.set("spark.bvs.fanout", "never")
+        assert fan_out(df) is df
+        spark.conf.set("spark.bvs.fanout", "always")
+        assert (
+            fan_out(df).rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+    finally:
+        spark.conf.unset("spark.bvs.fanout")
+    assert fan_out(df).count() == 10  # auto default still works

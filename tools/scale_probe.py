@@ -147,38 +147,53 @@ def probe(spark, copies: int) -> dict:
         ],
         "query_id string, query string",
     )
+    # Shared cached-arm protocol (operators/serving.ServingArms): the
+    # arm score relations build ONCE per (index, batch) — its cost is
+    # the fusion_arms_build row — and rrf/prf/mmr each serve from the
+    # cached rows, the deployment shape.  Previously each operator
+    # re-derived its arms from the index (4-7 s each at 50k-100k docs).
+    from beyond_vector_search_spark.operators.serving import ServingArms
+
+    arms = ServingArms(idx, qdf, cfg=cfg)
+    timed("fusion_arms_build", lambda: arms.materialize())
     timed(
         "rrf_fuse_top10",
         lambda: rt.stable_topk(
-            fu.rrf_scores(
-                {
-                    "k": rt.bm25_scores(qdf, idx, cfg=cfg),
-                    "v": rt.vector_scores(qdf, idx, cfg=cfg),
-                }
-            ),
+            fu.rrf_scores({"k": arms.arm("keyword"), "v": arms.arm("vector")}),
             10,
         ).count(),
     )
     timed(
         "prf_bm25_top10",
         lambda: rt.stable_topk(
-            fu.prf_bm25_scores(qdf, idx, rt.bm25_scores(qdf, idx, cfg=cfg), cfg=cfg),
+            fu.prf_bm25_scores(qdf, idx, arms.arm("keyword"), cfg=cfg),
             10,
         ).count(),
     )
     timed(
         "mmr_top5_of12",
         lambda: fu.mmr_rerank(
-            rt.stable_topk(rt.vector_scores(qdf, idx, cfg=cfg), 12).select(
-                "query_id", "doc_id", "score"
-            ),
+            arms.topk("vector", 12).select("query_id", "doc_id", "score"),
             idx,
             k=5,
         ).count(),
     )
+    arms.release()
     timed("doc_chunks", lambda: pt.chunk_documents(docs).count())
     timed("gopher_quality", lambda: pt.gopher_quality(docs).count())
     timed("bigram_logppl", lambda: pt.bigram_logppl(docs, cache=True).count())
+    # persisted-tokens form (IndexDelta pattern): tokenize once at
+    # ingest (tokens_build), then LM scoring never rescans the text —
+    # the incremental 100 TB shape for repeated perplexity/DSIR passes
+    from beyond_vector_search_spark.operators.corpus_index import doc_tokens
+
+    toks = doc_tokens(docs).cache()
+    timed("tokens_build", lambda: toks.count())
+    timed(
+        "bigram_logppl_tokens",
+        lambda: pt.bigram_logppl(docs, cache=True, tokens=toks).count(),
+    )
+    toks.unpersist()
     spark = docs.sparkSession
     spark.catalog.clearCache()  # drop this scale's index caches
     return out
