@@ -125,6 +125,55 @@ def main() -> None:
     if steady:
         print(f"# steady serve: {steady}", file=sys.stderr)
 
+    # Batch-serving throughput: 100 distinct queries compiled into ONE
+    # plan per arm (operators/serving.ServingArms).  The same-SF
+    # single-query latencies above carry Spark's fixed per-action floor
+    # — this row shows that floor AMORTIZING: per-query cost collapses
+    # when queries batch, which is the actual 100 TB serving regime
+    # (the reference scores queries one at a time, so its per-query
+    # cost is constant).
+    batch_serve = None
+    try:
+        from beyond_vector_search_spark.config import EngineConfig
+        from beyond_vector_search_spark.operators.retrieval import stable_topk
+        from beyond_vector_search_spark.operators.serving import ServingArms
+
+        words = (
+            "spark join performance vector hash index scan slow query filter "
+            "value shuffle broadcast partition cache parquet codegen window "
+            "aggregate stream state"
+        ).split()
+        nw = len(words)
+        batch = [
+            (
+                f"b{i:03d}",
+                f"{words[i % nw]} {words[(i * 7 + 3) % nw]} {words[(i * 13 + 5) % nw]}",
+            )
+            for i in range(100)
+        ]
+        arms = ServingArms(
+            _docs_index(spark, SF_DIR),
+            batch,
+            cfg=EngineConfig(include_zero_score_docs=False),
+        )
+        t0 = time.time()
+        stable_topk(arms.arm("keyword"), 10).count()
+        t_k = time.time() - t0
+        t0 = time.time()
+        stable_topk(arms.arm("vector"), 10).count()
+        t_v = time.time() - t0
+        arms.release()
+        batch_serve = {
+            "n_queries": 100,
+            "bm25_total_sec": round(t_k, 3),
+            "bm25_per_query_ms": round(t_k * 10.0, 2),
+            "vector_total_sec": round(t_v, 3),
+            "vector_per_query_ms": round(t_v * 10.0, 2),
+        }
+        print(f"# batch serve (100 queries): {batch_serve}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — informational metric only
+        print(f"# batch_serve failed: {e}", file=sys.stderr)
+
     # Crossover row: the retrieval family re-timed on the same documents
     # table concatenated N times (offset doc_ids, no new content).  At
     # sf0.1's 5k docs, Spark's fixed per-action overhead dominates and a
@@ -159,6 +208,8 @@ def main() -> None:
     }
     if steady:
         out["steady_serve"] = steady
+    if batch_serve is not None:
+        out["batch_serve"] = batch_serve
     if crossover is not None:
         out["crossover"] = crossover
     if errors:
