@@ -2100,3 +2100,265 @@ def train_ivf_centroids(
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     return spark.createDataFrame(centers, "centroid_id INT, embedding ARRAY<DOUBLE>")
+
+
+def nndescent_knn_graph(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    iterations: int = 3,
+    list_size: int | None = None,
+    init_seeds: tuple[int, int] = (1, 2),
+    reverse_cap: int | None = None,
+) -> DataFrame:
+    """(node_id, neighbor_id, cos, rank) — approximate cosine kNN GRAPH
+    (every node's top-k neighbors) built by NN-Descent (Dong, Moses &
+    Li, WWW 2011, public): start from a cheap blocked initialization,
+    then repeatedly refine each node's neighbor list with
+    neighbors-of-neighbors — "a neighbor of my neighbor is probably my
+    neighbor".  The kNN graph is the backbone structure for graph ANN
+    serving, SemDeDup-style diversity pruning, and label propagation.
+
+    Spark shape (every stage is bounded; nothing is ever all-pairs):
+
+    - **init**: two independent hash blockings (deterministic
+      ``hash64(seed || id)`` buckets of expected size ~2(k+1)); the
+      within-bucket pair space is O(n·k) rows total, scored in one
+      Arrow cosine pass per blocking.
+    - **iterate** (``iterations``×): undirect the current graph
+      (forward ∪ reverse edges, reverse side capped at
+      ``reverse_cap`` — default k — per node by (cos, id) so a hub
+      node cannot explode the join), self-join on the shared
+      endpoint to propose neighbors-of-neighbors (≤ n·(2k)² pair
+      rows), score NEW pairs with the Arrow kernel, merge, keep each
+      node's top-k.  Each round is ``localCheckpoint``-ed: the
+      operator is EAGER (runs jobs at call time) — iterative lineage
+      would otherwise double the plan per round.
+    - Determinism: cosines round to 6 (the engine-wide cross-engine
+      guard), ranking ties break by ascending neighbor id, the
+      candidate sets are pure hash functions of the ids — same graph
+      on every run and any partitioning.
+
+    ``list_size`` (default ``max(3k, k+10)``) is the WORKING neighbor
+    list kept during iterations — the standard NN-Descent accuracy
+    lever: candidates propagate through the longer list, and only the
+    final result slices to ``k``.  On the synthetic 64-dim embeddings
+    at n=500, k=5: recall@5 0.30 with list_size=k vs 0.97 at the
+    default (4 iterations) — measured, see
+    tests/test_pipeline_ops.py::test_nndescent_knn_graph_recall.
+
+    Recall vs the exact graph (knn_bruteforce with queries := all
+    nodes) is pinned by that test; like every NN-Descent it is
+    approximate — disconnected far-off clusters that no blocking
+    co-buckets can stay unexplored.
+
+    At 100 TB: per-iteration work is O(n·k²) pair scorings and two
+    shuffles (candidate distinct + per-node top-k window, both keyed
+    by node id) — linear in corpus size for fixed k, the property that
+    makes NN-Descent the standard distributed kNN-graph recipe.
+    """
+    from beyond_vector_search_spark.functions.hashing import hash64
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    L = list_size if list_size is not None else max(3 * k, k + 10)
+    if L < k:
+        raise ValueError("list_size must be >= k")
+    rcap = L if reverse_cap is None else reverse_cap
+
+    vec = as_double_array(F.col(vec_col))
+    nodes = embeddings.select(
+        F.col(id_col).alias("node_id"), vec.alias("v"), l2_norm(vec).alias("nrm")
+    ).localCheckpoint()
+    n_nodes = nodes.count()
+    n_buckets = max(1, n_nodes // max(2 * (L + 1), 2))
+
+    def _score(pairs: DataFrame) -> DataFrame:
+        """(node_id, neighbor_id) -> + cos (rounded 6, Arrow kernel)."""
+        a = nodes.select(
+            F.col("node_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+        )
+        b = nodes.select(
+            F.col("node_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        joined = pairs.join(a, "node_id").join(b, "neighbor_id")
+        return _with_cos_arrow(joined).select(
+            "node_id", "neighbor_id", F.round("cos", 6).alias("cos")
+        )
+
+    def _topk(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("node_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        return (
+            scored.groupBy("node_id", "neighbor_id")
+            .agg(F.max("cos").alias("cos"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= L)
+        )
+
+    # ---- init: within-bucket pairs under two independent blockings ----
+    init_pairs = None
+    for seed in init_seeds:
+        bucketed = nodes.select(
+            "node_id",
+            F.pmod(
+                hash64(F.concat(F.lit(f"{seed}:"), F.col("node_id").cast("string"))),
+                F.lit(n_buckets),
+            ).alias("_b"),
+        )
+        p = (
+            bucketed.alias("x")
+            .join(bucketed.alias("y"), "_b")
+            .select(
+                F.col("x.node_id").alias("node_id"),
+                F.col("y.node_id").alias("neighbor_id"),
+            )
+            .where(F.col("node_id") != F.col("neighbor_id"))
+        )
+        init_pairs = p if init_pairs is None else init_pairs.unionByName(p)
+    graph = _topk(_score(init_pairs)).localCheckpoint()
+
+    # ---- NN-Descent rounds ----
+    for _ in range(iterations):
+        fwd = graph.select("node_id", "neighbor_id", "cos")
+        wrev = Window.partitionBy("node_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        rev = (
+            graph.select(
+                F.col("neighbor_id").alias("node_id"),
+                F.col("node_id").alias("neighbor_id"),
+                "cos",
+            )
+            .withColumn("_r", F.row_number().over(wrev))
+            .where(F.col("_r") <= rcap)
+            .drop("_r")
+        )
+        und = fwd.unionByName(rev).select("node_id", "neighbor_id").distinct()
+        cand = (
+            und.alias("p")
+            .join(
+                und.select(
+                    F.col("node_id").alias("neighbor_id"),
+                    F.col("neighbor_id").alias("cand_id"),
+                ).alias("q"),
+                "neighbor_id",
+            )
+            .select("node_id", F.col("cand_id").alias("neighbor_id"))
+            .where(F.col("node_id") != F.col("neighbor_id"))
+            .distinct()
+        )
+        # skip pairs already in the graph (their cos is known; the
+        # merge's max() would dedupe anyway, but not scoring them
+        # halves the kernel volume once the graph stabilizes)
+        fresh = cand.join(
+            graph.select("node_id", "neighbor_id"), ["node_id", "neighbor_id"], "left_anti"
+        )
+        merged = graph.select("node_id", "neighbor_id", "cos").unionByName(_score(fresh))
+        graph = _topk(merged).localCheckpoint()
+
+    return graph.where(F.col("rank") <= k).select(
+        "node_id", "neighbor_id", "cos", "rank"
+    )
+
+
+def graph_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    graph: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    ef: int = 15,
+    rounds: int = 3,
+    entry_points: int = 2,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank) — approximate top-k served by
+    BEAM SEARCH over a kNN graph (the HNSW/NSG serving idea on a flat
+    graph, public: Malkov & Yashunin 2018 §algorithm-2 greedy search):
+    start from fixed entry nodes, repeatedly expand the current beam's
+    graph neighbors, score them against the query, keep the best ``ef``
+    — after ``rounds`` hops return the best ``k`` ever visited.
+
+    ``graph``: (node_id, neighbor_id, ...) — typically
+    :func:`nndescent_knn_graph` output (pass ``list_size`` ≥ ef there:
+    a richer graph raises beam recall).  Entry points are the
+    ``entry_points`` nodes with the smallest md5-hash — pseudo-random
+    but FIXED, so results are deterministic and cross-engine stable
+    (rounded cosines, id tie-breaks, fixed hop count — no
+    priority-queue races).
+
+    Scale shape: every hop is (beam ⋈ graph edges) keyed on node id +
+    one Arrow cosine pass + a per-query top-ef window — the corpus
+    never scans (only visited nodes' vectors join in), and the beam
+    relation is |queries| × ef rows.  Per-query work is O(rounds · ef ·
+    avg_degree) scorings — independent of corpus size, the property
+    that makes graph ANN the low-latency serving structure; the graph
+    build (NN-Descent) is where the corpus-sized work lives.
+    """
+    from beyond_vector_search_spark.functions.hashing import hash64
+
+    if k < 1 or ef < k:
+        raise ValueError("need k >= 1 and ef >= k")
+
+    vec = as_double_array(F.col(vec_col))
+    nodes = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), vec.alias("cv"), l2_norm(vec).alias("cn")
+    ).localCheckpoint()
+    qvec = as_double_array(F.col(vec_col)) if vec_col in queries.columns else None
+    q = queries.select(
+        "query_id",
+        (qvec if qvec is not None else as_double_array(F.col("embedding"))).alias("qv"),
+    ).withColumn("qn", l2_norm(F.col("qv")))
+
+    edges = graph.select("node_id", "neighbor_id").localCheckpoint()
+
+    entries = (
+        nodes.select("neighbor_id")
+        .withColumn(
+            "_h", hash64(F.concat(F.lit("ep:"), F.col("neighbor_id").cast("string")))
+        )
+        .orderBy("_h", "neighbor_id")
+        .limit(entry_points)
+        .drop("_h")
+    )
+
+    def _score(pairs: DataFrame) -> DataFrame:
+        """(query_id, neighbor_id) + query vec -> rounded cos."""
+        joined = pairs.join(nodes, "neighbor_id").join(q, "query_id")
+        return _with_cos_arrow(joined).select(
+            "query_id", "neighbor_id", F.round("cos", 6).alias("cos")
+        )
+
+    wbeam = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    visited = _score(q.select("query_id").crossJoin(entries)).localCheckpoint()
+    beam = visited.withColumn("_r", F.row_number().over(wbeam)).where(
+        F.col("_r") <= ef
+    ).drop("_r")
+
+    for _ in range(rounds):
+        frontier = (
+            beam.select("query_id", F.col("neighbor_id").alias("node_id"))
+            .join(edges, "node_id")
+            .select("query_id", "neighbor_id")
+            .join(visited.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti")
+            .distinct()
+        )
+        scored = _score(frontier)
+        visited = visited.unionByName(scored).localCheckpoint()
+        beam = visited.withColumn("_r", F.row_number().over(wbeam)).where(
+            F.col("_r") <= ef
+        ).drop("_r")
+
+    # self-matches excluded by id, the knn_bruteforce rule (queries
+    # drawn from the corpus would otherwise retrieve themselves)
+    out = visited.where(F.col("query_id") != F.col("neighbor_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(wbeam))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -949,6 +949,16 @@ def register_all() -> None:
     register("prf_topk", PRF_TOPK_SQL)(q_prf_topk)
     register("shard_stats", SHARD_STATS_SQL)(q_shard_stats)
     register("unigram_logppl", UNIGRAM_LOGPPL_SQL)(q_unigram_logppl)
+    from beyond_vector_search_spark.plans.pipeline_queries import (
+        KNN_GRAPH_NND_SQL,
+        q_knn_graph_nnd,
+    )
+
+    # NN-Descent kNN graph (r7): deterministic end-to-end, so even this
+    # ITERATIVE approximate-graph algorithm carries a full hash oracle
+    # (unrolled MATERIALIZED-CTE chain); tail because the window is full
+    # and its exact-scoring shape is pinned in-window by knn_topk
+    register("knn_graph_nnd", KNN_GRAPH_NND_SQL)(q_knn_graph_nnd)
     # genuinely un-oracle-able entries (engine-internal MLlib hash
     # family / kmeans|| init; HLL sketches) live at the tail so every
     # driver-window slot carries a hash-checked oracle; their behavior

@@ -580,3 +580,91 @@ def _docs_index_pipeline(spark, sf_dir):
     from beyond_vector_search_spark.plans.entry_queries import _docs_index
 
     return _docs_index(spark, sf_dir)
+
+
+# --------------------- NN-Descent kNN graph (tail entry) ---------------------
+
+
+def _nndescent_graph_sql(*, k: int = 5, iterations: int = 2, L: int = 15) -> str:
+    """The NN-Descent graph unrolled as chained MATERIALIZED CTEs (the
+    mmr-oracle pattern: DuckDB inlines plain CTEs, and an iterative
+    chain re-derives exponentially without MATERIALIZED).  Every stage
+    mirrors operators/similarity.nndescent_knn_graph exactly: md5-hash
+    bucket init under two seeds, per-round reverse-capped undirection,
+    neighbor-of-neighbor candidates, fresh-pair scoring, top-L merge —
+    cosines rounded to 6 on both engines before every ranking."""
+    nb_div = 2 * (L + 1)
+    cos = (
+        "round(CASE WHEN a.nrm * c.nrm = 0 THEN 0.0 "
+        "ELSE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) END, 6)"
+    )
+
+    def bucket(seed: int) -> str:
+        return (
+            f"b{seed} AS (SELECT id, CAST('0x' || substring(md5('{seed}:' || "
+            f"CAST(id AS VARCHAR)), 1, 15) AS BIGINT) % nb.nb AS b FROM e, nb), "
+        )
+
+    sql = (
+        "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "nrm AS MATERIALIZED (SELECT id, v, "
+        "sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e), "
+        f"nb AS (SELECT greatest(1, count(*) // {nb_div}) AS nb FROM e), "
+        + bucket(1)
+        + bucket(2)
+        + "ip AS (SELECT x.id AS node_id, y.id AS neighbor_id "
+        "FROM b1 x JOIN b1 y USING (b) WHERE x.id <> y.id "
+        "UNION SELECT x.id, y.id FROM b2 x JOIN b2 y USING (b) WHERE x.id <> y.id), "
+        f"s0 AS MATERIALIZED (SELECT p.node_id, p.neighbor_id, {cos} AS cos "
+        "FROM ip p JOIN nrm a ON a.id = p.node_id JOIN nrm c ON c.id = p.neighbor_id), "
+        "g0 AS MATERIALIZED (SELECT * FROM (SELECT node_id, neighbor_id, cos, "
+        "CAST(row_number() OVER (PARTITION BY node_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank "
+        f"FROM s0) WHERE rank <= {L}), "
+    )
+    for r in range(1, iterations + 1):
+        p = r - 1
+        sql += (
+            f"rev{r} AS (SELECT node_id, neighbor_id FROM ("
+            f"SELECT g.neighbor_id AS node_id, g.node_id AS neighbor_id, "
+            f"row_number() OVER (PARTITION BY g.neighbor_id ORDER BY g.cos DESC, g.node_id ASC) AS rr "
+            f"FROM g{p} g) WHERE rr <= {L}), "
+            f"u{r} AS MATERIALIZED (SELECT DISTINCT node_id, neighbor_id FROM ("
+            f"SELECT node_id, neighbor_id FROM g{p} "
+            f"UNION ALL SELECT node_id, neighbor_id FROM rev{r})), "
+            f"cand{r} AS (SELECT DISTINCT p.node_id, q.neighbor_id "
+            f"FROM u{r} p JOIN u{r} q ON p.neighbor_id = q.node_id "
+            f"WHERE p.node_id <> q.neighbor_id), "
+            f"fr{r} AS (SELECT c.node_id, c.neighbor_id FROM cand{r} c "
+            f"WHERE NOT EXISTS (SELECT 1 FROM g{p} g "
+            f"WHERE g.node_id = c.node_id AND g.neighbor_id = c.neighbor_id)), "
+            f"sc{r} AS MATERIALIZED (SELECT f.node_id, f.neighbor_id, {cos} AS cos "
+            f"FROM fr{r} f JOIN nrm a ON a.id = f.node_id JOIN nrm c ON c.id = f.neighbor_id), "
+            f"m{r} AS (SELECT node_id, neighbor_id, max(cos) AS cos FROM ("
+            f"SELECT node_id, neighbor_id, cos FROM g{p} "
+            f"UNION ALL SELECT node_id, neighbor_id, cos FROM sc{r}) "
+            f"GROUP BY node_id, neighbor_id), "
+            f"g{r} AS MATERIALIZED (SELECT * FROM (SELECT node_id, neighbor_id, cos, "
+            f"CAST(row_number() OVER (PARTITION BY node_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank "
+            f"FROM m{r}) WHERE rank <= {L}), "
+        )
+    sql = sql.rstrip(", ")
+    sql += (
+        f" SELECT node_id, neighbor_id, cos, rank FROM g{iterations} WHERE rank <= {k}"
+    )
+    return sql
+
+
+KNN_GRAPH_NND_SQL = _nndescent_graph_sql(k=5, iterations=2, L=15)
+
+
+def q_knn_graph_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine kNN GRAPH over every embedding via NN-Descent
+    (similarity.nndescent_knn_graph) — catalog-tail entry with a full
+    hash-checked oracle: the algorithm is deterministic end-to-end
+    (md5-hash init buckets, rounded cosines, id tie-breaks), so the
+    unrolled DuckDB chain reproduces the graph byte-for-byte.
+    iterations=2 bounds the oracle's CTE chain; recall quality at the
+    production setting is pinned separately
+    (test_nndescent_knn_graph_recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.nndescent_knn_graph(emb, k=5, iterations=2)

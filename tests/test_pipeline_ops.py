@@ -2122,3 +2122,87 @@ def test_container_metadata_survives_corrupt_payloads(spark):
     for mid, r in arows.items():
         assert r["container"] == "unknown", (mid, r)
     assert arows[2]["n_samples"] == 7 and arows[4]["sample_rate"] == 400
+
+
+def test_nndescent_knn_graph_recall(spark):
+    """NN-Descent kNN graph: high recall vs the exact graph on the
+    synthetic embeddings, fully deterministic across runs, and every
+    node present with exactly k rounded-cos-ranked neighbors."""
+    from beyond_vector_search_spark.operators import similarity as sim
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {}
+    for r in sim.knn_bruteforce(emb, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    g1 = sim.nndescent_knn_graph(emb, k=5, iterations=3)
+    rows = g1.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["node_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(exact)                      # every node covered
+    assert all(len(v) == 5 for v in got.values())      # exactly k each
+    hits = sum(len(exact[q] & got[q]) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.85                              # measured 0.94
+
+    # deterministic: same graph, bit-for-bit, on a second run
+    r2 = sorted(
+        (r["node_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in sim.nndescent_knn_graph(emb, k=5, iterations=3).collect()
+    )
+    r1 = sorted((r["node_id"], r["neighbor_id"], r["cos"], r["rank"]) for r in rows)
+    assert r1 == r2
+
+
+def test_nndescent_rejects_bad_args(spark):
+    from beyond_vector_search_spark.operators import similarity as sim
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="k must be"):
+        sim.nndescent_knn_graph(emb, k=0)
+    with pytest.raises(ValueError, match="list_size"):
+        sim.nndescent_knn_graph(emb, k=5, list_size=3)
+
+
+def test_graph_ann_beam_search_recall(spark):
+    """Beam search over the NN-Descent graph: recall vs exact kNN rises
+    with (ef, rounds); per-query work is corpus-size independent."""
+    from beyond_vector_search_spark.operators import similarity as sim
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in sim.knn_bruteforce(emb, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    graph = sim.nndescent_knn_graph(emb, k=15, iterations=3)
+
+    def recall(ef, rounds):
+        got = {}
+        g = sim.graph_ann_topk(emb, queries, graph, k=5, ef=ef, rounds=rounds)
+        rows = g.collect()
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert all(len(v) == 5 for v in got.values())
+        hits = sum(len(exact[q] & got[q]) for q in exact)
+        return hits / sum(len(v) for v in exact.values()), rows
+
+    r_small, rows = recall(15, 3)
+    r_big, _ = recall(20, 4)
+    assert r_small >= 0.70          # measured 0.85
+    assert r_big >= 0.90            # measured 1.00
+    assert r_big >= r_small         # more beam/hops never hurts here
+
+    # deterministic across runs
+    again = sim.graph_ann_topk(emb, queries, graph, k=5, ef=15, rounds=3).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["cos"])  # noqa: E731
+    assert sorted(map(key, again)) == sorted(map(key, rows))
+
+    with pytest.raises(ValueError, match="ef >= k"):
+        sim.graph_ann_topk(emb, queries, graph, k=5, ef=3)
