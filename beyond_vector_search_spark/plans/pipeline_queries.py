@@ -585,15 +585,26 @@ def _docs_index_pipeline(spark, sf_dir):
 # --------------------- NN-Descent kNN graph (tail entry) ---------------------
 
 
-def _nndescent_graph_sql(*, k: int = 5, iterations: int = 2, L: int = 15) -> str:
+def _nndescent_graph_sql(
+    *, k: int = 5, iterations: int = 2, L: int = 15, sample_rate: float = 1.0
+) -> str:
     """The NN-Descent graph unrolled as chained MATERIALIZED CTEs (the
     mmr-oracle pattern: DuckDB inlines plain CTEs, and an iterative
     chain re-derives exponentially without MATERIALIZED).  Every stage
     mirrors operators/similarity.nndescent_knn_graph exactly: md5-hash
-    bucket init under two seeds, per-round reverse-capped undirection,
-    neighbor-of-neighbor candidates, fresh-pair scoring, top-L merge —
-    cosines rounded to 6 on both engines before every ranking."""
+    bucket init under two seeds, per-round "new"-edge flags (an edge is
+    new iff absent from the round-before-last graph — Dong et al.'s
+    incremental search), reverse-capped undirection, optional
+    deterministic ρ-sampling of each (node, flag) adjacency group by
+    md5-hash order, neighbor-of-neighbor candidates gated on at least
+    one new edge, fresh-pair scoring, top-L merge — cosines rounded to
+    6 on both engines before every ranking."""
+    import math as _math
+
     nb_div = 2 * (L + 1)
+    samp_cap = (
+        max(1, _math.ceil(sample_rate * L)) if sample_rate < 1.0 else None
+    )
     cos = (
         "round(CASE WHEN a.nrm * c.nrm = 0 THEN 0.0 "
         "ELSE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) END, 6)"
@@ -623,17 +634,41 @@ def _nndescent_graph_sql(*, k: int = 5, iterations: int = 2, L: int = 15) -> str
     )
     for r in range(1, iterations + 1):
         p = r - 1
+        if r == 1:
+            sql += (
+                f"f{r} AS (SELECT node_id, neighbor_id, cos, 1 AS new FROM g{p}), "
+            )
+        else:
+            sql += (
+                f"f{r} AS (SELECT g.node_id, g.neighbor_id, g.cos, "
+                f"CASE WHEN h.node_id IS NULL THEN 1 ELSE 0 END AS new "
+                f"FROM g{p} g LEFT JOIN g{r - 2} h "
+                f"ON h.node_id = g.node_id AND h.neighbor_id = g.neighbor_id), "
+            )
         sql += (
-            f"rev{r} AS (SELECT node_id, neighbor_id FROM ("
-            f"SELECT g.neighbor_id AS node_id, g.node_id AS neighbor_id, "
+            f"rev{r} AS (SELECT node_id, neighbor_id, new FROM ("
+            f"SELECT g.neighbor_id AS node_id, g.node_id AS neighbor_id, g.new, "
             f"row_number() OVER (PARTITION BY g.neighbor_id ORDER BY g.cos DESC, g.node_id ASC) AS rr "
-            f"FROM g{p} g) WHERE rr <= {L}), "
-            f"u{r} AS MATERIALIZED (SELECT DISTINCT node_id, neighbor_id FROM ("
-            f"SELECT node_id, neighbor_id FROM g{p} "
-            f"UNION ALL SELECT node_id, neighbor_id FROM rev{r})), "
+            f"FROM f{r} g) WHERE rr <= {L}), "
+            f"u{r} AS MATERIALIZED (SELECT node_id, neighbor_id, max(new) AS new FROM ("
+            f"SELECT node_id, neighbor_id, new FROM f{r} "
+            f"UNION ALL SELECT node_id, neighbor_id, new FROM rev{r}) "
+            f"GROUP BY node_id, neighbor_id), "
+        )
+        uname = f"u{r}"
+        if samp_cap is not None:
+            sql += (
+                f"su{r} AS MATERIALIZED (SELECT node_id, neighbor_id, new FROM ("
+                f"SELECT u.*, row_number() OVER (PARTITION BY node_id, new "
+                f"ORDER BY CAST('0x' || substring(md5('{r}:' || CAST(node_id AS VARCHAR) "
+                f"|| ':' || CAST(neighbor_id AS VARCHAR)), 1, 15) AS BIGINT) ASC, "
+                f"neighbor_id ASC) AS rs FROM u{r} u) WHERE rs <= {samp_cap}), "
+            )
+            uname = f"su{r}"
+        sql += (
             f"cand{r} AS (SELECT DISTINCT p.node_id, q.neighbor_id "
-            f"FROM u{r} p JOIN u{r} q ON p.neighbor_id = q.node_id "
-            f"WHERE p.node_id <> q.neighbor_id), "
+            f"FROM {uname} p JOIN {uname} q ON p.neighbor_id = q.node_id "
+            f"WHERE p.node_id <> q.neighbor_id AND (p.new = 1 OR q.new = 1)), "
             f"fr{r} AS (SELECT c.node_id, c.neighbor_id FROM cand{r} c "
             f"WHERE NOT EXISTS (SELECT 1 FROM g{p} g "
             f"WHERE g.node_id = c.node_id AND g.neighbor_id = c.neighbor_id)), "
@@ -654,17 +689,19 @@ def _nndescent_graph_sql(*, k: int = 5, iterations: int = 2, L: int = 15) -> str
     return sql
 
 
-KNN_GRAPH_NND_SQL = _nndescent_graph_sql(k=5, iterations=2, L=15)
+KNN_GRAPH_NND_SQL = _nndescent_graph_sql(k=5, iterations=2, L=15, sample_rate=0.5)
 
 
 def q_knn_graph_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine kNN GRAPH over every embedding via NN-Descent
     (similarity.nndescent_knn_graph) — catalog-tail entry with a full
     hash-checked oracle: the algorithm is deterministic end-to-end
-    (md5-hash init buckets, rounded cosines, id tie-breaks), so the
-    unrolled DuckDB chain reproduces the graph byte-for-byte.
-    iterations=2 bounds the oracle's CTE chain; recall quality at the
-    production setting is pinned separately
+    (md5-hash init buckets AND md5-hash ρ-sampling, rounded cosines, id
+    tie-breaks), so the unrolled DuckDB chain reproduces the graph
+    byte-for-byte — including the incremental new-edge candidate rule
+    and the sampled adjacency lists (sample_rate=0.5, the production
+    cost-control shape).  iterations=2 bounds the oracle's CTE chain;
+    recall quality at the production setting is pinned separately
     (test_nndescent_knn_graph_recall)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.nndescent_knn_graph(emb, k=5, iterations=2)
+    return sim.nndescent_knn_graph(emb, k=5, iterations=2, sample_rate=0.5)

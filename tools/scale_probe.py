@@ -124,6 +124,29 @@ def probe(spark, copies: int) -> dict:
     )
     timed("ivf_probe_top5", lambda: sim.ivf_topk(emb, queries, cents).count())
 
+    # NN-Descent graph build is O(n·k²) pair scorings per round —
+    # should scale near-linearly; beam-search serving over the built
+    # graph is O(rounds·ef·degree) per query — should stay FLAT in
+    # corpus size (the whole point of the graph structure).
+    _g: dict = {}
+
+    def _build_graph() -> int:
+        # the production cost-control shape: incremental new-edge
+        # candidates + rho=0.5 sampled adjacency, working list 25
+        # (not the 3k default 45 — candidate volume scales with L^2)
+        _g["graph"] = sim.nndescent_knn_graph(
+            emb, k=15, iterations=2, list_size=25, sample_rate=0.5
+        )
+        return _g["graph"].count()
+
+    timed("nndescent_graph_build", _build_graph)
+    timed(
+        "graph_ann_serve_top5",
+        lambda: sim.graph_ann_topk(
+            emb, queries, _g["graph"], k=5, ef=15, rounds=3
+        ).count(),
+    )
+
     # --- fusion family (rrf / prf / mmr) + the narrow pipeline ops ---
     # index built once per scale and warmed OUTSIDE the timers (the
     # build itself is crossover_bench's measurement); the timed part is
