@@ -65,7 +65,14 @@ def probe(spark, copies: int) -> dict:
 
     out: dict = {"copies": copies, "n_docs": n_docs, "n_vecs": n_vecs, "sec": {}}
 
+    # SPARK_GRAFT_PROBE_ONLY=substr[,substr...] re-measures a subset
+    # without paying for the full probe (dependent entries must be
+    # included together, e.g. nndescent build before graph serve)
+    only = [s for s in os.environ.get("SPARK_GRAFT_PROBE_ONLY", "").split(",") if s]
+
     def timed(name: str, fn) -> None:
+        if only and not any(s in name for s in only):
+            return
         t0 = time.time()
         n = fn()
         out["sec"][name] = round(time.time() - t0, 3)
