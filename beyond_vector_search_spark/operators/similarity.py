@@ -1112,6 +1112,7 @@ def pq_topk(
     n_codes: int = 16,
     k: int = 5,
     codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
     kernel: bool = True,
     rerank: int | None = None,
 ) -> DataFrame:
@@ -1138,6 +1139,18 @@ def pq_topk(
     LUT gather per batch, local top-(k+16), tiny global window);
     ``kernel=False`` is the lazy expression twin (encode, explode,
     broadcast-join the LUT, one hash-agg sum) — parity-pinned.
+
+    ``codes=`` accepts a pre-encoded ``(vec_id, codes)`` relation
+    (:func:`pq_encode` output — typically encoded ONCE and persisted as
+    parquet, the IndexDelta/persisted-tokens pattern).  With it, the
+    ADC scan reads ONLY the 8-byte code column: the raw embedding
+    relation is never touched (kernel gathers LUT entries by code id;
+    expression path joins the LUT on the exploded codes), which is the
+    real 100 TB serve shape — encode is a one-off batch job, every
+    query batch after it scans 32x less data.  Results are identical
+    to the encode-on-the-fly form (parity-pinned): in-kernel argmin
+    and :func:`pq_encode` break distance ties the same way.  ``rerank``
+    still reads raw vectors for its q x R exact pass.
 
     ``rerank=R`` adds the standard second stage (IVFADC-with-refinement):
     ADC picks a top-R shortlist per query, then the EXACT squared-L2
@@ -1182,12 +1195,25 @@ def pq_topk(
             diff = sl[:, None, :] - M[None, :, :]
             lut[s] = (np.round((diff * diff).sum(axis=2), 6), ids)
         take = shortlist + 16
-        src = _fan_out(
-            embeddings.select(
-                F.col(id_col).alias("neighbor_id"),
-                as_double_array(F.col(vec_col)).alias("_v"),
+        use_codes = codes is not None
+        if use_codes:
+            src = _fan_out(
+                codes.select(F.col("vec_id").alias("neighbor_id"), "codes")
             )
-        )
+            # code_id -> position in each subspace's codeword block
+            id_pos = {}
+            for s in subs:
+                _, ids = cb[s]
+                pm = np.full(int(ids.max()) + 1, -1, dtype=np.int64)
+                pm[ids] = np.arange(len(ids))
+                id_pos[s] = pm
+        else:
+            src = _fan_out(
+                embeddings.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    as_double_array(F.col(vec_col)).alias("_v"),
+                )
+            )
 
         def adc_kernel(batches: Iterator) -> Iterator:
             import pandas as pd
@@ -1195,16 +1221,31 @@ def pq_topk(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                X, _ = _stack_rows(pdf["_v"].to_numpy(), dim=dim)
                 nbr = pdf["neighbor_id"].to_numpy()
                 dist = np.zeros((len(q_ids), len(pdf)))
-                for s in subs:
-                    M, ids = cb[s]
-                    sl = X[:, s * d : (s + 1) * d]
-                    diff = sl[:, None, :] - M[None, :, :]
-                    d2 = np.round((diff * diff).sum(axis=2), 6)
-                    code_pos = np.argmin(d2, axis=1)
-                    dist += lut[s][0][:, code_pos]
+                if use_codes:
+                    # pre-encoded scan: LUT gather by code id — no
+                    # float vector math, the raw corpus is never read
+                    C = np.asarray(
+                        [list(c) for c in pdf["codes"]], dtype=np.int64
+                    )
+                    for j, s in enumerate(subs):
+                        pos = id_pos[s][C[:, j]]
+                        if (pos < 0).any():
+                            raise ValueError(
+                                f"codes contain a code_id absent from the "
+                                f"sub={s} codebook"
+                            )
+                        dist += lut[s][0][:, pos]
+                else:
+                    X, _ = _stack_rows(pdf["_v"].to_numpy(), dim=dim)
+                    for s in subs:
+                        M, ids = cb[s]
+                        sl = X[:, s * d : (s + 1) * d]
+                        diff = sl[:, None, :] - M[None, :, :]
+                        d2 = np.round((diff * diff).sum(axis=2), 6)
+                        code_pos = np.argmin(d2, axis=1)
+                        dist += lut[s][0][:, code_pos]
                 dr = np.round(dist, 6)
                 out_q, out_n, out_d = [], [], []
                 for qi, qid in enumerate(q_ids):
@@ -1239,8 +1280,12 @@ def pq_topk(
         return _pq_exact_rerank(
             ranked, embeddings, queries, id_col=id_col, vec_col=vec_col, k=k
         )
-    enc = pq_encode(
-        embeddings, codebooks, id_col=id_col, vec_col=vec_col, m=m, dim=dim, kernel=False
+    enc = (
+        codes
+        if codes is not None
+        else pq_encode(
+            embeddings, codebooks, id_col=id_col, vec_col=vec_col, m=m, dim=dim, kernel=False
+        )
     )
     slices = F.array(
         *[

@@ -1727,6 +1727,83 @@ def test_pq_topk_parity_and_rerank_recall(spark):
     assert recall >= 0.9, recall
 
 
+def test_pq_topk_persisted_codes_parity(spark):
+    """pq_topk(codes=...) — the serve-from-persisted-codes form (encode
+    once, every later query batch scans ONLY the 8-byte code column) —
+    is row-identical to encode-on-the-fly on BOTH the kernel and
+    expression paths, including the exact-rerank arm, and never reads
+    the embedding column in its ADC scan (kernel path pinned by feeding
+    it a codes relation whose ids have no raw-vector twin)."""
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    cb = sim.pq_codebooks(emb, m=8, dim=64, n_codes=16)
+    enc = sim.pq_encode(emb, cb, m=8, dim=64)
+
+    fly = sorted(
+        map(tuple, sim.pq_topk(emb, q, m=8, dim=64, n_codes=16, k=5, codebooks=cb).collect())
+    )
+    stored_k = sorted(
+        map(
+            tuple,
+            sim.pq_topk(
+                emb, q, m=8, dim=64, n_codes=16, k=5, codebooks=cb, codes=enc
+            ).collect(),
+        )
+    )
+    stored_e = sorted(
+        map(
+            tuple,
+            sim.pq_topk(
+                emb, q, m=8, dim=64, n_codes=16, k=5, codebooks=cb, codes=enc, kernel=False
+            ).collect(),
+        )
+    )
+    assert fly == stored_k == stored_e
+
+    rr_fly = sorted(
+        map(
+            tuple,
+            sim.pq_topk(
+                emb, q, m=8, dim=64, n_codes=16, k=5, codebooks=cb, rerank=50
+            ).collect(),
+        )
+    )
+    rr_stored = sorted(
+        map(
+            tuple,
+            sim.pq_topk(
+                emb, q, m=8, dim=64, n_codes=16, k=5, codebooks=cb, codes=enc, rerank=50
+            ).collect(),
+        )
+    )
+    assert rr_fly == rr_stored
+
+    # the pure-ADC codes path must not need raw corpus vectors at all:
+    # an id-only embeddings relation (no embedding column to read)
+    # serves identically on both paths
+    ids_only = emb.select("vec_id")
+    for kern in (True, False):
+        out = sorted(
+            map(
+                tuple,
+                sim.pq_topk(
+                    ids_only,
+                    q,
+                    m=8,
+                    dim=64,
+                    n_codes=16,
+                    k=5,
+                    codebooks=cb,
+                    codes=enc,
+                    kernel=kern,
+                ).collect(),
+            )
+        )
+        assert out == stored_k
+
+
 def test_pq_refine_codebooks_improves_quantization(spark):
     """numpy-Lloyd's refinement is deterministic and does not increase
     total quantization error vs the head-sample init on a clusterable
