@@ -1150,7 +1150,11 @@ def pq_topk(
     query batch after it scans 32x less data.  Results are identical
     to the encode-on-the-fly form (parity-pinned): in-kernel argmin
     and :func:`pq_encode` break distance ties the same way.  ``rerank``
-    still reads raw vectors for its q x R exact pass.
+    still reads raw vectors for its q x R exact pass.  Related:
+    :func:`pq_search_codes` is the PQIndex serving twin of this path —
+    same ADC-over-codes kernel shape, but null-tolerant (a persisted
+    store may carry ragged rows) where this parameter is strict
+    (ad-hoc codes should fail loudly on codebook mismatch).
 
     ``rerank=R`` adds the standard second stage (IVFADC-with-refinement):
     ADC picks a top-R shortlist per query, then the EXACT squared-L2
