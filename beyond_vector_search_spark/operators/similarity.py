@@ -401,6 +401,100 @@ def knn_bruteforce(
     )
 
 
+def filtered_knn_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    predicate=None,
+    allowed: DataFrame | None = None,
+    mode: str = "pre",
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    kernel: bool = True,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank) — exact cosine top-k under a
+    metadata filter: the filtered-vector-search serving pattern
+    (reference vector search + a WHERE clause, e.g. "nearest English
+    documents" or "nearest docs with label=3").
+
+    The filter is ``predicate`` (a Column or SQL string over the
+    embeddings relation's own columns) and/or ``allowed`` (a 1-column
+    id relation from ANOTHER table — e.g. ``documents.where("lang =
+    'en'").select("doc_id")``); when both are given they AND together.
+
+    ``mode='pre'`` (default) filters FIRST, then runs the exact scan
+    over survivors: recall is perfect within the filtered subset and
+    always returns min(k, |survivors|-ish) rows.  This is the 100 TB
+    shape for selective filters — a same-table predicate is pushed into
+    the parquet scan (row-group pruning; pinned by a PushedFilters
+    test) and a cross-table ``allowed`` set becomes a semi-join BEFORE
+    the scoring kernel (AQE broadcasts it when small), so the kernel
+    scores only survivors and I/O scales with the filter's selectivity,
+    not the corpus.
+
+    ``mode='post'`` searches the FULL corpus for ``k * oversample``
+    candidates, then filters and re-ranks.  The scan cost is
+    filter-independent — the right trade when serving MANY distinct
+    filters from one cached/precomputed candidate relation (or an ANN
+    index that cannot see the predicate) — but a selective filter
+    under-fills: a query whose top ``k * oversample`` unfiltered
+    neighbors contain < k survivors returns fewer than k rows (the
+    classic vector-store post-filter caveat; raise ``oversample`` to
+    trade scan width for fill rate).  Both modes are deterministic
+    (rounded cos, id tie-breaks) and oracle-checkable.
+    """
+    if predicate is None and allowed is None:
+        raise ValueError("filtered_knn_topk needs predicate= and/or allowed=")
+    if mode not in ("pre", "post"):
+        raise ValueError(f"mode must be 'pre' or 'post', got {mode!r}")
+
+    def _survivors(df: DataFrame) -> DataFrame:
+        out = df
+        if predicate is not None:
+            out = out.where(predicate)
+        if allowed is not None:
+            aid = allowed.columns[0]
+            out = out.join(
+                allowed.select(F.col(aid).alias(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            )
+        return out
+
+    if mode == "pre":
+        return knn_bruteforce(
+            _survivors(embeddings),
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            kernel=kernel,
+        )
+    cand = knn_bruteforce(
+        embeddings,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k * oversample,
+        kernel=kernel,
+    )
+    kept = cand.join(
+        _survivors(embeddings).select(F.col(id_col).alias("neighbor_id")),
+        "neighbor_id",
+        "left_semi",
+    )
+    # original rank already encodes (cos desc, neighbor_id asc) — the
+    # re-rank is a dense renumbering of the surviving candidates
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    return (
+        kept.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -950,9 +950,17 @@ def register_all() -> None:
     register("shard_stats", SHARD_STATS_SQL)(q_shard_stats)
     register("unigram_logppl", UNIGRAM_LOGPPL_SQL)(q_unigram_logppl)
     from beyond_vector_search_spark.plans.pipeline_queries import (
+        FILTERED_KNN_SQL,
         KNN_GRAPH_NND_SQL,
+        q_filtered_knn,
         q_knn_graph_nnd,
     )
+
+    # Filtered vector search (r7): pre-filter (semi-join before the
+    # exact scan, pushdown-pinned) vs post-filter (global shortlist
+    # then filter, under-fill visible); tail because it restates
+    # knn_topk's in-window exact-scan + rank-window shape
+    register("filtered_knn", FILTERED_KNN_SQL)(q_filtered_knn)
 
     # NN-Descent kNN graph (r7): deterministic end-to-end, so even this
     # ITERATIVE approximate-graph algorithm carries a full hash oracle

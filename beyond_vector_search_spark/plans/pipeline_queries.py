@@ -705,3 +705,65 @@ def q_knn_graph_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test_nndescent_knn_graph_recall)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.nndescent_knn_graph(emb, k=5, iterations=2, sample_rate=0.5)
+
+
+FILTERED_KNN_SQL = (
+    # Filtered vector search in both serving shapes, one tagged
+    # relation: method='pre_lang_en' filters FIRST (cross-table allowed
+    # set: embeddings whose doc is English) and runs the exact cosine
+    # top-5 over survivors — perfect recall within the filter, scan I/O
+    # tracks selectivity; method='post_label3' searches the FULL corpus
+    # for the global top-20, then filters to label=3 and renumbers —
+    # filter-independent scan cost, but the selective filter UNDER-FILLS
+    # (queries return < 5 rows), the classic vector-store post-filter
+    # caveat made driver-visible in the result relation itself.
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), "
+    "allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'), "
+    "pc AS (SELECT vec_id AS neighbor_id, v AS cv FROM e "
+    "WHERE vec_id IN (SELECT doc_id FROM allowed)), "
+    f"pscored AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cos "
+    "FROM q CROSS JOIN pc WHERE query_id <> neighbor_id), "
+    "pranked AS (SELECT query_id, neighbor_id, round(cos, 6) AS cos, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS INTEGER) AS rank "
+    "FROM pscored), "
+    "c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e), "
+    f"gscored AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cos "
+    "FROM q CROSS JOIN c WHERE query_id <> neighbor_id), "
+    "granked AS (SELECT query_id, neighbor_id, round(cos, 6) AS cos, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS INTEGER) AS rank "
+    "FROM gscored), "
+    "post AS (SELECT query_id, neighbor_id, cos, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank ASC) AS INTEGER) AS rank "
+    "FROM granked WHERE rank <= 20 "
+    "AND neighbor_id IN (SELECT vec_id FROM e WHERE label = 3)) "
+    "SELECT 'pre_lang_en' AS method, query_id, neighbor_id, cos, rank "
+    "FROM pranked WHERE rank <= 5 "
+    "UNION ALL "
+    "SELECT 'post_label3', query_id, neighbor_id, cos, rank FROM post WHERE rank <= 5"
+)
+
+
+def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (similarity.filtered_knn_topk) — the
+    metadata-predicate + top-k serving pattern in both modes: 'pre'
+    (cross-table allowed= semi-join before the exact scan; the 100 TB
+    shape for selective filters — predicate pushdown pinned by
+    test_filtered_knn_predicate_pushes_into_parquet_scan) and 'post'
+    (global top-20 then filter; under-fill visible in the relation).
+    Catalog-tail entry: restates knn_topk's in-window exact-cosine-scan
+    + rank-window shape under a filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pre = sim.filtered_knn_topk(
+        emb, queries, allowed=docs.where("lang = 'en'").select("doc_id"), k=5
+    )
+    post = sim.filtered_knn_topk(
+        emb, queries, predicate="label = 3", mode="post", oversample=4, k=5
+    )
+    return pre.select(F.lit("pre_lang_en").alias("method"), "*").unionByName(
+        post.select(F.lit("post_label3").alias("method"), "*")
+    )

@@ -77,6 +77,90 @@ def test_knn_bruteforce_exact(spark):
     assert math.isclose(out[0].cos, 0.9 / math.sqrt(0.81 + 0.01), abs_tol=1e-6)
 
 
+def test_filtered_knn_topk(spark):
+    """Filtered vector search: mode='pre' equals brute-force over the
+    manually filtered corpus on both kernel paths; a cross-table
+    allowed= set matches its same-table predicate twin; mode='post'
+    returns exactly pre's head rows (the surviving global-top-N prefix)
+    and under-fills when the filter is selective."""
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    manual = sorted(
+        map(tuple, sim.knn_bruteforce(emb.where("label = 1"), q, k=5).collect())
+    )
+    for kern in (True, False):
+        got = sorted(
+            map(
+                tuple,
+                sim.filtered_knn_topk(
+                    emb, q, predicate="label = 1", k=5, kernel=kern
+                ).collect(),
+            )
+        )
+        assert got == manual
+
+    # cross-table allowed= (ids from documents) == same-table predicate
+    # expressing the same membership
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    allowed = docs.where("lang = 'en'").select("doc_id")
+    en_ids = [r.doc_id for r in allowed.collect()]
+    via_allowed = sorted(
+        map(tuple, sim.filtered_knn_topk(emb, q, allowed=allowed, k=5).collect())
+    )
+    via_pred = sorted(
+        map(
+            tuple,
+            sim.filtered_knn_topk(
+                emb, q, predicate=F.col("vec_id").isin(en_ids), k=5
+            ).collect(),
+        )
+    )
+    assert via_allowed == via_pred and via_allowed
+
+    # post-filter: surviving rows are exactly pre's top-m prefix per
+    # query (any allowed vector beating a global-top-N allowed vector
+    # is itself in the global top-N), and a selective filter under-fills
+    pre = sim.filtered_knn_topk(emb, q, predicate="label = 3", k=5).collect()
+    post = sim.filtered_knn_topk(
+        emb, q, predicate="label = 3", k=5, mode="post", oversample=4
+    ).collect()
+    pre_by_q: dict = {}
+    for r in sorted(pre, key=lambda r: (r.query_id, r.rank)):
+        pre_by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.cos, r.rank))
+    post_by_q: dict = {}
+    for r in sorted(post, key=lambda r: (r.query_id, r.rank)):
+        post_by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.cos, r.rank))
+    for qid, rows in post_by_q.items():
+        assert rows == pre_by_q[qid][: len(rows)]
+    assert len(post) < len(pre)  # label=3 is selective at oversample=4
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sim.filtered_knn_topk(emb, q, k=5)
+    with pytest.raises(ValueError):
+        sim.filtered_knn_topk(emb, q, predicate="label = 1", mode="mid")
+
+
+def test_filtered_knn_predicate_pushes_into_parquet_scan(spark):
+    """mode='pre' with a same-table predicate reaches the parquet scan
+    as a pushed filter — at 100 TB the filter prunes row groups before
+    a single vector is read, so scan I/O tracks the filter's
+    selectivity rather than the corpus size."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 2").select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = (
+        sim.filtered_knn_topk(emb, q, predicate="label = 1", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "label" in plan.split("PushedFilters: [", 1)[1][:200]
+
+
 def test_assign_centroids(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (10, [0.9, 0.1]), (11, [0.1, 0.9])],
