@@ -1867,7 +1867,48 @@ def ivfpq_residual_topk(
     enc = pq_encode(resid, codebooks, m=m, dim=dim).join(
         resid.select("vec_id", "centroid_id"), "vec_id"
     )
+    return _ivfpq_residual_serve(
+        enc,
+        codebooks,
+        centroids,
+        queries,
+        m=m,
+        dim=dim,
+        k=k,
+        nprobe=nprobe,
+        rerank=rerank,
+        embeddings=embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
 
+
+def _ivfpq_residual_serve(
+    enc: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    m: int,
+    dim: int,
+    k: int,
+    nprobe: int,
+    rerank: int | None = None,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve stage of residual IVF-PQ, shared by the fused operator
+    (:func:`ivfpq_residual_topk`) and the persisted store
+    (:class:`IVFPQIndex`): probe nprobe centroids, build the
+    per-(query, probed centroid) residual LUT, ADC over the coded
+    corpus ``enc`` (vec_id, centroid_id, codes).  Touches only the
+    code column of the corpus — raw vectors appear solely in the
+    optional exact-rerank second stage."""
+    d = dim // m
+    cent = centroids.select(
+        "centroid_id", as_double_array(F.col(vec_col)).alias("cv")
+    )
     # probe: same cosine coarse ranking as ivfpq_topk / assign_centroids
     qv = as_double_array(F.col(vec_col))
     q = queries.select("query_id", qv.alias("qv"), l2_norm(qv).alias("qn"))
@@ -1939,9 +1980,138 @@ def ivfpq_residual_topk(
     )
     if rerank is None:
         return ranked
+    if embeddings is None:
+        raise ValueError("rerank requires the raw embeddings frame")
     return _pq_exact_rerank(
         ranked, embeddings, queries, id_col=id_col, vec_col=vec_col, k=k
     )
+
+
+class IVFPQIndex:
+    """Persisted residual IVF-PQ index — the FAISS ``IndexIVFPQ``
+    save/load/serve shape (Jegou et al. 2011 §IV) on parquet tables:
+    ``centroids`` (the coarse quantizer, broadcast-sized), residual
+    ``codebooks`` (m x n_codes codewords fit on centroid offsets), and
+    the coded corpus ``codes`` (vec_id, centroid_id, m-byte codes —
+    partitioned by centroid_id at write so a probe reads only its
+    buckets' files).  ``build`` pays assignment + residual encoding
+    ONCE; ``search`` then probes ``nprobe`` centroids and scores bucket
+    members from their STORED codes via per-probed-centroid residual
+    LUTs (:func:`_ivfpq_residual_serve`) — the raw vectors never load
+    again, which at 100 TB is the point of having coded them (32x less
+    I/O, and partition pruning cuts the remainder to ~nprobe/K).
+    Results are identical to the fused :func:`ivfpq_residual_topk` on
+    the same inputs (parity-pinned).  ``rerank=R`` needs the raw
+    ``embeddings`` frame for its exact q x R second stage."""
+
+    def __init__(
+        self,
+        centroids: DataFrame,
+        codebooks: DataFrame,
+        codes: DataFrame,
+        *,
+        m: int,
+        dim: int,
+    ):
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.codes = codes
+        self.m = m
+        self.dim = dim
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: DataFrame,
+        centroids: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        m: int = 8,
+        dim: int = 64,
+        n_codes: int = 16,
+        codebooks: DataFrame | None = None,
+    ) -> "IVFPQIndex":
+        if dim % m:
+            raise ValueError(f"m={m} must divide dim={dim}")
+        cent = centroids.select(
+            "centroid_id", as_double_array(F.col(vec_col)).alias("cv")
+        )
+        assigned = assign_centroids(
+            embeddings, centroids, id_col=id_col, vec_col=vec_col
+        )
+        resid = (
+            embeddings.select(
+                F.col(id_col).alias("vec_id"),
+                as_double_array(F.col(vec_col)).alias("v"),
+            )
+            .join(assigned.select("vec_id", "centroid_id"), "vec_id")
+            .join(F.broadcast(cent), "centroid_id")
+            .select(
+                "vec_id",
+                "centroid_id",
+                F.zip_with("v", "cv", lambda a, b: a - b).alias("embedding"),
+            )
+        )
+        if codebooks is None:
+            codebooks = pq_codebooks(
+                resid.select("vec_id", "embedding"), m=m, dim=dim, n_codes=n_codes
+            )
+        codes = pq_encode(resid, codebooks, m=m, dim=dim).join(
+            resid.select("vec_id", "centroid_id"), "vec_id"
+        )
+        return cls(
+            centroids.select("centroid_id", F.col(vec_col).alias("embedding")),
+            codebooks,
+            codes,
+            m=m,
+            dim=dim,
+        )
+
+    def save(self, path: str) -> None:
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        self.codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+        # bucket layout on disk: one directory per centroid, so a
+        # search's probed buckets prune to their own files at the scan
+        self.codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{path}/codes"
+        )
+        self.codes.sparkSession.createDataFrame(
+            [(self.m, self.dim)], "m INT, dim INT"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFPQIndex":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        return cls(
+            spark.read.parquet(f"{path}/centroids"),
+            spark.read.parquet(f"{path}/codebooks"),
+            spark.read.parquet(f"{path}/codes"),
+            m=int(meta["m"]),
+            dim=int(meta["dim"]),
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        *,
+        k: int = 5,
+        nprobe: int = 2,
+        rerank: int | None = None,
+        embeddings: DataFrame | None = None,
+    ) -> DataFrame:
+        return _ivfpq_residual_serve(
+            self.codes,
+            self.codebooks,
+            self.centroids,
+            queries,
+            m=self.m,
+            dim=self.dim,
+            k=k,
+            nprobe=nprobe,
+            rerank=rerank,
+            embeddings=embeddings,
+        )
 
 
 def pq_refine_codebooks(

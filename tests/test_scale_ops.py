@@ -1560,6 +1560,84 @@ def test_ivfpq_residual_beats_wholevector_quantization(spark):
     assert res_rank <= whole_rank
 
 
+def test_ivfpq_index_roundtrip_parity(spark, tmp_path):
+    """IVFPQIndex (persisted residual IVF-PQ, the FAISS IndexIVFPQ
+    save/load shape): build → save → load serves row-identically to
+    the fused ivfpq_residual_topk on the same inputs, both pure-ADC
+    and with exact rerank; the loaded store's ADC search needs NO raw
+    embeddings frame; the codes table lands partitioned by centroid_id
+    (one directory per bucket, the probe-pruning layout)."""
+    import glob
+
+    import numpy as np
+
+    from beyond_vector_search_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(21)
+    dim, per = 16, 40
+    centers = np.array(
+        [[25.0] + [0.0] * (dim - 1), [0.0, 25.0] + [0.0] * (dim - 2),
+         [0.0, 0.0, 25.0] + [0.0] * (dim - 3)]
+    )
+    X = np.vstack([c + rng.standard_normal((per, dim)) for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(3)],
+        "centroid_id INT, embedding ARRAY<DOUBLE>",
+    )
+    q = spark.createDataFrame(
+        [(900, [float(x) for x in X[3] + 0.01]), (901, [float(x) for x in X[70]])],
+        "query_id LONG, embedding ARRAY<DOUBLE>",
+    )
+
+    fused = sorted(
+        map(
+            tuple,
+            sim.ivfpq_residual_topk(
+                emb, q, cents, m=4, dim=dim, n_codes=16, k=4, nprobe=2
+            ).collect(),
+        )
+    )
+    idx = sim.IVFPQIndex.build(emb, cents, m=4, dim=dim, n_codes=16)
+    path = str(tmp_path / "ivfpq")
+    idx.save(path)
+    loaded = sim.IVFPQIndex.load(spark, path)
+    assert (loaded.m, loaded.dim) == (4, dim)
+    # serve from the store: codes + codebooks + centroids only
+    got = sorted(map(tuple, loaded.search(q, k=4, nprobe=2).collect()))
+    assert got == fused
+
+    # rerank arm parity (needs raw vectors for the exact second stage)
+    fused_rr = sorted(
+        map(
+            tuple,
+            sim.ivfpq_residual_topk(
+                emb, q, cents, m=4, dim=dim, n_codes=16, k=3, nprobe=2, rerank=20
+            ).collect(),
+        )
+    )
+    got_rr = sorted(
+        map(
+            tuple,
+            loaded.search(q, k=3, nprobe=2, rerank=20, embeddings=emb).collect(),
+        )
+    )
+    assert got_rr == fused_rr
+    import pytest
+
+    with pytest.raises(ValueError):
+        loaded.search(q, k=3, rerank=20)  # rerank without raw vectors
+
+    # bucket layout: one parquet directory per centroid
+    assert sorted(
+        d.rsplit("=", 1)[-1]
+        for d in glob.glob(f"{path}/codes/centroid_id=*")
+    ) == ["0", "1", "2"]
+
+
 def test_cli_maintain_compacts_stores(spark, tmp_path):
     """`bvs maintain` compacts a multi-batch ingest delta store and the
     append-only telemetry state log; query results are identical before
