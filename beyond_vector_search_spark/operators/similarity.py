@@ -2514,32 +2514,6 @@ def nndescent_knn_graph(
     n_nodes = nodes.count()
     n_buckets = max(1, n_nodes // max(2 * (L + 1), 2))
 
-    def _score(pairs: DataFrame) -> DataFrame:
-        """(node_id, neighbor_id) -> + cos (rounded 6, Arrow kernel)."""
-        a = nodes.select(
-            F.col("node_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
-        )
-        b = nodes.select(
-            F.col("node_id").alias("neighbor_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cn"),
-        )
-        joined = pairs.join(a, "node_id").join(b, "neighbor_id")
-        return _with_cos_arrow(joined).select(
-            "node_id", "neighbor_id", F.round("cos", 6).alias("cos")
-        )
-
-    def _topk(scored: DataFrame) -> DataFrame:
-        w = Window.partitionBy("node_id").orderBy(
-            F.desc("cos"), F.asc("neighbor_id")
-        )
-        return (
-            scored.groupBy("node_id", "neighbor_id")
-            .agg(F.max("cos").alias("cos"))
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= L)
-        )
-
     # ---- init: within-bucket pairs under two independent blockings ----
     init_pairs = None
     for seed in init_seeds:
@@ -2560,10 +2534,65 @@ def nndescent_knn_graph(
             .where(F.col("node_id") != F.col("neighbor_id"))
         )
         init_pairs = p if init_pairs is None else init_pairs.unionByName(p)
-    graph = _topk(_score(init_pairs)).localCheckpoint()
+    graph = _nnd_topk(_nnd_score(nodes, init_pairs), L).localCheckpoint()
 
-    # ---- NN-Descent rounds ----
-    prev_edges = None  # g_{r-2}'s edge set, for the "new" flags
+    graph = _nndescent_iterate(
+        nodes, graph, iterations=iterations, L=L, rcap=rcap, samp_cap=samp_cap
+    )
+    return graph.where(F.col("rank") <= k).select(
+        "node_id", "neighbor_id", "cos", "rank"
+    )
+
+
+def _nnd_score(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(node_id, neighbor_id) -> + cos (rounded 6, Arrow kernel) against
+    a ``nodes`` relation of (node_id, v, nrm)."""
+    a = nodes.select(
+        F.col("node_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    b = nodes.select(
+        F.col("node_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    joined = pairs.join(a, "node_id").join(b, "neighbor_id")
+    return _with_cos_arrow(joined).select(
+        "node_id", "neighbor_id", F.round("cos", 6).alias("cos")
+    )
+
+
+def _nnd_topk(scored: DataFrame, L: int) -> DataFrame:
+    """Merge duplicate proposals and keep each node's working top-L."""
+    w = Window.partitionBy("node_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.groupBy("node_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= L)
+    )
+
+
+def _nndescent_iterate(
+    nodes: DataFrame,
+    graph: DataFrame,
+    *,
+    iterations: int,
+    L: int,
+    rcap: int,
+    samp_cap: int | None,
+    prev_edges: DataFrame | None = None,
+) -> DataFrame:
+    """The NN-Descent refinement rounds, shared by the full build
+    (:func:`nndescent_knn_graph`, ``prev_edges=None`` — every init edge
+    counts as new in round 1) and the incremental extend
+    (:func:`nndescent_extend`, ``prev_edges=`` the base graph's edges —
+    only the inserted batch's edges count as new, so round-1 work is
+    proportional to the CHANGE, not the corpus).  Each round is
+    localCheckpoint-ed (eager; iterative lazy lineage would double the
+    plan per round)."""
+    from beyond_vector_search_spark.functions.hashing import hash64
+
+    # prev_edges: g_{r-2}'s edge set, for the "new" flags
     for rnd in range(1, iterations + 1):
         g_edges = graph.select("node_id", "neighbor_id", "cos")
         if prev_edges is None:
@@ -2644,11 +2673,151 @@ def nndescent_knn_graph(
         fresh = cand.join(
             graph.select("node_id", "neighbor_id"), ["node_id", "neighbor_id"], "left_anti"
         )
-        merged = graph.select("node_id", "neighbor_id", "cos").unionByName(_score(fresh))
+        merged = graph.select("node_id", "neighbor_id", "cos").unionByName(
+            _nnd_score(nodes, fresh)
+        )
         prev_edges = g_edges.select("node_id", "neighbor_id")
-        graph = _topk(merged).localCheckpoint()
+        graph = _nnd_topk(merged, L).localCheckpoint()
 
-    return graph.where(F.col("rank") <= k).select(
+    return graph
+
+
+def nndescent_extend(
+    base_embeddings: DataFrame,
+    new_embeddings: DataFrame,
+    graph: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    iterations: int = 3,
+    list_size: int | None = None,
+    reverse_cap: int | None = None,
+    sample_rate: float = 1.0,
+    ef: int | None = None,
+    search_rounds: int = 2,
+    init_seeds: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """(node_id, neighbor_id, cos, rank) — the kNN graph over
+    ``base ∪ new`` maintained INCREMENTALLY from an existing NN-Descent
+    graph: the IndexDelta pattern applied to the graph-ANN backbone.
+    At 100 TB a corpus grows in ingest batches; rebuilding the graph
+    per batch re-pays the full O(n·k²) build (28 s per 40k vectors in
+    SCALING.jsonl), while this update's work is proportional to the
+    BATCH and its blast radius:
+
+    - **seed** each new vector's neighbor list by beam-searching the
+      EXISTING graph (:func:`graph_ann_topk` — per-query work is
+      O(rounds·ef·degree), corpus-size independent) plus hash-blocked
+      new×new pairs (catches batches forming new clusters the base
+      graph cannot reach); reversed copies let base nodes admit new
+      neighbors (cosine is symmetric, so the reverse edge carries the
+      same score).
+    - **refine** with the standard NN-Descent rounds
+      (:func:`_nndescent_iterate`) — but ``prev_edges`` starts as the
+      BASE graph's edge set, so the incremental-search rule (a 2-path
+      must use ≥1 new edge) marks exactly the inserted edges as new:
+      old×old base 2-paths are never re-proposed, and round-1 work is
+      O(|batch|·k²) + the affected base neighborhoods, not O(n·k²).
+
+    Deterministic end-to-end (hash seeds, rounded cosines, id
+    tie-breaks), so extend(A, B) == extend(A, B) exactly; quality vs a
+    full rebuild on the union is pinned by test (recall@k within a few
+    points).  ``graph`` is :func:`nndescent_knn_graph` output (or a
+    previous extend's) over ``base_embeddings``; ids must be disjoint
+    from the new batch.  ``list_size``/``reverse_cap``/``sample_rate``
+    follow the build's defaults; ``ef`` (default ``list_size``) and
+    ``search_rounds`` control the seeding beam search."""
+    from beyond_vector_search_spark.functions.hashing import hash64
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    L = list_size if list_size is not None else max(3 * k, k + 10)
+    if L < k:
+        raise ValueError("list_size must be >= k")
+    if not (0.0 < sample_rate <= 1.0):
+        raise ValueError("sample_rate must be in (0, 1]")
+    rcap = L if reverse_cap is None else reverse_cap
+    samp_cap = max(1, math.ceil(sample_rate * L)) if sample_rate < 1.0 else None
+    beam_ef = max(ef if ef is not None else L, k)
+
+    vec = as_double_array(F.col(vec_col))
+    new_sel = new_embeddings.select(
+        F.col(id_col).alias("node_id"), vec.alias("v"), l2_norm(vec).alias("nrm")
+    )
+    if not new_sel.limit(1).count():
+        return graph.where(F.col("rank") <= k).select(
+            "node_id", "neighbor_id", "cos", "rank"
+        )
+    base_sel = base_embeddings.select(
+        F.col(id_col).alias("node_id"), vec.alias("v"), l2_norm(vec).alias("nrm")
+    )
+    nodes = base_sel.unionByName(new_sel).localCheckpoint()
+    new_nodes = new_sel.select("node_id").localCheckpoint()
+    n_new = new_nodes.count()
+
+    # --- seed: beam-search new vectors against the base graph ---
+    seeds = graph_ann_topk(
+        base_embeddings,
+        new_embeddings.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("embedding")
+        ),
+        graph,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=min(L, beam_ef),
+        ef=beam_ef,
+        rounds=search_rounds,
+    ).select(
+        F.col("query_id").alias("node_id"), "neighbor_id", "cos"
+    )
+
+    # --- seed: hash-blocked new×new pairs (two independent blockings,
+    # the build's init rule applied to the batch alone) ---
+    n_buckets = max(1, n_new // max(2 * (L + 1), 2))
+    nn_pairs = None
+    for seed in init_seeds:
+        bucketed = new_nodes.select(
+            "node_id",
+            F.pmod(
+                hash64(F.concat(F.lit(f"{seed}:"), F.col("node_id").cast("string"))),
+                F.lit(n_buckets),
+            ).alias("_b"),
+        )
+        p = (
+            bucketed.alias("x")
+            .join(bucketed.alias("y"), "_b")
+            .select(
+                F.col("x.node_id").alias("node_id"),
+                F.col("y.node_id").alias("neighbor_id"),
+            )
+            .where(F.col("node_id") != F.col("neighbor_id"))
+        )
+        nn_pairs = p if nn_pairs is None else nn_pairs.unionByName(p)
+    seed_edges = seeds.unionByName(_nnd_score(nodes, nn_pairs))
+
+    # forward + reversed seeds (base nodes admit new neighbors) merged
+    # with the base graph, re-topped to the working list
+    base_edges = graph.select("node_id", "neighbor_id", "cos")
+    merged = base_edges.unionByName(seed_edges).unionByName(
+        seed_edges.select(
+            F.col("neighbor_id").alias("node_id"),
+            F.col("node_id").alias("neighbor_id"),
+            "cos",
+        )
+    )
+    working = _nnd_topk(merged, L).localCheckpoint()
+
+    refined = _nndescent_iterate(
+        nodes,
+        working,
+        iterations=iterations,
+        L=L,
+        rcap=rcap,
+        samp_cap=samp_cap,
+        prev_edges=base_edges.select("node_id", "neighbor_id").localCheckpoint(),
+    )
+    return refined.where(F.col("rank") <= k).select(
         "node_id", "neighbor_id", "cos", "rank"
     )
 
