@@ -325,17 +325,21 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
 
 
-# Driver-window slot: topk_alldocs_parity (reference-semantics
-# zero-score-universe top-k, fully oracled) takes this position;
-# ann_methods_topk — genuinely un-oracle-able MLlib internals (hash
-# family / kmeans|| init) — registers at the catalog tail instead,
-# its recall pinned by tests/test_pipeline_ops.py.
-from beyond_vector_search_spark.plans.entry_queries import (  # noqa: E402
-    TOPK_ALLDOCS_PARITY_SQL,
-    q_topk_alldocs_parity,
+# Driver-window slot (r7 rotation): filtered_knn — filtered vector
+# search in both serving shapes ('pre' semi-join before the exact scan,
+# 'post' global shortlist then filter), a headline vector-store feature
+# with a full hash oracle — takes this position; topk_alldocs_parity
+# (a reference-semantics RESTATEMENT of the in-window topk shapes)
+# moves to the catalog tail, where CORRECTNESS_LOCAL/SF01 keep it
+# hash-checked.  (pipeline_queries is already imported by
+# _load_extensions before this module, so this is a plain name import —
+# no re-registration.)
+from beyond_vector_search_spark.plans.pipeline_queries import (  # noqa: E402
+    FILTERED_KNN_SQL,
+    q_filtered_knn,
 )
 
-register("topk_alldocs_parity", TOPK_ALLDOCS_PARITY_SQL)(q_topk_alldocs_parity)
+register("filtered_knn", FILTERED_KNN_SQL)(q_filtered_knn)
 
 
 def q_ann_methods_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,8 +595,22 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by the live session — see the rationale there).
 
 
-@register(
-    "lineitem_profile",
+# Driver-window slot (r7 rotation): knn_graph_nnd — the NN-Descent
+# kNN-graph build, an ITERATIVE approximate algorithm that still
+# carries a full hash oracle (deterministic end-to-end; unrolled
+# MATERIALIZED-CTE chain) — takes lineitem_profile's former position;
+# lineitem_profile (distinct-aggs + percentiles, restating the
+# in-window aggregation shapes of tpch_ratio_aggs / grouping_orders)
+# moves to the catalog tail.
+from beyond_vector_search_spark.plans.pipeline_queries import (  # noqa: E402
+    KNN_GRAPH_NND_SQL,
+    q_knn_graph_nnd,
+)
+
+register("knn_graph_nnd", KNN_GRAPH_NND_SQL)(q_knn_graph_nnd)
+
+
+_LINEITEM_PROFILE_SQL = (
     # Exact distinct-aggregates AND exact-interpolation percentiles over
     # the same l_returnflag grouping in ONE relation (formerly
     # distinct_aggs + quantiles_lineitem).  Spark `percentile` ==
@@ -608,9 +626,15 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price, "
     "round(min(l_extendedprice), 6) AS min_price, "
     "round(max(l_extendedprice), 6) AS max_price "
-    "FROM lineitem GROUP BY l_returnflag",
+    "FROM lineitem GROUP BY l_returnflag"
 )
+
+
 def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-aggregates + percentiles per l_returnflag.
+    Catalog-tail entry since r7: restates the in-window lineitem
+    aggregation shapes (tpch_ratio_aggs, grouping_orders); stays
+    hash-checked in CORRECTNESS_LOCAL/SF01."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
@@ -665,7 +689,8 @@ def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct sketches (rows-only, catalog tail): the
     sketch estimate is engine-specific by design; its error bound vs the
     exact counts is pinned in tests/test_udfs.py and the exact
-    counts are oracled in-window by lineitem_profile."""
+    counts are oracled by lineitem_profile (catalog tail since r7,
+    hash-checked in the local artifacts)."""
     li = load_table(spark, sf_dir, "lineitem")
     hll = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
@@ -893,17 +918,17 @@ def register_all() -> None:
     # for only the FIRST ~50 catalog entries.  Since round 7 ALL 50
     # window slots carry hash-checked oracles (eval_loop_report's fold
     # oracled as an exclusive prefix sum; the gini UDAF oracled via its
-    # sorted-cumsum closed form; topk_alldocs_parity swapped in for the
-    # un-oracle-able ann_methods_topk).  The two distinctive
-    # gate-relevant operators here (semantic_dedup — dedup-at-scale,
-    # data_quality — the ingest gate) register FIRST, landing inside
-    # the window (r6 rotation; rrf_topk/prf_topk to the tail — they
-    # restate hybrid/bm25's union+agg shapes already pinned in-window).
-    # Every other tail entry likewise restates an in-window shape, or
-    # is rows-only with a dedicated behavior test (ann_methods_topk,
-    # approx_distinct_hll).  The full-catalog local artifacts
-    # (CORRECTNESS_LOCAL/SF01) still verify every tail entry against
-    # its oracle.
+    # sorted-cumsum closed form).  Distinctive operators live in-window;
+    # shape-restatements live in the tail: r6 rotated semantic_dedup +
+    # data_quality in (rrf/prf_topk out — they restate hybrid/bm25's
+    # union+agg shapes); r7 rotated filtered_knn + knn_graph_nnd in
+    # (topk_alldocs_parity — an explicit parity restatement of the topk
+    # shapes — and lineitem_profile — distinct-aggs/percentiles
+    # restating the tpch aggregation shapes — out).  Every tail entry
+    # restates an in-window shape, or is rows-only with a dedicated
+    # behavior test (ann_methods_topk, approx_distinct_hll).  The
+    # full-catalog local artifacts (CORRECTNESS_LOCAL/SF01) still
+    # verify every tail entry against its oracle.
     from beyond_vector_search_spark.plans import relational_queries
     from beyond_vector_search_spark.plans.pretrain_queries import (
         DSIR_LOGWEIGHTS_SQL,
@@ -949,24 +974,16 @@ def register_all() -> None:
     register("prf_topk", PRF_TOPK_SQL)(q_prf_topk)
     register("shard_stats", SHARD_STATS_SQL)(q_shard_stats)
     register("unigram_logppl", UNIGRAM_LOGPPL_SQL)(q_unigram_logppl)
-    from beyond_vector_search_spark.plans.pipeline_queries import (
-        FILTERED_KNN_SQL,
-        KNN_GRAPH_NND_SQL,
-        q_filtered_knn,
-        q_knn_graph_nnd,
+    from beyond_vector_search_spark.plans.entry_queries import (
+        TOPK_ALLDOCS_PARITY_SQL,
+        q_topk_alldocs_parity,
     )
 
-    # Filtered vector search (r7): pre-filter (semi-join before the
-    # exact scan, pushdown-pinned) vs post-filter (global shortlist
-    # then filter, under-fill visible); tail because it restates
-    # knn_topk's in-window exact-scan + rank-window shape
-    register("filtered_knn", FILTERED_KNN_SQL)(q_filtered_knn)
-
-    # NN-Descent kNN graph (r7): deterministic end-to-end, so even this
-    # ITERATIVE approximate-graph algorithm carries a full hash oracle
-    # (unrolled MATERIALIZED-CTE chain); tail because the window is full
-    # and its exact-scoring shape is pinned in-window by knn_topk
-    register("knn_graph_nnd", KNN_GRAPH_NND_SQL)(q_knn_graph_nnd)
+    # r7 rotation demotions — both remain fully oracled in the local
+    # artifacts; each restates an in-window shape (see module comments
+    # at their former window slots)
+    register("topk_alldocs_parity", TOPK_ALLDOCS_PARITY_SQL)(q_topk_alldocs_parity)
+    register("lineitem_profile", _LINEITEM_PROFILE_SQL)(q_lineitem_profile)
     # genuinely un-oracle-able entries (engine-internal MLlib hash
     # family / kmeans|| init; HLL sketches) live at the tail so every
     # driver-window slot carries a hash-checked oracle; their behavior

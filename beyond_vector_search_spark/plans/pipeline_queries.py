@@ -694,8 +694,9 @@ KNN_GRAPH_NND_SQL = _nndescent_graph_sql(k=5, iterations=2, L=15, sample_rate=0.
 
 def q_knn_graph_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine kNN GRAPH over every embedding via NN-Descent
-    (similarity.nndescent_knn_graph) — catalog-tail entry with a full
-    hash-checked oracle: the algorithm is deterministic end-to-end
+    (similarity.nndescent_knn_graph) — driver-window entry (r7
+    rotation) with a full hash-checked oracle: the algorithm is
+    deterministic end-to-end
     (md5-hash init buckets AND md5-hash ρ-sampling, rounded cosines, id
     tie-breaks), so the unrolled DuckDB chain reproduces the graph
     byte-for-byte — including the incremental new-edge candidate rule
@@ -751,8 +752,9 @@ def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape for selective filters — predicate pushdown pinned by
     test_filtered_knn_predicate_pushes_into_parquet_scan) and 'post'
     (global top-20 then filter; under-fill visible in the relation).
-    Catalog-tail entry: restates knn_topk's in-window exact-cosine-scan
-    + rank-window shape under a filter."""
+    Driver-window entry since the r7 rotation (filtered serving is a
+    headline vector-store feature; topk_alldocs_parity restates the
+    plain topk shape from the tail instead)."""
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     queries = emb.where("vec_id < 5").select(
