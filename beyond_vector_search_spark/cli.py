@@ -183,8 +183,11 @@ def cmd_maintain(args) -> dict:
 
     spark = get_spark("bvs-maintain")
     out: dict = {}
-    if not args.db and not args.delta_dir:
-        raise SystemExit("maintain: nothing to do — pass --db and/or --delta-dir")
+    ivfpq_dir = getattr(args, "ivfpq_dir", None)
+    if not args.db and not args.delta_dir and not ivfpq_dir:
+        raise SystemExit(
+            "maintain: nothing to do — pass --db, --delta-dir and/or --ivfpq-dir"
+        )
     if args.db:
         store = telemetry_from_env(spark, args.db)
         if not hasattr(store, "compact_state"):
@@ -200,6 +203,17 @@ def cmd_maintain(args) -> dict:
         if before != after:  # pure rewrite: any row delta is a bug
             raise SystemExit(f"maintain: row counts changed {before} -> {after}")
         out["delta_rows"] = after
+    if ivfpq_dir:
+        from beyond_vector_search_spark.operators.similarity import IVFPQIndex
+
+        n_before = spark.read.parquet(f"{ivfpq_dir}/codes").count()
+        compacted = IVFPQIndex.compact(spark, ivfpq_dir)
+        n_after = compacted.codes.count()
+        if n_before != n_after:  # pure rewrite: any row delta is a bug
+            raise SystemExit(
+                f"maintain: ivfpq code rows changed {n_before} -> {n_after}"
+            )
+        out["ivfpq_code_rows"] = n_after
     return out
 
 
@@ -242,6 +256,9 @@ def main() -> None:
                     help="streaming-ingest IndexDelta store to compact")
     pm.add_argument("--partitions", type=int, default=None,
                     help="output partitions per delta relation")
+    pm.add_argument("--ivfpq-dir", default=None,
+                    help="appended IVFPQIndex store to compact "
+                         "(one file per centroid bucket)")
 
     args = p.parse_args()
     cmds = {"run": cmd_run, "evaluate": cmd_evaluate, "maintain": cmd_maintain}

@@ -2113,6 +2113,107 @@ class IVFPQIndex:
             embeddings=embeddings,
         )
 
+    def encode(
+        self,
+        new_embeddings: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """(vec_id, codes array<int>, centroid_id) for NEW vectors,
+        encoded against the index's FROZEN coarse quantizer and residual
+        codebooks — the FAISS ``IndexIVFPQ.add`` step.  Nothing is
+        retrained: the new batch assigns to the existing centroids and
+        residual-codes with the existing codewords, so every previously
+        coded vector keeps its exact code and search over the old corpus
+        is bit-unchanged.  (Retraining on corpus drift is a separate,
+        deliberate ``build`` — the same contract FAISS gives ``add`` vs
+        ``train``.)  Per batch: one kernel assignment pass + one encode
+        projection; no shuffle of the existing codes."""
+        inc = IVFPQIndex.build(
+            new_embeddings,
+            self.centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            m=self.m,
+            dim=self.dim,
+            codebooks=self.codebooks,
+        )
+        return inc.codes
+
+    def extend(
+        self,
+        new_embeddings: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFPQIndex":
+        """A new IVFPQIndex whose coded corpus is this index's codes
+        UNION the new batch (``encode``) — quantizer and codebooks
+        shared, old codes untouched.  In-session form of the store-level
+        :meth:`append`; ids are not checked for collisions (same policy
+        as FAISS ``add`` — dedup upstream if ids can repeat)."""
+        return IVFPQIndex(
+            self.centroids,
+            self.codebooks,
+            self.codes.unionByName(
+                self.encode(new_embeddings, id_col=id_col, vec_col=vec_col)
+            ),
+            m=self.m,
+            dim=self.dim,
+        )
+
+    @classmethod
+    def append(
+        cls,
+        spark,
+        path: str,
+        new_embeddings: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFPQIndex":
+        """Incrementally ingest a batch into a SAVED store: load the
+        frozen quantizer/codebooks from ``path``, encode the batch, and
+        parquet-append the new codes into the existing
+        ``codes/centroid_id=*`` bucket directories (dynamic partition
+        append — only directories the batch actually hits gain a file;
+        untouched buckets' files are not rewritten).  The 100 TB ingest
+        shape: each arriving embedding shard costs one assignment +
+        encode pass over the SHARD, never a rebuild or rewrite of the
+        store; serving jobs pick the rows up on their next ``load``
+        with probe-pruning intact.  Repeated appends accumulate one
+        file per (batch, bucket) — compact with ``bvs maintain`` when
+        file counts grow.  Returns the re-loaded index."""
+        base = cls.load(spark, path)
+        base.encode(new_embeddings, id_col=id_col, vec_col=vec_col).write.mode(
+            "append"
+        ).partitionBy("centroid_id").parquet(f"{path}/codes")
+        return cls.load(spark, path)
+
+    @classmethod
+    def compact(cls, spark, path: str) -> "IVFPQIndex":
+        """Collapse the per-append files in ``codes/centroid_id=*`` to
+        one file per bucket (repartition on centroid_id before a
+        partitioned rewrite → each bucket's rows land in a single
+        task).  Same contract as ``IndexDelta.compact``: a pure
+        rewrite — rows identical, file count shrinks — run off the
+        ingest path; writes to ``codes.compact`` then swaps so a crash
+        leaves the original store intact.  Wired into ``bvs maintain
+        --ivfpq-dir``."""
+        import os
+        import shutil
+
+        codes = spark.read.parquet(f"{path}/codes")
+        tmp = f"{path}/codes.compact"
+        codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(tmp)
+        final = f"{path}/codes"
+        shutil.rmtree(final)
+        os.replace(tmp, final)
+        return cls.load(spark, path)
+
 
 def pq_refine_codebooks(
     embeddings: DataFrame,

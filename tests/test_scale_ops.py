@@ -1638,6 +1638,89 @@ def test_ivfpq_index_roundtrip_parity(spark, tmp_path):
     ) == ["0", "1", "2"]
 
 
+def test_ivfpq_index_extend_append_incremental(spark, tmp_path):
+    """IVFPQIndex incremental ingest (the FAISS IndexIVFPQ.add shape):
+    encoding a new batch against the FROZEN quantizer + codebooks is
+    bit-equal to having built the whole corpus with those codebooks
+    (extend == build(all, codebooks=cb)); the store-level `append`
+    parquet-appends only the touched bucket directories and the
+    re-loaded store serves identically to the in-session extend; and a
+    query lands on a vector that only exists in the appended batch."""
+    import glob
+
+    import numpy as np
+
+    from beyond_vector_search_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(33)
+    dim, per = 16, 30
+    centers = np.array(
+        [[25.0] + [0.0] * (dim - 1), [0.0, 25.0] + [0.0] * (dim - 2),
+         [0.0, 0.0, 25.0] + [0.0] * (dim - 3)]
+    )
+    X = np.vstack([c + rng.standard_normal((per, dim)) for c in centers])
+
+    def df_of(ids):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in ids],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+
+    n = len(X)
+    first, second = df_of(range(0, n, 2)), df_of(range(1, n, 2))
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(3)],
+        "centroid_id INT, embedding ARRAY<DOUBLE>",
+    )
+
+    base = sim.IVFPQIndex.build(first, cents, m=4, dim=dim, n_codes=16)
+    extended = base.extend(second)
+    # parity: extend == one-shot build over everything with the SAME
+    # (first-batch-trained) codebooks — old codes untouched by design
+    oneshot = sim.IVFPQIndex.build(
+        df_of(range(n)), cents, m=4, dim=dim, codebooks=base.codebooks
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"])) for r in df.collect()
+    )
+    assert key(extended.codes) == key(oneshot.codes)
+
+    # store-level append: save(first) then append(second); only hit
+    # buckets gain files, reload serves == in-session extend
+    path = str(tmp_path / "ivfpq")
+    base.save(path)
+    files_before = set(glob.glob(f"{path}/codes/centroid_id=*/*.parquet"))
+    appended = sim.IVFPQIndex.append(spark, path, second)
+    files_after = set(glob.glob(f"{path}/codes/centroid_id=*/*.parquet"))
+    assert files_before < files_after            # old files untouched, new added
+    assert appended.codes.count() == n
+
+    q = spark.createDataFrame(
+        # vec 1 is in the SECOND batch only
+        [(900, [float(x) for x in X[1] + 0.01])],
+        "query_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got_mem = sorted(map(tuple, extended.search(q, k=4, nprobe=2).collect()))
+    got_store = sorted(map(tuple, appended.search(q, k=4, nprobe=2).collect()))
+    assert got_mem == got_store
+    assert 1 in {r[1] for r in got_store}        # the appended vector is served
+
+    # maintenance: `bvs maintain --ivfpq-dir` collapses the per-append
+    # files to one per bucket; rows and search results unchanged
+    import argparse
+
+    from beyond_vector_search_spark.cli import cmd_maintain
+
+    out = cmd_maintain(
+        argparse.Namespace(db=None, delta_dir=None, partitions=None, ivfpq_dir=path)
+    )
+    assert out["ivfpq_code_rows"] == n
+    files_compacted = glob.glob(f"{path}/codes/centroid_id=*/*.parquet")
+    assert len(files_compacted) == 3             # one file per bucket
+    compacted = sim.IVFPQIndex.load(spark, path)
+    assert sorted(map(tuple, compacted.search(q, k=4, nprobe=2).collect())) == got_store
+
+
 def test_cli_maintain_compacts_stores(spark, tmp_path):
     """`bvs maintain` compacts a multi-batch ingest delta store and the
     append-only telemetry state log; query results are identical before
