@@ -2071,10 +2071,13 @@ class IVFPQIndex:
     def save(self, path: str) -> None:
         self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
         self.codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
-        # bucket layout on disk: one directory per centroid, so a
-        # search's probed buckets prune to their own files at the scan
+        # two-level code layout: codes/batch_id=N/centroid_id=M — the
+        # initial build is batch 0; each later ``append`` gets its own
+        # batch directory (retry-idempotent overwrites, the IndexDelta
+        # ingest layout), and centroid_id stays a partition column so a
+        # search's probed buckets still prune to their own directories
         self.codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
-            f"{path}/codes"
+            f"{path}/codes/batch_id=0"
         )
         self.codes.sparkSession.createDataFrame(
             [(self.m, self.dim)], "m INT, dim INT"
@@ -2083,10 +2086,16 @@ class IVFPQIndex:
     @classmethod
     def load(cls, spark, path: str) -> "IVFPQIndex":
         meta = spark.read.parquet(f"{path}/meta").first()
+        # a retried append / compact REWRITES directories this session
+        # may have already listed — drop Spark's cached file listing for
+        # the codes path so the new plan sees the files that exist now
+        spark.catalog.refreshByPath(f"{path}/codes")
+        # batch_id is storage layout (which append wrote the row), not
+        # index data — partition discovery surfaces it; drop it here
         return cls(
             spark.read.parquet(f"{path}/centroids"),
             spark.read.parquet(f"{path}/codebooks"),
-            spark.read.parquet(f"{path}/codes"),
+            spark.read.parquet(f"{path}/codes").drop("batch_id"),
             m=int(meta["m"]),
             dim=int(meta["dim"]),
         )
@@ -2163,6 +2172,17 @@ class IVFPQIndex:
             dim=self.dim,
         )
 
+    @staticmethod
+    def _next_batch_id(path: str) -> int:
+        import os
+
+        seen = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(f"{path}/codes")
+            if d.startswith("batch_id=")
+        ]
+        return max(seen, default=-1) + 1
+
     @classmethod
     def append(
         cls,
@@ -2172,43 +2192,53 @@ class IVFPQIndex:
         *,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        batch_id: int | None = None,
     ) -> "IVFPQIndex":
         """Incrementally ingest a batch into a SAVED store: load the
         frozen quantizer/codebooks from ``path``, encode the batch, and
-        parquet-append the new codes into the existing
-        ``codes/centroid_id=*`` bucket directories (dynamic partition
-        append — only directories the batch actually hits gain a file;
-        untouched buckets' files are not rewritten).  The 100 TB ingest
+        write the new codes into their own
+        ``codes/batch_id=N/centroid_id=*`` directory (N = next unused
+        id, or the caller's ``batch_id``).  Existing batches' files are
+        never touched, and a RETRIED batch_id overwrites its own
+        directory instead of duplicating rows — layout idempotence,
+        exactly the IndexDelta streaming-ingest contract (used by
+        streaming.ingest.append_vector_batch).  The 100 TB ingest
         shape: each arriving embedding shard costs one assignment +
         encode pass over the SHARD, never a rebuild or rewrite of the
         store; serving jobs pick the rows up on their next ``load``
-        with probe-pruning intact.  Repeated appends accumulate one
-        file per (batch, bucket) — compact with ``bvs maintain`` when
-        file counts grow.  Returns the re-loaded index."""
+        with centroid probe-pruning intact (centroid_id remains a
+        partition column inside every batch directory).  Repeated
+        appends accumulate one file set per (batch, bucket) — compact
+        with ``bvs maintain --ivfpq-dir`` when file counts grow.
+        Returns the re-loaded index."""
+        if batch_id is None:
+            batch_id = cls._next_batch_id(path)
         base = cls.load(spark, path)
         base.encode(new_embeddings, id_col=id_col, vec_col=vec_col).write.mode(
-            "append"
-        ).partitionBy("centroid_id").parquet(f"{path}/codes")
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(f"{path}/codes/batch_id={batch_id}")
         return cls.load(spark, path)
 
     @classmethod
     def compact(cls, spark, path: str) -> "IVFPQIndex":
-        """Collapse the per-append files in ``codes/centroid_id=*`` to
-        one file per bucket (repartition on centroid_id before a
-        partitioned rewrite → each bucket's rows land in a single
-        task).  Same contract as ``IndexDelta.compact``: a pure
-        rewrite — rows identical, file count shrinks — run off the
-        ingest path; writes to ``codes.compact`` then swaps so a crash
-        leaves the original store intact.  Wired into ``bvs maintain
-        --ivfpq-dir``."""
+        """Fold the accumulated ``codes/batch_id=*`` append directories
+        back into a single batch 0 with one file per centroid bucket
+        (repartition on centroid_id before the partitioned rewrite →
+        each bucket's rows land in a single task).  Same contract as
+        ``IndexDelta.compact``: a pure rewrite — rows identical, file
+        count shrinks — run it off the ingest path; writes to
+        ``codes.compact`` then swaps so a crash leaves the original
+        store intact.  Wired into ``bvs maintain --ivfpq-dir``.  Any
+        streaming-ingest batch markers under ``_batches`` survive, so
+        a replayed old epoch cannot re-add rows after the fold."""
         import os
         import shutil
 
-        codes = spark.read.parquet(f"{path}/codes")
+        codes = spark.read.parquet(f"{path}/codes").drop("batch_id")
         tmp = f"{path}/codes.compact"
         codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
             "centroid_id"
-        ).parquet(tmp)
+        ).parquet(f"{tmp}/batch_id=0")
         final = f"{path}/codes"
         shutil.rmtree(final)
         os.replace(tmp, final)

@@ -96,3 +96,78 @@ def start_index_ingest(
         w = w.trigger(**trigger)
     w = w.option("checkpointLocation", checkpoint or os.path.join(path, "_checkpoint"))
     return w.start()
+
+
+def append_vector_batch(
+    vec_batch: DataFrame,
+    batch_id: int,
+    store_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """Encode ONE micro-batch of embeddings against the IVFPQIndex
+    store at ``store_path`` (frozen quantizer + codebooks — the FAISS
+    ``add`` contract) and write its codes into the store's own
+    ``codes/batch_id=N`` directory.  Returns False on skip.
+
+    Same idempotence story as :func:`append_delta_batch`: the LAYOUT is
+    the guarantee — a retried epoch overwrites its own batch directory
+    instead of duplicating rows — and the marker file is the fast-skip
+    plus the replay guard after ``IVFPQIndex.compact`` folds batch
+    directories into batch 0.  Epoch ids are offset by +1 so streaming
+    batch 0 never collides with the initial build's ``batch_id=0``.
+
+    What this does NOT do, on purpose: retrain.  Codebooks and the
+    coarse quantizer are frozen at build time; a drifting corpus is a
+    deliberate offline ``IVFPQIndex.build`` (the streaming/percolate
+    drift monitor is the trigger for that decision, not this sink).
+    """
+    from beyond_vector_search_spark.operators.similarity import IVFPQIndex
+
+    marker = _batch_marker(store_path, batch_id)
+    if os.path.exists(marker):
+        return False
+    IVFPQIndex.append(
+        vec_batch.sparkSession,
+        store_path,
+        vec_batch,
+        id_col=id_col,
+        vec_col=vec_col,
+        batch_id=batch_id + 1,
+    )
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump({"batch_id": batch_id, "n_vecs": vec_batch.count()}, fh)
+    return True
+
+
+def start_vector_ingest(
+    vec_stream: DataFrame,
+    store_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger: dict | None = None,
+    checkpoint: str | None = None,
+):
+    """Start a streaming ANN-index maintenance query: tail a streaming
+    embeddings DataFrame and keep the persisted :class:`IVFPQIndex` at
+    ``store_path`` current, encoding only each micro-batch's new
+    vectors (readStream → foreachBatch → ``IVFPQIndex.append``).
+    Serving jobs observe new vectors on their next ``load`` — the
+    vector-store "streaming upsert" shape, minus retraining (see
+    :func:`append_vector_batch`)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_vector_batch(
+            batch_df, batch_id, store_path, id_col=id_col, vec_col=vec_col
+        )
+
+    w = vec_stream.writeStream.foreachBatch(sink).outputMode("append")
+    if trigger:
+        w = w.trigger(**trigger)
+    w = w.option(
+        "checkpointLocation", checkpoint or os.path.join(store_path, "_checkpoint")
+    )
+    return w.start()

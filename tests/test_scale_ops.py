@@ -1631,10 +1631,12 @@ def test_ivfpq_index_roundtrip_parity(spark, tmp_path):
     with pytest.raises(ValueError):
         loaded.search(q, k=3, rerank=20)  # rerank without raw vectors
 
-    # bucket layout: one parquet directory per centroid
+    # bucket layout: build lands as batch 0 with one directory per
+    # centroid inside it (probe pruning on centroid_id; batch_id is the
+    # append/ingest dimension)
     assert sorted(
         d.rsplit("=", 1)[-1]
-        for d in glob.glob(f"{path}/codes/centroid_id=*")
+        for d in glob.glob(f"{path}/codes/batch_id=0/centroid_id=*")
     ) == ["0", "1", "2"]
 
 
@@ -1685,14 +1687,16 @@ def test_ivfpq_index_extend_append_incremental(spark, tmp_path):
     )
     assert key(extended.codes) == key(oneshot.codes)
 
-    # store-level append: save(first) then append(second); only hit
-    # buckets gain files, reload serves == in-session extend
+    # store-level append: save(first) then append(second); the batch
+    # lands in its own batch_id=1 directory (base files untouched),
+    # reload serves == in-session extend
     path = str(tmp_path / "ivfpq")
     base.save(path)
-    files_before = set(glob.glob(f"{path}/codes/centroid_id=*/*.parquet"))
+    files_before = set(glob.glob(f"{path}/codes/batch_id=*/centroid_id=*/*.parquet"))
     appended = sim.IVFPQIndex.append(spark, path, second)
-    files_after = set(glob.glob(f"{path}/codes/centroid_id=*/*.parquet"))
+    files_after = set(glob.glob(f"{path}/codes/batch_id=*/centroid_id=*/*.parquet"))
     assert files_before < files_after            # old files untouched, new added
+    assert {f for f in files_after - files_before if "batch_id=1/" not in f} == set()
     assert appended.codes.count() == n
 
     q = spark.createDataFrame(
@@ -1705,6 +1709,13 @@ def test_ivfpq_index_extend_append_incremental(spark, tmp_path):
     assert got_mem == got_store
     assert 1 in {r[1] for r in got_store}        # the appended vector is served
 
+    # a retried batch_id overwrites its own directory — no duplicates
+    # (the returned index is freshly loaded; handles taken BEFORE the
+    # retry see rewritten files, like any DataFrame over a mutated path)
+    retried = sim.IVFPQIndex.append(spark, path, second, batch_id=1)
+    assert retried.codes.count() == n
+    assert sorted(map(tuple, retried.search(q, k=4, nprobe=2).collect())) == got_store
+
     # maintenance: `bvs maintain --ivfpq-dir` collapses the per-append
     # files to one per bucket; rows and search results unchanged
     import argparse
@@ -1715,10 +1726,79 @@ def test_ivfpq_index_extend_append_incremental(spark, tmp_path):
         argparse.Namespace(db=None, delta_dir=None, partitions=None, ivfpq_dir=path)
     )
     assert out["ivfpq_code_rows"] == n
-    files_compacted = glob.glob(f"{path}/codes/centroid_id=*/*.parquet")
-    assert len(files_compacted) == 3             # one file per bucket
+    files_compacted = glob.glob(f"{path}/codes/batch_id=*/centroid_id=*/*.parquet")
+    assert len(files_compacted) == 3             # folded to batch 0, one file per bucket
+    assert all("batch_id=0/" in f for f in files_compacted)
     compacted = sim.IVFPQIndex.load(spark, path)
     assert sorted(map(tuple, compacted.search(q, k=4, nprobe=2).collect())) == got_store
+
+
+def test_streaming_vector_ingest_extends_ivfpq_store(spark, tmp_path):
+    """Streaming ANN maintenance: a file-source embedding stream drains
+    through foreachBatch → IVFPQIndex.append (frozen quantizer +
+    codebooks); the resulting store equals a one-shot build of the full
+    corpus with the base codebooks, each micro-batch lands in its own
+    codes/batch_id=N directory, and a replayed epoch is skipped by its
+    marker."""
+    import glob
+
+    import numpy as np
+
+    from beyond_vector_search_spark.operators import similarity as sim
+    from beyond_vector_search_spark.streaming.ingest import (
+        append_vector_batch,
+        start_vector_ingest,
+    )
+
+    rng = np.random.default_rng(44)
+    dim = 16
+    centers = np.eye(3, dim) * 25.0
+    X = np.vstack([c + rng.standard_normal((20, dim)) for c in centers])
+    n = len(X)
+
+    def df_of(ids):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in ids],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(3)],
+        "centroid_id INT, embedding ARRAY<DOUBLE>",
+    )
+    base_ids, s1, s2 = range(0, n, 3), range(1, n, 3), range(2, n, 3)
+    base = sim.IVFPQIndex.build(df_of(base_ids), cents, m=4, dim=dim, n_codes=16)
+    store = str(tmp_path / "vstore")
+    base.save(store)
+
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    df_of(s1).coalesce(1).write.parquet(str(src / "f1"))
+    df_of(s2).coalesce(1).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = start_vector_ingest(stream, store, trigger={"availableNow": True})
+    q.awaitTermination(300)
+
+    loaded = sim.IVFPQIndex.load(spark, store)
+    assert loaded.codes.count() == n
+    # one batch directory per micro-batch (+ the build's batch 0)
+    assert len(glob.glob(f"{store}/codes/batch_id=*")) == 3
+
+    oneshot = sim.IVFPQIndex.build(
+        df_of(range(n)), cents, m=4, dim=dim, codebooks=base.codebooks
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"])) for r in df.collect()
+    )
+    assert key(loaded.codes) == key(oneshot.codes)
+
+    # replayed epoch: marker short-circuits, store unchanged
+    assert append_vector_batch(df_of(s1), 0, store) is False
+    assert sim.IVFPQIndex.load(spark, store).codes.count() == n
 
 
 def test_cli_maintain_compacts_stores(spark, tmp_path):
