@@ -2084,18 +2084,30 @@ class IVFPQIndex:
         ).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
-    def load(cls, spark, path: str) -> "IVFPQIndex":
+    def load(
+        cls, spark, path: str, *, up_to_batch: int | None = None
+    ) -> "IVFPQIndex":
+        """Load the store.  ``up_to_batch`` is time travel over the
+        append-only code log (the IndexDelta.load contract): keep only
+        ``batch_id <= N`` — the index exactly as it stood after append
+        batch N.  A partition-column filter, so Catalyst prunes the
+        newer batch directories at the scan; quantizer and codebooks
+        are frozen at build time, so the historical index is exact,
+        not an approximation."""
         meta = spark.read.parquet(f"{path}/meta").first()
         # a retried append / compact REWRITES directories this session
         # may have already listed — drop Spark's cached file listing for
         # the codes path so the new plan sees the files that exist now
         spark.catalog.refreshByPath(f"{path}/codes")
-        # batch_id is storage layout (which append wrote the row), not
-        # index data — partition discovery surfaces it; drop it here
+        codes = spark.read.parquet(f"{path}/codes")
+        if up_to_batch is not None:
+            codes = codes.where(F.col("batch_id") <= up_to_batch)
         return cls(
             spark.read.parquet(f"{path}/centroids"),
             spark.read.parquet(f"{path}/codebooks"),
-            spark.read.parquet(f"{path}/codes").drop("batch_id"),
+            # batch_id is storage layout (which append wrote the row),
+            # not index data — partition discovery surfaces it; drop it
+            codes.drop("batch_id"),
             m=int(meta["m"]),
             dim=int(meta["dim"]),
         )

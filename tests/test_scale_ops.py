@@ -1800,6 +1800,12 @@ def test_streaming_vector_ingest_extends_ivfpq_store(spark, tmp_path):
     assert append_vector_batch(df_of(s1), 0, store) is False
     assert sim.IVFPQIndex.load(spark, store).codes.count() == n
 
+    # time travel: up_to_batch=0 is the store exactly as built (the
+    # newer batch directories prune at the scan); the historical codes
+    # equal the base build's bit-for-bit
+    hist = sim.IVFPQIndex.load(spark, store, up_to_batch=0)
+    assert key(hist.codes) == key(base.codes)
+
 
 def test_cli_maintain_compacts_stores(spark, tmp_path):
     """`bvs maintain` compacts a multi-batch ingest delta store and the

@@ -131,6 +131,34 @@ def probe(spark, copies: int) -> dict:
     )
     timed("ivf_probe_top5", lambda: sim.ivf_topk(emb, queries, cents).count())
 
+    # --- persisted IVFPQ store: full rebuild vs incremental append ---
+    # the ingest claim to quantify: appending a 5% shard to a saved
+    # store costs the SHARD's assignment + encode (frozen quantizer +
+    # codebooks), so it should stay ~flat relative to the growing
+    # full-build cost
+    import tempfile
+
+    ivfpq_store = tempfile.mkdtemp(prefix="ivfpq_probe_") + "/store"
+    base_emb = emb.where(F.col("vec_id") % 20 != 0)  # 95%
+    shard = emb.where(F.col("vec_id") % 20 == 0)     # 5%
+
+    def _build_save() -> int:
+        sim.IVFPQIndex.build(base_emb, cents, m=8, dim=64).save(ivfpq_store)
+        return base_emb.count()
+
+    timed("ivfpq_build_save", _build_save)
+    # timed: load store metadata + encode the shard + write its batch
+    # directory (the ingest epoch's actual work); the verification
+    # count is outside the timer
+    shard_n = shard.count()
+    timed(
+        "ivfpq_append_5pct",
+        lambda: (
+            sim.IVFPQIndex.append(emb.sparkSession, ivfpq_store, shard),
+            shard_n,
+        )[1],
+    )
+
     # NN-Descent graph build is O(n·k²) pair scorings per round —
     # should scale near-linearly; beam-search serving over the built
     # graph is O(rounds·ef·degree) per query — should stay FLAT in
