@@ -312,6 +312,126 @@ def doc_signatures(
     return src.mapInPandas(kernel, f"doc_id {id_type}, sig array<string>, simhash long")
 
 
+def banded_keys(
+    sigs: DataFrame,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(doc_id, band_id, band_key) — each signature exploded into its
+    LSH band keys (md5 of the band's hash slice).  This is the
+    PERSISTABLE form of the corpus's dedup state: write it partitioned
+    (or bucketed) by band_key once, and every arriving batch joins its
+    own few band rows against the store instead of re-signing the
+    corpus — the input contract of :func:`lsh_pairs_against_corpus`."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def lsh_pairs_against_corpus(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame | None = None,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 10_000,
+    include_new_pairs: bool = True,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs touching the NEW batch only — the
+    incremental form of :func:`lsh_candidate_pairs` for ingest: an
+    arriving shard is checked against the existing corpus (cross pairs)
+    and against itself (``include_new_pairs``), and the corpus is NEVER
+    self-joined — an epoch costs |new| band rows joined into their
+    buckets, not |corpus|^2.  Identical banding/threshold semantics:
+
+        lsh_candidate_pairs(corpus ∪ new)
+          == lsh_candidate_pairs(corpus) ∪ lsh_pairs_against_corpus(new, corpus)
+
+    (disjoint union, pinned by test) — so running it per batch over an
+    append-only corpus reproduces exactly the monolithic pair set,
+    batch by batch.
+
+    ``max_bucket_size`` counts the COMBINED (corpus + new) bucket, the
+    same guard the monolithic join applies, via one aggregation on the
+    join key.  One caveat, inherent to ANY incremental capping: when a
+    bucket first crosses the cap in THIS epoch, this call emits none of
+    its pairs (matching the monolithic guard), but pairs the bucket
+    produced in EARLIER epochs — when it was still under the cap —
+    were already emitted and are not retracted, so the per-batch union
+    can exceed the monolithic set by exactly those historical pairs
+    (pinned by test; same non-retraction argument as the streaming
+    near-dup's immediate mode).  The equivalence above is exact while
+    no bucket crosses the cap between epochs, and always exact with
+    ``max_bucket_size=None``.
+
+    Cost honesty (SCALING.jsonl measures both): called with
+    ``corpus_sigs``, each epoch re-signs the corpus, so total signing
+    work matches the monolithic run and only the pair join shrinks —
+    at small scales that is SLOWER than the self-join.  The
+    incremental win is the ``corpus_bands`` store: then an epoch pays
+    the NEW batch's signing plus one bucket join against the store
+    (co-located if the store is bucketed by band_key; no corpus
+    shuffle), and the cap aggregation is the only full pass over the
+    stored keys.  A deployment appends the batch's own keys to the
+    store after each epoch."""
+    new_banded = banded_keys(new_sigs, bands=bands, rows_per_band=rows_per_band)
+    if corpus_bands is None:
+        if corpus_sigs is None:
+            raise ValueError("pass corpus_sigs or a corpus_bands relation")
+        corpus_bands = banded_keys(
+            corpus_sigs, bands=bands, rows_per_band=rows_per_band
+        )
+    if max_bucket_size is not None:
+        sizes = (
+            corpus_bands.select("band_id", "band_key")
+            .unionByName(new_banded.select("band_id", "band_key"))
+            .groupBy("band_id", "band_key")
+            .count()
+            .where(F.col("count") <= max_bucket_size)
+            .select("band_id", "band_key")
+        )
+        new_banded = new_banded.join(sizes, ["band_id", "band_key"], "left_semi")
+        corpus_bands = corpus_bands.join(sizes, ["band_id", "band_key"], "left_semi")
+    a, c = new_banded.alias("a"), corpus_bands.alias("c")
+    cross = a.join(
+        c,
+        (F.col("a.band_id") == F.col("c.band_id"))
+        & (F.col("a.band_key") == F.col("c.band_key")),
+    ).select(
+        F.least("a.doc_id", "c.doc_id").alias("doc_a"),
+        F.greatest("a.doc_id", "c.doc_id").alias("doc_b"),
+    )
+    pairs = cross
+    if include_new_pairs:
+        b = new_banded.alias("b")
+        pairs = pairs.unionByName(
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            ).select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+        )
+    return pairs.where(F.col("doc_a") != F.col("doc_b")).distinct()
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     *,
@@ -336,20 +456,7 @@ def lsh_candidate_pairs(
     bands; fully identical documents are the exact-dedup pass's job
     (exact_dedup_map), not LSH's.  ``None`` disables the cap.
     """
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.md5(
-                        F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
-                    ).alias("band_key"),
-                ),
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
+    banded = banded_keys(sigs, bands=bands, rows_per_band=rows_per_band)
     if max_bucket_size is not None:
         w = Window.partitionBy("band_id", "band_key")
         banded = (

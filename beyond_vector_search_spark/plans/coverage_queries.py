@@ -984,6 +984,16 @@ def register_all() -> None:
     # at their former window slots)
     register("topk_alldocs_parity", TOPK_ALLDOCS_PARITY_SQL)(q_topk_alldocs_parity)
     register("lineitem_profile", _LINEITEM_PROFILE_SQL)(q_lineitem_profile)
+    from beyond_vector_search_spark.plans.pipeline_queries import (
+        INCREMENTAL_DEDUP_SQL,
+        q_incremental_dedup_pairs,
+    )
+
+    # incremental (ingest-time) near-dup: restates minhash_pairs'
+    # in-window banded-join shape in its asymmetric new-vs-corpus form
+    register("incremental_dedup_pairs", INCREMENTAL_DEDUP_SQL)(
+        q_incremental_dedup_pairs
+    )
     # genuinely un-oracle-able entries (engine-internal MLlib hash
     # family / kmeans|| init; HLL sketches) live at the tail so every
     # driver-window slot carries a hash-checked oracle; their behavior

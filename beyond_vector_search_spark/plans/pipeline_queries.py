@@ -195,6 +195,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(base, pairs)
 
 
+# Incremental near-dup: the perturbed copies arrive as a NEW batch and
+# are checked against the base corpus's signatures — the corpus never
+# self-joins.  Registered at the catalog TAIL (coverage_queries.
+# register_all): it restates minhash_pairs' in-window banded-join shape
+# in its asymmetric, ingest-time form.  The oracle derives the SAME
+# band relation and keeps only pairs touching the new batch (ids >=
+# 10000) — exactly the operator's contract (cross ∪ new-self).
+INCREMENTAL_DEDUP_SQL = (
+    f"WITH {_NEARDUP_BASE_SQL}, {_NEARDUP_TOKS_SQL}, {_SHINGLES_SQL}, {_SIG_SQL}, {_BANDS_SQL} "
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+    "JOIN bands b ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id "
+    "WHERE a.doc_id >= 10000 OR b.doc_id >= 10000"
+)
+
+
+def q_incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.lsh_pairs_against_corpus — ingest-time near-dup: the new
+    batch's band keys join the corpus's (cross pairs) and themselves
+    (new-self pairs); equivalence with the monolithic join is pinned by
+    test_incremental_lsh_matches_monolithic."""
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 50")
+    new = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" extra token tail")).alias("text"),
+    )
+    return dd.lsh_pairs_against_corpus(
+        dd.minhash_signatures(new),
+        dd.minhash_signatures(docs.select("doc_id", "text")),
+        bands=4,
+        rows_per_band=4,
+    )
+
+
 # --------------------------- n-gram (token) Jaccard ------------------------
 
 

@@ -434,6 +434,95 @@ def test_dedup_hot_bucket_caps(spark):
     assert some.count() == 10  # C(5,2)
 
 
+def test_incremental_lsh_matches_monolithic(spark):
+    """Ingest-time near-dup: lsh_pairs_against_corpus(new, corpus) must
+    be exactly the monolithic pair set minus the corpus-only pairs —
+    the disjoint-union equivalence, checked uncapped AND with the
+    default cap (non-binding here); the persisted banded_keys path must
+    give identical pairs without re-banding the corpus."""
+    from beyond_vector_search_spark.operators.dedup import (
+        banded_keys,
+        lsh_candidate_pairs,
+        lsh_pairs_against_corpus,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo doc body {i % 7} {i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i + 10000, f"alpha bravo charlie delta echo doc body {i % 7} {i % 3} tail") for i in range(40)]
+        + [(20000, "completely unrelated zq xv content")],
+        "doc_id long, text string",
+    )
+    sigs_c, sigs_n = minhash_signatures(docs), minhash_signatures(new)
+    sigs_all = minhash_signatures(docs.unionByName(new))
+
+    def pairs(df):
+        return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+    for cap in (None, 10_000):
+        mono = pairs(lsh_candidate_pairs(sigs_all, max_bucket_size=cap))
+        corpus_only = pairs(lsh_candidate_pairs(sigs_c, max_bucket_size=cap))
+        inc = pairs(lsh_pairs_against_corpus(sigs_n, sigs_c, max_bucket_size=cap))
+        assert inc == mono - corpus_only, f"cap={cap}"
+        assert inc & corpus_only == set()
+
+    # persisted band-key store: identical output, corpus not re-banded
+    store = banded_keys(sigs_c)
+    inc2 = pairs(lsh_pairs_against_corpus(sigs_n, sigs_c, corpus_bands=store))
+    assert inc2 == pairs(lsh_pairs_against_corpus(sigs_n, sigs_c))
+
+    # include_new_pairs=False: only cross pairs remain
+    cross_only = pairs(
+        lsh_pairs_against_corpus(sigs_n, sigs_c, include_new_pairs=False)
+    )
+    assert cross_only == {
+        (a, b) for a, b in pairs(lsh_pairs_against_corpus(sigs_n, sigs_c))
+        if a < 10000
+    }
+
+
+def test_incremental_lsh_cap_crossing_caveat(spark):
+    """When a bucket crosses max_bucket_size only after the new batch
+    arrives, the incremental epoch emits none of its pairs (combined
+    count — matching the monolithic guard for THIS epoch), but pairs
+    earlier epochs emitted from the then-small bucket are not
+    retracted: the per-batch union exceeds the monolithic set by
+    exactly those historical corpus pairs (the documented caveat)."""
+    from beyond_vector_search_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_pairs_against_corpus,
+        minhash_signatures,
+    )
+
+    text = "identical short document body shared by everyone"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(4)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(i + 100, text) for i in range(4)], "doc_id long, text string"
+    )
+    sigs_c, sigs_n = minhash_signatures(docs), minhash_signatures(new)
+    cap = 6  # corpus bucket (4) under cap; combined (8) over it
+
+    def pairs(df):
+        return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+    historical = pairs(lsh_candidate_pairs(sigs_c, max_bucket_size=cap))
+    assert len(historical) == 6  # C(4,2) — emitted while under the cap
+    inc = pairs(lsh_pairs_against_corpus(sigs_n, sigs_c, max_bucket_size=cap))
+    assert inc == set()          # combined bucket over the cap: epoch emits nothing
+    mono = pairs(
+        lsh_candidate_pairs(
+            minhash_signatures(docs.unionByName(new)), max_bucket_size=cap
+        )
+    )
+    assert mono == set()         # monolithic drops the whole bucket
+    assert historical | inc == historical  # union exceeds mono by exactly history
+
+
 def test_deterministic_sample_stability(spark):
     """deterministic_sample keeps the same id set regardless of
     partitioning, and train_ivf_centroids' auto-sampling keeps the
