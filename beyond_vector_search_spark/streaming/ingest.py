@@ -171,3 +171,123 @@ def start_vector_ingest(
         "checkpointLocation", checkpoint or os.path.join(store_path, "_checkpoint")
     )
     return w.start()
+
+
+def dedup_ingest_batch(
+    docs_batch: DataFrame,
+    batch_id: int,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text: Column | str = "text",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 10_000,
+) -> bool:
+    """Near-dup-check ONE micro-batch against the band-key store at
+    ``path`` and extend the store.  Returns False on skip.  Two writes,
+    both into per-batch directories (layout-idempotent, like
+    :func:`append_delta_batch`):
+
+      ``bands/batch_id=N``  the batch's own band keys (dedup.banded_keys)
+      ``pairs/batch_id=N``  its near-dup pairs vs ALL history + itself
+                            (dedup.lsh_pairs_against_corpus)
+
+    The pair log records every duplicate relation ever observed — what
+    to do with flagged docs (drop, cluster, keep-canonical) is
+    downstream policy over ``pairs``, so the store keeps every doc's
+    keys.  Versus streaming/dedup.py's stateful operators: state here
+    is the parquet store itself — UNBOUNDED history at disk cost, no
+    TTL eviction, no watermark, exactly the batch operator's semantics
+    per epoch (batch-union == monolithic, pinned by test) — the right
+    tool when "have we EVER seen this" matters more than latency.
+    """
+    from beyond_vector_search_spark.operators.dedup import (
+        banded_keys,
+        lsh_pairs_against_corpus,
+        minhash_signatures,
+    )
+
+    from pyspark.sql import functions as F
+
+    marker = _batch_marker(path, batch_id)
+    if os.path.exists(marker):
+        return False
+    # normalize input columns: (doc_id, text)
+    text_col = F.col(text) if isinstance(text, str) else text
+    docs = docs_batch.select(
+        F.col(id_col).alias("doc_id"), text_col.alias("text")
+    )
+    sigs = minhash_signatures(docs)
+    new_bands = banded_keys(sigs, bands=bands, rows_per_band=rows_per_band)
+    spark = docs_batch.sparkSession
+    bands_dir = os.path.join(path, "bands")
+    have_history = os.path.isdir(bands_dir) and any(
+        d.startswith("batch_id=") for d in os.listdir(bands_dir)
+    )
+    if have_history:
+        spark.catalog.refreshByPath(bands_dir)
+        # exclude this batch's own directory: a retry after a crash
+        # between the two writes would otherwise count the batch's
+        # keys twice in the bucket-cap aggregation
+        store = (
+            spark.read.parquet(bands_dir)
+            .where(F.col("batch_id") != batch_id)
+            .drop("batch_id")
+        )
+    else:
+        store = new_bands.limit(0)
+    pairs = lsh_pairs_against_corpus(
+        sigs,
+        corpus_bands=store,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(path, "pairs", f"batch_id={batch_id}")
+    )
+    new_bands.write.mode("overwrite").parquet(
+        os.path.join(bands_dir, f"batch_id={batch_id}")
+    )
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump({"batch_id": batch_id, "n_docs": docs_batch.count()}, fh)
+    return True
+
+
+def start_dedup_ingest(
+    doc_stream: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text: Column | str = "text",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 10_000,
+    trigger: dict | None = None,
+    checkpoint: str | None = None,
+):
+    """Start the streaming dedup-against-all-history query: each
+    micro-batch is near-dup-checked against every previously ingested
+    document (the persisted band-key store) and then extends the store
+    (:func:`dedup_ingest_batch`).  Read the accumulated pair log with
+    ``spark.read.parquet(f"{path}/pairs")``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(
+            batch_df,
+            batch_id,
+            path,
+            id_col=id_col,
+            text=text,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            max_bucket_size=max_bucket_size,
+        )
+
+    w = doc_stream.writeStream.foreachBatch(sink).outputMode("append")
+    if trigger:
+        w = w.trigger(**trigger)
+    w = w.option("checkpointLocation", checkpoint or os.path.join(path, "_checkpoint"))
+    return w.start()

@@ -1733,6 +1733,61 @@ def test_ivfpq_index_extend_append_incremental(spark, tmp_path):
     assert sorted(map(tuple, compacted.search(q, k=4, nprobe=2).collect())) == got_store
 
 
+def test_streaming_dedup_ingest_matches_monolithic(spark, tmp_path):
+    """Dedup-against-all-history: a document stream drains through the
+    band-store ingest in three micro-batches; the accumulated pair log
+    equals the monolithic lsh_candidate_pairs over everything, and a
+    replayed epoch is marker-skipped."""
+    from beyond_vector_search_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from beyond_vector_search_spark.streaming.ingest import (
+        dedup_ingest_batch,
+        start_dedup_ingest,
+    )
+
+    rows = [
+        (i, f"alpha bravo charlie delta echo body {i % 5} {i % 3}") for i in range(30)
+    ]
+    # batch 3 re-delivers batch-1 content under new ids: cross-epoch dups
+    rows += [(i + 500, rows[i][1] + " tail") for i in range(10)]
+    schema = "doc_id long, text string"
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    spark.createDataFrame(rows[:15], schema).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(rows[15:30], schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows[30:], schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    store = str(tmp_path / "dd_store")
+    q = start_dedup_ingest(stream, store, trigger={"availableNow": True})
+    q.awaitTermination(300)
+
+    log = spark.read.parquet(f"{store}/pairs")
+    assert sorted(
+        int(r.batch_id) for r in log.select("batch_id").distinct().collect()
+    ) == [0, 1, 2]
+    got = {(r.doc_a, r.doc_b) for r in log.collect()}
+    mono = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(spark.createDataFrame(rows, schema))
+        ).collect()
+    }
+    assert got == mono
+    # cross-epoch dups were actually caught (batch-2 ids vs batch-0 ids)
+    assert any(a < 500 <= b for a, b in got)
+
+    # replayed epoch is marker-skipped; the log is unchanged
+    assert dedup_ingest_batch(spark.createDataFrame(rows[:15], schema), 0, store) is False
+    assert spark.read.parquet(f"{store}/pairs").count() == len(got)
+
+
 def test_streaming_vector_ingest_extends_ivfpq_store(spark, tmp_path):
     """Streaming ANN maintenance: a file-source embedding stream drains
     through foreachBatch → IVFPQIndex.append (frozen quantizer +
