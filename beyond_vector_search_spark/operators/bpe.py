@@ -1,0 +1,281 @@
+"""Distributed BPE tokenizer training and application.
+
+The byte-pair-encoding recipe every modern pretraining pipeline runs
+(Sennrich et al. 2016; the GPT-2/HF ``tokenizers`` trainer), factored
+for Spark's execution model:
+
+1. **word_freqs** — the ONLY corpus-scale pass: tokenize + one hash
+   aggregation to (word, freq).  At 100 TB this is the whole cost; the
+   result is vocabulary-sized (bounded, millions of rows at web scale).
+2. **bpe_train** — the merge loop runs over that bounded word table
+   (optionally capped to the top ``max_words`` by mass, the standard
+   trainer cut).  This is deliberately a driver-side loop: each merge
+   step needs a global argmax over pair counts followed by a mutation
+   of every word's symbol sequence — a tiny, serial, vocabulary-sized
+   computation (exactly how HuggingFace's trainer works after its own
+   word-count pass).  Distributing it would shuffle the same few MB
+   ``n_merges`` times.
+3. **bpe_segment / piece_stats** — applying a trained merge table back
+   to the corpus IS corpus-scale again, so it runs as an Arrow
+   mapInPandas kernel over the DISTINCT terms (memoized per word —
+   Zipf makes distinct words a tiny fraction of token occurrences),
+   joined back to the (doc, term, tf) relation.
+
+Determinism contract (what makes the DuckDB oracle possible): merge
+selection orders by (count DESC, left ASC, right ASC); merge
+application is greedy left-to-right non-overlapping (the canonical BPE
+fold — a freshly merged symbol never re-merges within the same step);
+symbol sequences start as characters plus a terminal ``</w>`` marker
+('<', '>', '/' are outside the token alphabet, so the marker can never
+collide with text).  The oracle in plans/bpe_queries.py replays the
+same loop as an unrolled MATERIALIZED-CTE chain whose per-step merge
+is a DuckDB ``list_reduce`` fold with the identical semantics.
+
+Reference scope note: the reference engine (mick2004/
+beyond-vector-search) has no tokenizer training; this extends the
+corpus-prep surface (operators/pretrain.py) the same way dedup/DSIR do.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from beyond_vector_search_spark.operators.pretrain import _toked
+
+WORD_END = "</w>"
+
+
+def word_freqs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """(word, freq) — corpus word frequencies, the trainer's one
+    full-corpus pass (tokenize + single hash aggregation; map-side
+    partial aggregation makes the shuffle vocabulary-sized)."""
+    toked = _toked(df, tokens, id_col=id_col, text_col=text_col)
+    return (
+        toked.select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def _initial_seq(word: str) -> list[str]:
+    return list(word) + [WORD_END]
+
+
+def _merge_seq(seq: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge of (left, right).
+
+    The canonical BPE application fold: a symbol produced by this
+    step's merge can never itself be ``left`` (left+right != left), so
+    a single forward pass is exact.
+    """
+    out: list[str] = []
+    merged = left + right
+    for s in seq:
+        if out and s == right and out[-1] == left:
+            out[-1] = merged
+        else:
+            out.append(s)
+    return out
+
+
+def bpe_train(
+    wf: DataFrame,
+    *,
+    n_merges: int = 16,
+    max_words: int | None = None,
+) -> list[dict]:
+    """Learn ``n_merges`` BPE merges from a (word, freq) relation.
+
+    Returns ``[{"rank": 0, "left": ..., "right": ..., "pair_freq": N},
+    ...]`` in merge order.  ``max_words`` caps the collected word table
+    to the top-N by (freq DESC, word ASC) — the deterministic trainer
+    cut for web-scale vocabularies; None collects the full table (fine
+    for anything vocabulary-sized).
+
+    Selection tie-break: (count DESC, left ASC, right ASC) — binary
+    string order on both engines.  Stops early if no pair occurs twice
+    (nothing left worth merging).
+    """
+    q = wf.select("word", F.col("freq").cast("long").alias("freq"))
+    if max_words is not None:
+        q = q.orderBy(F.desc("freq"), F.asc("word")).limit(int(max_words))
+    rows = q.collect()
+    seqs: list[tuple[list[str], int]] = [
+        (_initial_seq(r["word"]), int(r["freq"])) for r in rows
+    ]
+    merges: list[dict] = []
+    for rank in range(int(n_merges)):
+        counts: dict[tuple[str, str], int] = {}
+        for seq, freq in seqs:
+            for i in range(len(seq) - 1):
+                pair = (seq[i], seq[i + 1])
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append(
+            {"rank": rank, "left": left, "right": right, "pair_freq": cnt}
+        )
+        seqs = [(_merge_seq(seq, left, right), freq) for seq, freq in seqs]
+    return merges
+
+
+MERGES_SCHEMA = StructType(
+    [
+        StructField("rank", LongType()),
+        StructField("left_sym", StringType()),
+        StructField("right_sym", StringType()),
+        StructField("pair_freq", LongType()),
+    ]
+)
+
+
+def merges_df(spark: SparkSession, merges: Iterable[dict]) -> DataFrame:
+    """The learned merge table as a DataFrame (rank, left_sym,
+    right_sym, pair_freq) — the persistable tokenizer artifact."""
+    data = [
+        (int(m["rank"]), m["left"], m["right"], int(m["pair_freq"]))
+        for m in merges
+    ]
+    return spark.createDataFrame(data, MERGES_SCHEMA)
+
+
+def apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Segment one word with a trained merge list (in rank order).
+
+    Sequential rank-order application equals the lowest-rank-first
+    priority algorithm: a merge's constituents exist only after all
+    lower-rank merges, and merging never makes two OTHER symbols
+    adjacent, so later merges cannot create sites for earlier ones.
+    """
+    seq = _initial_seq(word)
+    for left, right in merges:
+        if len(seq) < 2:
+            break
+        seq = _merge_seq(seq, left, right)
+    return seq
+
+
+def segment_terms(
+    terms: DataFrame,
+    merges: list[dict] | list[tuple[str, str]],
+    *,
+    term_col: str = "term",
+) -> DataFrame:
+    """(term, pieces ARRAY<STRING>) — apply a trained merge table to a
+    relation of distinct terms via an Arrow kernel (memoized per word
+    within each batch; Zipf makes the distinct-term relation a tiny
+    fraction of corpus token mass, which is why segmentation runs at
+    term grain and joins back, never per occurrence)."""
+    pairs = [
+        (m["left"], m["right"]) if isinstance(m, dict) else (m[0], m[1])
+        for m in merges
+    ]
+    out_schema = StructType(
+        [
+            StructField("term", StringType()),
+            StructField("pieces", ArrayType(StringType())),
+        ]
+    )
+    src = terms.select(F.col(term_col).cast("string").alias("term"))
+
+    def _segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            pieces = []
+            for w in pdf["term"]:
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = apply_merges(w, pairs)
+                pieces.append(got)
+            yield pd.DataFrame({"term": pdf["term"], "pieces": pieces})
+
+    return src.mapInPandas(_segment, out_schema)
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[dict] | list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, pieces ARRAY<STRING>) — the tokenized corpus: each
+    document's words segmented by the trained merges, in document
+    order.  Segmentation runs once per DISTINCT term (Arrow kernel) and
+    joins back on term; per-doc order is restored with posexplode +
+    sort, so the join never carries document text."""
+    toked = _toked(df, tokens, id_col=id_col, text_col=text_col)
+    pos = toked.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    )
+    seg = segment_terms(pos.select("term").distinct(), merges)
+    return (
+        pos.join(seg, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("pieces")))
+                    ),
+                    lambda s: s["pieces"],
+                )
+            ).alias("pieces")
+        )
+    )
+
+
+def piece_stats(
+    df: DataFrame,
+    merges: list[dict] | list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """(piece, n_occurrences, n_docs) — corpus statistics of the
+    trained tokenizer's output vocabulary: how often each BPE piece
+    occurs (weighted by term frequency) and in how many documents.
+
+    The post-training sanity report every tokenizer build ships with
+    (piece coverage/balance); also the relation a piece-level token
+    budget is computed from.  Shape: (doc, term, tf) partial agg +
+    term-grain segmentation joined back on term — the corpus text is
+    scanned once."""
+    toked = _toked(df, tokens, id_col=id_col, text_col=text_col)
+    wtf = (
+        toked.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    seg = segment_terms(wtf.select("term").distinct(), merges)
+    return (
+        wtf.join(seg, "term")
+        .select("doc_id", "tf", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.sum("tf").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )

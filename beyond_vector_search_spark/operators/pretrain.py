@@ -710,3 +710,125 @@ def shingle_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def wordcount_labels(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+) -> DataFrame:
+    """(doc_id, keep) — the cheap rule-based weak label that bootstraps
+    a learned quality classifier: Gopher's word-count gate alone
+    (``n_words >= min_words``, Rae et al. 2021 appendix A rule 1).
+
+    The real-world recipe (CCNet, LLaMA, RedPajama) labels a seed set
+    with a rule or a reference corpus and trains a cheap linear/NB
+    classifier on token counts to generalize the signal; this helper is
+    the rule side of that loop.  Pure narrow expressions (regexp split +
+    size), zero shuffles.
+    """
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.size(words) >= F.lit(min_words)).alias("keep"),
+    )
+
+
+def nb_quality_scores(
+    df: DataFrame,
+    labels: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens: DataFrame | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(doc_id, label_keep, n_tokens, log_odds, pred_keep) — a
+    multinomial Naive Bayes quality classifier trained on a weak label
+    and applied back to the corpus: the fastText-style quality filter
+    from the public pretraining recipes (CCNet Wenzek et al. 2020,
+    LLaMA's "Wikipedia-reference" classifier), reduced to its
+    SQL-expressible core so the whole train+score loop is one
+    deterministic relational plan (and DuckDB-oracle-able).
+
+    Training (add-``alpha`` smoothed):
+
+        w(t) = ln( (c1(t)+α) / (N1+αV) ) − ln( (c0(t)+α) / (N0+αV) )
+        b    = ln( (D1+α) / (D0+α) )
+
+    where ``c_k(t)`` is token t's total tf in class k, ``N_k`` the class
+    token mass, ``V`` the corpus vocabulary size, ``D_k`` the class doc
+    counts.  Scoring: ``log_odds(d) = b + Σ_t tf_d(t)·w(t)`` and
+    ``pred_keep = round(log_odds, 6) > 0`` (the rounded value decides so
+    both engines agree at the boundary).
+
+    ``labels`` defaults to :func:`wordcount_labels` (the Gopher
+    word-count gate) — classifier bootstrapping from a rule.
+
+    Scale shape: ONE corpus tokenize/explode feeds both training and
+    scoring (the label rides the (doc, term, tf) rows, so class counts
+    are a second partial aggregation of the same relation — the text is
+    never scanned twice); the weight table is vocabulary-sized and
+    joins back on term, co-partitioned with the tf aggregation's own
+    shuffle (AQE broadcasts it while the vocabulary is small).  All
+    counts are exact integers; only the final cross-row float sum is
+    rounded (6 decimals, the catalog rule).
+    """
+    if labels is None:
+        labels = wordcount_labels(df, id_col=id_col, text_col=text_col)
+    lab = labels.select(
+        F.col("doc_id") if "doc_id" in labels.columns else F.col(id_col).alias("doc_id"),
+        F.col("keep").cast("boolean").alias("keep"),
+    )
+    toked = _toked(df, tokens, id_col=id_col, text_col=text_col)
+    wtf = (
+        toked.join(lab, "doc_id")
+        .select("doc_id", "keep", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("keep").alias("keep"))
+    )
+    cls = wtf.groupBy("term").agg(
+        F.sum(F.when(F.col("keep"), F.col("tf")).otherwise(F.lit(0))).alias("c1"),
+        F.sum(F.when(~F.col("keep"), F.col("tf")).otherwise(F.lit(0))).alias("c0"),
+    )
+    tot = cls.agg(
+        F.sum("c1").alias("n1"), F.sum("c0").alias("n0"), F.count("*").alias("v")
+    )
+    pri = lab.agg(
+        F.sum(F.col("keep").cast("long")).alias("d1"),
+        F.sum((~F.col("keep")).cast("long")).alias("d0"),
+    )
+    a = F.lit(float(alpha))
+    weights = cls.crossJoin(F.broadcast(tot)).select(
+        "term",
+        (
+            F.log((F.col("c1") + a) / (F.col("n1") + a * F.col("v")))
+            - F.log((F.col("c0") + a) / (F.col("n0") + a * F.col("v")))
+        ).alias("w"),
+    )
+    scored = (
+        wtf.join(weights, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("w")).alias("s"),
+        )
+    )
+    prior = F.log((F.col("d1") + a) / (F.col("d0") + a))
+    return (
+        lab.join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(pri))
+        .select(
+            "doc_id",
+            F.col("keep").alias("label_keep"),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            F.round(prior + F.coalesce(F.col("s"), F.lit(0.0)), 6).alias("log_odds"),
+            (F.round(prior + F.coalesce(F.col("s"), F.lit(0.0)), 6) > 0).alias(
+                "pred_keep"
+            ),
+        )
+    )

@@ -370,8 +370,32 @@ def q_ann_methods_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionByName(ivf)
 
 
-@register(
-    "routing_drift_10min",
+# r7 rotation: this window slot (and tpch_q1's in relational_queries)
+# went to the two new distinctive trained-artifact operators —
+# bpe_merges (distributed BPE tokenizer training, full unrolled-chain
+# oracle) and nb_quality_scores (learned NB quality classifier,
+# train+score in one oracled plan).  routing_drift_10min moves to the
+# tail: its date_trunc-bucket aggregation shape is restated in-window
+# by events_sessions' event-time windowing (and lineitem_frames'
+# monthly CTE pins the same date functions in the local artifacts).
+def _register_r7_rotation() -> None:
+    from beyond_vector_search_spark.plans.bpe_queries import (
+        BPE_MERGES_SQL,
+        q_bpe_merges,
+    )
+    from beyond_vector_search_spark.plans.pretrain_queries import (
+        NB_QUALITY_SQL,
+        q_nb_quality_scores,
+    )
+
+    register("bpe_merges", BPE_MERGES_SQL)(q_bpe_merges)
+    register("nb_quality_scores", NB_QUALITY_SQL)(q_nb_quality_scores)
+
+
+_register_r7_rotation()
+
+
+ROUTING_DRIFT_SQL = (
     # The streaming drift aggregation in batch mode, oracle'd with
     # floor-to-window arithmetic (Spark's window() aligns tumbling
     # windows to the epoch: start = floor(epoch/600)*600).
@@ -379,8 +403,10 @@ def q_ann_methods_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win AS (SELECT CAST(CAST(to_timestamp(CAST(floor(ts_unix / 600) * 600 AS BIGINT)) AS TIMESTAMP) AS VARCHAR) AS window_start, "
     "strategy, score FROM runs) "
     "SELECT window_start, strategy, count(*) AS n_runs, round(sum(score), 4) AS sum_score "
-    "FROM win GROUP BY window_start, strategy",
+    "FROM win GROUP BY window_start, strategy"
 )
+
+
 def q_routing_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming/drift.py's aggregation applied in batch mode to the
     events table shaped as a runs log (event_type ~ strategy)."""
@@ -994,6 +1020,20 @@ def register_all() -> None:
     register("incremental_dedup_pairs", INCREMENTAL_DEDUP_SQL)(
         q_incremental_dedup_pairs
     )
+    # r7 rotation demotion: the tumbling-window drift aggregation's
+    # date-bucket groupBy shape is pinned in-window by events_sessions
+    # (event-time windowing over the same events table); stays fully
+    # oracled here and in the local artifacts
+    register("routing_drift_10min", ROUTING_DRIFT_SQL)(q_routing_drift)
+    # the trained tokenizer applied back to the corpus: restates
+    # bpe_merges' in-window trainer chain (the oracle SHARES its
+    # unrolled merge CTEs) + the term-grain kernel-join shape
+    from beyond_vector_search_spark.plans.bpe_queries import (
+        BPE_SEGMENT_SQL,
+        q_bpe_segment_stats,
+    )
+
+    register("bpe_segment_stats", BPE_SEGMENT_SQL)(q_bpe_segment_stats)
     # genuinely un-oracle-able entries (engine-internal MLlib hash
     # family / kmeans|| init; HLL sketches) live at the tail so every
     # driver-window slot carries a hash-checked oracle; their behavior

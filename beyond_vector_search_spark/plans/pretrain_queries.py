@@ -496,3 +496,47 @@ def q_pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def register_all() -> None:
     """Import side effect already registered everything."""
+
+
+# ------------- learned quality classifier (Naive Bayes, in-window) ---------
+
+_NB_ALPHA = 1.0
+
+NB_QUALITY_SQL = (
+    # whole train+score loop in one query: weak label (Gopher word-count
+    # gate) -> per-class token counts -> add-alpha NB weights -> per-doc
+    # log-odds.  All counts exact integers; ln only at the weight /
+    # prior step; the one cross-row float sum is rounded to 6 (catalog
+    # rule) and the rounded value decides pred_keep on BOTH engines.
+    f"WITH {_TOKS}, "
+    "lab AS (SELECT doc_id, "
+    "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) >= 50 AS keep "
+    "FROM documents), "
+    "wx AS (SELECT doc_id, unnest(tokens) AS term FROM toks), "
+    "wtf AS (SELECT wx.doc_id, term, count(*) AS tf, bool_and(keep) AS keep "
+    "FROM wx JOIN lab USING (doc_id) GROUP BY wx.doc_id, term), "
+    "cls AS (SELECT term, sum(CASE WHEN keep THEN tf ELSE 0 END) AS c1, "
+    "sum(CASE WHEN NOT keep THEN tf ELSE 0 END) AS c0 FROM wtf GROUP BY term), "
+    "tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM cls), "
+    "pri AS (SELECT sum(CASE WHEN keep THEN 1 ELSE 0 END) AS d1, "
+    "sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS d0 FROM lab), "
+    f"wt AS (SELECT term, ln((c1 + {_NB_ALPHA!r}) / (n1 + {_NB_ALPHA!r} * v)) "
+    f"- ln((c0 + {_NB_ALPHA!r}) / (n0 + {_NB_ALPHA!r} * v)) AS w FROM cls, tot), "
+    "sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, sum(tf * w) AS s "
+    "FROM wtf JOIN wt USING (term) GROUP BY doc_id) "
+    f"SELECT lab.doc_id, lab.keep AS label_keep, coalesce(n_tokens, 0) AS n_tokens, "
+    f"round(ln((d1 + {_NB_ALPHA!r}) / (d0 + {_NB_ALPHA!r})) + coalesce(s, 0.0), 6) AS log_odds, "
+    f"round(ln((d1 + {_NB_ALPHA!r}) / (d0 + {_NB_ALPHA!r})) + coalesce(s, 0.0), 6) > 0 AS pred_keep "
+    "FROM lab LEFT JOIN sc USING (doc_id), pri"
+)
+
+
+def q_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial-NB quality classifier bootstrapped from the Gopher
+    word-count rule and applied back to the corpus
+    (operators/pretrain.nb_quality_scores) — the fastText-style learned
+    quality filter of the public pretraining recipes, as one
+    deterministic relational train+score plan."""
+    return pt.nb_quality_scores(
+        load_table(spark, sf_dir, "documents"), alpha=_NB_ALPHA
+    )

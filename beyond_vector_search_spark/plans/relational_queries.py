@@ -315,12 +315,15 @@ EVENTS_JSON_DUCKDB = _EVENTS_JSON_TMPL.format(EXTRACT="json_extract(props, 'k')"
 
 
 def register_all() -> None:
-    # In-window entries: one per distinct relational shape (plain agg,
-    # join+topk, conditional-agg ratio, multi-grouping, set ops,
-    # sessionization window chain, JSON extraction).  tpch_q5/q10 and
+    # In-window entries: one per distinct relational shape (join+topk,
+    # conditional-agg ratio, multi-grouping, set ops, sessionization
+    # window chain, JSON extraction).  tpch_q5/q10 and
     # window_top_customers restate shapes pinned here and register at
-    # the catalog tail instead (coverage_queries.register_all).
-    register_shared_sql("tpch_q1", TPCH_Q1)
+    # the catalog tail instead (coverage_queries.register_all); since
+    # the r7 rotation tpch_q1 does too (its filter-pushdown + decimal
+    # lineitem aggregation is restated in-window by tpch_ratio_aggs'
+    # q6 arm — same table, same pushed shipdate/discount filters, same
+    # DECIMAL-exact sums), freeing its slot for nb_quality_scores.
     register("tpch_q3_topk", TPCH_Q3)(q_tpch_q3_topk)
     register_shared_sql("tpch_ratio_aggs", TPCH_RATIO_AGGS)
     register_shared_sql("grouping_orders", GROUPING_ORDERS)
@@ -333,7 +336,9 @@ def register_tail() -> None:
     """Entries whose shapes are already pinned in-window: q5 (multi-dim
     join chain — q3/q10 shapes), q10 (join+agg+topk — q3's shape at a
     different fan-out), window_top_customers (partitioned ranking —
-    every *_topk entry's window)."""
+    every *_topk entry's window), q1 since the r7 rotation (lineitem
+    filter-pushdown + decimal aggregation — tpch_ratio_aggs' q6 arm)."""
+    register_shared_sql("tpch_q1", TPCH_Q1)
     register_shared_sql("tpch_q5_region_volume", TPCH_Q5)
     register("tpch_q10_returns", TPCH_Q10)(q_tpch_q10_returns)
     register_shared_sql("window_top_customers", WINDOW_TOP_CUSTOMERS)

@@ -1,0 +1,191 @@
+"""BPE tokenizer training/application + NB quality classifier tests.
+
+The trainer's merge loop is checked against hand-worked expectations
+(the Sennrich et al. 2016 worked example shape) and its invariants;
+segmentation is checked for exact reconstruction; the NB classifier
+against hand-computed add-1 counts on a four-document corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.operators import bpe
+from beyond_vector_search_spark.operators.bpe import (
+    WORD_END,
+    _merge_seq,
+    apply_merges,
+)
+from beyond_vector_search_spark.operators.pretrain import (
+    nb_quality_scores,
+    wordcount_labels,
+)
+
+
+def _wf(spark, rows):
+    return spark.createDataFrame(rows, "word string, freq long")
+
+
+def test_merge_seq_is_greedy_left_to_right():
+    # canonical BPE on a run: pairs merge left-to-right, non-overlapping
+    assert _merge_seq(["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert _merge_seq(["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
+    # a freshly merged symbol does not re-merge within the same step
+    assert _merge_seq(["a", "b", "b"], "a", "b") == ["ab", "b"]
+    # boundary-exact: 'xa' followed by 'b' is NOT an (a, b) site
+    assert _merge_seq(["xa", "b"], "a", "b") == ["xa", "b"]
+
+
+def test_bpe_train_hand_worked(spark):
+    # lo*10 + low*7 + lowest*3: 'l o' and 'o w' dominate
+    wf = _wf(spark, [("lo", 10), ("low", 7), ("lowest", 3)])
+    merges = bpe.bpe_train(wf, n_merges=3)
+    # pair counts at step 0: (l,o)=20, (o,w)=10, (o,</w>)=10, ...
+    assert (merges[0]["left"], merges[0]["right"]) == ("l", "o")
+    assert merges[0]["pair_freq"] == 20
+    # step 1: (lo,w)=10 vs (lo,</w>)=10 — tie broken right ASC:
+    # '</w>' < 'w' in binary order
+    assert (merges[1]["left"], merges[1]["right"]) == ("lo", WORD_END)
+    assert merges[1]["pair_freq"] == 10
+    assert [m["rank"] for m in merges] == [0, 1, 2]
+
+
+def test_bpe_train_early_stop_and_cap(spark):
+    # a single 2-char word exhausts after 2 merges
+    wf = _wf(spark, [("ab", 5)])
+    merges = bpe.bpe_train(wf, n_merges=10)
+    assert len(merges) == 2
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "b")
+    assert (merges[1]["left"], merges[1]["right"]) == ("ab", WORD_END)
+    # max_words keeps the top-by-(freq, word) slice only: with 'qq'
+    # cut, the (z, z)/(z, </w>) tie (100 each) breaks right-ASC to
+    # '</w>' and the count is the capped table's, not the full one
+    wf2 = _wf(spark, [("zz", 100), ("qq", 1)])
+    capped = bpe.bpe_train(wf2, n_merges=1, max_words=1)
+    assert (capped[0]["left"], capped[0]["right"]) == ("z", WORD_END)
+    assert capped[0]["pair_freq"] == 100
+
+
+def test_apply_merges_reconstructs():
+    merges = [("l", "o"), ("lo", "w"), ("w", "e"), ("e", "s")]
+    for w in ["low", "lowest", "l", "slow", "we"]:
+        pieces = apply_merges(w, merges)
+        assert "".join(pieces) == w + WORD_END
+        assert all(p for p in pieces)
+
+
+def test_segment_terms_matches_apply(spark):
+    merges = [
+        {"rank": 0, "left": "l", "right": "o", "pair_freq": 9},
+        {"rank": 1, "left": "lo", "right": "w", "pair_freq": 5},
+    ]
+    terms = spark.createDataFrame(
+        [("low",), ("lot",), ("hollow",)], "term string"
+    )
+    got = {
+        r["term"]: list(r["pieces"])
+        for r in bpe.segment_terms(terms, merges).collect()
+    }
+    assert got["low"] == ["low", WORD_END]
+    assert got["lot"] == ["lo", "t", WORD_END]
+    assert got["hollow"] == ["h", "o", "l", "low", WORD_END]
+
+
+def test_bpe_segment_preserves_document_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "low lot low"), (2, "hollow")], "doc_id long, text string"
+    )
+    merges = [("l", "o"), ("lo", "w")]
+    got = {
+        r["doc_id"]: list(r["pieces"])
+        for r in bpe.bpe_segment(docs, merges).collect()
+    }
+    assert got[1] == ["low", WORD_END, "lo", "t", WORD_END, "low", WORD_END]
+    assert got[2] == ["h", "o", "l", "low", WORD_END]
+
+
+def test_piece_stats_zero_merges_are_char_counts(spark):
+    docs = spark.createDataFrame([(1, "ab ab"), (2, "b")], "doc_id long, text string")
+    rows = {r["piece"]: r for r in bpe.piece_stats(docs, []).collect()}
+    assert rows["a"]["n_occurrences"] == 2 and rows["a"]["n_docs"] == 1
+    assert rows["b"]["n_occurrences"] == 3 and rows["b"]["n_docs"] == 2
+    assert rows[WORD_END]["n_occurrences"] == 3
+
+
+def test_trained_segmentation_compresses(spark):
+    # on the real testdata, 16 merges must shrink the piece stream
+    # relative to raw characters (the point of training)
+    from beyond_vector_search_spark.plans.bpe_queries import trained_merges
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = trained_merges(spark, "/root/testdata/sf0.001")
+    assert len(merges) == 16
+    stats = bpe.piece_stats(docs, merges)
+    n_pieces = stats.agg(F.sum("n_occurrences")).collect()[0][0]
+    n_chars = stats.where(F.length("piece") == 1).count()
+    baseline = bpe.piece_stats(docs, [])
+    n_base = baseline.agg(F.sum("n_occurrences")).collect()[0][0]
+    assert n_pieces < n_base
+    assert n_chars > 0  # singles remain for rare contexts
+
+
+# --------------------- NB quality classifier -------------------------------
+
+
+def test_wordcount_labels(spark):
+    docs = spark.createDataFrame(
+        [(1, "  one two   three "), (2, "just four words here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["keep"] for r in wordcount_labels(docs, min_words=4).collect()}
+    assert got == {1: False, 2: True}
+
+
+def test_nb_quality_scores_hand_computed(spark):
+    # class keep: 2 docs over {good}; class toss: 2 docs over {bad};
+    # shared token 'x' in one doc of each class.  alpha=1, V=3.
+    docs = spark.createDataFrame(
+        [
+            (1, "good good x"),
+            (2, "good"),
+            (3, "bad bad x"),
+            (4, "bad"),
+        ],
+        "doc_id long, text string",
+    )
+    labels = spark.createDataFrame(
+        [(1, True), (2, True), (3, False), (4, False)], "doc_id long, keep boolean"
+    )
+    got = {
+        r["doc_id"]: r for r in nb_quality_scores(docs, labels, alpha=1.0).collect()
+    }
+    # c1 = {good: 3, x: 1}, N1 = 4; c0 = {bad: 3, x: 1}, N0 = 4; V = 3
+    w_good = math.log((3 + 1) / (4 + 3)) - math.log((0 + 1) / (4 + 3))
+    w_x = math.log((1 + 1) / (4 + 3)) - math.log((1 + 1) / (4 + 3))
+    w_bad = math.log((0 + 1) / (4 + 3)) - math.log((3 + 1) / (4 + 3))
+    prior = math.log((2 + 1) / (2 + 1))
+    assert got[1]["log_odds"] == pytest.approx(
+        round(prior + 2 * w_good + w_x, 6), abs=1e-6
+    )
+    assert got[4]["log_odds"] == pytest.approx(round(prior + w_bad, 6), abs=1e-6)
+    assert got[1]["pred_keep"] and got[2]["pred_keep"]
+    assert not got[3]["pred_keep"] and not got[4]["pred_keep"]
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 1
+
+
+def test_nb_default_label_is_wordcount_rule(spark):
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = nb_quality_scores(docs)
+    lab = {r["doc_id"]: r["label_keep"] for r in out.collect()}
+    rule = {
+        r["doc_id"]: r["keep"] for r in wordcount_labels(docs).collect()
+    }
+    assert lab == rule
+    # both classes present on the testdata (the label is usable)
+    assert any(lab.values()) and not all(lab.values())
