@@ -1034,6 +1034,15 @@ def register_all() -> None:
     )
 
     register("bpe_segment_stats", BPE_SEGMENT_SQL)(q_bpe_segment_stats)
+    # PageRank over the exact cosine-kNN digraph: restates
+    # knn_graph_nnd's in-window iterative-graph shape (and the knn_topk
+    # all-pairs-ranking oracle pattern for its edge construction)
+    from beyond_vector_search_spark.plans.pipeline_queries import (
+        GRAPH_PAGERANK_SQL,
+        q_graph_pagerank,
+    )
+
+    register("graph_pagerank", GRAPH_PAGERANK_SQL)(q_graph_pagerank)
     # genuinely un-oracle-able entries (engine-internal MLlib hash
     # family / kmeans|| init; HLL sketches) live at the tail so every
     # driver-window slot carries a hash-checked oracle; their behavior

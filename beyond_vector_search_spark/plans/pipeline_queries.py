@@ -802,3 +802,82 @@ def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.select(F.lit("pre_lang_en").alias("method"), "*").unionByName(
         post.select(F.lit("post_label3").alias("method"), "*")
     )
+
+
+# ---------------- PageRank over the kNN similarity graph -------------------
+
+_PR_K = 5
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def _pagerank_sql() -> str:
+    """Unrolled power iteration (the NN-Descent oracle technique for
+    iterative fixpoints) in the operator's 1e-9 FIXED-POINT INTEGER
+    arithmetic — every step is exact BIGINT math (``//`` here, ``div``
+    in Spark), so there is no float rounding boundary for the engines
+    to disagree on.  See operators/graph.py's determinism note: the
+    rounded-float alternative measurably diverges (0.85 × the 2e-10
+    contribution grid lands exactly on 1e-9 half-boundaries)."""
+    from beyond_vector_search_spark.operators.graph import (
+        RANK_SCALE,
+        _damping_fraction,
+    )
+
+    d_num, d_den = _damping_fraction(_PR_DAMPING)
+    base_units = ((d_den - d_num) * RANK_SCALE) // d_den
+    ctes = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e), "
+        "c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e), "
+        f"xscored AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cos "
+        "FROM q CROSS JOIN c WHERE query_id <> neighbor_id), "
+        "edges AS MATERIALIZED (SELECT query_id AS src, neighbor_id AS dst FROM "
+        "(SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rnk FROM xscored) "
+        f"WHERE rnk <= {_PR_K}), "
+        "deg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), "
+        f"r0 AS MATERIALIZED (SELECT id, CAST({RANK_SCALE} AS BIGINT) // n AS u "
+        "FROM nodes, nn)"
+    )
+    for k in range(_PR_ITERS):
+        ctes += (
+            f", r{k + 1} AS MATERIALIZED (SELECT nodes.id, "
+            f"CAST({base_units} AS BIGINT) // n "
+            f"+ ({d_num} * coalesce(t.m, CAST(0 AS BIGINT))) // {d_den} AS u "
+            "FROM nodes LEFT JOIN (SELECT dst AS id, sum(r.u // od) AS m "
+            f"FROM edges JOIN deg USING (src) JOIN r{k} r ON r.id = edges.src "
+            "GROUP BY dst) t ON t.id = nodes.id, nn)"
+        )
+    return ctes + (
+        " SELECT n.id AS vec_id, CAST(r.u AS BIGINT) AS rank_units, "
+        f"round(r.u / {float(RANK_SCALE)!r}, 9) AS rank, "
+        "coalesce(i.in_deg, 0) AS in_deg "
+        f"FROM nodes n JOIN r{_PR_ITERS} r ON r.id = n.id "
+        "LEFT JOIN (SELECT dst AS id, CAST(count(*) AS BIGINT) AS in_deg "
+        "FROM edges GROUP BY dst) i ON i.id = n.id"
+    )
+
+
+GRAPH_PAGERANK_SQL = _pagerank_sql()
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exact cosine-kNN digraph
+    (operators/graph.py): 5 power-iteration steps, damping 0.85, in
+    1e-9 fixed-point integer arithmetic — the data-selection/centrality
+    signal over the embedding corpus.  Catalog tail: restates
+    knn_graph_nnd's in-window iterative-graph-over-knn-edges shape
+    (exact edges here so the oracle is an all-pairs ranking, the
+    knn_topk pattern)."""
+    from beyond_vector_search_spark.operators import graph as gr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = gr.knn_edges(emb, k=_PR_K)
+    pr = gr.pagerank(edges, n_iter=_PR_ITERS, damping=_PR_DAMPING)
+    return pr.select(
+        F.col("id").alias("vec_id"), "rank_units", "rank", "in_deg"
+    )

@@ -1,0 +1,83 @@
+"""PageRank (fixed-point integer) + kNN edge construction tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beyond_vector_search_spark.operators.graph import (
+    RANK_SCALE,
+    _damping_fraction,
+    knn_edges,
+    pagerank,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_damping_fraction_exact():
+    assert _damping_fraction(0.85) == (17, 20)
+    assert _damping_fraction(0.5) == (1, 2)
+
+
+def test_pagerank_cycle_is_stationary(spark):
+    # a 3-cycle is already the stationary distribution: every iteration
+    # reproduces u = S//3 exactly (integer arithmetic, zero drift)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    got = {r["id"]: r for r in pagerank(e, n_iter=4).collect()}
+    assert all(r["rank_units"] == RANK_SCALE // 3 for r in got.values())
+    assert all(r["in_deg"] == 1 for r in got.values())
+
+
+def test_pagerank_hand_computed_one_step(spark):
+    # a->b, a->c, b->c; N=3, u0 = 333333333, base//N = 50000000
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    got = {r["id"]: r for r in pagerank(e, n_iter=1).collect()}
+    assert got[1]["rank_units"] == 50_000_000  # no in-links: (1-d)/N
+    assert got[2]["rank_units"] == 50_000_000 + (17 * (333333333 // 2)) // 20
+    assert (
+        got[3]["rank_units"]
+        == 50_000_000 + (17 * (333333333 // 2 + 333333333)) // 20
+    )
+    assert got[1]["in_deg"] == 0 and got[3]["in_deg"] == 2
+    # the float view is the rounded unit value
+    for r in got.values():
+        assert r["rank"] == round(r["rank_units"] / RANK_SCALE, 9)
+
+
+def test_pagerank_sink_authority_ordering(spark):
+    # everything points at node 9: it must out-rank its sources
+    e = _edges(spark, [(i, 9) for i in range(1, 5)] + [(9, 1)])
+    got = {r["id"]: r["rank_units"] for r in pagerank(e, n_iter=5).collect()}
+    assert got[9] > max(v for k, v in got.items() if k != 9)
+
+
+def test_pagerank_mass_is_bounded(spark):
+    # integer truncation only ever LOSES mass: total stays in (0, S]
+    e = _edges(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1)])
+    total = (
+        pagerank(e, n_iter=6)
+        .agg(F.sum("rank_units").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert 0 < total <= RANK_SCALE
+
+
+def test_knn_edges_shape(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [0.1, 0.9]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    e = knn_edges(emb, k=2).collect()
+    by_src: dict[int, set[int]] = {}
+    for r in e:
+        assert r["src"] != r["dst"]
+        by_src.setdefault(r["src"], set()).add(r["dst"])
+    assert all(len(d) == 2 for d in by_src.values())
+    assert 2 in by_src[1] and 4 in by_src[3]
