@@ -217,6 +217,46 @@ def cmd_maintain(args) -> dict:
     return out
 
 
+def cmd_tokenizer(args) -> dict:
+    """Train a BPE tokenizer on a corpus and persist the merge table
+    (operators/bpe.py): ONE corpus-scale word-count pass, the canonical
+    merge loop over the bounded word table, parquet artifact out —
+    reload with ``bpe.load_merges`` for segmentation.  ``--stats``
+    additionally reports the top pieces of the trained vocabulary
+    applied back to the corpus (the post-training sanity report)."""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators import bpe
+
+    spark = get_spark("bvs-tokenizer")
+    if args.docs_parquet:
+        docs = spark.read.parquet(args.docs_parquet).select(
+            F.col("doc_id"), F.col("text")
+        )
+    else:
+        corpus = load_corpus(spark, args.corpus)
+        docs = corpus.select(
+            "doc_id", F.concat_ws(" ", "title", "text").alias("text")
+        )
+    wf = bpe.word_freqs(docs)
+    merges = bpe.bpe_train(wf, n_merges=args.merges, max_words=args.max_words)
+    bpe.save_merges(spark, merges, args.out)
+    out: dict = {
+        "n_merges": len(merges),
+        "merges": [[m["left"], m["right"], m["pair_freq"]] for m in merges],
+        "out": args.out,
+    }
+    if args.stats:
+        top = (
+            bpe.piece_stats(docs, merges)
+            .orderBy(F.desc("n_occurrences"), F.asc("piece"))
+            .limit(20)
+            .collect()
+        )
+        out["top_pieces"] = [[r["piece"], r["n_occurrences"]] for r in top]
+    return out
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description="beyond-vector-search-spark CLI")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -260,8 +300,29 @@ def main() -> None:
                     help="appended IVFPQIndex store to compact "
                          "(one file per centroid bucket)")
 
+    pt = sub.add_parser(
+        "tokenizer",
+        help="train a BPE tokenizer (merge table) on a corpus and "
+             "persist it to parquet",
+    )
+    pt.add_argument("--corpus", default=DEFAULT_CORPUS,
+                    help="JSONL corpus (reference format)")
+    pt.add_argument("--docs-parquet", default=None,
+                    help="alternative input: parquet with (doc_id, text)")
+    pt.add_argument("--merges", type=int, default=16)
+    pt.add_argument("--max-words", type=int, default=None,
+                    help="cap the trainer's word table to the top-N by mass")
+    pt.add_argument("--out", required=True, help="merge-table parquet path")
+    pt.add_argument("--stats", action="store_true",
+                    help="also report the corpus's top trained pieces")
+
     args = p.parse_args()
-    cmds = {"run": cmd_run, "evaluate": cmd_evaluate, "maintain": cmd_maintain}
+    cmds = {
+        "run": cmd_run,
+        "evaluate": cmd_evaluate,
+        "maintain": cmd_maintain,
+        "tokenizer": cmd_tokenizer,
+    }
     out = cmds[args.cmd](args)
     print(json.dumps(out, indent=2, sort_keys=True))
 

@@ -279,3 +279,28 @@ def piece_stats(
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
         )
     )
+
+
+def save_merges(
+    spark: SparkSession, merges: Iterable[dict], path: str
+) -> None:
+    """Persist a trained merge table to parquet — the tokenizer
+    artifact a pipeline ships between its training and application
+    stages (the PQIndex/IndexDelta persistence contract applied to the
+    tokenizer).  One small file; rank order is the schema's contract."""
+    merges_df(spark, merges).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark: SparkSession, path: str) -> list[dict]:
+    """Reload a persisted merge table in rank order, ready for
+    :func:`bpe_segment` / :func:`piece_stats`."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [
+        {
+            "rank": int(r["rank"]),
+            "left": r["left_sym"],
+            "right": r["right_sym"],
+            "pair_freq": int(r["pair_freq"]),
+        }
+        for r in rows
+    ]

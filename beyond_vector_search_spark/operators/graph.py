@@ -82,6 +82,7 @@ def pagerank(
     *,
     n_iter: int = 5,
     damping: float = 0.85,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id, rank_units, rank, in_deg) — PageRank after ``n_iter``
     power-iteration steps over an (src, dst) edge relation (Page et
@@ -102,15 +103,33 @@ def pagerank(
     node-sized except the edge join, which streams.  For deep
     iteration counts, localCheckpoint the rank relation every few
     steps — lineage grows linearly with ``n_iter``.
+
+    ``materialize=True`` (default) lazily localCheckpoints the edge
+    list: Catalyst does not share subtrees, so with a derived edge
+    relation (e.g. :func:`knn_edges`) the uncached plan re-runs the
+    whole edge construction once PER ITERATION per consumer (the plan
+    audit showed ~22 embedding scans for 5 iterations) — checkpointed,
+    the edges compute once and every iteration reads the materialized
+    blocks.  Lazy (``eager=False``), so plan construction still
+    launches no job.  Pass ``materialize=False`` when the caller
+    already persists the edges (parquet table, cached relation).
     """
     d_num, d_den = _damping_fraction(damping)
     base_units = ((d_den - d_num) * RANK_SCALE) // d_den  # (1-d)·1e9, exact
+    edges = edges.select("src", "dst")
+    if materialize:
+        edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    if materialize:
+        # both are node-sized and read once per iteration — checkpoint
+        # so the union-distinct / degree shuffles run once, not n_iter x
+        nodes = nodes.localCheckpoint(eager=False)
+        deg = deg.localCheckpoint(eager=False)
     nn = nodes.agg(F.count("*").cast("long").alias("n"))
     rank = nodes.crossJoin(F.broadcast(nn)).select(
         "id", F.expr(f"CAST({RANK_SCALE} AS BIGINT) div n").alias("u")

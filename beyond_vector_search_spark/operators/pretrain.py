@@ -746,6 +746,7 @@ def nb_quality_scores(
     text_col: str = "text",
     tokens: DataFrame | None = None,
     alpha: float = 1.0,
+    cache: bool = False,
 ) -> DataFrame:
     """(doc_id, label_keep, n_tokens, log_odds, pred_keep) — a
     multinomial Naive Bayes quality classifier trained on a weak label
@@ -777,15 +778,27 @@ def nb_quality_scores(
     shuffle (AQE broadcasts it while the vocabulary is small).  All
     counts are exact integers; only the final cross-row float sum is
     rounded (6 decimals, the catalog rule).
+
+    ``cache=True`` persists the labeled (doc, term, tf) relation and
+    the label relation: Catalyst does NOT share subtrees across the
+    train/score/report consumers, so the uncached plan re-tokenizes
+    the corpus per consumer (~7 document scans in the audit); cached,
+    the text is scanned once — the 100 TB form materializes the same
+    relations to parquet (bigram_logppl's contract).
     """
     if labels is None:
         labels = wordcount_labels(df, id_col=id_col, text_col=text_col)
-    lab = labels.select(
-        F.col("doc_id") if "doc_id" in labels.columns else F.col(id_col).alias("doc_id"),
-        F.col("keep").cast("boolean").alias("keep"),
+    keep_rel = (lambda d: d.cache()) if cache else (lambda d: d)
+    lab = keep_rel(
+        labels.select(
+            F.col("doc_id")
+            if "doc_id" in labels.columns
+            else F.col(id_col).alias("doc_id"),
+            F.col("keep").cast("boolean").alias("keep"),
+        )
     )
     toked = _toked(df, tokens, id_col=id_col, text_col=text_col)
-    wtf = (
+    wtf = keep_rel(
         toked.join(lab, "doc_id")
         .select("doc_id", "keep", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")

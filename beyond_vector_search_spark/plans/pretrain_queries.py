@@ -538,5 +538,5 @@ def q_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filter of the public pretraining recipes, as one
     deterministic relational train+score plan."""
     return pt.nb_quality_scores(
-        load_table(spark, sf_dir, "documents"), alpha=_NB_ALPHA
+        load_table(spark, sf_dir, "documents"), alpha=_NB_ALPHA, cache=True
     )

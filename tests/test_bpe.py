@@ -189,3 +189,43 @@ def test_nb_default_label_is_wordcount_rule(spark):
     assert lab == rule
     # both classes present on the testdata (the label is usable)
     assert any(lab.values()) and not all(lab.values())
+
+
+def test_cli_tokenizer_trains_and_persists(spark, tmp_path):
+    import argparse
+
+    from beyond_vector_search_spark.cli import cmd_tokenizer
+
+    out_dir = str(tmp_path / "merges")
+    out = cmd_tokenizer(
+        argparse.Namespace(
+            corpus="/root/reference/data/corpus.jsonl",
+            docs_parquet=None,
+            merges=8,
+            max_words=None,
+            out=out_dir,
+            stats=True,
+        )
+    )
+    assert out["n_merges"] == 8 and len(out["top_pieces"]) == 20
+    # the persisted artifact reloads to the identical merge list, and
+    # segmentation from the reloaded merges matches in-session training
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.sources.readers import load_corpus
+
+    docs = load_corpus(spark, "/root/reference/data/corpus.jsonl").select(
+        "doc_id", F.concat_ws(" ", "title", "text").alias("text")
+    )
+    trained = bpe.bpe_train(bpe.word_freqs(docs), n_merges=8)
+    reloaded = bpe.load_merges(spark, out_dir)
+    assert reloaded == trained
+    a = {
+        r["piece"]: (r["n_occurrences"], r["n_docs"])
+        for r in bpe.piece_stats(docs, reloaded).collect()
+    }
+    b = {
+        r["piece"]: (r["n_occurrences"], r["n_docs"])
+        for r in bpe.piece_stats(docs, trained).collect()
+    }
+    assert a == b

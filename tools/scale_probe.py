@@ -264,6 +264,48 @@ def probe(spark, copies: int) -> dict:
     arms.release()
     timed("doc_chunks", lambda: pt.chunk_documents(docs).count())
     timed("gopher_quality", lambda: pt.gopher_quality(docs).count())
+    # NB quality classifier: train+score in one plan — two shuffles
+    # over the (doc, term, tf) relation; should track bigram_logppl's
+    # slope (same explode/agg skeleton, no interpolation join)
+    timed("nb_quality_scores", lambda: pt.nb_quality_scores(docs).count())
+    # BPE: the corpus-scale part is ONE word-count aggregation (the
+    # merge loop is vocabulary-bound and constant in corpus size — on
+    # this derived corpus the vocab never grows with copies, so
+    # bpe_train16 must stay FLAT); segmentation is kernel-per-distinct-
+    # term + a tf join.  Dependent entries: segment needs train's
+    # merges (include both under SPARK_GRAFT_PROBE_ONLY).
+    from beyond_vector_search_spark.operators import bpe as bp
+
+    _merges: list = []
+
+    def _bpe_train() -> int:
+        _merges[:] = bp.bpe_train(bp.word_freqs(docs), n_merges=16)
+        return len(_merges)
+
+    timed("bpe_train16", _bpe_train)
+    timed("bpe_segment_stats", lambda: bp.piece_stats(docs, _merges).count())
+    # PageRank: the iteration cost is edges-linear (one src join + one
+    # dst agg per step); the exact-kNN edge construction is the
+    # quadratic part, so it rides the all-pairs cap — the 100 TB path
+    # feeds the NN-Descent graph instead (same iteration cost)
+    from beyond_vector_search_spark.operators import graph as gr
+
+    if copies <= ALLPAIRS_MAX_COPIES:
+        timed(
+            "pagerank_knn5_it5",
+            lambda: gr.pagerank(gr.knn_edges(emb, k=5), n_iter=5).count(),
+        )
+    timed(
+        "pagerank_nnd_it5",
+        lambda: gr.pagerank(
+            _g["graph"].select(
+                F.col("node_id").alias("src"), F.col("neighbor_id").alias("dst")
+            ),
+            n_iter=5,
+        ).count()
+        if "graph" in _g
+        else 0,
+    )
     timed("bigram_logppl", lambda: pt.bigram_logppl(docs, cache=True).count())
     # persisted-tokens form (IndexDelta pattern): tokenize once at
     # ingest (tokens_build), then LM scoring never rescans the text —
