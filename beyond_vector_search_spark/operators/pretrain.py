@@ -614,6 +614,7 @@ def pack_sequences(
     text_col: str = "text",
     seq_len: int = 512,
     n_shards: int = 8,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, shard, start_offset, seq_id) — contiguous
     greedy packing of documents into fixed-``seq_len`` training
@@ -624,6 +625,12 @@ def pack_sequences(
     ``start_offset`` is the running token count before it, and it
     starts inside sequence ``floor(start_offset / seq_len)``.
 
+    ``counts``: optional precomputed (doc_id, n_tokens) relation — pass
+    the REAL tokenizer's counts (e.g. BPE piece counts from
+    ``bpe.bpe_segment``) instead of the default whitespace-token proxy;
+    the document text is then never scanned here (the persisted-tokens
+    contract the LM scorers follow).
+
     Scale shape: the cumulative sum is a window PARTITIONED by shard —
     never a global window (a single-partition cumsum over the corpus is
     the classic scale-killer; sharding first bounds every partition to
@@ -631,10 +638,18 @@ def pack_sequences(
     cores); packing quality is unaffected because sequences never cross
     shards anyway.
     """
-    counts = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
-    )
+    if counts is not None:
+        counts = counts.select(
+            F.col("doc_id" if "doc_id" in counts.columns else id_col).alias(
+                "doc_id"
+            ),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    else:
+        counts = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
     sharded = assign_shards(counts, id_col="doc_id", n_shards=n_shards)
     w = (
         Window.partitionBy("shard")

@@ -229,3 +229,66 @@ def test_cli_tokenizer_trains_and_persists(spark, tmp_path):
         for r in bpe.piece_stats(docs, trained).collect()
     }
     assert a == b
+
+
+def test_duckdb_fold_matches_merge_seq_hypothesis():
+    # the cross-engine equivalence the bpe_merges oracle RELIES on:
+    # DuckDB's list_reduce fold (the oracle's per-step merge) must equal
+    # the trainer's greedy left-to-right _merge_seq on arbitrary symbol
+    # sequences — including runs, merged-symbol collisions, and the
+    # </w> marker
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sym = st.sampled_from(["a", "b", "ab", "ba", "aa", "x", WORD_END])
+    con = duckdb.connect()
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        seq=st.lists(sym, min_size=1, max_size=12),
+        left=sym,
+        right=sym,
+    )
+    def check(seq, left, right):
+        got = con.execute(
+            "SELECT string_split(list_reduce($seq, (acc, s) -> "
+            "CASE WHEN s = $r AND (acc = $l OR ends_with(acc, ' ' || $l)) "
+            "THEN acc[1:length(acc) - length($l)] || $l || $r "
+            "ELSE acc || ' ' || s END), ' ')",
+            {"seq": seq, "l": left, "r": right},
+        ).fetchone()[0]
+        assert got == _merge_seq(seq, left, right)
+
+    check()
+
+
+def test_pack_sequences_counts_param_parity(spark):
+    # explicit counts == the default whitespace-tokenize path when fed
+    # the same numbers; and BPE piece counts change the packing
+    from beyond_vector_search_spark.functions.text import tokenize
+    from beyond_vector_search_spark.operators.pretrain import pack_sequences
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    default = pack_sequences(docs, seq_len=64)
+    explicit = pack_sequences(
+        docs,
+        seq_len=64,
+        counts=docs.select(
+            "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+        ),
+    )
+    assert sorted(map(tuple, default.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    merges = [("e", "r")]
+    piece_counts = bpe.bpe_segment(docs, merges).select(
+        "doc_id", F.size("pieces").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, seq_len=64, counts=piece_counts)
+    got = {r["doc_id"]: r["n_tokens"] for r in packed.collect()}
+    want = {r["doc_id"]: r["n_tokens"] for r in piece_counts.collect()}
+    assert got == want
