@@ -801,6 +801,39 @@ def nb_quality_scores(
     the text is scanned once — the 100 TB form materializes the same
     relations to parquet (bigram_logppl's contract).
     """
+    lab, wtf = _nb_labeled_tf(
+        df, labels, id_col=id_col, text_col=text_col, tokens=tokens, cache=cache
+    )
+    weights, prior = _nb_model_from(lab, wtf, alpha=alpha)
+    scored = _nb_doc_sums(wtf, weights)
+    return (
+        lab.join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            F.col("keep").alias("label_keep"),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            F.round(F.col("b") + F.coalesce(F.col("s"), F.lit(0.0)), 6).alias(
+                "log_odds"
+            ),
+            (F.round(F.col("b") + F.coalesce(F.col("s"), F.lit(0.0)), 6) > 0).alias(
+                "pred_keep"
+            ),
+        )
+    )
+
+
+def _nb_labeled_tf(
+    df: DataFrame,
+    labels: DataFrame | None,
+    *,
+    id_col: str,
+    text_col: str,
+    tokens: DataFrame | None,
+    cache: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(lab, wtf) — the label relation and the labeled (doc, term, tf)
+    relation the NB train/score stages share."""
     if labels is None:
         labels = wordcount_labels(df, id_col=id_col, text_col=text_col)
     keep_rel = (lambda d: d.cache()) if cache else (lambda d: d)
@@ -819,6 +852,13 @@ def nb_quality_scores(
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.first("keep").alias("keep"))
     )
+    return lab, wtf
+
+
+def _nb_model_from(
+    lab: DataFrame, wtf: DataFrame, *, alpha: float
+) -> tuple[DataFrame, DataFrame]:
+    a = F.lit(float(alpha))
     cls = wtf.groupBy("term").agg(
         F.sum(F.when(F.col("keep"), F.col("tf")).otherwise(F.lit(0))).alias("c1"),
         F.sum(F.when(~F.col("keep"), F.col("tf")).otherwise(F.lit(0))).alias("c0"),
@@ -826,11 +866,6 @@ def nb_quality_scores(
     tot = cls.agg(
         F.sum("c1").alias("n1"), F.sum("c0").alias("n0"), F.count("*").alias("v")
     )
-    pri = lab.agg(
-        F.sum(F.col("keep").cast("long")).alias("d1"),
-        F.sum((~F.col("keep")).cast("long")).alias("d0"),
-    )
-    a = F.lit(float(alpha))
     weights = cls.crossJoin(F.broadcast(tot)).select(
         "term",
         (
@@ -838,7 +873,15 @@ def nb_quality_scores(
             - F.log((F.col("c0") + a) / (F.col("n0") + a * F.col("v")))
         ).alias("w"),
     )
-    scored = (
+    prior = lab.agg(
+        F.sum(F.col("keep").cast("long")).alias("d1"),
+        F.sum((~F.col("keep")).cast("long")).alias("d0"),
+    ).select(F.log((F.col("d1") + a) / (F.col("d0") + a)).alias("b"))
+    return weights, prior
+
+
+def _nb_doc_sums(wtf: DataFrame, weights: DataFrame) -> DataFrame:
+    return (
         wtf.join(weights, "term")
         .groupBy("doc_id")
         .agg(
@@ -846,16 +889,67 @@ def nb_quality_scores(
             F.sum(F.col("tf") * F.col("w")).alias("s"),
         )
     )
-    prior = F.log((F.col("d1") + a) / (F.col("d0") + a))
+
+
+def nb_quality_model(
+    df: DataFrame,
+    labels: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens: DataFrame | None = None,
+    alpha: float = 1.0,
+    cache: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(weights, prior) — TRAIN the NB quality model and return it as
+    two relations: (term, w) per-token log-likelihood ratios and a
+    1-row (b) prior.  Persist both to parquet to FREEZE the model (the
+    tokenizer-artifact contract): :func:`nb_score` then applies it to
+    any document relation — new batches at ingest, a streaming
+    micro-batch inside foreachBatch, or a different corpus — without
+    retraining.  Same math as :func:`nb_quality_scores` (which is
+    train+apply on one corpus in one plan)."""
+    lab, wtf = _nb_labeled_tf(
+        df, labels, id_col=id_col, text_col=text_col, tokens=tokens, cache=cache
+    )
+    return _nb_model_from(lab, wtf, alpha=alpha)
+
+
+def nb_score(
+    df: DataFrame,
+    weights: DataFrame,
+    prior: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, log_odds, pred_keep) — apply a FROZEN NB
+    quality model to a document relation.  Tokens absent from the
+    model's vocabulary contribute nothing (the add-α smoothing already
+    priced unseen mass into the weights); all-OOV or empty documents
+    score the bare prior.  Stateless — one tokenize + one
+    vocabulary-sized join — so it composes directly with streaming
+    ingest (score each micro-batch inside foreachBatch; the weights
+    relation broadcasts)."""
+    toked = _toked(df, tokens, id_col=id_col, text_col=text_col)
+    wtf = (
+        toked.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = _nb_doc_sums(wtf, weights)
     return (
-        lab.join(scored, "doc_id", "left")
-        .crossJoin(F.broadcast(pri))
+        toked.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
         .select(
             "doc_id",
-            F.col("keep").alias("label_keep"),
             F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
-            F.round(prior + F.coalesce(F.col("s"), F.lit(0.0)), 6).alias("log_odds"),
-            (F.round(prior + F.coalesce(F.col("s"), F.lit(0.0)), 6) > 0).alias(
+            F.round(F.col("b") + F.coalesce(F.col("s"), F.lit(0.0)), 6).alias(
+                "log_odds"
+            ),
+            (F.round(F.col("b") + F.coalesce(F.col("s"), F.lit(0.0)), 6) > 0).alias(
                 "pred_keep"
             ),
         )

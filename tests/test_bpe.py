@@ -292,3 +292,73 @@ def test_pack_sequences_counts_param_parity(spark):
     got = {r["doc_id"]: r["n_tokens"] for r in packed.collect()}
     want = {r["doc_id"]: r["n_tokens"] for r in piece_counts.collect()}
     assert got == want
+
+
+def test_nb_frozen_model_scores_match_and_stream(spark, tmp_path):
+    """nb_quality_model + nb_score == nb_quality_scores on the training
+    corpus; the frozen model then scores a document STREAM inside
+    foreachBatch with batch-identical results (the percolation pattern:
+    model trained once, applied statelessly at ingest)."""
+    from beyond_vector_search_spark.operators.pretrain import (
+        nb_quality_model,
+        nb_score,
+    )
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    weights, prior = nb_quality_model(docs, cache=True)
+    # freeze to parquet and reload — the shipped-artifact path
+    wpath, ppath = str(tmp_path / "w"), str(tmp_path / "p")
+    weights.write.parquet(wpath)
+    prior.write.parquet(ppath)
+    wre, pre = spark.read.parquet(wpath), spark.read.parquet(ppath)
+
+    joint = {
+        r["doc_id"]: (r["n_tokens"], r["log_odds"], r["pred_keep"])
+        for r in nb_quality_scores(docs, cache=True).collect()
+    }
+    split = {
+        r["doc_id"]: (r["n_tokens"], r["log_odds"], r["pred_keep"])
+        for r in nb_score(docs, wre, pre).collect()
+    }
+    assert split == joint
+
+    # all-OOV and empty docs score the bare prior
+    odd = spark.createDataFrame(
+        [(900001, "zzzqqq xxxyyy"), (900002, "")], "doc_id long, text string"
+    )
+    b = pre.collect()[0]["b"]
+    for r in nb_score(odd, wre, pre).collect():
+        assert r["log_odds"] == round(b, 6)
+
+    # streaming: score each micro-batch with the frozen model
+    src = tmp_path / "nb_src"
+    src.mkdir()
+    rows = docs.limit(40).collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out: list = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _bid: out.extend(nb_score(df, wre, pre).collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "nb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        r["doc_id"]: (r["n_tokens"], r["log_odds"], r["pred_keep"]) for r in out
+    }
+    assert streamed == {d: joint[d] for d in streamed}
+    assert len(streamed) == len(rows)
