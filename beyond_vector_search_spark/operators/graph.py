@@ -83,6 +83,7 @@ def pagerank(
     n_iter: int = 5,
     damping: float = 0.85,
     materialize: bool = True,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(id, rank_units, rank, in_deg) — PageRank after ``n_iter``
     power-iteration steps over an (src, dst) edge relation (Page et
@@ -113,6 +114,13 @@ def pagerank(
     blocks.  Lazy (``eager=False``), so plan construction still
     launches no job.  Pass ``materialize=False`` when the caller
     already persists the edges (parquet table, cached relation).
+
+    ``seeds`` (optional 1-column id relation) makes this PERSONALIZED
+    PageRank: the teleport mass lands only on the seed set (uniform
+    over seeds∩nodes) instead of all nodes, and the walk starts there —
+    the seed-expansion selection technique ("find corpus regions like
+    my curated examples", the graph analogue of DSIR's target-sample
+    weighting).  Seeds absent from the graph are ignored.
     """
     d_num, d_den = _damping_fraction(damping)
     base_units = ((d_den - d_num) * RANK_SCALE) // d_den  # (1-d)·1e9, exact
@@ -125,15 +133,42 @@ def pagerank(
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    if seeds is None:
+        nn = nodes.agg(F.count("*").cast("long").alias("n"))
+        basis = nodes.crossJoin(F.broadcast(nn)).select(
+            "id",
+            F.expr(f"CAST({RANK_SCALE} AS BIGINT) div n").alias("u0"),
+            F.expr(f"CAST({base_units} AS BIGINT) div n").alias("bu"),
+        )
+    else:
+        sd = (
+            seeds.select(F.col(seeds.columns[0]).alias("id"))
+            .distinct()
+            .join(nodes, "id", "semi")
+        )
+        ns = sd.agg(F.count("*").cast("long").alias("n"))
+        basis = (
+            nodes.join(sd.withColumn("is_seed", F.lit(True)), "id", "left")
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "id",
+                F.expr(
+                    f"CASE WHEN is_seed THEN CAST({RANK_SCALE} AS BIGINT) div n "
+                    "ELSE CAST(0 AS BIGINT) END"
+                ).alias("u0"),
+                F.expr(
+                    f"CASE WHEN is_seed THEN CAST({base_units} AS BIGINT) div n "
+                    "ELSE CAST(0 AS BIGINT) END"
+                ).alias("bu"),
+            )
+        )
     if materialize:
-        # both are node-sized and read once per iteration — checkpoint
-        # so the union-distinct / degree shuffles run once, not n_iter x
-        nodes = nodes.localCheckpoint(eager=False)
+        # node-sized relations read once per iteration — checkpoint so
+        # the union-distinct / degree / seed shuffles run once, not
+        # n_iter x
+        basis = basis.localCheckpoint(eager=False)
         deg = deg.localCheckpoint(eager=False)
-    nn = nodes.agg(F.count("*").cast("long").alias("n"))
-    rank = nodes.crossJoin(F.broadcast(nn)).select(
-        "id", F.expr(f"CAST({RANK_SCALE} AS BIGINT) div n").alias("u")
-    )
+    rank = basis.select("id", F.col("u0").alias("u"))
     ed = edges.join(deg, "src")
     for _ in range(int(n_iter)):
         contrib = (
@@ -142,13 +177,11 @@ def pagerank(
             .agg(F.expr("sum(u div od)").alias("m"))
         )
         rank = (
-            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-            .crossJoin(F.broadcast(nn))
+            basis.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
             .select(
                 "id",
                 F.expr(
-                    f"CAST({base_units} AS BIGINT) div n"
-                    f" + ({d_num} * coalesce(m, CAST(0 AS BIGINT))) div {d_den}"
+                    f"bu + ({d_num} * coalesce(m, CAST(0 AS BIGINT))) div {d_den}"
                 ).alias("u"),
             )
         )

@@ -81,3 +81,42 @@ def test_knn_edges_shape(spark):
         by_src.setdefault(r["src"], set()).add(r["dst"])
     assert all(len(d) == 2 for d in by_src.values())
     assert 2 in by_src[1] and 4 in by_src[3]
+
+
+def test_personalized_pagerank_hand_computed(spark):
+    # 3-cycle, seed = node 1 only: mass starts and teleports at the
+    # seed; after one step the seed's successor holds d * S exactly
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(e, n_iter=1, seeds=seeds).collect()
+    }
+    base = (20 - 17) * RANK_SCALE // 20  # (1-d)*S
+    assert got[1] == base  # seed: teleport mass only after 1 step
+    assert got[2] == (17 * RANK_SCALE) // 20  # d * u0(seed)
+    assert got[3] == 0
+
+
+def test_personalized_pagerank_concentrates_near_seed(spark):
+    # star + tail: with the hub as seed, ranks must be seed-centric and
+    # nodes unreachable from the seed get zero
+    e = _edges(
+        spark,
+        [(1, 2), (2, 1), (2, 3), (3, 1), (9, 8)],  # 9->8 disconnected from 1
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(e, n_iter=6, seeds=seeds).collect()
+    }
+    assert got[1] > got[2] > got[3] > 0
+    assert got[8] == 0 and got[9] == 0
+    # seeds absent from the graph are ignored (mass still normalizes
+    # over seeds that exist)
+    seeds2 = spark.createDataFrame([(1,), (777,)], "id long")
+    got2 = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(e, n_iter=6, seeds=seeds2).collect()
+    }
+    assert got2 == got
