@@ -304,3 +304,114 @@ def load_merges(spark: SparkSession, path: str) -> list[dict]:
         }
         for r in rows
     ]
+
+
+def bpe_vocab(
+    wf: DataFrame, merges: Iterable[dict] | list[tuple[str, str]]
+) -> DataFrame:
+    """(piece_id, piece, is_base) — the trained tokenizer's id-assigned
+    vocabulary: every base symbol the word table's characters produce
+    (plus the ``</w>`` marker) sorted ascending gets ids 0..B-1, then
+    each merge's product gets B+rank — the GPT-2 convention (alphabet
+    first, merge order after), fully deterministic.
+
+    Vocabulary-sized relation; the single-partition ranking window is
+    fine at any corpus scale because the input is the (bounded) piece
+    set, never the corpus.
+    """
+    spark = wf.sparkSession
+    base = (
+        wf.select(F.explode(F.split(F.col("word"), "")).alias("piece"))
+        .where(F.col("piece") != "")
+        .distinct()
+        .union(spark.createDataFrame([(WORD_END,)], "piece string"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("piece")
+    based = base.select(
+        (F.row_number().over(w) - 1).cast("long").alias("piece_id"),
+        "piece",
+        F.lit(True).alias("is_base"),
+    )
+    pairs = [
+        (m["left"], m["right"]) if isinstance(m, dict) else (m[0], m[1])
+        for m in merges
+    ]
+    merged = spark.createDataFrame(
+        [(i, left + right) for i, (left, right) in enumerate(pairs)],
+        "rank long, piece string",
+    )
+    n_base = based.agg(F.count("*").cast("long").alias("nb"))
+    merged_ids = merged.crossJoin(F.broadcast(n_base)).select(
+        (F.col("rank") + F.col("nb")).alias("piece_id"),
+        "piece",
+        F.lit(False).alias("is_base"),
+    )
+    return based.unionByName(merged_ids)
+
+
+def encode_ids(
+    df: DataFrame,
+    merges: Iterable[dict] | list[tuple[str, str]],
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, ids ARRAY<BIGINT>) — the tokenized corpus as id
+    sequences, the artifact a training data loader reads.  Composition:
+    :func:`bpe_segment` (term-grain Arrow kernel) → posexplode →
+    vocabulary join → order-restoring re-collect; pieces are guaranteed
+    in-vocabulary because the vocabulary is closed over the same
+    character alphabet + merges (an inner join is loss-free — pinned by
+    the roundtrip test)."""
+    seg = bpe_segment(
+        df, list(merges), id_col=id_col, text_col=text_col, tokens=tokens
+    )
+    pos = seg.select("doc_id", F.posexplode("pieces").alias("pos", "piece"))
+    vz = vocab.select("piece", F.col("piece_id").cast("long").alias("piece_id"))
+    return (
+        pos.join(vz, "piece")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("piece_id")))
+                ),
+                lambda s: s["piece_id"],
+            ).alias("ids")
+        )
+    )
+
+
+def decode_ids(ids_df: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(doc_id, text) — invert :func:`encode_ids`: ids → pieces →
+    words (split on the ``</w>`` marker).  The roundtrip-parity check a
+    tokenizer ships with; also the de-tokenization a data loader runs
+    for inspection samples."""
+    pos = ids_df.select("doc_id", F.posexplode("ids").alias("pos", "piece_id"))
+    vz = vocab.select(F.col("piece_id").cast("long").alias("piece_id"), "piece")
+    joined = (
+        pos.join(vz, "piece_id")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("piece")))
+                    ),
+                    lambda s: s["piece"],
+                ),
+            ).alias("joined")
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.trim(F.replace(F.col("joined"), F.lit(WORD_END), F.lit(" "))).alias(
+            "text"
+        ),
+    )

@@ -362,3 +362,47 @@ def test_nb_frozen_model_scores_match_and_stream(spark, tmp_path):
     }
     assert streamed == {d: joint[d] for d in streamed}
     assert len(streamed) == len(rows)
+
+
+def test_vocab_ids_roundtrip(spark):
+    """encode_ids -> decode_ids reconstructs the tokenized text exactly
+    (vocabulary closed over the corpus alphabet + merges; inner joins
+    loss-free); vocab ids follow the alphabet-then-merges convention."""
+    from beyond_vector_search_spark.functions.text import tokenize
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(50)
+        .cache()
+    )
+    wf = bpe.word_freqs(docs)
+    merges = bpe.bpe_train(wf, n_merges=8)
+    vocab = bpe.bpe_vocab(wf, merges).cache()
+    vrows = sorted(
+        ((r["piece_id"], r["piece"], r["is_base"]) for r in vocab.collect())
+    )
+    n_base = sum(1 for _, _, b in vrows if b)
+    # contiguous ids; base block sorted ascending; merges in rank order
+    assert [i for i, _, _ in vrows] == list(range(len(vrows)))
+    base_pieces = [p for _, p, b in vrows if b]
+    assert base_pieces == sorted(base_pieces)
+    assert [p for _, p, b in vrows if not b] == [
+        m["left"] + m["right"] for m in merges
+    ]
+    assert n_base + len(merges) == len(vrows)
+
+    ids = bpe.encode_ids(docs, merges, vocab)
+    # every token accounted for: ids per doc >= token count (pieces
+    # split words, never drop them)
+    got = decoded = {
+        r["doc_id"]: r["text"] for r in bpe.decode_ids(ids, vocab).collect()
+    }
+    want = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", F.array_join(tokenize(F.col("text")), " ").alias("t")
+        ).collect()
+    }
+    assert got == want and len(decoded) == 50
