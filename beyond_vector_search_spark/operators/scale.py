@@ -269,3 +269,51 @@ def write_zordered(
         .partitionBy("_zprefix")
         .parquet(path)
     )
+
+
+def weighted_sample(
+    df,
+    *,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int | None = 7,
+    key_decimals: int = 6,
+):
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis (2006) one-pass reservoir, relational form:
+    each row gets key = ln(u) / w with u a portable-hash uniform in
+    (0, 1), and the global top-``n`` keys ARE a weighted sample without
+    replacement (inclusion probability proportional to weight, exactly
+    the A-ES guarantee).
+
+    This is the quality-weighted subsampling step of a curation
+    pipeline ("keep 10M documents, preferring high quality-score") —
+    deterministic_sample's uniform keep-set generalized to weights,
+    and like it a pure function of (id, seed): reproducible across
+    engines, runs, repartitioning, and cluster sizes, so the DuckDB
+    oracle hash-matches.
+
+    Shape: one narrow projection (hash + ln, codegen) + the
+    TakeOrderedAndProject global top-n (per-task local top-n, no
+    global window, nothing ever shuffles to one partition).  Rows with
+    NULL or non-positive weight are excluded (zero weight = zero
+    inclusion probability; A-ES requires w > 0).  Keys are rounded to
+    ``key_decimals`` with id tie-break — the catalog's cross-engine
+    ranking rule (ln differs by ulps between libm and the JVM).
+    """
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.functions.hashing import hash64
+
+    m = 1_000_003  # prime modulus; +1 keeps u strictly inside (0, 1)
+    u = (F.pmod(hash64(F.col(id_col), seed), F.lit(m)) + 1) / F.lit(
+        float(m + 1)
+    )
+    w = F.col(weight_col).cast("double")
+    keyed = df.where(w.isNotNull() & (w > 0)).withColumn(
+        "es_key", F.round(F.log(u) / w, key_decimals)
+    )
+    return global_topk_ranked(
+        keyed, n, F.desc("es_key"), F.asc(id_col), rank_col="rank"
+    )

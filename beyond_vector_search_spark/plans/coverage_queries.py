@@ -1043,6 +1043,15 @@ def register_all() -> None:
     )
 
     register("graph_pagerank", GRAPH_PAGERANK_SQL)(q_graph_pagerank)
+    # Efraimidis-Spirakis weighted sampling: restates sampling_methods'
+    # portable-hash selection shape + the global-top-k ranking the
+    # *_topk entries pin (TakeOrderedAndProject, no global window)
+    from beyond_vector_search_spark.plans.pipeline_queries import (
+        WEIGHTED_SAMPLE_SQL,
+        q_weighted_sample,
+    )
+
+    register("weighted_sample", WEIGHTED_SAMPLE_SQL)(q_weighted_sample)
     # genuinely un-oracle-able entries (engine-internal MLlib hash
     # family / kmeans|| init; HLL sketches) live at the tail so every
     # driver-window slot carries a hash-checked oracle; their behavior

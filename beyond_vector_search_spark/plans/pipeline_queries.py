@@ -881,3 +881,43 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("id").alias("vec_id"), "rank_units", "rank", "in_deg"
     )
+
+
+# -------------- weighted sampling without replacement (A-ES) ----------------
+
+_WS_N = 200
+_WS_SEED = 7
+
+WEIGHTED_SAMPLE_SQL = (
+    # the same Efraimidis-Spirakis keys from the same portable hash;
+    # the oracle uses the window form of the global top-n (the engine
+    # side plans TakeOrderedAndProject instead — see scale.py)
+    "WITH k AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight, "
+    f"round(ln((CAST('0x' || substring(md5('{_WS_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) "
+    "% 1000003 + 1) / 1000004.0) / CAST(n_chars AS DOUBLE), 6) AS es_key "
+    "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0) "
+    "SELECT doc_id, weight, es_key, "
+    "CAST(row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS INTEGER) AS rank "
+    f"FROM k ORDER BY es_key DESC, doc_id ASC LIMIT {_WS_N}"
+)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (scale.weighted_sample — Efraimidis-Spirakis reservoir keys from
+    the portable hash, weight = document length): the quality-weighted
+    subsampling step of a curation pipeline.  Catalog tail: restates
+    sampling_methods' portable-hash shape + the global-top-k ranking
+    every *_topk entry pins."""
+    from beyond_vector_search_spark.operators.scale import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, weight_col="n_chars", n=_WS_N, id_col="doc_id", seed=_WS_SEED
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("weight"),
+        "es_key",
+        "rank",
+    )

@@ -406,3 +406,51 @@ def test_vocab_ids_roundtrip(spark):
         ).collect()
     }
     assert got == want and len(decoded) == 50
+
+
+def test_weighted_sample_es_properties(spark):
+    """A-ES weighted sampling: overwhelming weights always win, zero /
+    null weights are excluded, and the sample is a pure function of
+    (id, seed) — invariant under repartitioning."""
+    from beyond_vector_search_spark.operators.scale import weighted_sample
+
+    rows = [(i, 1.0) for i in range(100)] + [(1000 + i, 1e9) for i in range(5)]
+    rows += [(2000, 0.0), (2001, None), (2002, -3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, wt double")
+    out = weighted_sample(df, weight_col="wt", n=5, id_col="doc_id")
+    picked = {r["doc_id"] for r in out.collect()}
+    assert picked == {1000, 1001, 1002, 1003, 1004}
+    # excluded ids can never appear even with a huge n
+    all_out = {
+        r["doc_id"]
+        for r in weighted_sample(df, weight_col="wt", n=1000, id_col="doc_id").collect()
+    }
+    assert {2000, 2001, 2002}.isdisjoint(all_out)
+    # repartition-invariant (keys are hash-of-id, not row-position)
+    again = {
+        (r["doc_id"], r["es_key"], r["rank"])
+        for r in weighted_sample(
+            df.repartition(7), weight_col="wt", n=5, id_col="doc_id"
+        ).collect()
+    }
+    first = {(r["doc_id"], r["es_key"], r["rank"]) for r in out.collect()}
+    assert again == first
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    # the global top-n must plan as TakeOrderedAndProject — never a
+    # single-partition global window (the scale contract of
+    # scale.global_topk_ranked)
+    from beyond_vector_search_spark.operators.scale import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13 + 1.0).alias("wt")
+    )
+    plan = (
+        weighted_sample(df, weight_col="wt", n=10, id_col="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

@@ -264,6 +264,19 @@ def probe(spark, copies: int) -> dict:
     arms.release()
     timed("doc_chunks", lambda: pt.chunk_documents(docs).count())
     timed("gopher_quality", lambda: pt.gopher_quality(docs).count())
+    # A-ES weighted sampling: narrow hash+ln projection + global top-n
+    # (TakeOrderedAndProject) — must stay flat-to-linear with NO
+    # single-partition window
+    from beyond_vector_search_spark.operators.scale import weighted_sample
+
+    timed(
+        "weighted_sample_top200",
+        lambda: weighted_sample(
+            docs.withColumn("wt", F.length("text").cast("double")),
+            weight_col="wt",
+            n=200,
+        ).count(),
+    )
     # NB quality classifier: train+score in one plan — two shuffles
     # over the (doc, term, tf) relation; should track bigram_logppl's
     # slope (same explode/agg skeleton, no interpolation join)
