@@ -100,6 +100,7 @@ def bpe_train(
     *,
     n_merges: int = 16,
     max_words: int | None = None,
+    min_freq: int = 1,
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merges from a (word, freq) relation.
 
@@ -110,8 +111,10 @@ def bpe_train(
     for anything vocabulary-sized).
 
     Selection tie-break: (count DESC, left ASC, right ASC) — binary
-    string order on both engines.  Stops early if no pair occurs twice
-    (nothing left worth merging).
+    string order on both engines.  Stops early when no adjacent pair
+    remains, or when the best pair's count drops below ``min_freq``
+    (the standard trainer noise cut is 2; the default 1 keeps every
+    merge, which is what the unrolled oracle chain replays).
     """
     q = wf.select("word", F.col("freq").cast("long").alias("freq"))
     if max_words is not None:
@@ -132,6 +135,8 @@ def bpe_train(
         (left, right), cnt = min(
             counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
+        if cnt < int(min_freq):
+            break
         merges.append(
             {"rank": rank, "left": left, "right": right, "pair_freq": cnt}
         )

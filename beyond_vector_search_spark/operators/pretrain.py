@@ -629,7 +629,10 @@ def pack_sequences(
     the REAL tokenizer's counts (e.g. BPE piece counts from
     ``bpe.bpe_segment``) instead of the default whitespace-token proxy;
     the document text is then never scanned here (the persisted-tokens
-    contract the LM scorers follow).
+    contract the LM scorers follow).  Documents in ``df`` missing from
+    ``counts`` are kept with n_tokens = 0 (left join), matching the
+    default path's every-doc-appears contract — segmenters drop
+    zero-token docs, and the packing manifest must not.
 
     Scale shape: the cumulative sum is a window PARTITIONED by shard —
     never a global window (a single-partition cumsum over the corpus is
@@ -639,11 +642,21 @@ def pack_sequences(
     shards anyway.
     """
     if counts is not None:
-        counts = counts.select(
+        given = counts.select(
             F.col("doc_id" if "doc_id" in counts.columns else id_col).alias(
                 "doc_id"
             ),
             F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        counts = (
+            df.select(F.col(id_col).alias("doc_id"))
+            .join(given, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+                    "n_tokens"
+                ),
+            )
         )
     else:
         counts = df.select(

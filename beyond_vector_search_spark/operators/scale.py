@@ -272,38 +272,51 @@ def write_zordered(
 
 
 def weighted_sample(
-    df,
+    df: DataFrame,
     *,
     weight_col: str,
     n: int,
     id_col: str = "doc_id",
     seed: int | None = 7,
-    key_decimals: int = 6,
-):
+    key_decimals: int = 9,
+) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement — the
     Efraimidis-Spirakis (2006) one-pass reservoir, relational form:
-    each row gets key = ln(u) / w with u a portable-hash uniform in
-    (0, 1), and the global top-``n`` keys ARE a weighted sample without
-    replacement (inclusion probability proportional to weight, exactly
-    the A-ES guarantee).
+    each row gets key = ln(u) · (w_max / w) with u a portable-hash
+    uniform in (0, 1), and the global top-``n`` keys ARE a weighted
+    sample without replacement (inclusion probability proportional to
+    weight, the A-ES guarantee).
+
+    Normalizing by the max weight makes the key magnitudes
+    scale-INVARIANT: x^c is monotone on (0, 1), so dividing every
+    weight by a positive constant provably preserves the A-ES ranking
+    (u^(c/w) = (u^(1/w))^c), and it keeps absolute weights (1e7
+    quality scores, raw token counts) from crushing every key onto the
+    rounding grid — without it, ln(u)/w rounds to 0 for all rows once
+    w >> 10^key_decimals and the "sample" degenerates to the id
+    tie-break.
 
     This is the quality-weighted subsampling step of a curation
     pipeline ("keep 10M documents, preferring high quality-score") —
     deterministic_sample's uniform keep-set generalized to weights,
-    and like it a pure function of (id, seed): reproducible across
-    engines, runs, repartitioning, and cluster sizes, so the DuckDB
-    oracle hash-matches.
+    and like it a pure function of (id, seed) and the weight RATIOS:
+    reproducible across engines, runs, repartitioning, and cluster
+    sizes, so the DuckDB oracle hash-matches.
 
-    Shape: one narrow projection (hash + ln, codegen) + the
+    Shape: one narrow projection (hash + ln, codegen; w_max is a
+    broadcast 1-row aggregate folded in lazily) + the
     TakeOrderedAndProject global top-n (per-task local top-n, no
     global window, nothing ever shuffles to one partition).  Rows with
     NULL or non-positive weight are excluded (zero weight = zero
     inclusion probability; A-ES requires w > 0).  Keys are rounded to
     ``key_decimals`` with id tie-break — the catalog's cross-engine
     ranking rule (ln differs by ulps between libm and the JVM).
+    Precision note: at extreme scale the very top keys crowd near 0
+    (|ln u| ~ n/N for the winners), so with the default 9 decimals the
+    weight-proportionality of the top handful blurs into the id
+    tie-break once N/n exceeds ~1e9 rows per kept row — raise
+    ``key_decimals`` if that regime matters.
     """
-    from pyspark.sql import functions as F
-
     from beyond_vector_search_spark.functions.hashing import hash64
 
     m = 1_000_003  # prime modulus; +1 keeps u strictly inside (0, 1)
@@ -311,8 +324,18 @@ def weighted_sample(
         float(m + 1)
     )
     w = F.col(weight_col).cast("double")
-    keyed = df.where(w.isNotNull() & (w > 0)).withColumn(
-        "es_key", F.round(F.log(u) / w, key_decimals)
+    wmax = (
+        df.select(w.alias("_w"))
+        .where(F.col("_w").isNotNull() & (F.col("_w") > 0))
+        .agg(F.max("_w").alias("wmax"))
+    )
+    keyed = (
+        df.where(w.isNotNull() & (w > 0))
+        .crossJoin(F.broadcast(wmax))
+        .withColumn(
+            "es_key", F.round(F.log(u) * (F.col("wmax") / w), key_decimals)
+        )
+        .drop("wmax")
     )
     return global_topk_ranked(
         keyed, n, F.desc("es_key"), F.asc(id_col), rank_col="rank"

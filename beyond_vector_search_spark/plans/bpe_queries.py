@@ -47,11 +47,17 @@ def _step_ctes(k: int) -> str:
         f"CAST(cnt AS BIGINT) AS cnt FROM p{k} "
         "ORDER BY cnt DESC, l ASC, r ASC LIMIT 1), "
         f"s{k + 1} AS MATERIALIZED (SELECT word, freq, "
+        # LEFT JOIN ON TRUE, not a cross join: when training exhausts
+        # before this step (b{k} empty — the Python trainer's early
+        # break), the step must be the IDENTITY, not annihilate the
+        # word table (a cross join with an empty single-row relation
+        # would empty every later s{j} and zero the segment oracle)
+        "CASE WHEN b.l IS NULL THEN seq ELSE "
         "string_split(list_reduce(seq, (acc, s) -> "
         "CASE WHEN s = b.r AND (acc = b.l OR ends_with(acc, ' ' || b.l)) "
         "THEN acc[1:length(acc) - length(b.l)] || b.l || b.r "
-        "ELSE acc || ' ' || s END), ' ') AS seq "
-        f"FROM s{k}, b{k} b)"
+        "ELSE acc || ' ' || s END), ' ') END AS seq "
+        f"FROM s{k} LEFT JOIN b{k} b ON TRUE)"
     )
 
 

@@ -889,13 +889,16 @@ _WS_N = 200
 _WS_SEED = 7
 
 WEIGHTED_SAMPLE_SQL = (
-    # the same Efraimidis-Spirakis keys from the same portable hash;
+    # the same Efraimidis-Spirakis keys from the same portable hash,
+    # max-normalized like the operator (scale-invariant key magnitudes);
     # the oracle uses the window form of the global top-n (the engine
     # side plans TakeOrderedAndProject instead — see scale.py)
-    "WITH k AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight, "
+    "WITH wm AS (SELECT max(CAST(n_chars AS DOUBLE)) AS wmax FROM documents "
+    "WHERE n_chars IS NOT NULL AND n_chars > 0), "
+    "k AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight, "
     f"round(ln((CAST('0x' || substring(md5('{_WS_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) "
-    "% 1000003 + 1) / 1000004.0) / CAST(n_chars AS DOUBLE), 6) AS es_key "
-    "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0) "
+    "% 1000003 + 1) / 1000004.0) * (wmax / CAST(n_chars AS DOUBLE)), 9) AS es_key "
+    "FROM documents, wm WHERE n_chars IS NOT NULL AND n_chars > 0) "
     "SELECT doc_id, weight, es_key, "
     "CAST(row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS INTEGER) AS rank "
     f"FROM k ORDER BY es_key DESC, doc_id ASC LIMIT {_WS_N}"

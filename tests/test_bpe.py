@@ -454,3 +454,56 @@ def test_weighted_sample_plans_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_bpe_train_min_freq_cut(spark):
+    # the standard trainer noise cut: singleton pairs are skippable
+    wf = _wf(spark, [("ab", 1)])
+    assert bpe.bpe_train(wf, n_merges=4, min_freq=2) == []
+    assert len(bpe.bpe_train(wf, n_merges=4, min_freq=1)) == 2
+
+
+def test_bpe_segment_oracle_survives_early_exhaustion(spark):
+    """Training exhausts before N_MERGES on a degenerate corpus: the
+    oracle's merge chain must treat missing steps as identity (LEFT
+    JOIN ON TRUE), never annihilate the word table — engine and oracle
+    must still agree."""
+    import duckdb
+
+    from beyond_vector_search_spark.plans.bpe_queries import (
+        BPE_SEGMENT_SQL,
+        N_MERGES,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    merges = bpe.bpe_train(bpe.word_freqs(docs), n_merges=N_MERGES)
+    assert len(merges) < N_MERGES  # genuinely exhausts
+    got = {
+        (r["piece"], r["n_occurrences"], r["n_docs"])
+        for r in bpe.piece_stats(docs, merges).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1 AS doc_id, 'ab ab' AS text "
+        "UNION ALL SELECT 2, 'ab'"
+    )
+    want = {
+        (p, int(n), int(d))
+        for p, n, d in con.execute(BPE_SEGMENT_SQL).fetchall()
+    }
+    assert got == want and got  # non-empty and equal
+
+
+def test_pack_sequences_counts_keeps_uncounted_docs(spark):
+    # docs missing from the counts relation appear with n_tokens = 0
+    # (the every-doc-appears manifest contract)
+    from beyond_vector_search_spark.operators.pretrain import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "")], "doc_id long, text string"
+    )
+    counts = spark.createDataFrame([(1, 3), (2, 2)], "doc_id long, n_tokens long")
+    got = {r["doc_id"]: r["n_tokens"] for r in pack_sequences(docs, counts=counts).collect()}
+    assert got == {1: 3, 2: 2, 3: 0}

@@ -308,17 +308,19 @@ def probe(spark, copies: int) -> dict:
             "pagerank_knn5_it5",
             lambda: gr.pagerank(gr.knn_edges(emb, k=5), n_iter=5).count(),
         )
-    timed(
-        "pagerank_nnd_it5",
-        lambda: gr.pagerank(
-            _g["graph"].select(
-                F.col("node_id").alias("src"), F.col("neighbor_id").alias("dst")
-            ),
-            n_iter=5,
-        ).count()
-        if "graph" in _g
-        else 0,
-    )
+    # dependent entry: needs nndescent_graph_build's graph — skip (do
+    # not record a bogus ~0s row) when the build was filtered out
+    if "graph" in _g:
+        timed(
+            "pagerank_nnd_it5",
+            lambda: gr.pagerank(
+                _g["graph"].select(
+                    F.col("node_id").alias("src"),
+                    F.col("neighbor_id").alias("dst"),
+                ),
+                n_iter=5,
+            ).count(),
+        )
     timed("bigram_logppl", lambda: pt.bigram_logppl(docs, cache=True).count())
     # persisted-tokens form (IndexDelta pattern): tokenize once at
     # ingest (tokens_build), then LM scoring never rescans the text —
