@@ -967,3 +967,94 @@ def nb_score(
             ),
         )
     )
+
+
+def fuzzy_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """(doc_id, bench_id, jaccard) — corpus documents NEAR-duplicate to
+    a benchmark document: MinHash-LSH candidate generation between the
+    two relations, then an exact shingle-Jaccard verify, kept at
+    ``round(jaccard, 6) >= threshold`` (the rounded value decides, the
+    catalog's cross-engine boundary rule).
+
+    The FUZZY decontamination sweep (the Llama-2 recipe): exact
+    n-gram collision (:func:`benchmark_contamination`) misses eval
+    text that was lightly edited before landing in a crawl; near-dup
+    similarity against the eval set catches it.  Composition of the
+    dedup primitives in their asymmetric cross-relation form — the
+    corpus NEVER self-joins:
+
+        benchmark sigs → band keys  (eval sets are small: broadcasts)
+        corpus sigs → band keys ⋈ bench band keys  → candidate pairs
+        shingle sets (candidates only) → exact Jaccard → threshold
+
+    ``max_bucket_size`` drops corpus band buckets larger than the cap
+    (the standard hot-bucket guard; boilerplate buckets would pair
+    with everything).  Corpus shingle sets are computed only for
+    candidate ids (semi-join pruning), so the verify never scans the
+    full corpus text a second time at scale.
+    """
+    from beyond_vector_search_spark.operators import dedup as dd
+
+    kw = dict(
+        id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    cb = dd.banded_keys(
+        dd.minhash_signatures(corpus, **kw), bands=bands, rows_per_band=rows_per_band
+    )
+    bb = dd.banded_keys(
+        dd.minhash_signatures(benchmark, **kw),
+        bands=bands,
+        rows_per_band=rows_per_band,
+    ).withColumnRenamed("doc_id", "bench_id")
+    if max_bucket_size is not None:
+        ok = (
+            cb.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") <= int(max_bucket_size))
+            .select("band_id", "band_key")
+        )
+        cb = cb.join(ok, ["band_id", "band_key"], "semi")
+    cands = (
+        cb.join(F.broadcast(bb), ["band_id", "band_key"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    cand_ids = cands.select(F.col("doc_id").alias(id_col)).distinct()
+    csh = dd.shingle_rows(
+        corpus.join(cand_ids, [id_col], "semi"),
+        id_col=id_col,
+        text_col=text_col,
+        n=shingle_n,
+    )
+    bsh = dd.shingle_rows(
+        benchmark, id_col=id_col, text_col=text_col, n=shingle_n
+    ).withColumnRenamed("doc_id", "bench_id")
+    na = csh.groupBy("doc_id").agg(F.count("*").alias("na"))
+    nb = bsh.groupBy("bench_id").agg(F.count("*").alias("nb"))
+    inter = (
+        cands.join(csh, "doc_id")
+        .join(bsh, ["bench_id", "sh"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("ninter"))
+    )
+    jac = F.round(
+        F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter")), 6
+    )
+    return (
+        inter.join(na, "doc_id")
+        .join(F.broadcast(nb), "bench_id")
+        .select("doc_id", "bench_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+    )

@@ -1052,6 +1052,18 @@ def register_all() -> None:
     )
 
     register("weighted_sample", WEIGHTED_SAMPLE_SQL)(q_weighted_sample)
+    # fuzzy benchmark decontamination: restates
+    # benchmark_contamination's broadcast-eval-set shape +
+    # incremental_dedup_pairs' asymmetric banded join, with an exact
+    # Jaccard verify on the candidates
+    from beyond_vector_search_spark.plans.pretrain_queries import (
+        FUZZY_CONTAMINATION_SQL,
+        q_fuzzy_contamination,
+    )
+
+    register("fuzzy_contamination", FUZZY_CONTAMINATION_SQL)(
+        q_fuzzy_contamination
+    )
     # genuinely un-oracle-able entries (engine-internal MLlib hash
     # family / kmeans|| init; HLL sketches) live at the tail so every
     # driver-window slot carries a hash-checked oracle; their behavior

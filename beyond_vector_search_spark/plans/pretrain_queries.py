@@ -540,3 +540,79 @@ def q_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pt.nb_quality_scores(
         load_table(spark, sf_dir, "documents"), alpha=_NB_ALPHA, cache=True
     )
+
+
+# ---------------- fuzzy benchmark decontamination (tail) --------------------
+
+_FUZZY_MARK = 9_000_000  # benchmark ids marked into the monolithic oracle
+_FUZZY_LEAK_OFFSET = 500_000
+_FUZZY_THRESHOLD = 0.5
+
+
+def _fuzzy_contamination_sql() -> str:
+    """The oracle runs the MONOLITHIC sig/band pipeline over corpus ∪
+    marked-benchmark and keeps cross pairs — equivalent to the engine's
+    asymmetric join by the disjoint-union property incremental_dedup
+    already pins — then verifies exact shingle Jaccard from the same
+    shingle lists."""
+    from beyond_vector_search_spark.plans.pipeline_queries import (
+        _BANDS_SQL,
+        _SHINGLES_SQL,
+        _SIG_SQL,
+    )
+
+    base = (
+        "base(doc_id, text) AS ("
+        "SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0 "
+        f"UNION ALL SELECT doc_id + {_FUZZY_MARK}, text FROM documents WHERE doc_id % 97 = 0 "
+        f"UNION ALL SELECT doc_id + {_FUZZY_LEAK_OFFSET}, text || ' lightly edited benchmark leak' "
+        "FROM documents WHERE doc_id % 97 = 0)"
+    )
+    toks = (
+        "toks AS (SELECT doc_id, "
+        + _SQL_TOKENIZE.format(col="text")
+        + " AS tokens FROM base)"
+    )
+    return (
+        f"WITH {base}, {toks}, {_SHINGLES_SQL}, {_SIG_SQL}, {_BANDS_SQL}, "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_id, "
+        f"b.doc_id - {_FUZZY_MARK} AS bench_id "
+        "FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key "
+        f"AND a.doc_id < {_FUZZY_MARK} AND b.doc_id >= {_FUZZY_MARK}), "
+        "jac AS (SELECT c.doc_id, c.bench_id, "
+        "round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / "
+        "len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard "
+        "FROM cand c JOIN sh sa ON sa.doc_id = c.doc_id "
+        f"JOIN sh sb ON sb.doc_id = c.bench_id + {_FUZZY_MARK}) "
+        f"SELECT doc_id, bench_id, jaccard FROM jac WHERE jaccard >= {_FUZZY_THRESHOLD!r}"
+    )
+
+
+FUZZY_CONTAMINATION_SQL = _fuzzy_contamination_sql()
+
+
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-near-dup decontamination vs the benchmark set
+    (pretrain.fuzzy_contamination — the Llama-2-style fuzzy sweep that
+    catches lightly-edited eval text exact n-gram collision misses).
+    The corpus carries INJECTED fuzzy leaks (benchmark texts with a
+    short appended edit) so the sweep's catch is driver-visible.
+    Catalog tail: restates benchmark_contamination's broadcast-eval-set
+    shape + incremental_dedup_pairs' asymmetric banded join."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where("doc_id % 97 = 0").select("doc_id", "text")
+    corpus = (
+        docs.where("doc_id % 97 <> 0")
+        .select("doc_id", "text")
+        .unionByName(
+            bench.select(
+                (F.col("doc_id") + _FUZZY_LEAK_OFFSET).alias("doc_id"),
+                F.concat(
+                    "text", F.lit(" lightly edited benchmark leak")
+                ).alias("text"),
+            )
+        )
+    )
+    return pt.fuzzy_contamination(
+        corpus, bench, threshold=_FUZZY_THRESHOLD, max_bucket_size=None
+    )

@@ -230,3 +230,51 @@ def test_shingle_novelty(spark):
     assert out[2].novelty == 0.0
     assert out[3].novelty == 1.0
     assert out[1].n_shingles == 3
+
+
+def test_fuzzy_contamination_catches_edited_leaks(spark):
+    """Near-dup decontamination: a lightly edited benchmark text in the
+    corpus is caught (exact n-gram collision would need an untouched
+    8-gram run); unrelated docs are not flagged; the hot-bucket cap
+    suppresses a boilerplate bucket."""
+    from beyond_vector_search_spark.operators.pretrain import (
+        benchmark_contamination,
+        fuzzy_contamination,
+    )
+
+    words = " ".join(f"w{i}" for i in range(40))
+    bench = spark.createDataFrame(
+        [(1, words)], "doc_id long, text string"
+    )
+    # edited leak: an EDIT token injected after every 6th word — no
+    # 8-token run survives intact, but most 3-shingles do
+    leaked = []
+    for i in range(40):
+        leaked.append(f"w{i}")
+        if i % 6 == 5:
+            leaked.append(f"EDIT{i}")
+    corpus = spark.createDataFrame(
+        [
+            (10, " ".join(leaked)),
+            (11, "totally different text about spark join performance today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["jaccard"]
+        for r in fuzzy_contamination(
+            corpus, bench, threshold=0.3, bands=16, rows_per_band=1
+        ).collect()
+    }
+    assert (10, 1) in got and got[(10, 1)] > 0.3
+    assert all(d != 11 for d, _ in got)
+    # the edit breaks every 8-gram: the exact sweep misses this leak
+    exact = benchmark_contamination(corpus, bench, n=8).collect()
+    assert all(r["doc_id"] != 10 for r in exact)
+    # cap: with max_bucket_size=0 every bucket is suppressed -> no pairs
+    assert (
+        fuzzy_contamination(
+            corpus, bench, threshold=0.3, bands=16, rows_per_band=1, max_bucket_size=0
+        ).count()
+        == 0
+    )
