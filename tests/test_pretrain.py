@@ -278,3 +278,58 @@ def test_fuzzy_contamination_catches_edited_leaks(spark):
         ).count()
         == 0
     )
+
+
+def test_fuzzy_contamination_scores_a_stream(spark, tmp_path):
+    """Decontamination at ingest: fuzzy_contamination is stateless
+    against a FROZEN benchmark (its band keys broadcast), so scoring
+    each arriving micro-batch inside foreachBatch reproduces exactly
+    the batch sweep over the union — the percolation pattern applied
+    to contamination."""
+    from beyond_vector_search_spark.operators.pretrain import fuzzy_contamination
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    bench = docs.where("doc_id % 97 = 0")
+    leaks = bench.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat("text", F.lit(" lightly edited benchmark leak")).alias("text"),
+    )
+    corpus = docs.where("doc_id % 97 <> 0").unionByName(leaks)
+
+    want = {
+        (r["doc_id"], r["bench_id"], r["jaccard"])
+        for r in fuzzy_contamination(corpus, bench, max_bucket_size=None).collect()
+    }
+    assert want  # planted leaks exist
+
+    # two arrival epochs
+    src = tmp_path / "fuzzy_src"
+    src.mkdir()
+    rows = corpus.collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(chunk, corpus.schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    bench_cached = bench.cache()
+    bench_cached.count()
+    out: list = []
+    q = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(
+            lambda df, _bid: out.extend(
+                fuzzy_contamination(df, bench_cached, max_bucket_size=None).collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "fuzzy_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r["doc_id"], r["bench_id"], r["jaccard"]) for r in out}
+    assert got == want

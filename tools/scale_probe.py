@@ -264,6 +264,15 @@ def probe(spark, copies: int) -> dict:
     arms.release()
     timed("doc_chunks", lambda: pt.chunk_documents(docs).count())
     timed("gopher_quality", lambda: pt.gopher_quality(docs).count())
+    # fuzzy decontamination: benchmark bands broadcast vs corpus bands
+    # + Jaccard verify on candidates only — cost should track the
+    # corpus sign/band pass (one scan), never corpus x benchmark
+    timed(
+        "fuzzy_contamination",
+        lambda: pt.fuzzy_contamination(
+            docs, docs.where(F.col("doc_id") % 97 == 0)
+        ).count(),
+    )
     # A-ES weighted sampling: narrow hash+ln projection + global top-n
     # (TakeOrderedAndProject) — must stay flat-to-linear with NO
     # single-partition window
