@@ -84,6 +84,7 @@ def pagerank(
     damping: float = 0.85,
     materialize: bool = True,
     seeds: DataFrame | None = None,
+    checkpoint_every: int | None = 8,
 ) -> DataFrame:
     """(id, rank_units, rank, in_deg) — PageRank after ``n_iter``
     power-iteration steps over an (src, dst) edge relation (Page et
@@ -170,7 +171,13 @@ def pagerank(
         deg = deg.localCheckpoint(eager=False)
     rank = basis.select("id", F.col("u0").alias("u"))
     ed = edges.join(deg, "src")
-    for _ in range(int(n_iter)):
+    for it in range(int(n_iter)):
+        if checkpoint_every and it and it % int(checkpoint_every) == 0:
+            # plan depth grows linearly with iterations (3 operators
+            # per step); truncate the lineage periodically so deep
+            # convergence runs keep constant analysis cost — the
+            # node-sized rank relation is cheap to materialize
+            rank = rank.localCheckpoint(eager=False)
         contrib = (
             ed.join(rank.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")

@@ -120,3 +120,27 @@ def test_personalized_pagerank_concentrates_near_seed(spark):
         for r in pagerank(e, n_iter=6, seeds=seeds2).collect()
     }
     assert got2 == got
+
+
+def test_pagerank_deep_iteration_converges(spark):
+    """Deep runs (crossing the checkpoint_every lineage cut) converge:
+    on a strongly-connected graph the integer fixpoint stabilizes and
+    further iterations are no-ops; the cut itself must not perturb the
+    trajectory (20 iters with cuts == 20 iters without)."""
+    e = _edges(
+        spark, [(1, 2), (2, 3), (3, 1), (3, 2), (1, 3), (2, 1)]
+    )
+    with_cut = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(e, n_iter=20, checkpoint_every=4).collect()
+    }
+    no_cut = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(e, n_iter=20, checkpoint_every=None).collect()
+    }
+    assert with_cut == no_cut
+    more = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(e, n_iter=21, checkpoint_every=4).collect()
+    }
+    assert more == with_cut  # fixpoint reached
