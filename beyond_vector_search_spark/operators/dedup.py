@@ -1077,3 +1077,39 @@ def dedup_clusters(
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def cluster_canonicals(
+    clusters: DataFrame,
+    scores: DataFrame,
+    *,
+    score_col: str = "score",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical) — re-elect each duplicate
+    cluster's canonical as its highest-SCORING member instead of
+    :func:`dedup_clusters`' smallest id: quality-aware dedup, the form
+    production pipelines actually run ("of these near-duplicates, keep
+    the best one") with any per-doc quality signal — NB log-odds
+    (pretrain.nb_quality_scores), DSIR weights, PageRank centrality.
+
+    ``scores``: (doc_id, score) relation; members missing from it rank
+    below every scored member (a cluster with no scores at all falls
+    back to id order, so every cluster still elects exactly one
+    canonical).  Ranking uses (rounded score DESC, doc_id ASC) — the
+    catalog's cross-engine rule.  The window partitions by cluster_id:
+    work is bounded by cluster size, never corpus-global.
+    """
+    sc = scores.select(
+        "doc_id", F.col(score_col).cast("double").alias("_score")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last(F.round(F.col("_score"), score_decimals)),
+        F.asc("doc_id"),
+    )
+    return (
+        clusters.select("doc_id", "cluster_id")
+        .join(sc, "doc_id", "left")
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+        .drop("_score")
+    )

@@ -2524,3 +2524,44 @@ def test_graph_ann_beam_search_recall(spark):
 
     with pytest.raises(ValueError, match="ef >= k"):
         sim.graph_ann_topk(emb, queries, graph, k=5, ef=3)
+
+
+def test_cluster_canonicals_quality_aware(spark):
+    """Quality-aware dedup: each cluster's canonical is its best-scored
+    member (rounded score DESC, id ASC); unscored members lose to
+    scored ones; score-free clusters fall back to id order; every
+    cluster elects exactly one canonical."""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.dedup import (
+        cluster_canonicals,
+        dedup_clusters,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    clusters = dedup_clusters(docs, pairs)
+    # min-id baseline: canonical of {1,2,3} is 1
+    base = {r["doc_id"]: r["is_canonical"] for r in clusters.collect()}
+    assert base[1] and not base[2] and not base[3]
+    scores = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.9), (6, -1.0)], "doc_id long, score double"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in cluster_canonicals(clusters, scores).collect()
+    }
+    # tie at 0.9 between 2 and 3 -> id ASC -> 2 wins over both 3 and 1
+    assert got[2][1] and not got[1][1] and not got[3][1]
+    # 6 is scored (even negatively), 5 is not -> 6 wins its cluster
+    assert got[6][1] and not got[5][1]
+    # singletons stay canonical with or without scores
+    assert got[4][1] and got[7][1]
+    # exactly one canonical per cluster
+    per = {}
+    for d, (c, can) in got.items():
+        per.setdefault(c, 0)
+        per[c] += int(can)
+    assert all(v == 1 for v in per.values())
