@@ -12,8 +12,12 @@ Stages (each also queryable standalone via __spark_entry__.queries()):
   1. weak label -> Naive Bayes quality log-odds (nb_quality_scores)
   2. DSIR importance weights vs a target sample (dsir_logweights)
   3. PageRank centrality over the embedding kNN graph (graph_pagerank)
-  4. selection: quality AND (important OR central)
-  5. BPE tokenizer trained on the SELECTED corpus (bpe_train), merge
+  4. QUALITY-AWARE semantic dedup: near-dup clusters keep their
+     best-scoring member (cluster_canonicals over dedup_clusters —
+     the testdata embeddings carry no near-dups, so at sf0.001 all
+     docs survive; the mechanics are what this stage demonstrates)
+  5. selection: dedup survivor AND quality AND (important OR central)
+  6. BPE tokenizer trained on the SELECTED corpus (bpe_train), merge
      table persisted (save_merges), pieces packed per shard
      (pack_sequences over piece counts)
 
@@ -70,9 +74,27 @@ def main() -> None:
     ).select(F.col("id").alias("doc_id"))
     print(f"pagerank: top-30% central = {top_central.count()} docs")
 
-    # 4. selection: quality gate AND (important OR central)
+    # 4. semantic dedup, QUALITY-AWARE: cluster near-duplicate
+    #    embeddings and keep each cluster's best-scoring member (not
+    #    the smallest id)
+    from beyond_vector_search_spark.operators import dedup as dd
+    from beyond_vector_search_spark.operators import similarity as sim
+
+    nd_pairs = sim.embedding_neardup_pairs(emb, threshold=0.999)
+    clusters = dd.dedup_clusters(
+        emb, nd_pairs, id_col="vec_id", src="id_a", dst="id_b"
+    )
+    best = dd.cluster_canonicals(
+        clusters, quality.select("doc_id", F.col("log_odds").alias("score"))
+    )
+    survivors = best.where("is_canonical").select("doc_id")
+    print(f"semantic dedup (keep-best): {survivors.count()}/{n0} docs survive")
+
+    # 5. selection: dedup survivor AND quality gate AND (important OR
+    #    central)
     chosen = (
         quality.where("pred_keep")
+        .join(survivors, "doc_id", "semi")
         .join(important.unionByName(top_central).distinct(), "doc_id", "semi")
         .select("doc_id")
     )
@@ -80,7 +102,7 @@ def main() -> None:
     n_sel = selected.count()
     print(f"selected: {n_sel}/{n0} docs")
 
-    # 5. tokenizer on the SELECTED corpus + packed piece stream: the
+    # 6. tokenizer on the SELECTED corpus + packed piece stream: the
     #    packing counts are the REAL tokenizer's piece counts, not the
     #    whitespace proxy (pack_sequences counts=)
     merges = bpe.bpe_train(bpe.word_freqs(selected), n_merges=16)
