@@ -340,3 +340,153 @@ def weighted_sample(
     return global_topk_ranked(
         keyed, n, F.desc("es_key"), F.asc(id_col), rank_col="rank"
     )
+
+
+def fill_token_budget(
+    df: DataFrame,
+    *,
+    budget,
+    score_col: str,
+    token_col: str = "n_tokens",
+    domain_col: str | None = None,
+    id_col: str = "doc_id",
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """(doc_id, domain, n_tokens, score, kept) — fill a per-domain TOKEN
+    budget with the highest-scoring documents: the final assembly step
+    of a curation pipeline ("1T tokens total: the best N_d tokens from
+    each domain"), where mixture_sample's fractions are replaced by
+    hard token counts.
+
+    ``budget``: an int (same budget per domain) or a {domain: tokens}
+    dict; domains absent from the dict get budget 0.  ``domain_col``
+    None treats the corpus as one domain.
+
+    Scale design — histogram cutoff, NOT a global sort: ranking every
+    document per domain and running a corpus-length cumsum is the
+    classic single-partition killer.  Instead (a) per-domain min/max of
+    the rounded score (one aggregation), (b) fixed-width histogram of
+    TOKEN MASS per (domain, bucket) — at most ``n_buckets`` rows per
+    domain, (c) a cumulative sum over that tiny histogram from the top
+    finds the cutoff bucket, (d) buckets above the cutoff are kept
+    wholesale with no per-doc ordering at all, and only INSIDE the
+    single cutoff bucket (~1/n_buckets of the domain) does a per-doc
+    (score DESC, id ASC) running cumsum decide the partial fill.  Every
+    window is bounded: n_buckets rows (c) or one bucket's docs (d).
+
+    Deterministic: rounded scores, id tie-breaks, exact integer token
+    sums.  Overshoot is zero — the kept set is the longest
+    (score DESC, id ASC)-prefix whose token total stays ≤ budget.
+    Documents with NULL score or NULL/negative tokens are dropped from
+    the output entirely (they cannot be budgeted).
+    """
+    from pyspark.sql import Window
+
+    dom = (
+        F.col(domain_col).cast("string")
+        if domain_col is not None
+        else F.lit("__all__")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        dom.alias("domain"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        F.round(F.col(score_col).cast("double"), 6).alias("score"),
+    ).where(
+        F.col("score").isNotNull()
+        & F.col("n_tokens").isNotNull()
+        & (F.col("n_tokens") >= 0)
+    )
+    if isinstance(budget, dict):
+        spark = df.sparkSession
+        bdf = spark.createDataFrame(
+            [(str(k), int(v)) for k, v in budget.items()],
+            "domain string, budget long",
+        )
+        based = base.join(F.broadcast(bdf), "domain", "left").withColumn(
+            "budget", F.coalesce("budget", F.lit(0).cast("long"))
+        )
+    else:
+        based = base.withColumn("budget", F.lit(int(budget)).cast("long"))
+
+    # (a) per-domain score range; (b) token-mass histogram
+    rng = based.groupBy("domain").agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    )
+    nb = int(n_buckets)
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("score") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / nb)
+            ),
+            F.lit(nb - 1),
+        )
+    ).cast("int")
+    bb = based.join(rng, "domain").withColumn("bucket", bucket)
+    hist = bb.groupBy("domain", "bucket").agg(
+        F.sum("n_tokens").alias("mass")
+    )
+    # (c) cumulative mass from the TOP bucket down — n_buckets rows max
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("mass").over(w)).withColumn(
+        "cum_before", F.col("cum") - F.col("mass")
+    )
+    bdg = based.select("domain", "budget").distinct()
+    cutoffs = (
+        cum.join(bdg, "domain")
+        .withColumn("full", F.col("cum") <= F.col("budget"))
+        .withColumn(
+            "is_cutoff",
+            (~F.col("full")) & (F.col("cum_before") < F.col("budget")),
+        )
+    )
+    full_buckets = cutoffs.where("full").select("domain", "bucket")
+    cut = cutoffs.where("is_cutoff").select(
+        "domain",
+        F.col("bucket").alias("cut_bucket"),
+        (F.col("budget") - F.col("cum_before")).alias("remaining"),
+    )
+    kept_full = bb.join(full_buckets, ["domain", "bucket"], "semi").select(
+        "domain", "doc_id", "n_tokens", "score", F.lit(True).alias("kept")
+    )
+    # (d) partial fill inside the single cutoff bucket (cut derives
+    # from bb's own lineage, so join on RENAMED columns to keep the
+    # analyzer's self-join resolution unambiguous)
+    cutr = cut.select(
+        F.col("domain").alias("_cut_domain"), "cut_bucket", "remaining"
+    )
+    in_cut = bb.join(
+        cutr,
+        (F.col("domain") == F.col("_cut_domain"))
+        & (F.col("bucket") == F.col("cut_bucket")),
+    ).select("domain", "doc_id", "n_tokens", "score", "remaining")
+    wc = (
+        Window.partitionBy("domain")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_cut = in_cut.withColumn("run", F.sum("n_tokens").over(wc)).select(
+        "domain",
+        "doc_id",
+        "n_tokens",
+        "score",
+        (F.col("run") <= F.col("remaining")).alias("kept"),
+    )
+    decided = kept_full.unionByName(kept_cut)
+    return (
+        base.join(
+            decided.select("doc_id", "kept"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            "domain",
+            "n_tokens",
+            "score",
+            F.coalesce("kept", F.lit(False)).alias("kept"),
+        )
+    )

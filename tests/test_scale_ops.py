@@ -1917,3 +1917,58 @@ def test_cli_maintain_compacts_stores(spark, tmp_path):
     assert term_stats_rows() == before_stats          # identical results
     assert n_files() < before_files                   # fewer files
     assert store.get_state("router_state:v1") == {"v": 2}  # LWW winner kept
+
+
+def test_fill_token_budget_hand_computed(spark):
+    """Histogram-cutoff budget fill: whole buckets above the cutoff keep
+    wholesale, the cutoff bucket fills as the longest (score DESC, id
+    ASC) prefix within the remaining budget, zero overshoot; per-domain
+    dict budgets; unknown domains get budget 0."""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.scale import fill_token_budget
+
+    rows = [
+        # domain a: scores 9, 8, 7, 7, 1 with 100 tokens each
+        (1, "a", 100, 9.0),
+        (2, "a", 100, 8.0),
+        (3, "a", 100, 7.0),
+        (4, "a", 100, 7.0),
+        (5, "a", 100, 1.0),
+        # domain b: one doc
+        (6, "b", 50, 5.0),
+        # domain c: not in the budget dict
+        (7, "c", 10, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, n_tokens long, q double")
+    out = fill_token_budget(
+        df,
+        budget={"a": 350, "b": 10},
+        score_col="q",
+        token_col="n_tokens",
+        domain_col="dom",
+    )
+    kept = {r["doc_id"]: r["kept"] for r in out.collect()}
+    # a: 9 + 8 + first of the tied 7s (id ASC) = 300; adding doc 4
+    # would reach 400 > 350 -> exactly docs 1,2,3
+    assert kept[1] and kept[2] and kept[3]
+    assert not kept[4] and not kept[5]
+    # b: 50 > 10 -> nothing; c: budget 0 -> nothing
+    assert not kept[6] and not kept[7]
+    # token totals never overshoot
+    tot = (
+        out.where("kept")
+        .groupBy("domain")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    assert all(r["t"] <= {"a": 350, "b": 10, "__all__": 0}.get(r["domain"], 0) for r in tot)
+    # int budget + no domain column: global fill
+    g = fill_token_budget(df, budget=250, score_col="q", token_col="n_tokens")
+    gk = {r["doc_id"]: r["kept"] for r in g.collect()}
+    # global order: 9(100), 8(100) = 200; next 7.0 would hit 300 -> stop;
+    # but 5.0-score docs (50, 10 tokens) rank below the 7s -> excluded too
+    assert gk[1] and gk[2] and not gk[3] and not gk[6]
+    # budget covers everything -> all kept
+    allk = fill_token_budget(df, budget=10_000, score_col="q", token_col="n_tokens")
+    assert all(r["kept"] for r in allk.collect())
