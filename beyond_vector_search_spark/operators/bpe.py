@@ -99,16 +99,25 @@ def bpe_train(
     wf: DataFrame,
     *,
     n_merges: int = 16,
-    max_words: int | None = None,
+    max_words: int | None = 1_000_000,
     min_freq: int = 1,
 ) -> list[dict]:
-    """Learn ``n_merges`` BPE merges from a (word, freq) relation.
+    """Learn ``n_merges`` BPE merges from a (word, freq) relation —
+    the DRIVER-side merge loop over a COLLECTED word table.
 
     Returns ``[{"rank": 0, "left": ..., "right": ..., "pair_freq": N},
     ...]`` in merge order.  ``max_words`` caps the collected word table
     to the top-N by (freq DESC, word ASC) — the deterministic trainer
-    cut for web-scale vocabularies; None collects the full table (fine
-    for anything vocabulary-sized).
+    cut for web-scale vocabularies.  **The default is a bounded
+    1,000,000 words, NOT the full table**: this function materializes
+    every surviving word's symbol sequence on the driver (exactly how
+    HuggingFace's trainer works after its own word-count pass), so an
+    unbounded collect of a web-scale vocabulary (hundreds of millions
+    of distinct "words" once noise/URLs/code are in the mix) is a
+    driver OOM.  Pass ``max_words=None`` only when the caller KNOWS the
+    table is vocabulary-sized; for an uncapped train at 100 TB use
+    :func:`bpe_train_distributed`, whose state never leaves the
+    cluster and which is pinned row-identical to this loop.
 
     Selection tie-break: (count DESC, left ASC, right ASC) — binary
     string order on both engines.  Stops early when no adjacent pair
@@ -141,6 +150,98 @@ def bpe_train(
             {"rank": rank, "left": left, "right": right, "pair_freq": cnt}
         )
         seqs = [(_merge_seq(seq, left, right), freq) for seq, freq in seqs]
+    return merges
+
+
+def bpe_train_distributed(
+    wf: DataFrame,
+    *,
+    n_merges: int = 16,
+    min_freq: int = 1,
+) -> list[dict]:
+    """Learn ``n_merges`` BPE merges with the word table LEFT ON THE
+    CLUSTER — the 100 TB trainer path (row-identical to
+    :func:`bpe_train`, pinned by test).
+
+    The state is a (seq ARRAY<STRING>, freq) DataFrame, never
+    collected.  Each of the bounded ``n_merges`` steps costs exactly:
+
+    1. one pair-count aggregation — adjacent pairs generated JVM-side
+       (``transform`` over index ``sequence``), exploded, and
+       hash-aggregated; map-side partial aggregation makes the shuffle
+       distinct-pair-sized, not occurrence-sized;
+    2. one global argmax — ``orderBy(cnt DESC, l, r).limit(1)``, which
+       Spark executes as TakeOrderedAndProject (per-partition top-1 +
+       driver merge of #partitions rows), the irreducible driver
+       round-trip any global-argmax trainer pays per merge;
+    3. one merge application — the SAME greedy left-to-right
+       non-overlapping fold as :func:`_merge_seq`, expressed as an
+       ``F.aggregate`` array fold with the winning pair as literals (a
+       broadcast of two strings, no join, no shuffle).
+
+    Per-step ``localCheckpoint`` truncates lineage (the PageRank
+    lesson: 16 stacked aggregate-lambdas otherwise make each step
+    re-analyze an ever-deeper plan) and keeps every step's input
+    materialized for its two actions.  Driver memory high-water mark:
+    one (pair, count) row — the argmax winner.
+
+    Determinism contract identical to the driver loop: tie-break
+    (count DESC, left ASC, right ASC) in binary string order, greedy
+    non-overlapping application, ``</w>`` terminal marker.
+    """
+    seqs = wf.select(
+        F.concat(
+            F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit("")),
+            F.array(F.lit(WORD_END)),
+        ).alias("seq"),
+        F.col("freq").cast("long").alias("freq"),
+    ).localCheckpoint()
+    merges: list[dict] = []
+    for rank in range(int(n_merges)):
+        # filter BEFORE the pair generation: sequence(0, size-2) on a
+        # 1-symbol seq would be a DESCENDING sequence (Spark defaults
+        # step to -1 when start > stop), not empty
+        pairs = seqs.where(F.size("seq") >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("seq") - 2),
+                    lambda i: F.struct(
+                        F.get("seq", i).alias("l"),
+                        F.get("seq", i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        if cnt < int(min_freq):
+            break
+        merges.append(
+            {"rank": rank, "left": left, "right": right, "pair_freq": cnt}
+        )
+        merged = left + right
+        folded = F.aggregate(
+            "seq",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        seqs = seqs.select(folded.alias("seq"), "freq").localCheckpoint()
     return merges
 
 

@@ -341,6 +341,14 @@ def hybrid_scores(
 from dataclasses import dataclass, field
 
 
+class DuplicateQueryIdError(ValueError):
+    """Duplicate query_id in a batch — a CALLER bug, not a regime the
+    join-form scorers should absorb (they would emit duplicated score
+    rows).  Distinct type so fallback wrappers (ServingArms) can
+    re-raise it while still falling back on the documented rejections
+    (non-string ids, max_features overflow)."""
+
+
 @dataclass(frozen=True)
 class CompiledQueryBatch:
     """A query batch resolved against an index snapshot, ready to fold
@@ -390,7 +398,9 @@ def compile_query_batch(
         rows = list(queries)
     rows.sort(key=lambda x: str(x[0]))
     if len({qid for qid, _ in rows}) != len(rows):
-        raise ValueError("duplicate query_id in batch — ids must be unique")
+        raise DuplicateQueryIdError(
+            "duplicate query_id in batch — ids must be unique"
+        )
     # The compiled plan's from_json literal maps (and _empty_scores) fix
     # query_id as STRING; silently stringifying a non-string id would
     # change the output schema vs the join-form scorers (which preserve

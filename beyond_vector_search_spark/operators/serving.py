@@ -105,6 +105,10 @@ class ServingArms:
                 src = self._rows if self._rows is not None else self._queries_df
                 try:
                     self._batch = rt.compile_query_batch(src, self.index, cfg=self.cfg)
+                except rt.DuplicateQueryIdError:
+                    # caller bug, not a regime: the join form would
+                    # silently emit duplicated score rows — fail loudly
+                    raise
                 except ValueError:
                     # non-string ids or feature count over max_features:
                     # the documented bulk regime — join-form scorers

@@ -1328,7 +1328,18 @@ def pq_topk(
                         [list(c) for c in pdf["codes"]], dtype=np.int64
                     )
                     for j, s in enumerate(subs):
-                        pos = id_pos[s][C[:, j]]
+                        # bounds-check BEFORE the fancy-index gather:
+                        # an out-of-range id would raise a raw numpy
+                        # IndexError (and a negative id would wrap to
+                        # a valid position) instead of the intended
+                        # descriptive error
+                        cj = C[:, j]
+                        if (cj < 0).any() or (cj >= len(id_pos[s])).any():
+                            raise ValueError(
+                                f"codes contain a code_id absent from the "
+                                f"sub={s} codebook"
+                            )
+                        pos = id_pos[s][cj]
                         if (pos < 0).any():
                             raise ValueError(
                                 f"codes contain a code_id absent from the "
@@ -2069,8 +2080,20 @@ class IVFPQIndex:
         )
 
     def save(self, path: str) -> None:
+        from beyond_vector_search_spark.sources import fsutil
+
+        spark = self.codes.sparkSession
         self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
         self.codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+        # Re-saving over an EXISTING store (the documented retrain-on-
+        # drift flow) must not leave append artifacts behind: batch 0's
+        # overwrite only clears its own directory, so codes/batch_id>=1
+        # written against the OLD quantizer/codebooks — and _batches
+        # markers that would make replayed streaming epochs silently
+        # skip — would survive and corrupt the next load's merge.
+        # Delete the whole code log and marker set before writing.
+        fsutil.delete(spark, f"{path}/codes")
+        fsutil.delete(spark, f"{path}/_batches")
         # two-level code layout: codes/batch_id=N/centroid_id=M — the
         # initial build is batch 0; each later ``append`` gets its own
         # batch directory (retry-idempotent overwrites, the IndexDelta
@@ -2079,7 +2102,7 @@ class IVFPQIndex:
         self.codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
             f"{path}/codes/batch_id=0"
         )
-        self.codes.sparkSession.createDataFrame(
+        spark.createDataFrame(
             [(self.m, self.dim)], "m INT, dim INT"
         ).write.mode("overwrite").parquet(f"{path}/meta")
 
@@ -2185,12 +2208,16 @@ class IVFPQIndex:
         )
 
     @staticmethod
-    def _next_batch_id(path: str) -> int:
-        import os
+    def _next_batch_id(spark, path: str) -> int:
+        # Hadoop FS listing, not os.listdir: the store lives wherever
+        # the parquet does (HDFS/S3A on a cluster), and a local-only
+        # probe there would always answer "no batches" and hand out
+        # colliding ids (sources/fsutil.py).
+        from beyond_vector_search_spark.sources import fsutil
 
         seen = [
             int(d.split("=", 1)[1])
-            for d in os.listdir(f"{path}/codes")
+            for d in fsutil.list_names(spark, f"{path}/codes")
             if d.startswith("batch_id=")
         ]
         return max(seen, default=-1) + 1
@@ -2224,7 +2251,7 @@ class IVFPQIndex:
         with ``bvs maintain --ivfpq-dir`` when file counts grow.
         Returns the re-loaded index."""
         if batch_id is None:
-            batch_id = cls._next_batch_id(path)
+            batch_id = cls._next_batch_id(spark, path)
         base = cls.load(spark, path)
         base.encode(new_embeddings, id_col=id_col, vec_col=vec_col).write.mode(
             "overwrite"
@@ -2239,21 +2266,38 @@ class IVFPQIndex:
         each bucket's rows land in a single task).  Same contract as
         ``IndexDelta.compact``: a pure rewrite — rows identical, file
         count shrinks — run it off the ingest path; writes to
-        ``codes.compact`` then swaps so a crash leaves the original
-        store intact.  Wired into ``bvs maintain --ivfpq-dir``.  Any
-        streaming-ingest batch markers under ``_batches`` survive, so
-        a replayed old epoch cannot re-add rows after the fold."""
-        import os
-        import shutil
+        ``codes.compact`` then swaps so a crash leaves a loadable
+        store at every step.  Wired into ``bvs maintain --ivfpq-dir``.
+        Any streaming-ingest batch markers under ``_batches`` survive,
+        so a replayed old epoch cannot re-add rows after the fold.
+
+        Swap order is rename-aside, not delete-then-move: the old tree
+        goes to ``codes.old`` FIRST, the compacted tree renames in,
+        and only then is the old copy deleted — a crash between any
+        two steps leaves either the original or the compacted codes
+        directory present (never neither).  Renames go through the
+        Hadoop FileSystem (atomic on posix/HDFS; see
+        sources/fsutil.py for the S3A caveat)."""
+        from beyond_vector_search_spark.sources import fsutil
 
         codes = spark.read.parquet(f"{path}/codes").drop("batch_id")
         tmp = f"{path}/codes.compact"
+        old = f"{path}/codes.old"
+        final = f"{path}/codes"
         codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
             "centroid_id"
         ).parquet(f"{tmp}/batch_id=0")
-        final = f"{path}/codes"
-        shutil.rmtree(final)
-        os.replace(tmp, final)
+        # leftover .old from a previous crashed compact: the final
+        # codes dir exists (invariant above), so the orphan is safe to
+        # clear before taking its name
+        fsutil.delete(spark, old)
+        if not fsutil.rename(spark, final, old):
+            raise IOError(f"compact: cannot move {final} aside")
+        if not fsutil.rename(spark, tmp, final):
+            # restore the original before failing
+            fsutil.rename(spark, old, final)
+            raise IOError(f"compact: cannot move {tmp} into place")
+        fsutil.delete(spark, old)
         return cls.load(spark, path)
 
 

@@ -32,10 +32,18 @@ from pyspark.sql import Column, DataFrame
 
 from beyond_vector_search_spark.config import DEFAULT, EngineConfig
 from beyond_vector_search_spark.operators.corpus_index import IndexDelta, build_delta
+from beyond_vector_search_spark.sources import fsutil
 
 
 def _batch_marker(path: str, batch_id: int) -> str:
-    return os.path.join(path, "_batches", f"{batch_id}.json")
+    return f"{path}/_batches/{batch_id}.json"
+
+
+def _write_marker(spark, marker: str, payload: dict) -> None:
+    # markers live on the STORE's filesystem (HDFS/S3A on a cluster),
+    # so existence probes and writes go through the Hadoop FS API
+    # (sources/fsutil.py), never open()/os.path
+    fsutil.write_text(spark, marker, json.dumps(payload))
 
 
 def append_delta_batch(
@@ -60,17 +68,18 @@ def append_delta_batch(
     flat files, after which an overwrite would re-add the batch); it
     lives under ``path`` itself, i.e. on the same storage as the data.
     """
+    spark = docs_batch.sparkSession
     marker = _batch_marker(path, batch_id)
-    if os.path.exists(marker):
+    if fsutil.exists(spark, marker):
         return False
     delta = build_delta(docs_batch, id_col=id_col, text=text, cfg=cfg)
     for f in IndexDelta._FIELDS:
         getattr(delta, f).write.mode("overwrite").parquet(
             os.path.join(path, f, f"batch_id={batch_id}")
         )
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    with open(marker, "w") as fh:
-        json.dump({"batch_id": batch_id, "n_docs": docs_batch.count()}, fh)
+    _write_marker(
+        spark, marker, {"batch_id": batch_id, "n_docs": docs_batch.count()}
+    )
     return True
 
 
@@ -125,20 +134,21 @@ def append_vector_batch(
     """
     from beyond_vector_search_spark.operators.similarity import IVFPQIndex
 
+    spark = vec_batch.sparkSession
     marker = _batch_marker(store_path, batch_id)
-    if os.path.exists(marker):
+    if fsutil.exists(spark, marker):
         return False
     IVFPQIndex.append(
-        vec_batch.sparkSession,
+        spark,
         store_path,
         vec_batch,
         id_col=id_col,
         vec_col=vec_col,
         batch_id=batch_id + 1,
     )
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    with open(marker, "w") as fh:
-        json.dump({"batch_id": batch_id, "n_vecs": vec_batch.count()}, fh)
+    _write_marker(
+        spark, marker, {"batch_id": batch_id, "n_vecs": vec_batch.count()}
+    )
     return True
 
 
@@ -210,8 +220,9 @@ def dedup_ingest_batch(
 
     from pyspark.sql import functions as F
 
+    spark = docs_batch.sparkSession
     marker = _batch_marker(path, batch_id)
-    if os.path.exists(marker):
+    if fsutil.exists(spark, marker):
         return False
     # normalize input columns: (doc_id, text)
     text_col = F.col(text) if isinstance(text, str) else text
@@ -220,10 +231,9 @@ def dedup_ingest_batch(
     )
     sigs = minhash_signatures(docs)
     new_bands = banded_keys(sigs, bands=bands, rows_per_band=rows_per_band)
-    spark = docs_batch.sparkSession
     bands_dir = os.path.join(path, "bands")
-    have_history = os.path.isdir(bands_dir) and any(
-        d.startswith("batch_id=") for d in os.listdir(bands_dir)
+    have_history = any(
+        d.startswith("batch_id=") for d in fsutil.list_names(spark, bands_dir)
     )
     if have_history:
         spark.catalog.refreshByPath(bands_dir)
@@ -250,9 +260,9 @@ def dedup_ingest_batch(
     new_bands.write.mode("overwrite").parquet(
         os.path.join(bands_dir, f"batch_id={batch_id}")
     )
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    with open(marker, "w") as fh:
-        json.dump({"batch_id": batch_id, "n_docs": docs_batch.count()}, fh)
+    _write_marker(
+        spark, marker, {"batch_id": batch_id, "n_docs": docs_batch.count()}
+    )
     return True
 
 

@@ -507,3 +507,41 @@ def test_pack_sequences_counts_keeps_uncounted_docs(spark):
     counts = spark.createDataFrame([(1, 3), (2, 2)], "doc_id long, n_tokens long")
     got = {r["doc_id"]: r["n_tokens"] for r in pack_sequences(docs, counts=counts).collect()}
     assert got == {1: 3, 2: 2, 3: 0}
+
+
+def test_bpe_train_distributed_matches_driver_trainer(spark):
+    """The cluster-resident trainer (bpe_train_distributed: per-step
+    pair-count agg + global argmax + F.aggregate merge fold, state
+    never collected) is merge-for-merge identical to the driver loop
+    on the testdata corpus — including pair_freq counts — and honors
+    the same min_freq early stop."""
+    from beyond_vector_search_spark.operators import bpe
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    wf = bpe.word_freqs(docs).localCheckpoint()
+    driver = bpe.bpe_train(wf, n_merges=8, max_words=None)
+    dist = bpe.bpe_train_distributed(wf, n_merges=8)
+    assert dist == driver
+
+    # min_freq early stop behaves identically
+    hi = max(m["pair_freq"] for m in driver[2:]) + 1
+    d2 = bpe.bpe_train(wf, n_merges=8, max_words=None, min_freq=hi)
+    x2 = bpe.bpe_train_distributed(wf, n_merges=8, min_freq=hi)
+    assert x2 == d2
+    assert len(x2) < 8
+
+
+def test_bpe_train_distributed_single_symbol_words(spark):
+    """1-symbol sequences (every char merged) must contribute no pairs
+    — the sequence(0, size-2) descending-sequence trap — and training
+    stops cleanly when no adjacent pair remains anywhere."""
+    from beyond_vector_search_spark.operators import bpe
+
+    wf = spark.createDataFrame([("a", 5), ("b", 3)], "word string, freq long")
+    driver = bpe.bpe_train(wf, n_merges=10, max_words=None)
+    dist = bpe.bpe_train_distributed(wf, n_merges=10)
+    assert dist == driver
+    # 'a</w>' and 'b</w>' each yield exactly one merge before their
+    # sequences hit length 1; then the pair table is empty
+    assert len(dist) == 2

@@ -1972,3 +1972,82 @@ def test_fill_token_budget_hand_computed(spark):
     # budget covers everything -> all kept
     allk = fill_token_budget(df, budget=10_000, score_col="q", token_col="n_tokens")
     assert all(r["kept"] for r in allk.collect())
+
+
+def test_ivfpq_resave_clears_stale_store(spark, tmp_path):
+    """Re-saving a REBUILT index over an existing store (the documented
+    retrain-on-drift flow) must clear every append artifact: stale
+    codes/batch_id>=1 directories encoded against the OLD quantizer/
+    codebooks would otherwise merge into the new index at load (silently
+    wrong neighbors), and stale _batches markers would make replayed
+    streaming epochs silently skip instead of re-ingesting against the
+    new quantizer."""
+    import glob
+
+    import numpy as np
+
+    from beyond_vector_search_spark.operators import similarity as sim
+    from beyond_vector_search_spark.streaming.ingest import append_vector_batch
+
+    rng = np.random.default_rng(55)
+    dim = 16
+    centers = np.eye(3, dim) * 25.0
+    X = np.vstack([c + rng.standard_normal((15, dim)) for c in centers])
+
+    def df_of(ids):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in X[i]]) for i in ids],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(3)],
+        "centroid_id INT, embedding ARRAY<DOUBLE>",
+    )
+    store = str(tmp_path / "store")
+    old_ids, appended_ids, new_ids = range(0, 15), range(15, 30), range(30, 45)
+    sim.IVFPQIndex.build(df_of(old_ids), cents, m=4, dim=dim, n_codes=16).save(store)
+    # streaming epoch 0 lands codes/batch_id=1 + a _batches/0.json marker
+    assert append_vector_batch(df_of(appended_ids), 0, store) is True
+    assert glob.glob(f"{store}/codes/batch_id=1")
+
+    # drift: retrain on a different corpus and save over the same path
+    sim.IVFPQIndex.build(df_of(new_ids), cents, m=4, dim=dim, n_codes=16).save(store)
+
+    loaded = sim.IVFPQIndex.load(spark, store)
+    assert sorted(r["vec_id"] for r in loaded.codes.collect()) == list(new_ids)
+    assert glob.glob(f"{store}/codes/batch_id=*") == [f"{store}/codes/batch_id=0"]
+    # markers cleared: epoch 0 re-ingests against the NEW quantizer
+    assert append_vector_batch(df_of(appended_ids), 0, store) is True
+    assert sim.IVFPQIndex.load(spark, store).codes.count() == 30
+
+
+def test_pq_topk_rejects_out_of_range_code_ids(spark):
+    """Pre-encoded ADC must bounds-check code ids BEFORE the LUT
+    gather: an id beyond the codebook's max must raise the descriptive
+    ValueError (not a raw numpy IndexError), and a negative id must not
+    silently wrap to a valid codeword."""
+    import numpy as np
+    import pytest
+
+    from beyond_vector_search_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(77)
+    dim, n = 8, 12
+    X = rng.standard_normal((n, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    q = spark.createDataFrame(
+        [(900, [float(x) for x in X[0]])], "query_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    cb = sim.pq_codebooks(emb, m=2, dim=dim, n_codes=4)
+    for bad in (999, -1):
+        codes = spark.createDataFrame(
+            [(i, [bad, 0]) for i in range(n)], "vec_id LONG, codes ARRAY<INT>"
+        )
+        with pytest.raises(Exception, match="absent from"):
+            sim.pq_topk(
+                emb, q, m=2, dim=dim, codebooks=cb, codes=codes, k=3
+            ).collect()

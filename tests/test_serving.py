@@ -114,3 +114,15 @@ def test_unknown_arm_rejected(spark, corpus_index):
     arms = ServingArms(idx, QS, cfg=_CFG)
     with pytest.raises(ValueError, match="unknown arm"):
         arms.arm("bm42")
+
+
+def test_duplicate_query_ids_fail_loudly(spark, corpus_index):
+    """Duplicate query_ids are a caller bug: the compiled path's
+    validation must surface through ServingArms (re-raised, NOT
+    absorbed into a join-form fallback that would emit duplicated
+    score rows)."""
+    _, idx = corpus_index
+    dup = [("q1", "spark join"), ("q1", "vector hash")]
+    arms = ServingArms(idx, dup, cfg=_CFG)
+    with pytest.raises(rt.DuplicateQueryIdError, match="duplicate query_id"):
+        arms.arm("keyword")
