@@ -184,9 +184,11 @@ def cmd_maintain(args) -> dict:
     spark = get_spark("bvs-maintain")
     out: dict = {}
     ivfpq_dir = getattr(args, "ivfpq_dir", None)
-    if not args.db and not args.delta_dir and not ivfpq_dir:
+    graph_dir = getattr(args, "graph_dir", None)
+    if not args.db and not args.delta_dir and not ivfpq_dir and not graph_dir:
         raise SystemExit(
-            "maintain: nothing to do — pass --db, --delta-dir and/or --ivfpq-dir"
+            "maintain: nothing to do — pass --db, --delta-dir, --ivfpq-dir "
+            "and/or --graph-dir"
         )
     if args.db:
         store = telemetry_from_env(spark, args.db)
@@ -214,6 +216,18 @@ def cmd_maintain(args) -> dict:
                 f"maintain: ivfpq code rows changed {n_before} -> {n_after}"
             )
         out["ivfpq_code_rows"] = n_after
+    if graph_dir:
+        from beyond_vector_search_spark.operators.similarity import KnnGraphIndex
+
+        before_view = KnnGraphIndex.load(spark, graph_dir).graph
+        n_before = before_view.count()
+        compacted = KnnGraphIndex.compact(spark, graph_dir)
+        n_after = compacted.graph.count()
+        if n_before != n_after:  # pure rewrite of the LWW view
+            raise SystemExit(
+                f"maintain: graph view rows changed {n_before} -> {n_after}"
+            )
+        out["graph_view_rows"] = n_after
     return out
 
 
@@ -299,6 +313,9 @@ def main() -> None:
     pm.add_argument("--ivfpq-dir", default=None,
                     help="appended IVFPQIndex store to compact "
                          "(one file per centroid bucket)")
+    pm.add_argument("--graph-dir", default=None,
+                    help="appended KnnGraphIndex store to compact "
+                         "(LWW batches folded to the current view)")
 
     pt = sub.add_parser(
         "tokenizer",

@@ -142,6 +142,72 @@ def term_tf_frame(docs: DataFrame, *, id_col: str = "doc_id", text: Column | str
     return src.mapInPandas(kernel, f"doc_id {id_type}, term string, tf long, dl long")
 
 
+def fused_tf_frame(
+    docs: DataFrame, *, id_col: str = "doc_id", text: Column | str = "text", n: int = 4
+) -> DataFrame:
+    """(doc_id, kind, key, tf, dl) — :func:`term_tf_frame` AND
+    :func:`gram_tf_frame` rows from ONE pass over the corpus text,
+    tagged ``kind='t'`` (key=term, dl=token count) / ``kind='g'``
+    (key=gram, dl=0).
+
+    The two single-purpose kernels each scan, decode, and Arrow-ship
+    the full text column; an index build needs BOTH relations, so the
+    fused pass halves the corpus I/O and the Python transfer — at
+    100 TB that is the difference between reading the corpus once and
+    twice (the per-row Counter work is identical either way).  Row
+    contents are exactly the union of the two kernels' outputs (parity
+    pinned by test); consumers slice on ``kind`` AFTER the fused
+    relation is checkpointed, so the text is never rescanned
+    (corpus_index.build_delta_fused)."""
+    src, id_type = _project(docs, id_col, text)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            kinds: list = []
+            keys: list = []
+            tfs: list = []
+            dls: list = []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
+                counts = Counter(t.lower() for t in _TOKEN_RE.findall(txt or ""))
+                dl = sum(counts.values())
+                for term, tf in counts.items():
+                    ids.append(doc_id)
+                    kinds.append("t")
+                    keys.append(term)
+                    tfs.append(tf)
+                    dls.append(dl)
+                s = _WS_RE.sub(" ", (txt or "").lower()).strip(" ")
+                length = len(s)
+                if length >= n:
+                    gcounts = Counter(s[i : i + n] for i in range(length - n + 1))
+                elif s:
+                    gcounts = Counter((s,))
+                else:
+                    gcounts = Counter()
+                for gram, tf in gcounts.items():
+                    ids.append(doc_id)
+                    kinds.append("g")
+                    keys.append(gram)
+                    tfs.append(tf)
+                    dls.append(0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                    "kind": pd.Series(kinds, dtype="object"),
+                    "key": pd.Series(keys, dtype="object"),
+                    "tf": pd.Series(tfs, dtype="int64"),
+                    "dl": pd.Series(dls, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        kernel, f"doc_id {id_type}, kind string, key string, tf long, dl long"
+    )
+
+
 def gram_tf_frame(
     docs: DataFrame, *, id_col: str = "doc_id", text: Column | str = "text", n: int = 4
 ) -> DataFrame:

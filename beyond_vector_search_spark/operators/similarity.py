@@ -3106,3 +3106,166 @@ def graph_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+class KnnGraphIndex:
+    """Persisted NN-Descent kNN-graph store — the :class:`IVFPQIndex`
+    save/load/append/compact contract applied to the graph-ANN backbone
+    (reference scope note: the reference engine rebuilds everything per
+    invocation, run.py:18-23; this store is what makes the graph a
+    long-lived serving asset).
+
+    Layout: ``{path}/graph/batch_id=N`` parquet + ``{path}/meta``.
+    Unlike IVFPQ codes (purely additive), an incremental graph update
+    (:func:`nndescent_extend`) REWRITES the neighbor lists of affected
+    base nodes, so batches are LAST-WRITER-WINS per node: batch N holds
+    the full k-row list of every node whose list CHANGED in update N
+    (new nodes + the blast radius), and ``load`` keeps each node's
+    rows from its highest batch — the same LWW view the telemetry
+    state log serves.  Append cost is therefore proportional to the
+    batch's blast radius, never the graph; ``up_to_batch`` is exact
+    time travel (the graph as it stood after update N).
+    """
+
+    def __init__(self, graph: DataFrame, *, k: int):
+        self.graph = graph
+        self.k = k
+
+    @classmethod
+    def build(cls, embeddings: DataFrame, *, k: int = 5, **kw) -> "KnnGraphIndex":
+        return cls(nndescent_knn_graph(embeddings, k=k, **kw), k=k)
+
+    def save(self, path: str) -> None:
+        from beyond_vector_search_spark.sources import fsutil
+
+        spark = self.graph.sparkSession
+        # same stale-store discipline as IVFPQIndex.save: a re-saved
+        # (rebuilt) graph must clear old append batches — their node
+        # lists would otherwise LWW-shadow the fresh build's
+        fsutil.delete(spark, f"{path}/graph")
+        fsutil.delete(spark, f"{path}/_batches")
+        self.graph.write.mode("overwrite").parquet(f"{path}/graph/batch_id=0")
+        spark.createDataFrame([(self.k,)], "k INT").write.mode("overwrite").parquet(
+            f"{path}/meta"
+        )
+
+    @classmethod
+    def load(
+        cls, spark, path: str, *, up_to_batch: int | None = None
+    ) -> "KnnGraphIndex":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        spark.catalog.refreshByPath(f"{path}/graph")
+        g = spark.read.parquet(f"{path}/graph")
+        if up_to_batch is not None:
+            g = g.where(F.col("batch_id") <= up_to_batch)
+        latest = g.groupBy("node_id").agg(F.max("batch_id").alias("batch_id"))
+        current = g.join(latest, ["node_id", "batch_id"]).drop("batch_id")
+        return cls(
+            current.select("node_id", "neighbor_id", "cos", "rank"),
+            k=int(meta["k"]),
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        embeddings: DataFrame,
+        *,
+        k: int = 5,
+        ef: int = 15,
+        rounds: int = 3,
+        entry_points: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Beam-search serve from the stored graph
+        (:func:`graph_ann_topk`).  ``embeddings`` supplies node
+        vectors — the graph persists STRUCTURE only (at 100 TB the
+        vectors are the corpus table; duplicating them into the store
+        would double it)."""
+        return graph_ann_topk(
+            embeddings,
+            queries,
+            self.graph,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            ef=ef,
+            rounds=rounds,
+            entry_points=entry_points,
+        )
+
+    @classmethod
+    def append(
+        cls,
+        spark,
+        path: str,
+        base_embeddings: DataFrame,
+        new_embeddings: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        batch_id: int | None = None,
+        **extend_kw,
+    ) -> "KnnGraphIndex":
+        """Incrementally ingest a vector batch into a SAVED graph
+        store: load the current LWW view, :func:`nndescent_extend` it
+        with the batch, and write ONLY the changed node lists (new
+        nodes + rewritten base neighborhoods) into their own
+        ``graph/batch_id=N`` directory.  Retried batch ids overwrite
+        their own directory — the IVFPQIndex.append idempotence
+        contract.  ``base_embeddings`` must cover the store's existing
+        node ids (vectors live outside the store, see ``search``)."""
+        from beyond_vector_search_spark.sources import fsutil
+
+        if batch_id is None:
+            seen = [
+                int(d.split("=", 1)[1])
+                for d in fsutil.list_names(spark, f"{path}/graph")
+                if d.startswith("batch_id=")
+            ]
+            batch_id = max(seen, default=-1) + 1
+        cur = cls.load(spark, path)
+        new_graph = nndescent_extend(
+            base_embeddings,
+            new_embeddings,
+            cur.graph,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=cur.k,
+            **extend_kw,
+        ).localCheckpoint()
+        # changed = any node with a row not present in the old view
+        # (a changed list differs in >=1 of its k rows; a new node
+        # differs in all of them) — cosines are rounded, ranks exact,
+        # so the set difference is float-safe
+        changed = (
+            new_graph.exceptAll(cur.graph).select("node_id").distinct()
+        )
+        new_graph.join(changed, "node_id", "semi").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/graph/batch_id={batch_id}")
+        return cls.load(spark, path)
+
+    @classmethod
+    def compact(cls, spark, path: str) -> "KnnGraphIndex":
+        """Fold the LWW batch directories into a single batch 0 holding
+        the current view (rows identical to ``load`` before/after —
+        the maintain-time rewrite, same rename-aside swap discipline
+        as IVFPQIndex.compact)."""
+        from beyond_vector_search_spark.sources import fsutil
+
+        cur = cls.load(spark, path)
+        tmp, old, final = (
+            f"{path}/graph.compact",
+            f"{path}/graph.old",
+            f"{path}/graph",
+        )
+        cur.graph.write.mode("overwrite").parquet(f"{tmp}/batch_id=0")
+        fsutil.delete(spark, old)
+        if not fsutil.rename(spark, final, old):
+            raise IOError(f"compact: cannot move {final} aside")
+        if not fsutil.rename(spark, tmp, final):
+            fsutil.rename(spark, old, final)
+            raise IOError(f"compact: cannot move {tmp} into place")
+        fsutil.delete(spark, old)
+        return cls.load(spark, path)

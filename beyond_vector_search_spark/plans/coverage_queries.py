@@ -120,16 +120,35 @@ def q_answer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(hits, "query_id")
 
 
-@register(
-    "pivot_status_priority",
+# r8 rotation: this window slot goes to graph_pagerank — a genuinely
+# distinctive iterative-graph operator (fixed-point-integer PageRank
+# over the embedding kNN digraph, fully hash-oracled) that sat at the
+# tail while this slot held a reshape already restated in-window by
+# grouping_orders' conditional aggregation.  pivot_status_priority
+# moves to the tail (register_all), still fully oracled there.
+def _register_r8_rotation() -> None:
+    from beyond_vector_search_spark.plans.pipeline_queries import (
+        GRAPH_PAGERANK_SQL,
+        q_graph_pagerank,
+    )
+
+    register("graph_pagerank", GRAPH_PAGERANK_SQL)(q_graph_pagerank)
+
+
+_register_r8_rotation()
+
+
+PIVOT_STATUS_SQL = (
     # DataFrame pivot() — reshape long->wide; the oracle is the
     # equivalent conditional aggregation
     "SELECT o_orderstatus, "
     "CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent, "
     "CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium, "
     "CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low "
-    "FROM orders GROUP BY o_orderstatus",
+    "FROM orders GROUP BY o_orderstatus"
 )
+
+
 def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupBy().pivot() with explicit pivot values — naming them skips
     Spark's extra distinct-values collection job AND fixes the output
@@ -1034,15 +1053,13 @@ def register_all() -> None:
     )
 
     register("bpe_segment_stats", BPE_SEGMENT_SQL)(q_bpe_segment_stats)
-    # PageRank over the exact cosine-kNN digraph: restates
-    # knn_graph_nnd's in-window iterative-graph shape (and the knn_topk
-    # all-pairs-ranking oracle pattern for its edge construction)
-    from beyond_vector_search_spark.plans.pipeline_queries import (
-        GRAPH_PAGERANK_SQL,
-        q_graph_pagerank,
+    # r8 rotation demotion: pivot()'s long->wide reshape is restated
+    # in-window by grouping_orders' conditional aggregation; stays
+    # fully oracled here and in the local artifacts (graph_pagerank
+    # took its window slot)
+    register("pivot_status_priority", PIVOT_STATUS_SQL)(
+        q_pivot_status_priority
     )
-
-    register("graph_pagerank", GRAPH_PAGERANK_SQL)(q_graph_pagerank)
     # Efraimidis-Spirakis weighted sampling: restates sampling_methods'
     # portable-hash selection shape + the global-top-k ranking the
     # *_topk entries pin (TakeOrderedAndProject, no global window)
@@ -1063,6 +1080,13 @@ def register_all() -> None:
 
     register("fuzzy_contamination", FUZZY_CONTAMINATION_SQL)(
         q_fuzzy_contamination
+    )
+    # model-targeted data-selection assembly: the full oracle for the
+    # previously tests-only cluster_canonicals + fill_token_budget
+    # (see the module comment at q_selection_pipeline); restates
+    # nb_quality_scores (nested verbatim) and semantic_dedup's closure
+    register("selection_pipeline", _selection_pipeline_sql())(
+        q_selection_pipeline
     )
     # genuinely un-oracle-able entries (engine-internal MLlib hash
     # family / kmeans|| init; HLL sketches) live at the tail so every
@@ -1122,3 +1146,117 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         Rule("linestatus_format", "l_linestatus", "regex", ("[OF]",)),
     ]
     return data_quality_report(li, rules)
+
+
+# ------------------- model-targeted data selection --------------------------
+#
+# Catalog tail: the data-selection assembly (examples/
+# data_selection_demo.py) as ONE oracled relation — and the full-hash
+# oracle for the two assembly ops that previously had only test
+# coverage: dedup.cluster_canonicals (quality-aware canonical election)
+# and scale.fill_token_budget (hard token-budget fill).  Chain:
+#
+#   nb_quality_scores (in-window oracle reused verbatim as a nested
+#     CTE) -> quality-aware semantic dedup over the planted near-dup
+#     embedding corpus (semantic_dedup's reachability closure, but the
+#     canonical is the best-LOG-ODDS member, NULLS LAST, not the min
+#     id) -> selection (pred_keep AND not a dropped duplicate) ->
+#     fill_token_budget (keep the highest-scoring prefix whose token
+#     total fits the budget).
+#
+# The oracle states fill_token_budget's CONTRACT — the kept set is the
+# longest (score DESC, id ASC)-prefix with total tokens <= budget, one
+# running-sum window — while the engine executes the histogram-cutoff
+# plan (scale.py: per-domain token-mass histogram, cumulative mass over
+# n_buckets rows, per-doc ordering only inside the single cutoff
+# bucket).  Equal scores always share a histogram bucket, so the two
+# formulations provably agree; the hash match here is the evidence.
+# Restates in-window shapes: nb_quality_scores (nested verbatim),
+# semantic_dedup/embed_neardup_pairs (planted corpus + closure), and
+# the bounded per-group window rule every *_topk entry pins.
+
+_SELECTION_BUDGET = 2500  # tokens — lands a partial fill at all 3 SFs
+
+
+def _selection_pipeline_sql() -> str:
+    from beyond_vector_search_spark.plans.pretrain_queries import NB_QUALITY_SQL
+
+    return (
+        "WITH RECURSIVE "
+        f"nbq AS MATERIALIZED ({NB_QUALITY_SQL}), "
+        f"{_EMBED_BASE_SQL}, {_EMBED_PAIRS_SQL}, "
+        "near AS (SELECT id_a, id_b FROM pairs WHERE round(cos, 6) >= 0.999), "
+        "edges AS (SELECT id_a AS u, id_b AS v FROM near UNION SELECT id_b, id_a FROM near), "
+        "reach(node, r) AS (SELECT u, u FROM edges "
+        "UNION SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u), "
+        "comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node), "
+        "clus AS (SELECT b.vec_id AS doc_id, coalesce(c.component, b.vec_id) AS cluster_id "
+        "FROM base b LEFT JOIN comp c ON b.vec_id = c.node), "
+        # planted members inherit scores: scaled copies are penalized
+        # duplicates (-1), wobbles are boosted re-crawls (+1) — so for
+        # doc_id < 10 the BOOSTED member out-scores the original and
+        # the election provably diverges from min-id
+        "memsc AS (SELECT doc_id, log_odds AS score FROM nbq "
+        "UNION ALL SELECT doc_id + 100000, log_odds - 1.0 FROM nbq WHERE doc_id < 50 "
+        "UNION ALL SELECT doc_id + 200000, log_odds + 1.0 FROM nbq WHERE doc_id < 10), "
+        # quality-aware canonical election: best rounded score wins,
+        # unscored members rank last, id breaks ties
+        "canon AS (SELECT cl.doc_id, "
+        "row_number() OVER (PARTITION BY cl.cluster_id "
+        "ORDER BY round(s.score, 6) DESC NULLS LAST, cl.doc_id ASC) = 1 AS is_canonical "
+        "FROM clus cl LEFT JOIN memsc s USING (doc_id)), "
+        "dropped AS (SELECT doc_id FROM canon WHERE NOT is_canonical), "
+        "chosen AS (SELECT q.doc_id, q.n_tokens, q.log_odds FROM nbq q "
+        "WHERE q.pred_keep AND q.doc_id NOT IN (SELECT doc_id FROM dropped)) "
+        "SELECT doc_id, '__all__' AS domain, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "round(log_odds, 6) AS score, "
+        "sum(n_tokens) OVER (ORDER BY round(log_odds, 6) DESC, doc_id ASC "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= {_SELECTION_BUDGET} AS kept "
+        "FROM chosen"
+    )
+
+
+def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-targeted data selection, operators chained end to end:
+    NB quality log-odds -> quality-aware semantic dedup (keep each
+    near-dup cluster's best-scoring member) -> token-budget fill over
+    the survivors.  Composition of public operators
+    (pretrain.nb_quality_scores, similarity.embedding_neardup_pairs,
+    dedup.dedup_clusters + cluster_canonicals, scale.fill_token_budget)
+    — the assembly a curation job runs before tokenizer training."""
+    from beyond_vector_search_spark.operators import dedup as dd
+    from beyond_vector_search_spark.operators import pretrain as pt
+    from beyond_vector_search_spark.operators.scale import fill_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = pt.nb_quality_scores(docs, alpha=1.0, cache=True)
+    base = _embed_neardup_base(spark, sf_dir)
+    pairs = sim.embedding_neardup_pairs(base, threshold=0.999)
+    clusters = dd.dedup_clusters(base, pairs, id_col="vec_id", src="id_a", dst="id_b")
+    # planted members inherit scores (copies penalized, wobbles
+    # boosted) so the election exercises its best-member rule, not
+    # just the min-id fallback — see the oracle comment
+    s0 = quality.select("doc_id", F.col("log_odds").alias("score"))
+    scores = (
+        s0.unionByName(
+            s0.where("doc_id < 50").select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                (F.col("score") - 1.0).alias("score"),
+            )
+        ).unionByName(
+            s0.where("doc_id < 10").select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                (F.col("score") + 1.0).alias("score"),
+            )
+        )
+    )
+    canon = dd.cluster_canonicals(clusters.select("doc_id", "cluster_id"), scores)
+    dropped = canon.where(~F.col("is_canonical")).select("doc_id")
+    chosen = (
+        quality.where("pred_keep")
+        .join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "log_odds")
+    )
+    return fill_token_budget(
+        chosen, budget=_SELECTION_BUDGET, score_col="log_odds", token_col="n_tokens"
+    )

@@ -155,6 +155,12 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> ci.CorpusIndex:
         # count proportional to the data instead of the core count.
         n_docs = docs.count()
         target = -(-n_docs // 2500)  # ceil
+        # two-kernel build: at bench SF the texts are ~1 KB and regex
+        # work dominates, so the fused single-text-pass builder
+        # (build_delta_fused) saves nothing here — it wins when the
+        # text column is expensive to scan/ship (measured A/B at sf0.1:
+        # 0.95 s vs 1.03 s; the fused builder's slice pass ~= the saved
+        # second scan at this size)
         delta = ci.build_delta(docs, text="text", cache=False).checkpoint(
             target_partitions=target
         )

@@ -72,6 +72,8 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark; the corpus (with deterministically injected leaks of
     benchmark text) is checked for 8-token-gram collisions against it
     (operators/pretrain.benchmark_contamination)."""
+    from beyond_vector_search_spark.operators.dedup import shingle_rows
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     leaks = bench.select(
@@ -79,7 +81,21 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" leaked benchmark copy")).alias("text"),
     )
     corpus = docs.where(F.col("doc_id") % 97 != 0).unionByName(leaks)
-    return pt.benchmark_contamination(corpus, bench, n=8)
+    # shared-signature shape: ONE shingle kernel pass over originals +
+    # leaks, cached, sliced into the two sides — the bench rows are a
+    # subset of the originals, so shingling corpus and benchmark
+    # separately would scan ~2 passes of text for 1 pass of content
+    all_sh = shingle_rows(
+        docs.unionByName(leaks), id_col="doc_id", text_col="text", n=8
+    ).cache()
+    is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 100000)
+    return pt.benchmark_contamination(
+        corpus,
+        bench,
+        n=8,
+        corpus_shingles=all_sh.where(~is_bench),
+        bench_shingles=all_sh.where(is_bench),
+    )
 
 
 # ------------------------------- PII scrub ---------------------------------

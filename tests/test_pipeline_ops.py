@@ -2565,3 +2565,66 @@ def test_cluster_canonicals_quality_aware(spark):
         per.setdefault(c, 0)
         per[c] += int(can)
     assert all(v == 1 for v in per.values())
+
+
+def test_knn_graph_index_store_roundtrip_append_compact(spark, tmp_path):
+    """KnnGraphIndex (persisted NN-Descent graph, the IVFPQIndex
+    store contract on the graph-ANN backbone): save -> load returns
+    the built graph bit-identically and serves graph_ann_topk
+    row-identically to the fresh graph; append writes ONLY the changed
+    node lists into its own LWW batch yet load reconstructs exactly
+    the in-session nndescent_extend result; up_to_batch=0 time-travels
+    to the original; compact folds the batches with the current view
+    unchanged; and re-saving a rebuilt graph clears stale batches."""
+    import glob
+
+    from beyond_vector_search_spark.operators import similarity as sim
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        "vec_id < 250"
+    )
+    base = emb.where("vec_id < 200")
+    new = emb.where("vec_id >= 200")
+    key = lambda df: sorted(  # noqa: E731
+        (r["node_id"], r["neighbor_id"], r["cos"], r["rank"]) for r in df.collect()
+    )
+
+    idx = sim.KnnGraphIndex.build(base, k=5, iterations=2)
+    store = str(tmp_path / "gstore")
+    idx.save(store)
+    loaded = sim.KnnGraphIndex.load(spark, store)
+    assert loaded.k == 5
+    assert key(loaded.graph) == key(idx.graph)
+
+    # store-backed serving == fresh-graph serving
+    q = emb.where("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+    fresh = sorted(map(tuple, sim.graph_ann_topk(base, q, idx.graph, k=3).collect()))
+    served = sorted(map(tuple, loaded.search(q, base, k=3).collect()))
+    assert served == fresh
+
+    # append: LWW batch holds only the changed lists; the view equals
+    # the in-session extend exactly
+    ext = sim.nndescent_extend(base, new, idx.graph, k=5, iterations=2)
+    after = sim.KnnGraphIndex.append(spark, store, base, new, iterations=2)
+    assert key(after.graph) == key(ext)
+    batch1 = spark.read.parquet(f"{store}/graph/batch_id=1")
+    assert 0 < batch1.select("node_id").distinct().count() < 200 + new.count()
+    # new nodes are all in the batch; untouched base nodes are not
+    assert batch1.where("node_id >= 200").select("node_id").distinct().count() == new.count()
+
+    # time travel: the graph exactly as built
+    hist = sim.KnnGraphIndex.load(spark, store, up_to_batch=0)
+    assert key(hist.graph) == key(idx.graph)
+
+    # compact: view unchanged, one batch directory left
+    view = key(sim.KnnGraphIndex.load(spark, store).graph)
+    compacted = sim.KnnGraphIndex.compact(spark, store)
+    assert key(compacted.graph) == view
+    assert glob.glob(f"{store}/graph/batch_id=*") == [f"{store}/graph/batch_id=0"]
+
+    # re-save over the store: stale batches cleared
+    sim.KnnGraphIndex.append(spark, store, base, new, iterations=2)
+    idx.save(store)
+    assert glob.glob(f"{store}/graph/batch_id=*") == [f"{store}/graph/batch_id=0"]
+    assert key(sim.KnnGraphIndex.load(spark, store).graph) == key(idx.graph)

@@ -333,3 +333,49 @@ def test_fuzzy_contamination_scores_a_stream(spark, tmp_path):
     q.awaitTermination(300)
     got = {(r["doc_id"], r["bench_id"], r["jaccard"]) for r in out}
     assert got == want
+
+
+def test_fuzzy_contamination_shared_state_parity(spark):
+    """fuzzy_contamination with the corpus's PRECOMPUTED dedup state
+    (banded_keys rows + shingle_rows) returns row-identical results to
+    the from-text path — the shared-signature form a pipeline uses
+    after its MinHash dedup pass already signed the corpus.  Also:
+    benchmark_contamination with precomputed shingles on both sides
+    matches its from-text result."""
+    from beyond_vector_search_spark.operators import dedup as dd
+    from beyond_vector_search_spark.operators.pretrain import (
+        benchmark_contamination,
+        fuzzy_contamination,
+    )
+    from beyond_vector_search_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    leaks = bench.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("EDIT "), F.col("text")).alias("text"),
+    )
+    corpus = docs.where(F.col("doc_id") % 97 != 0).unionByName(leaks)
+
+    base = fuzzy_contamination(corpus, bench, threshold=0.5)
+    pre_bands = dd.banded_keys(dd.minhash_signatures(corpus))
+    pre_sh = dd.shingle_rows(corpus, n=3)
+    shared = fuzzy_contamination(
+        corpus, bench, threshold=0.5, corpus_bands=pre_bands, corpus_shingles=pre_sh
+    )
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(shared) == rows(base)
+    assert rows(base)  # the planted leaks actually produce matches
+
+    exact = benchmark_contamination(corpus, bench, n=8)
+    exact_shared = benchmark_contamination(
+        corpus,
+        bench,
+        n=8,
+        corpus_shingles=dd.shingle_rows(corpus, n=8),
+        bench_shingles=dd.shingle_rows(bench, n=8),
+    )
+    assert rows(exact_shared) == rows(exact)
