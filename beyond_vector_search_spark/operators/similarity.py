@@ -3225,8 +3225,15 @@ class KnnGraphIndex:
             ]
             batch_id = max(seen, default=-1) + 1
         cur = cls.load(spark, path)
+        # restrict base to the store's ACTUAL node set: callers may pass
+        # a view over the whole (growing) corpus table, and extend's
+        # base∪new node union must not see a batch id twice
+        node_ids = cur.graph.select(
+            F.col("node_id").alias(id_col)
+        ).distinct()
+        base = base_embeddings.join(node_ids, id_col, "semi")
         new_graph = nndescent_extend(
-            base_embeddings,
+            base,
             new_embeddings,
             cur.graph,
             id_col=id_col,

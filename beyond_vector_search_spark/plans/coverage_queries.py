@@ -1229,7 +1229,15 @@ def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beyond_vector_search_spark.operators.scale import fill_token_budget
 
     docs = load_table(spark, sf_dir, "documents")
-    quality = pt.nb_quality_scores(docs, alpha=1.0, cache=True)
+    # lazy-localCheckpoint the NB relation: the budget fill below
+    # references its lineage ~8x (range agg, histogram, both kept
+    # arms, the final base join) and the canonical election 4x — an
+    # un-truncated NB train+score subtree would re-inline at every
+    # reference (measured: the entry's plan audit went from 380
+    # exchanges / 88 BNL joins to a bounded plan with this cut)
+    quality = pt.nb_quality_scores(docs, alpha=1.0, cache=True).localCheckpoint(
+        eager=False
+    )
     base = _embed_neardup_base(spark, sf_dir)
     pairs = sim.embedding_neardup_pairs(base, threshold=0.999)
     clusters = dd.dedup_clusters(base, pairs, id_col="vec_id", src="id_a", dst="id_b")
@@ -1256,6 +1264,9 @@ def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.where("pred_keep")
         .join(dropped, "doc_id", "left_anti")
         .select("doc_id", "n_tokens", "log_odds")
+        # fill_token_budget fans its input out to ~8 plan references;
+        # truncate here so each reads the materialized selection
+        .localCheckpoint(eager=False)
     )
     return fill_token_budget(
         chosen, budget=_SELECTION_BUDGET, score_col="log_odds", token_col="n_tokens"

@@ -301,3 +301,94 @@ def start_dedup_ingest(
         w = w.trigger(**trigger)
     w = w.option("checkpointLocation", checkpoint or os.path.join(path, "_checkpoint"))
     return w.start()
+
+
+def append_graph_batch(
+    vec_batch: DataFrame,
+    batch_id: int,
+    store_path: str,
+    base_embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **extend_kw,
+) -> bool:
+    """Extend the KnnGraphIndex store at ``store_path`` with ONE
+    micro-batch of vectors (:meth:`KnnGraphIndex.append` — beam-seeded
+    NN-Descent refinement whose cost is the batch's blast radius) and
+    mark the epoch.  Returns False on skip.
+
+    Same idempotence story as :func:`append_vector_batch`: the LWW
+    batch directory is overwrite-idempotent on retry, the marker is
+    the fast-skip + post-compact replay guard, epoch ids offset by +1
+    so streaming batch 0 never collides with the build's batch 0.
+    ``base_embeddings`` must provide vectors for the store's EXISTING
+    node ids (the graph persists structure only); at each epoch the
+    caller passes the corpus as of that epoch — the standard
+    foreachBatch closure over the corpus table.
+    """
+    from beyond_vector_search_spark.operators.similarity import KnnGraphIndex
+
+    spark = vec_batch.sparkSession
+    marker = _batch_marker(store_path, batch_id)
+    if fsutil.exists(spark, marker):
+        return False
+    KnnGraphIndex.append(
+        spark,
+        store_path,
+        base_embeddings,
+        vec_batch,
+        id_col=id_col,
+        vec_col=vec_col,
+        batch_id=batch_id + 1,
+        **extend_kw,
+    )
+    _write_marker(
+        spark, marker, {"batch_id": batch_id, "n_vecs": vec_batch.count()}
+    )
+    return True
+
+
+def start_graph_ingest(
+    vec_stream: DataFrame,
+    store_path: str,
+    base_embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger: dict | None = None,
+    checkpoint: str | None = None,
+    **extend_kw,
+):
+    """Streaming ANN-GRAPH maintenance: tail a streaming embeddings
+    DataFrame and keep the persisted :class:`KnnGraphIndex` at
+    ``store_path`` current (readStream → foreachBatch →
+    ``KnnGraphIndex.append``), the graph twin of
+    :func:`start_vector_ingest`.  Each epoch's work is proportional to
+    the batch and its blast radius, never a graph rebuild; serving
+    jobs observe the new nodes on their next ``load``.
+
+    ``base_embeddings`` is a BATCH DataFrame of the existing corpus
+    vectors; epochs past the first also need the PRIOR epochs'
+    vectors, so pass a view over the growing corpus table (e.g. the
+    parquet directory the same pipeline appends raw vectors into) —
+    it is re-read per epoch inside foreachBatch."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_graph_batch(
+            batch_df,
+            batch_id,
+            store_path,
+            base_embeddings,
+            id_col=id_col,
+            vec_col=vec_col,
+            **extend_kw,
+        )
+
+    w = vec_stream.writeStream.foreachBatch(sink).outputMode("append")
+    if trigger:
+        w = w.trigger(**trigger)
+    w = w.option(
+        "checkpointLocation", checkpoint or os.path.join(store_path, "_checkpoint")
+    )
+    return w.start()

@@ -2051,3 +2051,64 @@ def test_pq_topk_rejects_out_of_range_code_ids(spark):
             sim.pq_topk(
                 emb, q, m=2, dim=dim, codebooks=cb, codes=codes, k=3
             ).collect()
+
+
+def test_streaming_graph_ingest_extends_knn_store(spark, tmp_path):
+    """Streaming ANN-GRAPH maintenance: a file-source embedding stream
+    drains through foreachBatch -> KnnGraphIndex.append; the resulting
+    store view equals the same appends run sequentially in-session, a
+    replayed epoch is skipped by its marker, serving finds a vector
+    that only arrived via the stream, and the base-embeddings view may
+    safely cover the WHOLE corpus (append restricts it to the store's
+    node set)."""
+    from beyond_vector_search_spark.operators import similarity as sim
+    from beyond_vector_search_spark.sources.readers import load_table
+    from beyond_vector_search_spark.streaming.ingest import (
+        append_graph_batch,
+        start_graph_ingest,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        "vec_id < 240"
+    ).localCheckpoint()
+    base = emb.where("vec_id < 200")
+    s1, s2 = emb.where("vec_id >= 200 AND vec_id < 220"), emb.where("vec_id >= 220")
+    key = lambda df: sorted(  # noqa: E731
+        (r["node_id"], r["neighbor_id"], r["cos"], r["rank"]) for r in df.collect()
+    )
+
+    store = str(tmp_path / "gstore")
+    sim.KnnGraphIndex.build(base, k=5, iterations=2).save(store)
+
+    src = tmp_path / "gsrc"
+    src.mkdir()
+    s1.coalesce(1).write.parquet(str(src / "f1"))
+    s2.coalesce(1).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = start_graph_ingest(
+        stream, store, emb, trigger={"availableNow": True}, iterations=2
+    )
+    q.awaitTermination(300)
+
+    # sequential in-session appends over a second store = same view
+    store2 = str(tmp_path / "gstore2")
+    sim.KnnGraphIndex.build(base, k=5, iterations=2).save(store2)
+    sim.KnnGraphIndex.append(spark, store2, emb, s1, batch_id=1, iterations=2)
+    sim.KnnGraphIndex.append(spark, store2, emb, s2, batch_id=2, iterations=2)
+    got = sim.KnnGraphIndex.load(spark, store)
+    assert key(got.graph) == key(sim.KnnGraphIndex.load(spark, store2).graph)
+    assert got.graph.select("node_id").distinct().count() == 240
+
+    # replayed epoch: marker short-circuits
+    assert append_graph_batch(s1, 0, store, emb, iterations=2) is False
+
+    # a streamed-only vector is findable from the stored graph
+    probe = emb.where("vec_id = 230").select(
+        (F.col("vec_id") + 900000).alias("query_id"), "embedding"
+    )
+    hits = {r["neighbor_id"] for r in got.search(probe, emb, k=3, ef=40, rounds=4).collect()}
+    assert 230 in hits
