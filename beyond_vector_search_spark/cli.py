@@ -253,7 +253,16 @@ def cmd_tokenizer(args) -> dict:
             "doc_id", F.concat_ws(" ", "title", "text").alias("text")
         )
     wf = bpe.word_freqs(docs)
-    merges = bpe.bpe_train(wf, n_merges=args.merges, max_words=args.max_words)
+    if getattr(args, "distributed", False):
+        # uncapped cluster trainer: the word table never leaves the
+        # executors (row-identical to the driver loop, pinned by test)
+        merges = bpe.bpe_train_distributed(wf, n_merges=args.merges)
+    elif args.max_words is not None:
+        merges = bpe.bpe_train(wf, n_merges=args.merges, max_words=args.max_words)
+    else:
+        # no explicit cap -> the trainer's own bounded default (1M
+        # words), NOT an uncapped collect
+        merges = bpe.bpe_train(wf, n_merges=args.merges)
     bpe.save_merges(spark, merges, args.out)
     out: dict = {
         "n_merges": len(merges),
@@ -268,6 +277,45 @@ def cmd_tokenizer(args) -> dict:
             .collect()
         )
         out["top_pieces"] = [[r["piece"], r["n_occurrences"]] for r in top]
+    return out
+
+
+def cmd_index(args) -> dict:
+    """Build the corpus index ONCE and persist it — the deployment
+    split the reference never makes (it rebuilds per invocation,
+    run.py:18-23): queries then serve from the saved artifact via
+    ``CorpusIndex.load`` / ``load_bucketed``.  ``--out`` writes the
+    plain-parquet layout (postings/doc_vec repartitioned on their join
+    keys); ``--bucketed-db`` writes bucketed catalog tables
+    (``save_bucketed`` — co-bucketed readers skip the scoring-join
+    shuffles entirely; requires a persistent Hive metastore, so the
+    session is started with hive support when set)."""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.corpus_index import build_index
+
+    if not args.out and not args.bucketed_db:
+        raise SystemExit("index: nothing to do — pass --out and/or --bucketed-db")
+    spark = get_spark("bvs-index", hive=bool(args.bucketed_db))
+    if args.docs_parquet:
+        docs = spark.read.parquet(args.docs_parquet).select("doc_id", "text")
+        idx = build_index(docs)
+    else:
+        corpus = load_corpus(spark, args.corpus)
+        idx = build_index(
+            corpus, text=F.concat_ws(" ", "title", "text")
+        )
+    out: dict = {
+        "n_docs": idx.scalar_values()[0],
+        "avg_dl": idx.scalar_values()[1],
+    }
+    if args.out:
+        idx.save(args.out)
+        out["out"] = args.out
+    if args.bucketed_db:
+        idx.save_bucketed(spark, args.bucketed_db, buckets=args.buckets)
+        out["bucketed_db"] = args.bucketed_db
+        out["buckets"] = args.buckets
     return out
 
 
@@ -328,10 +376,33 @@ def main() -> None:
                     help="alternative input: parquet with (doc_id, text)")
     pt.add_argument("--merges", type=int, default=16)
     pt.add_argument("--max-words", type=int, default=None,
-                    help="cap the trainer's word table to the top-N by mass")
+                    help="cap the trainer's word table to the top-N by mass "
+                         "(default: the trainer's bounded 1M-word cut)")
+    pt.add_argument("--distributed", action="store_true",
+                    help="train with the word table left on the cluster "
+                         "(uncapped; row-identical to the driver loop)")
     pt.add_argument("--out", required=True, help="merge-table parquet path")
     pt.add_argument("--stats", action="store_true",
                     help="also report the corpus's top trained pieces")
+
+    pi = sub.add_parser(
+        "index",
+        help="build the corpus index once and persist it (parquet "
+             "directory and/or bucketed catalog tables)",
+    )
+    pi.add_argument("--corpus", default=DEFAULT_CORPUS,
+                    help="JSONL corpus (reference format)")
+    pi.add_argument("--docs-parquet", default=None,
+                    help="alternative input: parquet with (doc_id, text)")
+    pi.add_argument("--out", default=None,
+                    help="parquet index directory (CorpusIndex.save)")
+    pi.add_argument("--bucketed-db", default=None,
+                    help="also save as bucketed catalog tables under this "
+                         "database (needs a persistent metastore: runs the "
+                         "session with hive support)")
+    pi.add_argument("--buckets", type=int, default=32,
+                    help="bucket count for --bucketed-db (a layout "
+                         "contract — size for the TARGET scale)")
 
     args = p.parse_args()
     cmds = {
@@ -339,6 +410,7 @@ def main() -> None:
         "evaluate": cmd_evaluate,
         "maintain": cmd_maintain,
         "tokenizer": cmd_tokenizer,
+        "index": cmd_index,
     }
     out = cmds[args.cmd](args)
     print(json.dumps(out, indent=2, sort_keys=True))

@@ -2112,3 +2112,50 @@ def test_streaming_graph_ingest_extends_knn_store(spark, tmp_path):
     )
     hits = {r["neighbor_id"] for r in got.search(probe, emb, k=3, ef=40, rounds=4).collect()}
     assert 230 in hits
+
+
+def test_cli_index_persists_servable_index(spark, tmp_path):
+    """`bvs index --out`: the one-off build-and-persist entry point —
+    the saved artifact reloads to an index whose compiled BM25 serve is
+    row-identical to the in-session build, and the tokenizer CLI's
+    default word-table cap is the trainer's bounded default (an
+    unset --max-words must NOT mean an uncapped collect)."""
+    import argparse
+
+    from beyond_vector_search_spark.cli import cmd_index
+    from beyond_vector_search_spark.config import EngineConfig
+    from beyond_vector_search_spark.operators import retrieval as rt
+    from beyond_vector_search_spark.operators.corpus_index import (
+        CorpusIndex,
+        build_index,
+    )
+    from beyond_vector_search_spark.sources.readers import load_corpus
+
+    out_dir = str(tmp_path / "idx")
+    out = cmd_index(
+        argparse.Namespace(
+            corpus="/root/reference/data/corpus.jsonl",
+            docs_parquet=None,
+            out=out_dir,
+            bucketed_db=None,
+            buckets=32,
+        )
+    )
+    assert out["n_docs"] == 200 and out["out"] == out_dir
+
+    fresh = build_index(
+        load_corpus(spark, "/root/reference/data/corpus.jsonl"),
+        text=F.concat_ws(" ", "title", "text"),
+    )
+    loaded = CorpusIndex.load(spark, out_dir)
+    cfg = EngineConfig(include_zero_score_docs=False)
+    qs = [("q1", "INC-49217 details"), ("q2", "vector search index")]
+
+    def serve(idx):
+        comp = rt.compile_query_batch(qs, idx, cfg=cfg)
+        return sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 9))
+            for r in rt.compiled_bm25_scores(idx, comp, cfg=cfg).collect()
+        )
+
+    assert serve(loaded) == serve(fresh)
