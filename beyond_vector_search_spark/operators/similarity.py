@@ -2768,6 +2768,7 @@ def _nndescent_iterate(
     rcap: int,
     samp_cap: int | None,
     prev_edges: DataFrame | None = None,
+    scoped_topk: bool = False,
 ) -> DataFrame:
     """The NN-Descent refinement rounds, shared by the full build
     (:func:`nndescent_knn_graph`, ``prev_edges=None`` — every init edge
@@ -2834,24 +2835,37 @@ def _nndescent_iterate(
                 .where(F.col("_s") <= samp_cap)
                 .drop("_h", "_s")
             )
+        # incremental search: a 2-path proposes a candidate only if at
+        # least one of its edges is new this round — old×old pairs were
+        # co-resident (and thus proposed) in r-1.  Written as the
+        # DISJOINT union new×(new∪old) ∪ old×new rather than a full
+        # self-join with an OR filter: the OR cannot push into either
+        # join input, so the full form's join volume is O(Σdeg²)
+        # regardless of how few edges are new — the split's volume is
+        # O(new·deg), which is what makes a small-batch extend cost its
+        # blast radius instead of the corpus (in the full build's round
+        # 1 every edge is new and the split degenerates to the same
+        # volume as before).  Same candidate set either way.
+        q_side = und.select(
+            F.col("node_id").alias("neighbor_id"),
+            F.col("neighbor_id").alias("cand_id"),
+            F.col("new").alias("qnew"),
+        )
         cand = (
-            und.alias("p")
-            .join(
-                und.select(
-                    F.col("node_id").alias("neighbor_id"),
-                    F.col("neighbor_id").alias("cand_id"),
-                    F.col("new").alias("qnew"),
-                ).alias("q"),
-                "neighbor_id",
+            und.where(F.col("new") == 1)
+            .alias("p")
+            .join(q_side.alias("q"), "neighbor_id")
+            .select("p.node_id", "cand_id")
+            .unionByName(
+                und.where(F.col("new") == 0)
+                .alias("p")
+                .join(
+                    q_side.where(F.col("qnew") == 1).alias("q"), "neighbor_id"
+                )
+                .select("p.node_id", "cand_id")
             )
-            # incremental search: a 2-path proposes a candidate only if
-            # at least one of its edges is new this round — old×old
-            # pairs were co-resident (and thus proposed) in r-1
-            .where(
-                (F.col("p.node_id") != F.col("cand_id"))
-                & ((F.col("p.new") == 1) | (F.col("qnew") == 1))
-            )
-            .select("p.node_id", F.col("cand_id").alias("neighbor_id"))
+            .where(F.col("node_id") != F.col("cand_id"))
+            .select("node_id", F.col("cand_id").alias("neighbor_id"))
             .distinct()
         )
         # skip pairs already in the graph (their cos is known; the
@@ -2860,11 +2874,33 @@ def _nndescent_iterate(
         fresh = cand.join(
             graph.select("node_id", "neighbor_id"), ["node_id", "neighbor_id"], "left_anti"
         )
-        merged = graph.select("node_id", "neighbor_id", "cos").unionByName(
-            _nnd_score(nodes, fresh)
-        )
         prev_edges = g_edges.select("node_id", "neighbor_id")
-        graph = _nnd_topk(merged, L).localCheckpoint()
+        if scoped_topk:
+            # scoped re-top (the EXTEND profile): only nodes that
+            # received a fresh candidate can change this round —
+            # re-rank THEIR merged lists and carry every other node's
+            # (node_id, neighbor_id, cos, rank) rows through unchanged.
+            # Re-ranking an unchanged list reproduces the same rows, so
+            # this is output-identical to the full re-top (pinned by
+            # the extend==scoped parity test); with a small batch the
+            # window work is blast-radius-sized.  A full BUILD touches
+            # nearly every node per round, where the semi/anti joins
+            # are pure overhead — builds keep the unconditional re-top.
+            touched = fresh.select("node_id").distinct()
+            merged = (
+                graph.select("node_id", "neighbor_id", "cos")
+                .join(touched, "node_id", "semi")
+                .unionByName(_nnd_score(nodes, fresh))
+            )
+            untouched = graph.select(
+                "node_id", "neighbor_id", "cos", "rank"
+            ).join(touched, "node_id", "left_anti")
+            graph = _nnd_topk(merged, L).unionByName(untouched).localCheckpoint()
+        else:
+            merged = graph.select("node_id", "neighbor_id", "cos").unionByName(
+                _nnd_score(nodes, fresh)
+            )
+            graph = _nnd_topk(merged, L).localCheckpoint()
 
     return graph
 
@@ -2884,6 +2920,7 @@ def nndescent_extend(
     ef: int | None = None,
     search_rounds: int = 2,
     init_seeds: tuple[int, int] = (1, 2),
+    scoped_topk: bool = True,
 ) -> DataFrame:
     """(node_id, neighbor_id, cos, rank) — the kNN graph over
     ``base ∪ new`` maintained INCREMENTALLY from an existing NN-Descent
@@ -3003,6 +3040,7 @@ def nndescent_extend(
         rcap=rcap,
         samp_cap=samp_cap,
         prev_edges=base_edges.select("node_id", "neighbor_id").localCheckpoint(),
+        scoped_topk=scoped_topk,
     )
     return refined.where(F.col("rank") <= k).select(
         "node_id", "neighbor_id", "cos", "rank"

@@ -2628,3 +2628,22 @@ def test_knn_graph_index_store_roundtrip_append_compact(spark, tmp_path):
     idx.save(store)
     assert glob.glob(f"{store}/graph/batch_id=*") == [f"{store}/graph/batch_id=0"]
     assert key(sim.KnnGraphIndex.load(spark, store).graph) == key(idx.graph)
+
+
+def test_nndescent_extend_scoped_retop_parity(spark):
+    """The extend path's scoped re-top (only blast-radius nodes are
+    re-ranked per round; untouched lists carried through) is
+    row-identical to the unconditional full re-top — the invariant
+    that lets an append cost its blast radius instead of the graph."""
+    from beyond_vector_search_spark.operators import similarity as sim
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        "vec_id < 260"
+    )
+    base, new = emb.where("vec_id < 250"), emb.where("vec_id >= 250")
+    g = sim.nndescent_knn_graph(base, k=5, iterations=2)
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    scoped = sim.nndescent_extend(base, new, g, k=5, iterations=2)
+    full = sim.nndescent_extend(base, new, g, k=5, iterations=2, scoped_topk=False)
+    assert rows(scoped) == rows(full)
