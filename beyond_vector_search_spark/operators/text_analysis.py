@@ -136,3 +136,67 @@ def doc_fingerprint(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "t
         "doc_id",
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("toks"))))).alias("fingerprint"),
     )
+
+
+# The classic UTF-8-decoded-as-cp1252 fingerprints (ftfy's core cases,
+# public knowledge): a lead byte rendered as its own Latin-1 letter
+# followed by continuation bytes rendered as Latin-1 symbols.  Each
+# pattern is a plain regex both Java (Spark) and RE2 (DuckDB) interpret
+# identically over UTF-8 text (explicit code-point ranges, no
+# engine-specific classes).
+MOJIBAKE_PATTERNS = (
+    "\\u00c3[\\u0080-\\u00bf]",  # C3 lead + continuation: cafe/resume mojibake
+    "\\u00e2[\\u0080-\\u00bf][\\u0080-\\u00bf]",  # curly quotes / dashes / euro
+    "\\u00c2[\\u00a0-\\u00bf]",  # stray C2 lead + symbol-row char
+)
+
+
+def encoding_artifacts(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars, n_replacement, n_c1_controls, n_mojibake,
+    artifact_ratio, flag_encoding_artifacts) — encoding-damage
+    detection, the scrub every web-scale corpus runs before training
+    (mojibake text poisons tokenizers and models alike):
+
+    - ``n_replacement``: U+FFFD replacement characters — a decoder
+      already gave up on these bytes;
+    - ``n_c1_controls``: C1 control characters U+0080-U+009F — the
+      signature of cp1252 bytes mis-decoded as Latin-1 (real text never
+      contains them);
+    - ``n_mojibake``: occurrences of the classic UTF-8-as-cp1252
+      multigraphs (:data:`MOJIBAKE_PATTERNS`).
+
+    Pure ``regexp_count`` expressions — whole-stage codegen, one narrow
+    map over the corpus, embarrassingly parallel at any scale (the
+    pii_scrub shape).  ``artifact_ratio`` is per-char and rounded to 6
+    (the catalog's cross-engine boundary rule); the flag trips on ANY
+    artifact — a single U+FFFD already proves the byte stream was
+    damaged, and re-decoding (not thresholding) is the fix.
+    """
+    text = F.col(text_col)
+    n_moj = None
+    for pat in MOJIBAKE_PATTERNS:
+        c = F.regexp_count(text, F.lit(pat))
+        n_moj = c if n_moj is None else (n_moj + c)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text).cast("long").alias("n_chars"),
+        F.regexp_count(text, F.lit("\\ufffd")).cast("long").alias("n_replacement"),
+        F.regexp_count(text, F.lit("[\\u0080-\\u009f]"))
+        .cast("long")
+        .alias("n_c1_controls"),
+        n_moj.cast("long").alias("n_mojibake"),
+    )
+    total = F.col("n_replacement") + F.col("n_c1_controls") + F.col("n_mojibake")
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_replacement",
+        "n_c1_controls",
+        "n_mojibake",
+        F.round(total / F.greatest(F.col("n_chars"), F.lit(1)), 6).alias(
+            "artifact_ratio"
+        ),
+        (total > 0).alias("flag_encoding_artifacts"),
+    )

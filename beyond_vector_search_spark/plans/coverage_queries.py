@@ -1088,6 +1088,9 @@ def register_all() -> None:
     register("selection_pipeline", _selection_pipeline_sql())(
         q_selection_pipeline
     )
+    # encoding-artifact (mojibake) detection over planted damage:
+    # restates pii_scrub_customers' regexp-count-over-derived-text shape
+    register("encoding_artifacts", _ENC_SQL)(q_encoding_artifacts)
     # genuinely un-oracle-able entries (engine-internal MLlib hash
     # family / kmeans|| init; HLL sketches) live at the tail so every
     # driver-window slot carries a hash-checked oracle; their behavior
@@ -1271,3 +1274,57 @@ def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fill_token_budget(
         chosen, budget=_SELECTION_BUDGET, score_col="log_odds", token_col="n_tokens"
     )
+
+
+# ---------------- encoding-artifact (mojibake) detection --------------------
+#
+# Catalog tail: text_analysis.encoding_artifacts over a derived corpus
+# with PLANTED damage — the testdata text is clean ASCII, so (like the
+# PII entry) both engines synthesize byte-identical inputs from
+# customer keys: every 4th doc gets a mojibake digraph, a U+FFFD, or a
+# C1 control; the rest stay clean (incl. a PROPER e-acute, which must
+# not trip anything).  Restates pii_scrub_customers' narrow
+# regexp-count-over-derived-text shape.  The oracle builds its regex
+# patterns by chr() concatenation — bullet-proof against regex escape
+# syntax differences between Java and RE2.
+
+_ENC_SQL = (
+    "WITH docs AS (SELECT c_custkey AS doc_id, 'doc ' || c_name || "
+    "CASE CAST(c_custkey % 4 AS INT) "
+    "WHEN 1 THEN ' caf' || chr(195) || chr(169) || ' quality' "
+    "WHEN 2 THEN ' bad ' || chr(65533) || ' byte' "
+    "WHEN 3 THEN ' ctrl ' || chr(133) || ' x' "
+    "ELSE ' clean caf' || chr(233) END AS text FROM customer), "
+    "counted AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+    "CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT) AS n_replacement, "
+    "CAST(len(regexp_extract_all(text, '[' || chr(128) || '-' || chr(159) || ']')) AS BIGINT) AS n_c1_controls, "
+    "CAST(len(regexp_extract_all(text, chr(195) || '[' || chr(128) || '-' || chr(191) || ']')) "
+    "  + len(regexp_extract_all(text, chr(226) || '[' || chr(128) || '-' || chr(191) || '][' || chr(128) || '-' || chr(191) || ']')) "
+    "  + len(regexp_extract_all(text, chr(194) || '[' || chr(160) || '-' || chr(191) || ']')) AS BIGINT) AS n_mojibake "
+    "FROM docs) "
+    "SELECT doc_id, n_chars, n_replacement, n_c1_controls, n_mojibake, "
+    "round((n_replacement + n_c1_controls + n_mojibake) / greatest(n_chars, 1), 6) AS artifact_ratio, "
+    "(n_replacement + n_c1_controls + n_mojibake) > 0 AS flag_encoding_artifacts "
+    "FROM counted"
+)
+
+
+def q_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage detection (text_analysis.encoding_artifacts —
+    U+FFFD replacement chars, C1 controls, UTF-8-as-cp1252 mojibake
+    multigraphs) over a derived corpus with planted damage; pure
+    regexp_count expressions, one narrow corpus map."""
+    from beyond_vector_search_spark.operators import text_analysis as ta
+
+    cust = load_table(spark, sf_dir, "customer")
+    k4 = (F.col("c_custkey") % 4).cast("int")
+    text = F.concat(
+        F.lit("doc "),
+        F.col("c_name"),
+        F.when(k4 == 1, F.lit(" caf\u00c3\u00a9 quality"))
+        .when(k4 == 2, F.lit(" bad \ufffd byte"))
+        .when(k4 == 3, F.lit(" ctrl \u0085 x"))
+        .otherwise(F.lit(" clean caf\u00e9")),
+    )
+    docs = cust.select(F.col("c_custkey").alias("doc_id"), text.alias("text"))
+    return ta.encoding_artifacts(docs)

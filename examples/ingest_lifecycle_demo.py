@@ -17,6 +17,10 @@ Stages:
      time travel (up_to_batch=0) shows the pre-ingest index
   5. maintenance: `IVFPQIndex.compact` folds the append directories
      (what `bvs maintain --ivfpq-dir` runs); results unchanged
+  6. the GRAPH ANN store walks the same lifecycle: KnnGraphIndex
+     build+save, blast-radius append of the batch (LWW node lists),
+     beam-search serving that finds a batch-only vector, and
+     `compact` (what `bvs maintain --graph-dir` runs)
 """
 
 from __future__ import annotations
@@ -101,6 +105,34 @@ def main() -> None:
     top_c = [r.neighbor_id for r in compacted.search(q, k=3, nprobe=2).collect()]
     assert top_c == top_full, "compaction must not change results"
     print(f"compacted: {n_files} -> {n_after} code files; serving unchanged")
+
+    # -- 6. the GRAPH ANN store: same lifecycle over structure ---------
+    graph_dir = f"{store}/knn_graph"
+    sim.KnnGraphIndex.build(base_emb, k=5, iterations=2).save(graph_dir)
+    gidx = sim.KnnGraphIndex.append(spark, graph_dir, emb, new_emb, iterations=2)
+    n_changed = (
+        spark.read.parquet(f"{graph_dir}/graph/batch_id=1")
+        .select("node_id")
+        .distinct()
+        .count()
+    )
+    n_nodes = gidx.graph.select("node_id").distinct().count()
+    print(
+        f"graph store appended: batch 1 rewrote {n_changed}/{n_nodes} "
+        "node lists (the blast radius, not the graph)"
+    )
+    # offset the query id: graph serving excludes self-id matches (a
+    # corpus-drawn query would otherwise retrieve itself), so an
+    # unknown id proves the batch-only VECTOR is reachable
+    gq = q.select((F.col("query_id") + 9_000_000).alias("query_id"), "embedding")
+    top_g = [
+        r.neighbor_id for r in gidx.search(gq, emb, k=3, ef=24, rounds=4).collect()
+    ]
+    assert probe_id in top_g, "a batch-only vector must be findable"
+    print(f"graph serve: top3 for vec {probe_id} = {top_g}")
+    gc = sim.KnnGraphIndex.compact(spark, graph_dir)
+    assert gc.graph.count() == gidx.graph.count()
+    print("graph store compacted; current view unchanged")
 
 
 if __name__ == "__main__":

@@ -86,3 +86,34 @@ def test_fan_out_config_modes(spark):
     finally:
         spark.conf.unset("spark.bvs.fanout")
     assert fan_out(df).count() == 10  # auto default still works
+
+
+def test_encoding_artifacts_hand_computed(spark):
+    """Mojibake detection: U+FFFD, C1 controls, and UTF-8-as-cp1252
+    multigraphs each counted; a PROPERLY encoded e-acute trips nothing;
+    ratio rounded to 6; flag on any artifact."""
+    from beyond_vector_search_spark.operators.text_analysis import (
+        encoding_artifacts,
+    )
+
+    rows = [
+        (1, "clean caf\u00e9 text"),
+        (2, "caf\u00c3\u00a9 r\u00c3\u00a9sum\u00c3\u00a9"),
+        (3, "bad \ufffd byte"),
+        (4, "ctrl \u0085 here"),
+        (5, "quote \u00e2\u0080\u0099 nbsp \u00c2\u00a0x"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in encoding_artifacts(df).collect()}
+    assert not got[1]["flag_encoding_artifacts"]
+    assert got[2]["n_mojibake"] == 3 and got[2]["n_replacement"] == 0
+    assert got[3]["n_replacement"] == 1
+    assert got[4]["n_c1_controls"] == 1 and got[4]["n_mojibake"] == 0
+    # the cp1252 trigraph counts as mojibake AND its continuation
+    # bytes land in the C1 range — both signals fire by design
+    assert got[5]["n_mojibake"] == 2 and got[5]["n_c1_controls"] == 2
+    assert got[6]["n_chars"] == 0 and not got[6]["flag_encoding_artifacts"]
+    r2 = got[2]
+    assert r2["artifact_ratio"] == round(3 / r2["n_chars"], 6)
+    assert all(got[i]["flag_encoding_artifacts"] for i in (2, 3, 4, 5))
