@@ -2249,6 +2249,11 @@ class IVFPQIndex:
         partition column inside every batch directory).  Repeated
         appends accumulate one file set per (batch, bucket) — compact
         with ``bvs maintain --ivfpq-dir`` when file counts grow.
+        SINGLE-WRITER contract (same as every directory-layout store
+        without a coordination service): two concurrent appends with
+        auto-assigned ids can claim the same batch directory —
+        serialize appends (the streaming sink's foreachBatch already
+        does) or pass explicit disjoint ``batch_id``s.
         Returns the re-loaded index."""
         if batch_id is None:
             batch_id = cls._next_batch_id(spark, path)
@@ -3251,8 +3256,12 @@ class KnnGraphIndex:
         nodes + rewritten base neighborhoods) into their own
         ``graph/batch_id=N`` directory.  Retried batch ids overwrite
         their own directory — the IVFPQIndex.append idempotence
-        contract.  ``base_embeddings`` must cover the store's existing
-        node ids (vectors live outside the store, see ``search``)."""
+        contract, including its SINGLE-WRITER caveat (serialize
+        appends or pass explicit disjoint batch ids).
+        ``base_embeddings`` must cover the store's existing node ids
+        (vectors live outside the store, see ``search``); a view over
+        the whole corpus is fine — it is restricted to the store's
+        node set below."""
         from beyond_vector_search_spark.sources import fsutil
 
         if batch_id is None:
