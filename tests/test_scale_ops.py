@@ -2159,3 +2159,66 @@ def test_cli_index_persists_servable_index(spark, tmp_path):
         )
 
     assert serve(loaded) == serve(fresh)
+
+
+def test_fsutil_hadoop_fs_roundtrip(spark, tmp_path):
+    """sources/fsutil — the Hadoop-FS helpers every store maintenance
+    path routes through: exists/list/delete/rename/write_text behave
+    like their posix counterparts on local paths (and are the SAME
+    calls that hit HDFS/S3A on a cluster)."""
+    from beyond_vector_search_spark.sources import fsutil
+
+    root = str(tmp_path / "fs")
+    assert fsutil.exists(spark, root) is False
+    assert fsutil.list_names(spark, root) == []
+    fsutil.write_text(spark, f"{root}/a/m.json", '{"k": 1}')
+    assert fsutil.exists(spark, f"{root}/a/m.json")
+    assert fsutil.list_names(spark, f"{root}/a") == ["m.json"]
+    fsutil.mkdirs(spark, f"{root}/b")
+    assert sorted(fsutil.list_names(spark, root)) == ["a", "b"]
+    # rename: refuses missing sources; moves directories atomically
+    assert fsutil.rename(spark, f"{root}/nope", f"{root}/c") is False
+    assert fsutil.rename(spark, f"{root}/a", f"{root}/c") is True
+    assert fsutil.list_names(spark, f"{root}/c") == ["m.json"]
+    # overwrite via write_text
+    fsutil.write_text(spark, f"{root}/c/m.json", "x")
+    assert fsutil.delete(spark, f"{root}/c") is True
+    assert fsutil.delete(spark, f"{root}/c") is False
+    assert sorted(fsutil.list_names(spark, root)) == ["b"]
+
+
+def test_cli_maintain_graph_dir(spark, tmp_path):
+    """`bvs maintain --graph-dir` compacts an appended KnnGraphIndex
+    store: the LWW view is row-identical before/after and the batch
+    directories fold to one."""
+    import argparse
+    import glob
+
+    import numpy as np
+
+    from beyond_vector_search_spark.cli import cmd_maintain
+    from beyond_vector_search_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((60, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    store = str(tmp_path / "g")
+    sim.KnnGraphIndex.build(emb.where("vec_id < 50"), k=3, iterations=1).save(store)
+    sim.KnnGraphIndex.append(
+        spark, store, emb, emb.where("vec_id >= 50"), iterations=1
+    )
+    before = sorted(
+        map(tuple, sim.KnnGraphIndex.load(spark, store).graph.collect())
+    )
+    out = cmd_maintain(
+        argparse.Namespace(db=None, delta_dir=None, partitions=None,
+                           ivfpq_dir=None, graph_dir=store)
+    )
+    assert out["graph_view_rows"] == len(before)
+    assert sorted(
+        map(tuple, sim.KnnGraphIndex.load(spark, store).graph.collect())
+    ) == before
+    assert glob.glob(f"{store}/graph/batch_id=*") == [f"{store}/graph/batch_id=0"]
