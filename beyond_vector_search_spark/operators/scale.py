@@ -490,3 +490,61 @@ def fill_token_budget(
             F.coalesce("kept", F.lit(False)).alias("kept"),
         )
     )
+
+
+def cluster_aware_split(
+    clusters: DataFrame,
+    *,
+    fractions: dict[str, float] | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """(doc_id, cluster_id, split) — leakage-free train/val/test
+    assignment: the split is a pure function of the CLUSTER id, so
+    every member of a near-duplicate cluster lands in the SAME split
+    by construction.
+
+    This is the assignment a training pipeline must use after dedup:
+    splitting on doc_id leaks — a near-duplicate pair straddling
+    train/test is exactly the contamination the decontamination sweeps
+    hunt (lightly edited copies of eval text), self-inflicted.
+    Hashing the cluster id (dedup_clusters / cluster_canonicals
+    output, or any grouping key — URL host, source document of chunks)
+    closes that path for every grouping the dedup pass can see.
+
+    Determinism contract: the portable seeded md5 hash
+    (functions.hashing.hash64 — reproducible across engines, runs,
+    partitionings) maps each cluster to [0, 1e6); cumulative fraction
+    boundaries assign splits in the ``fractions`` dict's insertion
+    order.  Fractions must sum to 1 (exact boundary arithmetic on the
+    integer grid: boundary_i = round(cum_i * 1e6), so both engines cut
+    at identical integers).  One narrow map — no shuffle, no join; at
+    100 TB the split column costs nothing.
+    """
+    fracs = fractions if fractions is not None else {
+        "train": 0.9, "val": 0.05, "test": 0.05,
+    }
+    if not fracs:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fracs.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    from beyond_vector_search_spark.functions.hashing import hash64
+
+    h = F.pmod(hash64(F.col(cluster_col), seed), F.lit(1_000_000))
+    cum = 0.0
+    expr = None
+    bounds: list[tuple[str, int]] = []
+    for name, frac in fracs.items():
+        cum += float(frac)
+        bounds.append((name, int(round(cum * 1_000_000))))
+    # last boundary is exactly 1e6 (sum checked above) — no fallthrough
+    for name, bound in bounds:
+        cond = h < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return clusters.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(cluster_col).alias("cluster_id"),
+        expr.alias("split"),
+    )

@@ -1091,6 +1091,9 @@ def register_all() -> None:
     # encoding-artifact (mojibake) detection over planted damage:
     # restates pii_scrub_customers' regexp-count-over-derived-text shape
     register("encoding_artifacts", _ENC_SQL)(q_encoding_artifacts)
+    # leakage-free cluster-aware splits: restates sampling_methods'
+    # portable-hash selection + semantic_dedup's closure
+    register("cluster_splits", _CLUSTER_SPLITS_SQL)(q_cluster_splits)
     # genuinely un-oracle-able entries (engine-internal MLlib hash
     # family / kmeans|| init; HLL sketches) live at the tail so every
     # driver-window slot carries a hash-checked oracle; their behavior
@@ -1328,3 +1331,52 @@ def q_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = cust.select(F.col("c_custkey").alias("doc_id"), text.alias("text"))
     return ta.encoding_artifacts(docs)
+
+
+# ----------------- leakage-free cluster-aware splits -------------------------
+#
+# Catalog tail: scale.cluster_aware_split over the planted near-dup
+# corpus's clusters (semantic_dedup's closure) — train/val/test is a
+# pure function of the CLUSTER id, so a near-duplicate pair can never
+# straddle splits (the self-inflicted contamination path the
+# decontamination sweeps hunt).  Restates sampling_methods' portable
+# seeded-md5-hash selection shape + semantic_dedup's reachability
+# closure; the 60-bit hash arithmetic is the same
+# functions.hashing.hash64 contract every sampling oracle already pins.
+
+_CLUSTER_SPLITS_SQL = (
+    "WITH RECURSIVE "
+    f"{_EMBED_BASE_SQL}, {_EMBED_PAIRS_SQL}, "
+    "near AS (SELECT id_a, id_b FROM pairs WHERE round(cos, 6) >= 0.999), "
+    "edges AS (SELECT id_a AS u, id_b AS v FROM near UNION SELECT id_b, id_a FROM near), "
+    "reach(node, r) AS (SELECT u, u FROM edges "
+    "UNION SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u), "
+    "comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node), "
+    "clus AS (SELECT b.vec_id AS doc_id, coalesce(c.component, b.vec_id) AS cluster_id "
+    "FROM base b LEFT JOIN comp c ON b.vec_id = c.node), "
+    "hashed AS (SELECT doc_id, cluster_id, "
+    "CAST('0x' || substring(md5('42:' || CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS h "
+    "FROM clus) "
+    "SELECT doc_id, cluster_id, "
+    "CASE WHEN h < 900000 THEN 'train' WHEN h < 950000 THEN 'val' "
+    "WHEN h < 1000000 THEN 'test' END AS split FROM hashed"
+)
+
+
+def q_cluster_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free dataset splits (scale.cluster_aware_split): every
+    member of a near-dup cluster lands in the same train/val/test
+    split because the assignment hashes the CLUSTER id — splitting on
+    doc_id would let lightly-edited duplicates straddle train/test,
+    the exact contamination decontamination sweeps exist to catch."""
+    from beyond_vector_search_spark.operators import dedup as dd
+    from beyond_vector_search_spark.operators.scale import cluster_aware_split
+
+    base = _embed_neardup_base(spark, sf_dir)
+    pairs = sim.embedding_neardup_pairs(base, threshold=0.999)
+    clusters = dd.dedup_clusters(base, pairs, id_col="vec_id", src="id_a", dst="id_b")
+    return cluster_aware_split(
+        clusters.select("doc_id", "cluster_id"),
+        fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+        seed=42,
+    )

@@ -2222,3 +2222,44 @@ def test_cli_maintain_graph_dir(spark, tmp_path):
         map(tuple, sim.KnnGraphIndex.load(spark, store).graph.collect())
     ) == before
     assert glob.glob(f"{store}/graph/batch_id=*") == [f"{store}/graph/batch_id=0"]
+
+
+def test_cluster_aware_split_leakage_free(spark):
+    """cluster_aware_split: every member of a cluster shares one split
+    (leakage-free by construction), the assignment is a pure function
+    of (cluster_id, seed) — stable under repartitioning and row order —
+    fractions roughly hold at scale, and bad fraction dicts are
+    rejected."""
+    import pytest
+    from collections import Counter
+
+    from beyond_vector_search_spark.operators.scale import cluster_aware_split
+
+    df = spark.createDataFrame(
+        [(i, i // 4) for i in range(4000)], "doc_id long, cluster_id long"
+    )
+    out = cluster_aware_split(df, fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    per_cluster = {}
+    for r in rows:
+        per_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in per_cluster.values())
+    counts = Counter(r["split"] for r in rows)
+    assert 0.7 < counts["train"] / 4000 < 0.9
+    assert counts["val"] > 0 and counts["test"] > 0
+
+    # stable under repartitioning (portable hash, not rand())
+    again = cluster_aware_split(
+        df.repartition(17), fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+    # a different seed moves clusters between splits
+    other = cluster_aware_split(
+        df, fractions={"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+    assert sorted(map(tuple, other.collect())) != sorted(map(tuple, rows))
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        cluster_aware_split(df, fractions={"train": 0.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        cluster_aware_split(df, fractions={})
