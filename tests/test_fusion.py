@@ -175,7 +175,17 @@ def test_mmr_rerank_releases_candidate_cache(spark, tiny_index):
         assert out.count() > 0
         del out
         gc.collect()
-    # every dropped result released its candidate cache
+    # every dropped result released its candidate cache.  The release
+    # path is a weakref finalizer over py4j handles: reference cycles
+    # can need a second GC pass, and the JVM-side deregistration is not
+    # instantaneous — poll with a deadline instead of asserting on the
+    # first observation (was a rare flake under full-suite load)
+    import time
+
+    deadline = time.time() + 30
+    while n_persistent() != base and time.time() < deadline:
+        gc.collect()
+        time.sleep(0.5)
     assert n_persistent() == base
 
 
