@@ -208,7 +208,7 @@ def cmd_maintain(args) -> dict:
     if ivfpq_dir:
         from beyond_vector_search_spark.operators.similarity import IVFPQIndex
 
-        n_before = spark.read.parquet(f"{ivfpq_dir}/codes").count()
+        n_before = IVFPQIndex.load(spark, ivfpq_dir).codes.count()
         compacted = IVFPQIndex.compact(spark, ivfpq_dir)
         n_after = compacted.codes.count()
         if n_before != n_after:  # pure rewrite: any row delta is a bug

@@ -409,6 +409,13 @@ def fill_token_budget(
     else:
         based = base.withColumn("budget", F.lit(int(budget)).cast("long"))
 
+    # Single-domain inputs carry the constant lit("__all__") domain on
+    # BOTH sides of every small-relation join below; Catalyst constant-
+    # folds the equi-key away and would degrade those joins to
+    # CartesianProduct (left x right repartition instead of a
+    # broadcast).  Drop the folded key and broadcast-cross explicitly.
+    single = domain_col is None
+
     # (a) per-domain score range; (b) token-mass histogram
     rng = based.groupBy("domain").agg(
         F.min("score").alias("lo"), F.max("score").alias("hi")
@@ -423,7 +430,11 @@ def fill_token_budget(
             F.lit(nb - 1),
         )
     ).cast("int")
-    bb = based.join(rng, "domain").withColumn("bucket", bucket)
+    if single:
+        bb = based.crossJoin(F.broadcast(rng.select("lo", "hi")))
+    else:
+        bb = based.join(F.broadcast(rng), "domain")
+    bb = bb.withColumn("bucket", bucket)
     hist = bb.groupBy("domain", "bucket").agg(
         F.sum("n_tokens").alias("mass")
     )
@@ -436,9 +447,19 @@ def fill_token_budget(
     cum = hist.withColumn("cum", F.sum("mass").over(w)).withColumn(
         "cum_before", F.col("cum") - F.col("mass")
     )
-    bdg = based.select("domain", "budget").distinct()
+    if isinstance(budget, dict):
+        # bdf IS the per-domain budget relation — join it directly
+        # (broadcast, absent domains -> 0) instead of re-deriving a
+        # distinct over `based`'s full lineage
+        budgeted = cum.join(F.broadcast(bdf), "domain", "left").withColumn(
+            "budget", F.coalesce("budget", F.lit(0).cast("long"))
+        )
+    else:
+        budgeted = cum.withColumn(
+            "budget", F.lit(int(budget)).cast("long")
+        )
     cutoffs = (
-        cum.join(bdg, "domain")
+        budgeted
         .withColumn("full", F.col("cum") <= F.col("budget"))
         .withColumn(
             "is_cutoff",
@@ -451,7 +472,10 @@ def fill_token_budget(
         F.col("bucket").alias("cut_bucket"),
         (F.col("budget") - F.col("cum_before")).alias("remaining"),
     )
-    kept_full = bb.join(full_buckets, ["domain", "bucket"], "semi").select(
+    full_keys = ["bucket"] if single else ["domain", "bucket"]
+    kept_full = bb.join(
+        F.broadcast(full_buckets.select(*full_keys)), full_keys, "semi"
+    ).select(
         "domain", "doc_id", "n_tokens", "score", F.lit(True).alias("kept")
     )
     # (d) partial fill inside the single cutoff bucket (cut derives
@@ -460,11 +484,12 @@ def fill_token_budget(
     cutr = cut.select(
         F.col("domain").alias("_cut_domain"), "cut_bucket", "remaining"
     )
-    in_cut = bb.join(
-        cutr,
-        (F.col("domain") == F.col("_cut_domain"))
-        & (F.col("bucket") == F.col("cut_bucket")),
-    ).select("domain", "doc_id", "n_tokens", "score", "remaining")
+    cut_cond = F.col("bucket") == F.col("cut_bucket")
+    if not single:
+        cut_cond = cut_cond & (F.col("domain") == F.col("_cut_domain"))
+    in_cut = bb.join(F.broadcast(cutr), cut_cond).select(
+        "domain", "doc_id", "n_tokens", "score", "remaining"
+    )
     wc = (
         Window.partitionBy("domain")
         .orderBy(F.desc("score"), F.asc("doc_id"))

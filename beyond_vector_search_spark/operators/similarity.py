@@ -2092,16 +2092,21 @@ class IVFPQIndex:
         # markers that would make replayed streaming epochs silently
         # skip — would survive and corrupt the next load's merge.
         # Delete the whole code log and marker set before writing.
-        fsutil.delete(spark, f"{path}/codes")
+        fsutil.purge_versions(spark, path, "codes")
         fsutil.delete(spark, f"{path}/_batches")
-        # two-level code layout: codes/batch_id=N/centroid_id=M — the
-        # initial build is batch 0; each later ``append`` gets its own
-        # batch directory (retry-idempotent overwrites, the IndexDelta
-        # ingest layout), and centroid_id stays a partition column so a
-        # search's probed buckets still prune to their own directories
+        # two-level code layout: codes-v0/batch_id=N/centroid_id=M —
+        # the initial build is batch 0; each later ``append`` gets its
+        # own batch directory (retry-idempotent overwrites, the
+        # IndexDelta ingest layout), and centroid_id stays a partition
+        # column so a search's probed buckets still prune to their own
+        # directories.  The version level belongs to ``compact``'s
+        # pointer-file commit protocol (sources/fsutil.py): readers
+        # resolve the highest committed codes-v{N}, so a compaction
+        # rewrite is one atomic marker create, never a rename.
         self.codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
-            f"{path}/codes/batch_id=0"
+            f"{path}/codes-v0/batch_id=0"
         )
+        fsutil.commit_version(spark, path, "codes", 0)
         spark.createDataFrame(
             [(self.m, self.dim)], "m INT, dim INT"
         ).write.mode("overwrite").parquet(f"{path}/meta")
@@ -2117,12 +2122,16 @@ class IVFPQIndex:
         newer batch directories at the scan; quantizer and codebooks
         are frozen at build time, so the historical index is exact,
         not an approximation."""
+        from beyond_vector_search_spark.sources import fsutil
+
         meta = spark.read.parquet(f"{path}/meta").first()
-        # a retried append / compact REWRITES directories this session
-        # may have already listed — drop Spark's cached file listing for
-        # the codes path so the new plan sees the files that exist now
-        spark.catalog.refreshByPath(f"{path}/codes")
-        codes = spark.read.parquet(f"{path}/codes")
+        root = fsutil.resolve_version(spark, path, "codes")
+        # a retried append REWRITES directories this session may have
+        # already listed — drop Spark's cached file listing for the
+        # resolved codes root so the new plan sees the files that
+        # exist now (compact never rewrites: it commits a NEW root)
+        spark.catalog.refreshByPath(root)
+        codes = spark.read.parquet(root)
         if up_to_batch is not None:
             codes = codes.where(F.col("batch_id") <= up_to_batch)
         return cls(
@@ -2217,7 +2226,9 @@ class IVFPQIndex:
 
         seen = [
             int(d.split("=", 1)[1])
-            for d in fsutil.list_names(spark, f"{path}/codes")
+            for d in fsutil.list_names(
+                spark, fsutil.resolve_version(spark, path, "codes")
+            )
             if d.startswith("batch_id=")
         ]
         return max(seen, default=-1) + 1
@@ -2255,12 +2266,15 @@ class IVFPQIndex:
         serialize appends (the streaming sink's foreachBatch already
         does) or pass explicit disjoint ``batch_id``s.
         Returns the re-loaded index."""
+        from beyond_vector_search_spark.sources import fsutil
+
         if batch_id is None:
             batch_id = cls._next_batch_id(spark, path)
+        root = fsutil.resolve_version(spark, path, "codes")
         base = cls.load(spark, path)
         base.encode(new_embeddings, id_col=id_col, vec_col=vec_col).write.mode(
             "overwrite"
-        ).partitionBy("centroid_id").parquet(f"{path}/codes/batch_id={batch_id}")
+        ).partitionBy("centroid_id").parquet(f"{root}/batch_id={batch_id}")
         return cls.load(spark, path)
 
     @classmethod
@@ -2270,39 +2284,29 @@ class IVFPQIndex:
         (repartition on centroid_id before the partitioned rewrite →
         each bucket's rows land in a single task).  Same contract as
         ``IndexDelta.compact``: a pure rewrite — rows identical, file
-        count shrinks — run it off the ingest path; writes to
-        ``codes.compact`` then swaps so a crash leaves a loadable
-        store at every step.  Wired into ``bvs maintain --ivfpq-dir``.
-        Any streaming-ingest batch markers under ``_batches`` survive,
-        so a replayed old epoch cannot re-add rows after the fold.
+        count shrinks — run it off the ingest path.  Wired into
+        ``bvs maintain --ivfpq-dir``.  Any streaming-ingest batch
+        markers under ``_batches`` survive, so a replayed old epoch
+        cannot re-add rows after the fold.
 
-        Swap order is rename-aside, not delete-then-move: the old tree
-        goes to ``codes.old`` FIRST, the compacted tree renames in,
-        and only then is the old copy deleted — a crash between any
-        two steps leaves either the original or the compacted codes
-        directory present (never neither).  Renames go through the
-        Hadoop FileSystem (atomic on posix/HDFS; see
-        sources/fsutil.py for the S3A caveat)."""
+        Commit protocol is the versioned pointer file, NOT rename
+        (sources/fsutil.py): the folded copy is built in full under a
+        fresh ``codes-v{N+1}`` directory, then committed by ONE
+        atomic marker-file create, then older versions are
+        garbage-collected.  A crash at any step leaves a consistent,
+        loadable store on every filesystem Spark runs against —
+        including S3A, where directory rename is a non-atomic copy
+        and the old rename-aside swap was only best-effort."""
         from beyond_vector_search_spark.sources import fsutil
 
-        codes = spark.read.parquet(f"{path}/codes").drop("batch_id")
-        tmp = f"{path}/codes.compact"
-        old = f"{path}/codes.old"
-        final = f"{path}/codes"
+        root = fsutil.resolve_version(spark, path, "codes")
+        codes = spark.read.parquet(root).drop("batch_id")
+        n = fsutil.next_version(spark, path, "codes")
         codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
             "centroid_id"
-        ).parquet(f"{tmp}/batch_id=0")
-        # leftover .old from a previous crashed compact: the final
-        # codes dir exists (invariant above), so the orphan is safe to
-        # clear before taking its name
-        fsutil.delete(spark, old)
-        if not fsutil.rename(spark, final, old):
-            raise IOError(f"compact: cannot move {final} aside")
-        if not fsutil.rename(spark, tmp, final):
-            # restore the original before failing
-            fsutil.rename(spark, old, final)
-            raise IOError(f"compact: cannot move {tmp} into place")
-        fsutil.delete(spark, old)
+        ).parquet(f"{path}/codes-v{n}/batch_id=0")
+        fsutil.commit_version(spark, path, "codes", n)
+        fsutil.gc_versions(spark, path, "codes")
         return cls.load(spark, path)
 
 
@@ -3158,7 +3162,8 @@ class KnnGraphIndex:
     invocation, run.py:18-23; this store is what makes the graph a
     long-lived serving asset).
 
-    Layout: ``{path}/graph/batch_id=N`` parquet + ``{path}/meta``.
+    Layout: ``{path}/graph-v{V}/batch_id=N`` parquet + ``{path}/meta``
+    (V = compaction epoch, committed via the fsutil pointer protocol).
     Unlike IVFPQ codes (purely additive), an incremental graph update
     (:func:`nndescent_extend`) REWRITES the neighbor lists of affected
     base nodes, so batches are LAST-WRITER-WINS per node: batch N holds
@@ -3184,10 +3189,13 @@ class KnnGraphIndex:
         spark = self.graph.sparkSession
         # same stale-store discipline as IVFPQIndex.save: a re-saved
         # (rebuilt) graph must clear old append batches — their node
-        # lists would otherwise LWW-shadow the fresh build's
-        fsutil.delete(spark, f"{path}/graph")
+        # lists would otherwise LWW-shadow the fresh build's.  Same
+        # versioned layout too: data under graph-v{N}, current version
+        # committed by a marker file (sources/fsutil.py protocol).
+        fsutil.purge_versions(spark, path, "graph")
         fsutil.delete(spark, f"{path}/_batches")
-        self.graph.write.mode("overwrite").parquet(f"{path}/graph/batch_id=0")
+        self.graph.write.mode("overwrite").parquet(f"{path}/graph-v0/batch_id=0")
+        fsutil.commit_version(spark, path, "graph", 0)
         spark.createDataFrame([(self.k,)], "k INT").write.mode("overwrite").parquet(
             f"{path}/meta"
         )
@@ -3196,9 +3204,12 @@ class KnnGraphIndex:
     def load(
         cls, spark, path: str, *, up_to_batch: int | None = None
     ) -> "KnnGraphIndex":
+        from beyond_vector_search_spark.sources import fsutil
+
         meta = spark.read.parquet(f"{path}/meta").first()
-        spark.catalog.refreshByPath(f"{path}/graph")
-        g = spark.read.parquet(f"{path}/graph")
+        root = fsutil.resolve_version(spark, path, "graph")
+        spark.catalog.refreshByPath(root)
+        g = spark.read.parquet(root)
         if up_to_batch is not None:
             g = g.where(F.col("batch_id") <= up_to_batch)
         latest = g.groupBy("node_id").agg(F.max("batch_id").alias("batch_id"))
@@ -3264,10 +3275,11 @@ class KnnGraphIndex:
         node set below."""
         from beyond_vector_search_spark.sources import fsutil
 
+        root = fsutil.resolve_version(spark, path, "graph")
         if batch_id is None:
             seen = [
                 int(d.split("=", 1)[1])
-                for d in fsutil.list_names(spark, f"{path}/graph")
+                for d in fsutil.list_names(spark, root)
                 if d.startswith("batch_id=")
             ]
             batch_id = max(seen, default=-1) + 1
@@ -3297,29 +3309,22 @@ class KnnGraphIndex:
         )
         new_graph.join(changed, "node_id", "semi").write.mode(
             "overwrite"
-        ).parquet(f"{path}/graph/batch_id={batch_id}")
+        ).parquet(f"{root}/batch_id={batch_id}")
         return cls.load(spark, path)
 
     @classmethod
     def compact(cls, spark, path: str) -> "KnnGraphIndex":
         """Fold the LWW batch directories into a single batch 0 holding
         the current view (rows identical to ``load`` before/after —
-        the maintain-time rewrite, same rename-aside swap discipline
-        as IVFPQIndex.compact)."""
+        the maintain-time rewrite, same versioned pointer-file commit
+        as IVFPQIndex.compact: build graph-v{N+1} in full, commit with
+        one atomic marker create, GC older versions — crash-safe on
+        any filesystem, including S3A)."""
         from beyond_vector_search_spark.sources import fsutil
 
         cur = cls.load(spark, path)
-        tmp, old, final = (
-            f"{path}/graph.compact",
-            f"{path}/graph.old",
-            f"{path}/graph",
-        )
-        cur.graph.write.mode("overwrite").parquet(f"{tmp}/batch_id=0")
-        fsutil.delete(spark, old)
-        if not fsutil.rename(spark, final, old):
-            raise IOError(f"compact: cannot move {final} aside")
-        if not fsutil.rename(spark, tmp, final):
-            fsutil.rename(spark, old, final)
-            raise IOError(f"compact: cannot move {tmp} into place")
-        fsutil.delete(spark, old)
+        n = fsutil.next_version(spark, path, "graph")
+        cur.graph.write.mode("overwrite").parquet(f"{path}/graph-v{n}/batch_id=0")
+        fsutil.commit_version(spark, path, "graph", n)
+        fsutil.gc_versions(spark, path, "graph")
         return cls.load(spark, path)

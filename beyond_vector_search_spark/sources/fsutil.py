@@ -16,11 +16,28 @@ These are DRIVER-side control-plane calls (a handful per batch/epoch),
 so py4j round-trip cost is irrelevant; the data plane stays in
 ``DataFrame.write``.
 
-One caveat worth stating where compaction relies on it: Hadoop
-``rename`` on file:// and hdfs:// is atomic directory move; on S3A it
-is a COPY (non-atomic, O(data)).  The compact/swap sequences below are
-therefore crash-safe on posix/HDFS and best-effort on raw S3 — same
-contract every Hadoop-based table format (Hive, pre-Iceberg) has.
+Atomicity: store compaction (IVFPQIndex / KnnGraphIndex) does NOT use
+rename at all — it commits through the versioned-directory helpers
+below (``resolve_version`` / ``commit_version``), whose commit point
+is a single marker-file CREATE.  Single-object create is atomic on
+every store Spark runs against (posix, HDFS close-visibility, S3 PUT),
+so compaction is crash-safe on S3A too, with no reliance on directory
+rename.  ``rename`` itself is still exposed (atomic move on
+posix/HDFS; a copy on S3A) for callers that know their scheme.
+
+Versioned-directory protocol (the pointer-file commit): a store family
+``{prefix}`` keeps its data in ``{path}/{prefix}-v{N}`` directories
+and its commit markers in ``{path}/_current/{prefix}-v{N}`` (one tiny
+file per committed version, created once, never rewritten — the
+VERSION IS THE FILENAME, so even a torn content write cannot corrupt
+the pointer).  Readers resolve the highest committed N; writers build
+``{prefix}-v{N+1}`` fully, then create its marker (the atomic commit),
+then garbage-collect older versions.  A crash before the marker leaves
+an unreferenced directory (clobbered by the next writer); a crash
+during GC leaves extra history (collected by the next GC); readers see
+a complete, consistent version at every intermediate state.  Legacy
+stores with no markers resolve to the unversioned ``{path}/{prefix}``
+directory, so the first compact migrates them in place.
 """
 
 from __future__ import annotations
@@ -81,3 +98,91 @@ def write_text(spark, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+
+
+# -- versioned-directory commit protocol (module docstring, para 2) ---------
+
+
+def _marker_dir(path: str) -> str:
+    return f"{path}/_current"
+
+
+def committed_versions(spark, path: str, prefix: str) -> list[int]:
+    """Committed version numbers for ``prefix`` under ``path``
+    (ascending; [] for a legacy or empty store)."""
+    head = f"{prefix}-v"
+    out = []
+    for name in list_names(spark, _marker_dir(path)):
+        if name.startswith(head):
+            try:
+                out.append(int(name[len(head):]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def resolve_version(spark, path: str, prefix: str) -> str:
+    """Data root of the highest COMMITTED version of ``prefix``, or
+    the legacy unversioned ``{path}/{prefix}`` when no marker exists.
+    Uncommitted directories (a writer crashed before its marker
+    create) are invisible here by construction."""
+    vs = committed_versions(spark, path, prefix)
+    if vs:
+        return f"{path}/{prefix}-v{vs[-1]}"
+    return f"{path}/{prefix}"
+
+
+def next_version(spark, path: str, prefix: str) -> int:
+    """The version number a writer should build next: one past the
+    max over BOTH committed markers and on-disk ``{prefix}-v*``
+    directories, so an uncommitted leftover from a crashed writer is
+    never half-reused under a live reader's feet (the writer's
+    ``mode("overwrite")`` still clobbers its own target cleanly)."""
+    head = f"{prefix}-v"
+    seen = committed_versions(spark, path, prefix)
+    for name in list_names(spark, path):
+        if name.startswith(head):
+            try:
+                seen.append(int(name[len(head):]))
+            except ValueError:
+                continue
+    return max(seen, default=-1) + 1
+
+
+def commit_version(spark, path: str, prefix: str, n: int) -> None:
+    """THE commit point: create the ``{prefix}-v{n}`` marker.  One
+    single-file create — atomic everywhere; filename carries the
+    version, content is informational only."""
+    write_text(spark, f"{_marker_dir(path)}/{prefix}-v{n}", f"{prefix}-v{n}")
+
+
+def gc_versions(spark, path: str, prefix: str) -> None:
+    """Best-effort cleanup after a commit: drop markers below the
+    current version FIRST, then every non-current data directory
+    (including the legacy unversioned one).  Any crash mid-GC leaves
+    only extra history — the invariant 'highest marker's directory
+    exists and is complete' holds at every step."""
+    vs = committed_versions(spark, path, prefix)
+    if not vs:
+        return
+    cur = vs[-1]
+    for n in vs[:-1]:
+        delete(spark, f"{_marker_dir(path)}/{prefix}-v{n}")
+    head = f"{prefix}-v"
+    for name in list_names(spark, path):
+        if name == prefix or (
+            name.startswith(head) and name != f"{prefix}-v{cur}"
+        ):
+            delete(spark, f"{path}/{name}")
+
+
+def purge_versions(spark, path: str, prefix: str) -> None:
+    """Remove EVERY version, marker, and the legacy directory of a
+    ``prefix`` family — the re-save (full rebuild) path, where stale
+    data surviving under the new store would corrupt later merges."""
+    for name in list_names(spark, _marker_dir(path)):
+        if name.startswith(f"{prefix}-v"):
+            delete(spark, f"{_marker_dir(path)}/{name}")
+    for name in list_names(spark, path):
+        if name == prefix or name.startswith(f"{prefix}-v"):
+            delete(spark, f"{path}/{name}")

@@ -2605,10 +2605,13 @@ def test_knn_graph_index_store_roundtrip_append_compact(spark, tmp_path):
 
     # append: LWW batch holds only the changed lists; the view equals
     # the in-session extend exactly
+    from beyond_vector_search_spark.sources import fsutil
+
     ext = sim.nndescent_extend(base, new, idx.graph, k=5, iterations=2)
     after = sim.KnnGraphIndex.append(spark, store, base, new, iterations=2)
     assert key(after.graph) == key(ext)
-    batch1 = spark.read.parquet(f"{store}/graph/batch_id=1")
+    root = fsutil.resolve_version(spark, store, "graph")
+    batch1 = spark.read.parquet(f"{root}/batch_id=1")
     assert 0 < batch1.select("node_id").distinct().count() < 200 + new.count()
     # new nodes are all in the batch; untouched base nodes are not
     assert batch1.where("node_id >= 200").select("node_id").distinct().count() == new.count()
@@ -2617,16 +2620,20 @@ def test_knn_graph_index_store_roundtrip_append_compact(spark, tmp_path):
     hist = sim.KnnGraphIndex.load(spark, store, up_to_batch=0)
     assert key(hist.graph) == key(idx.graph)
 
-    # compact: view unchanged, one batch directory left
+    # compact: view unchanged, a NEW committed version root with one
+    # batch directory, the old root garbage-collected
     view = key(sim.KnnGraphIndex.load(spark, store).graph)
     compacted = sim.KnnGraphIndex.compact(spark, store)
     assert key(compacted.graph) == view
-    assert glob.glob(f"{store}/graph/batch_id=*") == [f"{store}/graph/batch_id=0"]
+    root2 = fsutil.resolve_version(spark, store, "graph")
+    assert root2 != root and not glob.glob(root)
+    assert glob.glob(f"{root2}/batch_id=*") == [f"{root2}/batch_id=0"]
 
     # re-save over the store: stale batches cleared
     sim.KnnGraphIndex.append(spark, store, base, new, iterations=2)
     idx.save(store)
-    assert glob.glob(f"{store}/graph/batch_id=*") == [f"{store}/graph/batch_id=0"]
+    root3 = fsutil.resolve_version(spark, store, "graph")
+    assert glob.glob(f"{root3}/batch_id=*") == [f"{root3}/batch_id=0"]
     assert key(sim.KnnGraphIndex.load(spark, store).graph) == key(idx.graph)
 
 

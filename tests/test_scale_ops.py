@@ -1631,12 +1631,17 @@ def test_ivfpq_index_roundtrip_parity(spark, tmp_path):
     with pytest.raises(ValueError):
         loaded.search(q, k=3, rerank=20)  # rerank without raw vectors
 
-    # bucket layout: build lands as batch 0 with one directory per
-    # centroid inside it (probe pruning on centroid_id; batch_id is the
+    # bucket layout: build lands as batch 0 of the committed version
+    # root (fsutil pointer protocol) with one directory per centroid
+    # inside it (probe pruning on centroid_id; batch_id is the
     # append/ingest dimension)
+    from beyond_vector_search_spark.sources import fsutil
+
+    root = fsutil.resolve_version(spark, path, "codes")
+    assert root.endswith("codes-v0")
     assert sorted(
         d.rsplit("=", 1)[-1]
-        for d in glob.glob(f"{path}/codes/batch_id=0/centroid_id=*")
+        for d in glob.glob(f"{root}/batch_id=0/centroid_id=*")
     ) == ["0", "1", "2"]
 
 
@@ -1690,11 +1695,14 @@ def test_ivfpq_index_extend_append_incremental(spark, tmp_path):
     # store-level append: save(first) then append(second); the batch
     # lands in its own batch_id=1 directory (base files untouched),
     # reload serves == in-session extend
+    from beyond_vector_search_spark.sources import fsutil
+
     path = str(tmp_path / "ivfpq")
     base.save(path)
-    files_before = set(glob.glob(f"{path}/codes/batch_id=*/centroid_id=*/*.parquet"))
+    root = fsutil.resolve_version(spark, path, "codes")
+    files_before = set(glob.glob(f"{root}/batch_id=*/centroid_id=*/*.parquet"))
     appended = sim.IVFPQIndex.append(spark, path, second)
-    files_after = set(glob.glob(f"{path}/codes/batch_id=*/centroid_id=*/*.parquet"))
+    files_after = set(glob.glob(f"{root}/batch_id=*/centroid_id=*/*.parquet"))
     assert files_before < files_after            # old files untouched, new added
     assert {f for f in files_after - files_before if "batch_id=1/" not in f} == set()
     assert appended.codes.count() == n
@@ -1726,7 +1734,11 @@ def test_ivfpq_index_extend_append_incremental(spark, tmp_path):
         argparse.Namespace(db=None, delta_dir=None, partitions=None, ivfpq_dir=path)
     )
     assert out["ivfpq_code_rows"] == n
-    files_compacted = glob.glob(f"{path}/codes/batch_id=*/centroid_id=*/*.parquet")
+    # compaction committed a NEW version root (pointer-file protocol)
+    # and garbage-collected the old one
+    root2 = fsutil.resolve_version(spark, path, "codes")
+    assert root2 != root and not glob.glob(root)
+    files_compacted = glob.glob(f"{root2}/batch_id=*/centroid_id=*/*.parquet")
     assert len(files_compacted) == 3             # folded to batch 0, one file per bucket
     assert all("batch_id=0/" in f for f in files_compacted)
     compacted = sim.IVFPQIndex.load(spark, path)
@@ -1838,10 +1850,13 @@ def test_streaming_vector_ingest_extends_ivfpq_store(spark, tmp_path):
     q = start_vector_ingest(stream, store, trigger={"availableNow": True})
     q.awaitTermination(300)
 
+    from beyond_vector_search_spark.sources import fsutil
+
     loaded = sim.IVFPQIndex.load(spark, store)
     assert loaded.codes.count() == n
     # one batch directory per micro-batch (+ the build's batch 0)
-    assert len(glob.glob(f"{store}/codes/batch_id=*")) == 3
+    groot = fsutil.resolve_version(spark, store, "codes")
+    assert len(glob.glob(f"{groot}/batch_id=*")) == 3
 
     oneshot = sim.IVFPQIndex.build(
         df_of(range(n)), cents, m=4, dim=dim, codebooks=base.codebooks
@@ -2007,19 +2022,152 @@ def test_ivfpq_resave_clears_stale_store(spark, tmp_path):
     store = str(tmp_path / "store")
     old_ids, appended_ids, new_ids = range(0, 15), range(15, 30), range(30, 45)
     sim.IVFPQIndex.build(df_of(old_ids), cents, m=4, dim=dim, n_codes=16).save(store)
-    # streaming epoch 0 lands codes/batch_id=1 + a _batches/0.json marker
+    from beyond_vector_search_spark.sources import fsutil
+
+    # streaming epoch 0 lands batch_id=1 in the committed codes root
+    # + a _batches/0.json marker
+    root = fsutil.resolve_version(spark, store, "codes")
     assert append_vector_batch(df_of(appended_ids), 0, store) is True
-    assert glob.glob(f"{store}/codes/batch_id=1")
+    assert glob.glob(f"{root}/batch_id=1")
 
     # drift: retrain on a different corpus and save over the same path
     sim.IVFPQIndex.build(df_of(new_ids), cents, m=4, dim=dim, n_codes=16).save(store)
 
     loaded = sim.IVFPQIndex.load(spark, store)
     assert sorted(r["vec_id"] for r in loaded.codes.collect()) == list(new_ids)
-    assert glob.glob(f"{store}/codes/batch_id=*") == [f"{store}/codes/batch_id=0"]
+    root = fsutil.resolve_version(spark, store, "codes")
+    assert glob.glob(f"{root}/batch_id=*") == [f"{root}/batch_id=0"]
     # markers cleared: epoch 0 re-ingests against the NEW quantizer
     assert append_vector_batch(df_of(appended_ids), 0, store) is True
     assert sim.IVFPQIndex.load(spark, store).codes.count() == 30
+
+
+def test_store_compact_crash_atomicity(spark, tmp_path, monkeypatch):
+    """Compaction's versioned pointer-file commit (sources/fsutil.py):
+    a crash between ANY two steps — (1) write the new version
+    directory, (2) create the commit marker, (3) garbage-collect old
+    versions — leaves a loadable store whose rows equal the pre-crash
+    view.  Unlike the old rename-aside swap, no step relies on
+    directory rename, so the guarantee holds on object stores where
+    rename is a non-atomic copy (S3A).  Also pins legacy migration:
+    a marker-less store resolves to the unversioned directory and the
+    first compact migrates it in place."""
+    import glob
+    import shutil
+
+    import numpy as np
+
+    from beyond_vector_search_spark.operators import similarity as sim
+    from beyond_vector_search_spark.sources import fsutil
+
+    rng = np.random.default_rng(77)
+    dim = 16
+    centers = np.eye(3, dim) * 25.0
+    X = np.vstack([c + rng.standard_normal((10, dim)) for c in centers])
+
+    def df_of(ids):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in X[i]]) for i in ids],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(3)],
+        "centroid_id INT, embedding ARRAY<DOUBLE>",
+    )
+    store = str(tmp_path / "ivfpq")
+    sim.IVFPQIndex.build(df_of(range(15)), cents, m=4, dim=dim).save(store)
+    sim.IVFPQIndex.append(spark, store, df_of(range(15, 30)))
+
+    def view():
+        return sorted(
+            (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+            for r in sim.IVFPQIndex.load(spark, store).codes.collect()
+        )
+
+    expected = view()
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash")
+
+    # crash AFTER the new version directory is written, BEFORE the
+    # marker: reader still resolves the old committed version, intact
+    monkeypatch.setattr(fsutil, "commit_version", boom)
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        sim.IVFPQIndex.compact(spark, store)
+    monkeypatch.undo()
+    assert fsutil.resolve_version(spark, store, "codes").endswith("codes-v0")
+    assert view() == expected
+    orphan = glob.glob(f"{store}/codes-v*")
+    assert len(orphan) == 2  # committed v0 + the uncommitted leftover
+
+    # crash AFTER the marker create, BEFORE garbage collection: reader
+    # resolves the NEW version (the commit already happened); the old
+    # version is extra history, not corruption.  next_version must have
+    # skipped the uncommitted leftover directory, never reusing it.
+    monkeypatch.setattr(fsutil, "gc_versions", boom)
+    with pytest.raises(RuntimeError):
+        sim.IVFPQIndex.compact(spark, store)
+    monkeypatch.undo()
+    cur = fsutil.resolve_version(spark, store, "codes")
+    assert cur.endswith("codes-v2")  # v1 was the crashed orphan
+    assert view() == expected
+
+    # recovery: the next full compact commits v3 and clears ALL older
+    # versions and orphans; rows unchanged, single batch directory
+    sim.IVFPQIndex.compact(spark, store)
+    assert view() == expected
+    dirs = glob.glob(f"{store}/codes-v*")
+    assert dirs == [f"{store}/codes-v3"]
+    assert glob.glob(f"{store}/codes-v3/batch_id=*") == [
+        f"{store}/codes-v3/batch_id=0"
+    ]
+
+    # legacy migration: a pre-versioning store (data in {path}/codes,
+    # no markers) loads through the fallback and its first compact
+    # moves it under a committed version root
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(f"{store}/codes-v3", f"{legacy}/codes")
+    shutil.copytree(f"{store}/meta", f"{legacy}/meta")
+    shutil.copytree(f"{store}/centroids", f"{legacy}/centroids")
+    shutil.copytree(f"{store}/codebooks", f"{legacy}/codebooks")
+    assert fsutil.resolve_version(spark, legacy, "codes") == f"{legacy}/codes"
+    legacy_view = sorted(
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+        for r in sim.IVFPQIndex.load(spark, legacy).codes.collect()
+    )
+    assert legacy_view == expected
+    sim.IVFPQIndex.compact(spark, legacy)
+    assert fsutil.resolve_version(spark, legacy, "codes").endswith("codes-v0")
+    assert not glob.glob(f"{legacy}/codes")  # legacy dir collected
+    assert (
+        sorted(
+            (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+            for r in sim.IVFPQIndex.load(spark, legacy).codes.collect()
+        )
+        == expected
+    )
+
+    # same protocol on the graph store: crash before the marker leaves
+    # the old committed view serving
+    emb = df_of(range(30))
+    gstore = str(tmp_path / "gstore")
+    sim.KnnGraphIndex.build(emb, k=3, iterations=2).save(gstore)
+    gkey = lambda: sorted(  # noqa: E731
+        map(tuple, sim.KnnGraphIndex.load(spark, gstore).graph.collect())
+    )
+    gexpected = gkey()
+    monkeypatch.setattr(fsutil, "commit_version", boom)
+    with pytest.raises(RuntimeError):
+        sim.KnnGraphIndex.compact(spark, gstore)
+    monkeypatch.undo()
+    assert fsutil.resolve_version(spark, gstore, "graph").endswith("graph-v0")
+    assert gkey() == gexpected
+    sim.KnnGraphIndex.compact(spark, gstore)
+    assert fsutil.resolve_version(spark, gstore, "graph").endswith("graph-v2")
+    assert gkey() == gexpected
 
 
 def test_pq_topk_rejects_out_of_range_code_ids(spark):
@@ -2221,7 +2369,10 @@ def test_cli_maintain_graph_dir(spark, tmp_path):
     assert sorted(
         map(tuple, sim.KnnGraphIndex.load(spark, store).graph.collect())
     ) == before
-    assert glob.glob(f"{store}/graph/batch_id=*") == [f"{store}/graph/batch_id=0"]
+    from beyond_vector_search_spark.sources import fsutil
+
+    root = fsutil.resolve_version(spark, store, "graph")
+    assert glob.glob(f"{root}/batch_id=*") == [f"{root}/batch_id=0"]
 
 
 def test_cluster_aware_split_leakage_free(spark):
