@@ -97,12 +97,14 @@ def pagerank(
     float view ``round(rank_units/1e9, 9)`` for human consumption; the
     BIGINT ``rank_units`` column is the bit-exact result.
 
-    Plan shape per iteration: edges ⋈ rank on src (both sides keyed by
-    src — co-partitioned once the edge list is hash-partitioned), then
-    one aggregation shuffle on dst, then a node-sized left join.  N is
-    a broadcast 1-row aggregate folded in lazily (no eager count —
-    plan construction launches no job).  All intermediates are
-    node-sized except the edge join, which streams.  For deep
+    Plan shape per iteration: edges ⋈ rank on src (the rank side
+    arrives hash(id)-partitioned from the previous aggregation and its
+    id→src alias keeps it co-partitioned — no exchange), then ONE
+    aggregation shuffle on dst with the teleport/base rows unioned
+    into the same aggregation (no per-step node join).  N is a
+    broadcast 1-row aggregate folded in lazily (no eager count — plan
+    construction launches no job).  All intermediates are node-sized
+    except the edge join, which streams.  For deep
     iteration counts, localCheckpoint the rank relation every few
     steps — lineage grows linearly with ``n_iter``.
 
@@ -171,6 +173,27 @@ def pagerank(
         deg = deg.localCheckpoint(eager=False)
     rank = basis.select("id", F.col("u0").alias("u"))
     ed = edges.join(deg, "src")
+    if materialize:
+        # the (src, dst, od) join table is iteration-invariant —
+        # checkpoint it so the edges+degree derivation computes once,
+        # and the per-iteration exchange over the materialized blocks
+        # is byte-identical every step (runtime exchange reuse dedups
+        # it under AQE)
+        ed = ed.localCheckpoint(eager=False)
+    # the teleport/base term is folded INTO the aggregation: instead of
+    # a per-iteration node-sized LEFT JOIN rank = basis ⟕ contrib (one
+    # extra shuffle + sort per step), union a zero-contribution row per
+    # node into the contribution stream and let ONE groupBy produce
+    #   u = (d_num · Σ c) div d_den + Σ bu
+    # — integer-exact identical (Σ over the injected c=0 rows changes
+    # nothing; each node carries exactly one bu row), and the iteration
+    # costs exactly ONE exchange: the dst aggregation.  The rank side
+    # of the src join needs none — it leaves the previous aggregation
+    # hash(id)-partitioned and the id→src alias preserves the
+    # co-partitioning statically.
+    basis_rows = basis.select(
+        "id", F.lit(0).cast("long").alias("c"), F.col("bu")
+    )
     for it in range(int(n_iter)):
         if checkpoint_every and it and it % int(checkpoint_every) == 0:
             # plan depth grows linearly with iterations (3 operators
@@ -178,18 +201,16 @@ def pagerank(
             # convergence runs keep constant analysis cost — the
             # node-sized rank relation is cheap to materialize
             rank = rank.localCheckpoint(eager=False)
-        contrib = (
-            ed.join(rank.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.expr("sum(u div od)").alias("m"))
+        contrib = ed.join(rank.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"),
+            F.expr("u div od").alias("c"),
+            F.lit(0).cast("long").alias("bu"),
         )
         rank = (
-            basis.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                F.expr(
-                    f"bu + ({d_num} * coalesce(m, CAST(0 AS BIGINT))) div {d_den}"
-                ).alias("u"),
+            contrib.unionByName(basis_rows)
+            .groupBy("id")
+            .agg(
+                F.expr(f"({d_num} * sum(c)) div {d_den} + sum(bu)").alias("u")
             )
         )
     indeg = edges.groupBy(F.col("dst").alias("id")).agg(

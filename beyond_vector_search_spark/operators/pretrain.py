@@ -266,6 +266,9 @@ def unigram_logppl(
         toked.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        # two consumers (term counts + the final join) — materialize so
+        # the corpus is tokenized once, not once per consumer
+        .localCheckpoint(eager=False)
     )
     ctf = wtf.groupBy("term").agg(F.sum("tf").alias("ctf"))
     n = ctf.agg(F.sum("ctf").alias("n"))
@@ -441,18 +444,19 @@ def bigram_logppl(
     count — the final token of each document is still counted, a
     deliberate simplification that keeps every input an exact integer).
 
-    Shape: the per-doc bigram tf relation aggregates once; the corpus
-    bigram-count table derives from it (partial agg of already-small
-    rows); unigram counts join by the bigram's first/second word.  All
-    joins are keyed on the n-gram — co-partitioned with their own
+    Shape: ONE fused explode emits both n-gram grains as (kind, gram)
+    rows and ONE aggregation produces the combined per-doc tf relation
+    (the build_delta_fused pattern, operators/corpus_index.py) — the
+    corpus text is scanned and tokenized exactly once.  btf/wtf are
+    narrow ``kind`` filters over that relation, which is materialized
+    (lazy localCheckpoint; ``cache=True`` uses .cache() instead) so
+    its four consumers — corpus bigram counts, unigram counts, and the
+    final per-doc join — read the aggregated blocks, never the text.
+    All joins are keyed on the n-gram — co-partitioned with their own
     aggregation shuffles, broadcast while vocabularies are small.  The
     cross-row float sum is rounded to 6 (catalog determinism rule).
-
-    Lazy, the plan re-derives the tokenize + tf relations once per
-    aggregate consumer (the corpus is scanned ~5x — Catalyst does not
-    share subtrees across joins).  ``cache=True`` persists the two tf
-    relations so the corpus is scanned exactly twice; at cluster scale,
-    materialize them to parquet instead (the IndexDelta pattern).
+    At cluster scale, materialize the tf relation to parquet instead
+    (the IndexDelta pattern).
 
     ``tokens``: optional pre-tokenized (doc_id, toks ARRAY<STRING>)
     relation (``corpus_index.doc_tokens`` persisted to parquet is the
@@ -463,7 +467,11 @@ def bigram_logppl(
     :func:`dsir_logweights`) off the persisted tokens.  ``df`` is
     ignored for derivation when ``tokens`` is given.
     """
-    keep = (lambda d: d.cache()) if cache else (lambda d: d)
+    keep = (
+        (lambda d: d.cache())
+        if cache
+        else (lambda d: d.localCheckpoint(eager=False))
+    )
     toked = _toked(df, tokens, id_col=id_col, text_col=text_col)
     bigrams = F.when(
         F.size("toks") < 2, F.array().cast("array<string>")
@@ -473,17 +481,32 @@ def bigram_logppl(
             lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
         )
     )
-    btf = keep(
-        toked.select("doc_id", F.explode(bigrams).alias("bg"))
-        .groupBy("doc_id", "bg")
+    # fused single pass: both grains tagged (kind, gram) from one
+    # explode, counted by one aggregation — exactly the rows the two
+    # separate explode+agg passes produced, minus one corpus scan
+    both = F.concat(
+        F.transform(
+            F.col("toks"),
+            lambda t: F.struct(F.lit("t").alias("kind"), t.alias("gram")),
+        ),
+        F.transform(
+            bigrams,
+            lambda b: F.struct(F.lit("b").alias("kind"), b.alias("gram")),
+        ),
+    )
+    tf_all = keep(
+        toked.select("doc_id", F.explode(both).alias("g"))
+        .select("doc_id", F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+        .groupBy("doc_id", "kind", "gram")
         .agg(F.count("*").alias("tf"))
+    )
+    btf = tf_all.where(F.col("kind") == "b").select(
+        "doc_id", F.col("gram").alias("bg"), "tf"
+    )
+    wtf = tf_all.where(F.col("kind") == "t").select(
+        "doc_id", F.col("gram").alias("term"), "tf"
     )
     cbg = btf.groupBy("bg").agg(F.sum("tf").alias("cbg"))
-    wtf = keep(
-        toked.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
     ctf = wtf.groupBy("term").agg(F.sum("tf").alias("ctf"))
     n = ctf.agg(F.sum("ctf").alias("n"))
     probs = (
@@ -545,11 +568,12 @@ def dsir_logweights(
     ``n_buckets`` rows (broadcast); the log-ratio table joins the raw
     occurrences map-side and the per-doc sum is one partial agg.  The
     target side is an eval-set / domain sample — small by definition,
-    like the decontamination benchmark.  Lazy, the raw-side bigram
-    explode re-runs per consumer (counts + totals + final join — the
-    corpus is scanned ~3x); ``cache=True`` persists both bigram-row
-    relations so each side is scanned once, and at cluster scale the
-    tf relations would be materialized parquet (IndexDelta pattern).
+    like the decontamination benchmark.  Both bigram-row relations are
+    materialized (lazy localCheckpoint; ``cache=True`` uses .cache())
+    so each side's text is scanned and hashed exactly once even though
+    the raw rows feed two consumers (bucket counts + the final join);
+    at cluster scale the bucket-row relations would be materialized
+    parquet (IndexDelta pattern).
 
     ``raw_tokens`` / ``target_tokens``: optional pre-tokenized
     (doc_id, toks) relations — when supplied, that side's text is
@@ -569,7 +593,11 @@ def dsir_logweights(
             "doc_id", F.pmod(hash64("bg"), F.lit(n_buckets)).alias("bucket")
         )
 
-    keep = (lambda d: d.cache()) if cache else (lambda d: d)
+    keep = (
+        (lambda d: d.cache())
+        if cache
+        else (lambda d: d.localCheckpoint(eager=False))
+    )
     raw_rows = keep(bigram_rows(raw, raw_tokens))
     tgt_rows = keep(bigram_rows(target, target_tokens))
     raw_counts = raw_rows.groupBy("bucket").agg(F.count("*").alias("cr"))
