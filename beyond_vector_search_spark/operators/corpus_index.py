@@ -449,9 +449,31 @@ class IndexDelta:
             out = {f: df.coalesce(max(1, target_partitions)) for f, df in out.items()}
         return IndexDelta(**out)
 
+    @classmethod
+    def _root(cls, spark, path: str) -> str:
+        """Current data root: the committed ``delta-v{N}`` directory
+        (fsutil pointer protocol — one version for all three fields so
+        they always advance together), or the store root itself for a
+        legacy/fresh store whose fields live directly under ``path``."""
+        from beyond_vector_search_spark.sources import fsutil
+
+        return fsutil.resolve_version(spark, path, "delta", legacy=path)
+
     def save(self, path: str) -> None:
+        from beyond_vector_search_spark.sources import fsutil
+
+        spark = self.postings.sparkSession
+        # full-rebuild discipline (IVFPQIndex.save): clear every
+        # committed version and stale legacy field dir so nothing old
+        # shadows or merges into the fresh store
+        fsutil.purge_versions(spark, path, "delta")
         for f in self._FIELDS:
-            getattr(self, f).write.mode("overwrite").parquet(f"{path}/{f}")
+            fsutil.delete(spark, f"{path}/{f}")
+        for f in self._FIELDS:
+            getattr(self, f).write.mode("overwrite").parquet(
+                f"{path}/delta-v0/{f}"
+            )
+        fsutil.commit_version(spark, path, "delta", 0)
 
     @classmethod
     def load(cls, spark, path: str, *, up_to_batch: int | None = None) -> "IndexDelta":
@@ -469,9 +491,11 @@ class IndexDelta:
         Catalyst prunes the newer directories at the scan — the cost of
         a historical load is proportional to the history read, not the
         store size."""
+        root = cls._root(spark, path)
         out = {}
         for f in cls._FIELDS:
-            df = spark.read.parquet(f"{path}/{f}")
+            spark.catalog.refreshByPath(f"{root}/{f}")
+            df = spark.read.parquet(f"{root}/{f}")
             if "batch_id" in df.columns:
                 if up_to_batch is not None:
                     df = df.where(F.col("batch_id") <= up_to_batch)
@@ -491,24 +515,29 @@ class IndexDelta:
         files a streaming ingest accumulates.  Ordinary parquet
         maintenance: run it off the ingest path, then reload.
 
-        Writes to ``path + '.compact'`` then swaps, so a crash leaves
-        the original store intact."""
-        import os
-        import shutil
+        Commit protocol is the versioned pointer file (sources/
+        fsutil.py, same as IVFPQIndex.compact): all three fields are
+        written in full under a fresh ``delta-v{N}`` directory, then
+        committed by ONE atomic marker create, then older versions
+        (and, on first migration, the legacy loose field directories)
+        are garbage-collected — crash-safe at every step on any
+        filesystem Spark writes to, including S3A.  The previous
+        implementation swapped with ``os.replace``/``shutil``, which
+        was local-filesystem-only."""
+        from beyond_vector_search_spark.sources import fsutil
 
         spark = self.postings.sparkSession
-        tmp = path + ".compact"
+        n = fsutil.next_version(spark, path, "delta")
         keys = {"postings": "term", "gram_tf": "gram", "doc_ids": "doc_id"}
         for f in self._FIELDS:
             df = getattr(self, f)
             df = df.repartition(*(x for x in [partitions, keys[f]] if x is not None))
-            df.write.mode("overwrite").parquet(f"{tmp}/{f}")
-        for f in self._FIELDS:
-            final = f"{path}/{f}"
-            if os.path.exists(final):
-                shutil.rmtree(final)
-            os.replace(f"{tmp}/{f}", final)
-        shutil.rmtree(tmp, ignore_errors=True)
+            df.write.mode("overwrite").parquet(f"{path}/delta-v{n}/{f}")
+        fsutil.commit_version(spark, path, "delta", n)
+        fsutil.gc_versions(
+            spark, path, "delta",
+            extra=tuple(f"{path}/{f}" for f in self._FIELDS),
+        )
         return IndexDelta.load(spark, path)
 
 

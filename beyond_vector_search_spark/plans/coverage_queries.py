@@ -1030,15 +1030,15 @@ def register_all() -> None:
     register("topk_alldocs_parity", TOPK_ALLDOCS_PARITY_SQL)(q_topk_alldocs_parity)
     register("lineitem_profile", _LINEITEM_PROFILE_SQL)(q_lineitem_profile)
     from beyond_vector_search_spark.plans.pipeline_queries import (
-        INCREMENTAL_DEDUP_SQL,
-        q_incremental_dedup_pairs,
+        NGRAM_JACCARD_SQL,
+        q_ngram_jaccard,
     )
 
-    # incremental (ingest-time) near-dup: restates minhash_pairs'
-    # in-window banded-join shape in its asymmetric new-vs-corpus form
-    register("incremental_dedup_pairs", INCREMENTAL_DEDUP_SQL)(
-        q_incremental_dedup_pairs
-    )
+    # r9 rotation demotion (incremental_dedup_pairs took its window
+    # slot): token-set Jaccard verify — restates duplicate_spans'
+    # in-window token/shingle self-join + groupBy shape; the same
+    # verify math is replayed by fuzzy_contamination's tail oracle
+    register("ngram_jaccard_pairs", NGRAM_JACCARD_SQL)(q_ngram_jaccard)
     # r7 rotation demotion: the tumbling-window drift aggregation's
     # date-bucket groupBy shape is pinned in-window by events_sessions
     # (event-time windowing over the same events table); stays fully

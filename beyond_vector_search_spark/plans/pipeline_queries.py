@@ -228,11 +228,27 @@ def q_incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r9 rotation: this window slot goes to incremental_dedup_pairs — the
+# ingest-time ASYMMETRIC banded join (new batch × persisted corpus
+# bands, new-self pairs included, corpus never self-joins), the shape
+# every streaming-ingest dedup runs and one nothing else in-window
+# exercises.  ngram_jaccard_pairs moves to the tail (coverage_queries.
+# register_all), still fully oracled there: its verify math is the
+# token-set Jaccard that duplicate_spans' in-window shingle self-join
+# and the fuzzy-contamination tail oracle both replay.
+def _register_r9_rotation() -> None:
+    register("incremental_dedup_pairs", INCREMENTAL_DEDUP_SQL)(
+        q_incremental_dedup_pairs
+    )
+
+
+_register_r9_rotation()
+
+
 # --------------------------- n-gram (token) Jaccard ------------------------
 
 
-@register(
-    "ngram_jaccard_pairs",
+NGRAM_JACCARD_SQL = (
     "WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 60), "
     f"dtoks AS (SELECT doc_id, list_distinct({_SQL_TOKENIZE.format(col='text')}) AS tokens FROM sub), "
     "ex AS (SELECT doc_id, unnest(tokens) AS t FROM dtoks), "
@@ -241,8 +257,10 @@ def q_incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) "
     "SELECT doc_a, doc_b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard "
     "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
-    "WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.8",
+    "WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.8"
 )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where("doc_id < 60")
     # shingle_n=1 -> distinct-token-set Jaccard (int-exact division)

@@ -121,15 +121,17 @@ def committed_versions(spark, path: str, prefix: str) -> list[int]:
     return sorted(out)
 
 
-def resolve_version(spark, path: str, prefix: str) -> str:
+def resolve_version(spark, path: str, prefix: str, *, legacy: str | None = None) -> str:
     """Data root of the highest COMMITTED version of ``prefix``, or
-    the legacy unversioned ``{path}/{prefix}`` when no marker exists.
-    Uncommitted directories (a writer crashed before its marker
-    create) are invisible here by construction."""
+    the legacy unversioned location when no marker exists (default
+    ``{path}/{prefix}``; pass ``legacy`` for stores whose pre-version
+    layout lived elsewhere — e.g. IndexDelta's fields directly under
+    the store root).  Uncommitted directories (a writer crashed before
+    its marker create) are invisible here by construction."""
     vs = committed_versions(spark, path, prefix)
     if vs:
         return f"{path}/{prefix}-v{vs[-1]}"
-    return f"{path}/{prefix}"
+    return legacy if legacy is not None else f"{path}/{prefix}"
 
 
 def next_version(spark, path: str, prefix: str) -> int:
@@ -156,12 +158,14 @@ def commit_version(spark, path: str, prefix: str, n: int) -> None:
     write_text(spark, f"{_marker_dir(path)}/{prefix}-v{n}", f"{prefix}-v{n}")
 
 
-def gc_versions(spark, path: str, prefix: str) -> None:
+def gc_versions(spark, path: str, prefix: str, *, extra: tuple = ()) -> None:
     """Best-effort cleanup after a commit: drop markers below the
     current version FIRST, then every non-current data directory
-    (including the legacy unversioned one).  Any crash mid-GC leaves
-    only extra history — the invariant 'highest marker's directory
-    exists and is complete' holds at every step."""
+    (including the legacy unversioned one, plus any ``extra`` legacy
+    paths — stores whose pre-version layout was not ``{path}/{prefix}``).
+    Any crash mid-GC leaves only extra history — the invariant
+    'highest marker's directory exists and is complete' holds at every
+    step."""
     vs = committed_versions(spark, path, prefix)
     if not vs:
         return
@@ -174,6 +178,8 @@ def gc_versions(spark, path: str, prefix: str) -> None:
             name.startswith(head) and name != f"{prefix}-v{cur}"
         ):
             delete(spark, f"{path}/{name}")
+    for p in extra:
+        delete(spark, p)
 
 
 def purge_versions(spark, path: str, prefix: str) -> None:

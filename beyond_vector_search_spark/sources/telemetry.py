@@ -41,7 +41,6 @@ class TelemetryStore:
         self.spark = spark
         self.path = path
         self._runs = os.path.join(path, "runs")
-        self._state = os.path.join(path, "router_state")
 
     # -- runs ---------------------------------------------------------------
 
@@ -81,24 +80,31 @@ class TelemetryStore:
 
     # -- state KV -----------------------------------------------------------
 
+    def _state_root(self) -> str:
+        """Current state-log directory: the committed
+        ``router_state-v{N}`` (fsutil pointer protocol, written by
+        ``compact_state``) or the legacy/initial ``router_state``."""
+        from beyond_vector_search_spark.sources import fsutil
+
+        return fsutil.resolve_version(self.spark, self.path, "router_state")
+
     def set_state(self, key: str, value: dict) -> None:
         df = self.spark.createDataFrame(
             [(key, json.dumps(value, sort_keys=True), time.time_ns())],
             STATE_SCHEMA,
         )
-        df.write.mode("append").parquet(self._state)
+        df.write.mode("append").parquet(self._state_root())
 
     def _state_view(self) -> DataFrame:
-        # recover a compact_state that died between its two renames:
-        # the previous generation is intact under .old
-        old = self._state + ".old"
-        if os.path.isdir(old) and not os.path.isdir(self._state):
-            os.rename(old, self._state)
-        if not os.path.isdir(self._state):
+        from beyond_vector_search_spark.sources import fsutil
+
+        root = self._state_root()
+        if not fsutil.exists(self.spark, root):
             return self.spark.createDataFrame([], STATE_SCHEMA)
+        self.spark.catalog.refreshByPath(root)
         w = Window.partitionBy("key").orderBy(F.desc("version"))
         return (
-            self.spark.read.parquet(self._state)
+            self.spark.read.parquet(root)
             .withColumn("_rn", F.row_number().over(w))
             .where("_rn = 1")
             .drop("_rn")
@@ -112,34 +118,31 @@ class TelemetryStore:
         before and after; what changes is that the log stops growing
         O(appends) and the LWW window reads one row per key.
 
-        Rewrite-then-rename: the winners view is materialized to a
-        sibling directory (the lazy read still sees the old files),
-        then swapped in.  A crash between the two renames is recovered
-        on the next call (or next compact): a leftover ``.old`` with no
-        live directory is restored; stale ``.old``/``.compact`` debris
-        is cleared before a new attempt.  The swap itself is two
-        renames, not one atomic transaction — on a real cluster use a
-        table format and ``MERGE INTO`` for a transactional swap; this
-        is the plain-filesystem shape of the same maintenance.
+        Commit protocol is the versioned pointer file (sources/
+        fsutil.py): the winners view is written in full to a fresh
+        ``router_state-v{N}`` directory, committed by ONE atomic
+        marker-file create, then older versions are garbage-collected.
+        Readers resolve the highest committed version, so a crash at
+        any step leaves them a complete, consistent log — on any
+        filesystem Spark writes to, including S3A (the previous
+        implementation swapped with ``os.rename``, which was both
+        local-only and a two-step non-atomic swap).  Single-writer
+        like every directory store here: serialize ``set_state``
+        against ``compact_state``.
         Returns the surviving row count (distinct keys).
         """
-        import shutil
+        from beyond_vector_search_spark.sources import fsutil
 
-        tmp, old = self._state + ".compact", self._state + ".old"
-        # crash recovery: a previous compact may have died mid-swap
-        if os.path.isdir(old) and not os.path.isdir(self._state):
-            os.rename(old, self._state)
-        for stale in (old, tmp):
-            if os.path.isdir(stale):
-                shutil.rmtree(stale)
-        if not os.path.isdir(self._state):
+        root = self._state_root()
+        if not fsutil.exists(self.spark, root):
             return 0
-        self._state_view().write.mode("overwrite").parquet(tmp)
-        n = self.spark.read.parquet(tmp).count()
-        os.rename(self._state, old)
-        os.rename(tmp, self._state)
-        shutil.rmtree(old)
-        return n
+        n = fsutil.next_version(self.spark, self.path, "router_state")
+        new = f"{self.path}/router_state-v{n}"
+        self._state_view().write.mode("overwrite").parquet(new)
+        cnt = self.spark.read.parquet(new).count()
+        fsutil.commit_version(self.spark, self.path, "router_state", n)
+        fsutil.gc_versions(self.spark, self.path, "router_state")
+        return cnt
 
     def get_state(self, key: str, default: dict | None = None) -> dict:
         rows = self._state_view().where(F.col("key") == key).collect()

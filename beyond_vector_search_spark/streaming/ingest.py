@@ -73,9 +73,13 @@ def append_delta_batch(
     if fsutil.exists(spark, marker):
         return False
     delta = build_delta(docs_batch, id_col=id_col, text=text, cfg=cfg)
+    # write into the CURRENT committed version root (fsutil pointer
+    # protocol): after a compact, batches must land in the live
+    # delta-v{N} directory, not the garbage-collected legacy one
+    root = IndexDelta._root(spark, path)
     for f in IndexDelta._FIELDS:
         getattr(delta, f).write.mode("overwrite").parquet(
-            os.path.join(path, f, f"batch_id={batch_id}")
+            f"{root}/{f}/batch_id={batch_id}"
         )
     _write_marker(
         spark, marker, {"batch_id": batch_id, "n_docs": docs_batch.count()}

@@ -699,14 +699,22 @@ def test_telemetry_compact_state_preserves_lww(spark, tmp_path):
     assert n == 2  # one surviving row per key
     assert store.get_state("router") == {"v": 2}
     assert store.get_state("other") == {"x": 9}
+    # compaction committed a version root (pointer protocol) holding
+    # exactly the winners; the legacy append dir is collected
+    import glob
     import os
 
-    raw = spark.read.parquet(os.path.join(str(tmp_path), "router_state"))
-    assert raw.count() == 2
+    root = store._state_root()
+    assert root.endswith("router_state-v0")
+    assert spark.read.parquet(root).count() == 2
+    assert not glob.glob(os.path.join(str(tmp_path), "router_state"))
 
+    # upserts after the compact append into the committed root and win
     store.set_state("router", {"v": 3})
     assert store.get_state("router") == {"v": 3}
     assert store.compact_state() == 2
+    assert store._state_root().endswith("router_state-v1")
+    assert store.get_state("router") == {"v": 3}
 
 
 def test_multimodal_decode_degraded_inputs(spark):
@@ -750,30 +758,51 @@ def test_multimodal_decode_degraded_inputs(spark):
     assert got[2]["n_samples"] == 32                           # float PCM -> fake fallback
 
 
-def test_telemetry_compact_state_crash_recovery(spark, tmp_path):
-    """A compact that dies between its two renames must not lose state:
-    readers restore the .old generation, and the next compact clears
-    stale debris instead of failing on rename-onto-existing."""
+def test_telemetry_compact_state_crash_recovery(spark, tmp_path, monkeypatch):
+    """compact_state's versioned pointer-file commit: a crash between
+    ANY two steps (write the winners directory / create the marker /
+    garbage-collect) leaves readers a complete, consistent state log
+    with the LWW answers unchanged — no rename anywhere, so the
+    guarantee holds on object stores too."""
+    import glob
     import os
-    import shutil
+
+    import pytest
+
+    from beyond_vector_search_spark.sources import fsutil
 
     store = TelemetryStore(spark, str(tmp_path))
     store.set_state("k", {"v": 1})
     store.set_state("k", {"v": 2})
-    state_dir = os.path.join(str(tmp_path), "router_state")
 
-    # crash after rename(state, old), before rename(tmp, state)
-    os.rename(state_dir, state_dir + ".old")
-    assert store.get_state("k") == {"v": 2}           # reader recovered
-    assert os.path.isdir(state_dir)
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash")
 
-    # crash after the swap, before rmtree(old); plus a stale .compact
-    shutil.copytree(state_dir, state_dir + ".old")
-    os.makedirs(state_dir + ".compact")
-    assert store.compact_state() == 1                  # clears debris, compacts
+    # crash AFTER the winners directory is written, BEFORE the marker:
+    # readers still resolve the legacy append log, fully intact
+    monkeypatch.setattr(fsutil, "commit_version", boom)
+    with pytest.raises(RuntimeError):
+        store.compact_state()
+    monkeypatch.undo()
+    assert store._state_root().endswith("router_state")  # legacy root
     assert store.get_state("k") == {"v": 2}
-    assert not os.path.isdir(state_dir + ".old")
-    assert not os.path.isdir(state_dir + ".compact")
+
+    # crash AFTER the marker, BEFORE garbage collection: readers
+    # resolve the committed version; the leftovers are extra history.
+    # next_version skipped the uncommitted v0 orphan.
+    monkeypatch.setattr(fsutil, "gc_versions", boom)
+    with pytest.raises(RuntimeError):
+        store.compact_state()
+    monkeypatch.undo()
+    assert store._state_root().endswith("router_state-v1")
+    assert store.get_state("k") == {"v": 2}
+
+    # recovery: the next compact clears every orphan and old version
+    assert store.compact_state() == 1
+    assert store.get_state("k") == {"v": 2}
+    assert glob.glob(os.path.join(str(tmp_path), "router_state*")) == [
+        os.path.join(str(tmp_path), "router_state-v2")
+    ]
 
 
 def test_bmp_24bit_and_short_palette_decode():

@@ -1914,7 +1914,8 @@ def test_cli_maintain_compacts_stores(spark, tmp_path):
         )
 
     def n_files():
-        return len(glob.glob(f"{path}/postings/**/*.parquet", recursive=True))
+        root = IndexDelta._root(spark, path)
+        return len(glob.glob(f"{root}/postings/**/*.parquet", recursive=True))
 
     before_stats, before_files = term_stats_rows(), n_files()
 
