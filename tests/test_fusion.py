@@ -168,7 +168,29 @@ def test_mmr_rerank_releases_candidate_cache(spark, tiny_index):
         [("q", 1, 0.95), ("q", 4, 0.94), ("q", 2, 0.90)],
         "query_id string, doc_id long, score double",
     )
+    # Warm-up call BEFORE measuring the baseline: the module fixture's
+    # index is .cache()'d, and SQL caches register in the persistent-RDD
+    # map lazily at their first materializing action — which, depending
+    # on which earlier tests ran, can be THIS test's first count().
+    # Those index caches live as long as the index (correctly), so they
+    # must be inside `base`, not counted against the per-call candidate
+    # cache this test pins.  (Was a real solo-run failure, not a flake:
+    # base==0 solo, then the index cache materialized mid-loop.)
+    warm = fu.mmr_rerank(cand, idx, k=2, lam=0.7)
+    assert warm.count() > 0
+    del warm
+    import time
+
     gc.collect()
+    deadline = time.time() + 30
+    prev = n_persistent()
+    while time.time() < deadline:
+        gc.collect()
+        time.sleep(0.5)
+        cur = n_persistent()
+        if cur == prev:
+            break
+        prev = cur
     base = n_persistent()
     for _ in range(4):
         out = fu.mmr_rerank(cand, idx, k=2, lam=0.7)
