@@ -38,6 +38,14 @@ during GC leaves extra history (collected by the next GC); readers see
 a complete, consistent version at every intermediate state.  Legacy
 stores with no markers resolve to the unversioned ``{path}/{prefix}``
 directory, so the first compact migrates them in place.
+
+Reader contract: a DataFrame resolved BEFORE a compact points at the
+old version's files, which GC deletes after the commit — re-resolve
+(reload the store) after maintenance instead of re-executing stale
+handles.  A deployment that must keep long-running readers alive
+across maintenance simply defers ``gc_versions`` (the commit does not
+require it); old versions are plain directories and any later GC
+collects them.
 """
 
 from __future__ import annotations

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from beyond_vector_search_spark.operators import dedup as dd
 from beyond_vector_search_spark.operators import similarity as sim
 from beyond_vector_search_spark.session import get_spark
+from beyond_vector_search_spark.sources import fsutil
 from beyond_vector_search_spark.sources.readers import load_table
 
 
@@ -85,7 +86,8 @@ def main() -> None:
     # -- 3. append the batch's embeddings to the ANN store -------------
     new_emb = emb.where("vec_id % 2 = 1")
     sim.IVFPQIndex.append(spark, ivfpq_dir, new_emb)
-    print(f"ivfpq batches: {sorted(os.path.basename(p) for p in glob.glob(ivfpq_dir + '/codes/batch_id=*'))}")
+    codes_root = fsutil.resolve_version(spark, ivfpq_dir, "codes")
+    print(f"ivfpq batches: {sorted(os.path.basename(p) for p in glob.glob(codes_root + '/batch_id=*'))}")
 
     # -- 4. serve: new vectors are findable; history is queryable ------
     probe_id = new_emb.select(F.min("vec_id")).first()[0]
@@ -99,9 +101,11 @@ def main() -> None:
     print(f"query vec {probe_id}: top3 now={top_full}  pre-ingest={top_hist}")
 
     # -- 5. maintenance: fold the append dirs; serving unchanged -------
-    n_files = len(glob.glob(ivfpq_dir + "/codes/batch_id=*/centroid_id=*/*.parquet"))
+    n_files = len(glob.glob(codes_root + "/batch_id=*/centroid_id=*/*.parquet"))
     compacted = sim.IVFPQIndex.compact(spark, ivfpq_dir)
-    n_after = len(glob.glob(ivfpq_dir + "/codes/batch_id=*/centroid_id=*/*.parquet"))
+    # compaction commits a NEW version root (fsutil pointer protocol)
+    codes_root = fsutil.resolve_version(spark, ivfpq_dir, "codes")
+    n_after = len(glob.glob(codes_root + "/batch_id=*/centroid_id=*/*.parquet"))
     top_c = [r.neighbor_id for r in compacted.search(q, k=3, nprobe=2).collect()]
     assert top_c == top_full, "compaction must not change results"
     print(f"compacted: {n_files} -> {n_after} code files; serving unchanged")
@@ -110,8 +114,9 @@ def main() -> None:
     graph_dir = f"{store}/knn_graph"
     sim.KnnGraphIndex.build(base_emb, k=5, iterations=2).save(graph_dir)
     gidx = sim.KnnGraphIndex.append(spark, graph_dir, emb, new_emb, iterations=2)
+    graph_root = fsutil.resolve_version(spark, graph_dir, "graph")
     n_changed = (
-        spark.read.parquet(f"{graph_dir}/graph/batch_id=1")
+        spark.read.parquet(f"{graph_root}/batch_id=1")
         .select("node_id")
         .distinct()
         .count()
@@ -125,13 +130,21 @@ def main() -> None:
     # corpus-drawn query would otherwise retrieve itself), so an
     # unknown id proves the batch-only VECTOR is reachable
     gq = q.select((F.col("query_id") + 9_000_000).alias("query_id"), "embedding")
+    # beam width sized for the k=5 graph at this corpus size: the r8
+    # NN-Descent extend rework changed which (equally valid) k-NN
+    # lists survive, and the old ef=24 beam missed the probe from the
+    # fixed entry nodes — approximate search, wider beam = recall knob
     top_g = [
-        r.neighbor_id for r in gidx.search(gq, emb, k=3, ef=24, rounds=4).collect()
+        r.neighbor_id for r in gidx.search(gq, emb, k=3, ef=48, rounds=5).collect()
     ]
     assert probe_id in top_g, "a batch-only vector must be findable"
     print(f"graph serve: top3 for vec {probe_id} = {top_g}")
+    # take the pre-compact count BEFORE compacting: compaction commits
+    # a new version root and garbage-collects the old one, so handles
+    # opened before the compact (gidx) must not be re-executed after it
+    n_view = gidx.graph.count()
     gc = sim.KnnGraphIndex.compact(spark, graph_dir)
-    assert gc.graph.count() == gidx.graph.count()
+    assert gc.graph.count() == n_view
     print("graph store compacted; current view unchanged")
 
 
