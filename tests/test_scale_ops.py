@@ -1935,6 +1935,37 @@ def test_cli_maintain_compacts_stores(spark, tmp_path):
     assert store.get_state("router_state:v1") == {"v": 2}  # LWW winner kept
 
 
+def test_fill_token_budget_single_domain_plan_has_no_cartesian(spark):
+    """Single-domain (domain_col=None) budget fill: the constant
+    lit('__all__') domain key constant-folds out of every
+    small-relation join, which used to degrade them to CartesianProduct
+    (left x right repartition).  Pin the fix: the physical plan must
+    broadcast the small sides — zero CartesianProduct nodes, and the
+    scalar-budget path must plan no join at all for the budget."""
+    import contextlib
+    import io
+
+    from beyond_vector_search_spark.operators.scale import fill_token_budget
+
+    df = spark.createDataFrame(
+        [(i, 10 + i, float(i % 7)) for i in range(100)],
+        "doc_id long, n_tokens long, score double",
+    )
+    out = fill_token_budget(df, budget=300, score_col="score")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the explicit 1-row crosses
+    # and the result is still the longest-prefix fill
+    kept = sorted(r["doc_id"] for r in out.where("kept").collect())
+    total = (
+        out.where("kept").agg(F.sum("n_tokens").alias("t")).first()["t"]
+    )
+    assert total <= 300 and kept
+
+
 def test_fill_token_budget_hand_computed(spark):
     """Histogram-cutoff budget fill: whole buckets above the cutoff keep
     wholesale, the cutoff bucket fills as the longest (score DESC, id
