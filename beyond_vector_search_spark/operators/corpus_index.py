@@ -469,9 +469,15 @@ class IndexDelta:
         fsutil.purge_versions(spark, path, "delta")
         for f in self._FIELDS:
             fsutil.delete(spark, f"{path}/{f}")
+        # each field lands as its own batch_id=0 partition directory
+        # (the IVFPQIndex layout): later streaming appends add sibling
+        # batch_id=N directories, and a parquet reader over a MIXED
+        # flat-files + partition-dirs directory silently drops the
+        # flat files — writing batch 0 explicitly keeps every future
+        # append readable
         for f in self._FIELDS:
             getattr(self, f).write.mode("overwrite").parquet(
-                f"{path}/delta-v0/{f}"
+                f"{path}/delta-v0/{f}/batch_id=0"
             )
         fsutil.commit_version(spark, path, "delta", 0)
 
@@ -532,7 +538,14 @@ class IndexDelta:
         for f in self._FIELDS:
             df = getattr(self, f)
             df = df.repartition(*(x for x in [partitions, keys[f]] if x is not None))
-            df.write.mode("overwrite").parquet(f"{path}/delta-v{n}/{f}")
+            # fold into batch_id=0 (see save): post-compact streaming
+            # appends add batch_id=N siblings, and mixing flat files
+            # with partition directories makes a parquet reader
+            # silently drop the flat files — this was a real
+            # read-loses-the-folded-rows bug before r9
+            df.write.mode("overwrite").parquet(
+                f"{path}/delta-v{n}/{f}/batch_id=0"
+            )
         fsutil.commit_version(spark, path, "delta", n)
         fsutil.gc_versions(
             spark, path, "delta",

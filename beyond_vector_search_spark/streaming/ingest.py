@@ -65,8 +65,11 @@ def append_delta_batch(
     a crash between the three relation writes cannot double tf counts.
     The marker file is a fast-skip optimization AND the replay guard
     after ``IndexDelta.compact`` (which folds batch directories into
-    flat files, after which an overwrite would re-add the batch); it
+    batch 0, after which an overwrite would re-add the batch); it
     lives under ``path`` itself, i.e. on the same storage as the data.
+    Epoch ids are offset by +1 (the :func:`append_vector_batch`
+    contract) so streaming epoch 0 never collides with the
+    ``batch_id=0`` directory a ``save()`` or ``compact()`` fold owns.
     """
     spark = docs_batch.sparkSession
     marker = _batch_marker(path, batch_id)
@@ -79,7 +82,7 @@ def append_delta_batch(
     root = IndexDelta._root(spark, path)
     for f in IndexDelta._FIELDS:
         getattr(delta, f).write.mode("overwrite").parquet(
-            f"{root}/{f}/batch_id={batch_id}"
+            f"{root}/{f}/batch_id={batch_id + 1}"
         )
     _write_marker(
         spark, marker, {"batch_id": batch_id, "n_docs": docs_batch.count()}

@@ -1255,7 +1255,10 @@ def test_ingest_store_time_travel(spark, tmp_path, ref_corpus):
     q = start_index_ingest(stream, store, text=text, trigger={"availableNow": True})
     q.awaitTermination(300)
 
-    asof = index_from_delta(IndexDelta.load(spark, store, up_to_batch=0))
+    # streaming epoch N lands at batch_id=N+1 (batch 0 is reserved for
+    # a save()/compact() fold — the append_vector_batch contract), so
+    # "as it stood after the first micro-batch" is up_to_batch=1
+    asof = index_from_delta(IndexDelta.load(spark, store, up_to_batch=1))
     want = build_index(ref_corpus.where("doc_id < 'DOC-100'"), text=text)
     assert asof.doc_ids.count() == want.doc_ids.count()
     for field in ("postings", "term_stats", "doc_stats"):
@@ -1265,18 +1268,30 @@ def test_ingest_store_time_travel(spark, tmp_path, ref_corpus):
 
     # the partition filter reaches the scan (newer batch dirs pruned)
     plan = (
-        IndexDelta.load(spark, store, up_to_batch=0)
+        IndexDelta.load(spark, store, up_to_batch=1)
         .postings._jdf.queryExecution().executedPlan().toString()
     )
     assert "batch_id" in plan
 
-    # a plain (non-partitioned) store rejects up_to_batch loudly
+    # a save()'d store carries the fold as batch 0: up_to_batch=0 is
+    # "exactly as saved", uniform with IVFPQIndex.save semantics
     flat = str(tmp_path / "flat_store")
-    IndexDelta.load(spark, store).save(flat)
+    loaded = IndexDelta.load(spark, store)
+    loaded.save(flat)
+    assert (
+        IndexDelta.load(spark, flat, up_to_batch=0).doc_ids.count()
+        == loaded.doc_ids.count()
+    )
+
+    # a store written WITHOUT batch_id partitioning (external/legacy
+    # producer) still rejects up_to_batch loudly
     import pytest as _pytest
 
+    bare = str(tmp_path / "bare_store")
+    for f in IndexDelta._FIELDS:
+        getattr(loaded, f).write.mode("overwrite").parquet(f"{bare}/{f}")
     with _pytest.raises(ValueError):
-        IndexDelta.load(spark, flat, up_to_batch=0)
+        IndexDelta.load(spark, bare, up_to_batch=0)
 
 
 def test_cli_strategy_override_rrf_mmr(spark, tmp_path):
@@ -1875,6 +1890,56 @@ def test_streaming_vector_ingest_extends_ivfpq_store(spark, tmp_path):
     # equal the base build's bit-for-bit
     hist = sim.IVFPQIndex.load(spark, store, up_to_batch=0)
     assert key(hist.codes) == key(base.codes)
+
+
+def test_delta_store_append_after_compact_and_save(spark, tmp_path):
+    """Appending a NEW streaming batch after a compact (or into a
+    save()'d store) must keep EVERY row readable: the fold/save writes
+    its rows as a batch_id=0 partition directory, because a parquet
+    reader over a directory mixing flat files with batch_id=N
+    partition subdirectories silently drops the flat files — before
+    this layout, a post-compact append made the folded corpus vanish
+    from load() (12-doc store read back as the 4 appended docs)."""
+    import tempfile
+
+    from beyond_vector_search_spark.operators.corpus_index import (
+        IndexDelta,
+        build_delta,
+        index_from_delta,
+    )
+    from beyond_vector_search_spark.streaming.ingest import append_delta_batch
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha doc{i} tok{i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+
+    def doc_ids(store):
+        return sorted(
+            r["doc_id"] for r in IndexDelta.load(spark, store).doc_ids.collect()
+        )
+
+    # streaming batches -> compact -> a THIRD batch after the fold
+    store = str(tmp_path / "delta_pc")
+    assert append_delta_batch(docs.where("doc_id < 4"), 0, store)
+    assert append_delta_batch(docs.where("doc_id >= 4 and doc_id < 8"), 1, store)
+    IndexDelta.load(spark, store).compact(store, partitions=1)
+    assert doc_ids(store) == list(range(8))
+    assert append_delta_batch(docs.where("doc_id >= 8"), 2, store)
+    assert doc_ids(store) == list(range(12))
+    # and the derived index sees the full corpus
+    idx = index_from_delta(IndexDelta.load(spark, store))
+    assert idx.doc_stats.count() == 12
+
+    # save()'d store -> append: same mixed-layout hazard at batch 0
+    store2 = str(tmp_path / "delta_sv")
+    build_delta(docs.where("doc_id < 8"), cache=False).save(store2)
+    assert doc_ids(store2) == list(range(8))
+    assert append_delta_batch(docs.where("doc_id >= 8"), 0, store2)
+    assert doc_ids(store2) == list(range(12))
+    # time travel over the saved store: batch 0 is the save itself
+    hist = IndexDelta.load(spark, store2, up_to_batch=0)
+    assert sorted(r["doc_id"] for r in hist.doc_ids.collect()) == list(range(8))
 
 
 def test_cli_maintain_compacts_stores(spark, tmp_path):
