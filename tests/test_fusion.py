@@ -192,23 +192,27 @@ def test_mmr_rerank_releases_candidate_cache(spark, tiny_index):
             break
         prev = cur
     base = n_persistent()
-    for _ in range(4):
+    rounds = 12
+    for _ in range(rounds):
         out = fu.mmr_rerank(cand, idx, k=2, lam=0.7)
         assert out.count() > 0
         del out
         gc.collect()
-    # every dropped result released its candidate cache.  The release
-    # path is a weakref finalizer over py4j handles: reference cycles
-    # can need a second GC pass, and the JVM-side deregistration is not
-    # instantaneous — poll with a deadline instead of asserting on the
-    # first observation (was a rare flake under full-suite load)
+    # The contract under test is NO ACCUMULATION: a leak retains one
+    # cached relation per call (final ≈ base + rounds), while a correct
+    # release keeps the count bounded regardless of rounds.  Assert the
+    # bound rather than exact return-to-base: the release path is a
+    # weakref finalizer whose last 1-2 firings can lag a loaded
+    # interpreter past any fixed deadline (observed under full-suite
+    # load), and O(1) stragglers are not a leak.  Poll first so the
+    # common case settles all the way back to base.
     import time
 
     deadline = time.time() + 30
-    while n_persistent() != base and time.time() < deadline:
+    while n_persistent() > base and time.time() < deadline:
         gc.collect()
         time.sleep(0.5)
-    assert n_persistent() == base
+    assert n_persistent() <= base + 2, (n_persistent(), base, rounds)
 
 
 def test_candidate_pair_sims_duplicate_is_one(spark, tiny_index):
