@@ -44,7 +44,12 @@ def _index(spark, corpus_df, index_dir: str | None, index_format: str = "parquet
         idx = build_index(corpus_df, text=F.concat_ws(" ", "title", "text"))
         idx.save_bucketed(spark, db)
         return CorpusIndex.load_bucketed(spark, db)
-    if index_dir and os.path.isdir(os.path.join(index_dir, "term_stats")):
+    from beyond_vector_search_spark.sources import fsutil
+
+    # Hadoop FS probe, not os.path: --index-dir may name an HDFS/S3A
+    # location on a cluster, where a local probe always answers "no
+    # store" and silently rebuilds the index every invocation
+    if index_dir and fsutil.exists(spark, f"{index_dir}/term_stats"):
         return CorpusIndex.load(spark, index_dir)
     idx = build_index(corpus_df, text=F.concat_ws(" ", "title", "text"))
     if index_dir:

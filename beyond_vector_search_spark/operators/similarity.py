@@ -1671,15 +1671,17 @@ class PQIndex:
 
     @classmethod
     def load(cls, spark, path: str) -> "PQIndex":
-        import os
+        from beyond_vector_search_spark.sources import fsutil
 
         meta_df = spark.read.parquet(f"{path}/meta")
         meta = meta_df.first()
         if "has_rotation" in meta_df.columns:
             has_rotation = bool(meta["has_rotation"])
         else:
-            # legacy store (pre-flag): fall back to the local-FS probe
-            has_rotation = os.path.isdir(f"{path}/rotation")
+            # legacy store (pre-flag): probe through the Hadoop FS —
+            # an os.path probe on an HDFS/S3A store would silently
+            # answer "no rotation" and serve wrong neighbors
+            has_rotation = fsutil.exists(spark, f"{path}/rotation")
         rotation = None
         if has_rotation:
             # fail loudly if the recorded rotation is unreadable — a

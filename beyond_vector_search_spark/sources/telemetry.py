@@ -74,7 +74,11 @@ class TelemetryStore:
         self.log_runs(df)
 
     def runs(self) -> DataFrame:
-        if not os.path.isdir(self._runs):
+        from beyond_vector_search_spark.sources import fsutil
+
+        # Hadoop FS probe, not os.path: the log lives wherever the
+        # parquet does (HDFS/S3A on a cluster)
+        if not fsutil.exists(self.spark, self._runs):
             return self.spark.createDataFrame([], RUNS_SCHEMA)
         return self.spark.read.parquet(self._runs)
 
