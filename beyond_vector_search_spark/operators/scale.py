@@ -351,6 +351,7 @@ def fill_token_budget(
     domain_col: str | None = None,
     id_col: str = "doc_id",
     n_buckets: int = 1000,
+    levels: int = 2,
 ) -> DataFrame:
     """(doc_id, domain, n_tokens, score, kept) — fill a per-domain TOKEN
     budget with the highest-scoring documents: the final assembly step
@@ -362,17 +363,23 @@ def fill_token_budget(
     dict; domains absent from the dict get budget 0.  ``domain_col``
     None treats the corpus as one domain.
 
-    Scale design — histogram cutoff, NOT a global sort: ranking every
-    document per domain and running a corpus-length cumsum is the
-    classic single-partition killer.  Instead (a) per-domain min/max of
-    the rounded score (one aggregation), (b) fixed-width histogram of
-    TOKEN MASS per (domain, bucket) — at most ``n_buckets`` rows per
-    domain, (c) a cumulative sum over that tiny histogram from the top
-    finds the cutoff bucket, (d) buckets above the cutoff are kept
-    wholesale with no per-doc ordering at all, and only INSIDE the
-    single cutoff bucket (~1/n_buckets of the domain) does a per-doc
-    (score DESC, id ASC) running cumsum decide the partial fill.  Every
-    window is bounded: n_buckets rows (c) or one bucket's docs (d).
+    Scale design — RECURSIVE histogram cutoff, NOT a global sort:
+    ranking every document per domain and running a corpus-length
+    cumsum is the classic single-partition killer.  Each level runs
+    (a) per-domain min/max of the rounded score (one aggregation),
+    (b) a fixed-width histogram of TOKEN MASS per (domain, bucket) —
+    at most ``n_buckets`` rows per domain, (c) a cumulative sum over
+    that tiny histogram from the top to find the cutoff bucket,
+    (d) buckets above the cutoff keep wholesale with no per-doc
+    ordering at all — and then RECURSES into the single cutoff bucket
+    with the remaining budget.  After ``levels`` rounds the per-doc
+    (score DESC, id ASC) running-cumsum window sees only
+    ~1/n_buckets^levels of the domain (levels=2 with 1000 buckets:
+    one millionth — a 1T-doc domain leaves a ~1M-doc window input, vs
+    1B docs at one level).  Every histogram window is n_buckets rows.
+    The narrowing stalls only when the cutoff bucket holds a single
+    distinct rounded score (lo == hi) — ties are then decided by the
+    id-ordered prefix window, which no bucketing can shrink.
 
     Deterministic: rounded scores, id tie-breaks, exact integer token
     sums.  Overshoot is zero — the kept set is the longest
@@ -415,94 +422,108 @@ def fill_token_budget(
     # CartesianProduct (left x right repartition instead of a
     # broadcast).  Drop the folded key and broadcast-cross explicitly.
     single = domain_col is None
-
-    # (a) per-domain score range; (b) token-mass histogram
-    rng = based.groupBy("domain").agg(
-        F.min("score").alias("lo"), F.max("score").alias("hi")
-    )
     nb = int(n_buckets)
-    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-        F.least(
-            F.floor(
-                (F.col("score") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / nb)
-            ),
-            F.lit(nb - 1),
+
+    def _window_fill(b: DataFrame) -> DataFrame:
+        # innermost level: the per-doc (score DESC, id ASC) running
+        # cumsum over whatever survived the histogram narrowing
+        wc = (
+            Window.partitionBy("domain")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-    ).cast("int")
-    if single:
-        bb = based.crossJoin(F.broadcast(rng.select("lo", "hi")))
-    else:
-        bb = based.join(F.broadcast(rng), "domain")
-    bb = bb.withColumn("bucket", bucket)
-    hist = bb.groupBy("domain", "bucket").agg(
-        F.sum("n_tokens").alias("mass")
-    )
-    # (c) cumulative mass from the TOP bucket down — n_buckets rows max
-    w = (
-        Window.partitionBy("domain")
-        .orderBy(F.desc("bucket"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hist.withColumn("cum", F.sum("mass").over(w)).withColumn(
-        "cum_before", F.col("cum") - F.col("mass")
-    )
-    if isinstance(budget, dict):
-        # bdf IS the per-domain budget relation — join it directly
-        # (broadcast, absent domains -> 0) instead of re-deriving a
-        # distinct over `based`'s full lineage
-        budgeted = cum.join(F.broadcast(bdf), "domain", "left").withColumn(
-            "budget", F.coalesce("budget", F.lit(0).cast("long"))
+        return b.withColumn("run", F.sum("n_tokens").over(wc)).select(
+            "domain",
+            "doc_id",
+            "n_tokens",
+            "score",
+            (F.col("run") <= F.col("budget")).alias("kept"),
         )
-    else:
-        budgeted = cum.withColumn(
-            "budget", F.lit(int(budget)).cast("long")
+
+    def _histogram_level(b: DataFrame, depth: int) -> DataFrame:
+        # b: (domain, doc_id, n_tokens, score, budget) with budget
+        # constant within each domain.  One histogram pass keeps the
+        # above-cutoff buckets wholesale and recurses into the single
+        # cutoff bucket with the remaining budget.
+        if depth <= 0:
+            return _window_fill(b)
+        rng = b.groupBy("domain").agg(
+            F.min("score").alias("lo"), F.max("score").alias("hi")
         )
-    cutoffs = (
-        budgeted
-        .withColumn("full", F.col("cum") <= F.col("budget"))
-        .withColumn(
-            "is_cutoff",
-            (~F.col("full")) & (F.col("cum_before") < F.col("budget")),
+        bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("score") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / nb)
+                ),
+                F.lit(nb - 1),
+            )
+        ).cast("int")
+        if single:
+            bb = b.crossJoin(F.broadcast(rng.select("lo", "hi")))
+        else:
+            bb = b.join(F.broadcast(rng), "domain")
+        bb = bb.withColumn("bucket", bucket)
+        hist = bb.groupBy("domain", "bucket").agg(
+            F.sum("n_tokens").alias("mass"),
+            # budget is constant per domain — ride it through the agg
+            # so the cutoff math needs no join at all
+            F.min("budget").alias("budget"),
         )
-    )
-    full_buckets = cutoffs.where("full").select("domain", "bucket")
-    cut = cutoffs.where("is_cutoff").select(
-        "domain",
-        F.col("bucket").alias("cut_bucket"),
-        (F.col("budget") - F.col("cum_before")).alias("remaining"),
-    )
-    full_keys = ["bucket"] if single else ["domain", "bucket"]
-    kept_full = bb.join(
-        F.broadcast(full_buckets.select(*full_keys)), full_keys, "semi"
-    ).select(
-        "domain", "doc_id", "n_tokens", "score", F.lit(True).alias("kept")
-    )
-    # (d) partial fill inside the single cutoff bucket (cut derives
-    # from bb's own lineage, so join on RENAMED columns to keep the
-    # analyzer's self-join resolution unambiguous)
-    cutr = cut.select(
-        F.col("domain").alias("_cut_domain"), "cut_bucket", "remaining"
-    )
-    cut_cond = F.col("bucket") == F.col("cut_bucket")
-    if not single:
-        cut_cond = cut_cond & (F.col("domain") == F.col("_cut_domain"))
-    in_cut = bb.join(F.broadcast(cutr), cut_cond).select(
-        "domain", "doc_id", "n_tokens", "score", "remaining"
-    )
-    wc = (
-        Window.partitionBy("domain")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    kept_cut = in_cut.withColumn("run", F.sum("n_tokens").over(wc)).select(
-        "domain",
-        "doc_id",
-        "n_tokens",
-        "score",
-        (F.col("run") <= F.col("remaining")).alias("kept"),
-    )
-    decided = kept_full.unionByName(kept_cut)
+        # cumulative mass from the TOP bucket down — n_buckets rows max
+        w = (
+            Window.partitionBy("domain")
+            .orderBy(F.desc("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cutoffs = (
+            hist.withColumn("cum", F.sum("mass").over(w))
+            .withColumn("cum_before", F.col("cum") - F.col("mass"))
+            .withColumn("full", F.col("cum") <= F.col("budget"))
+            .withColumn(
+                "is_cutoff",
+                (~F.col("full")) & (F.col("cum_before") < F.col("budget")),
+            )
+        )
+        full_buckets = cutoffs.where("full").select("domain", "bucket")
+        cut = cutoffs.where("is_cutoff").select(
+            "domain",
+            F.col("bucket").alias("cut_bucket"),
+            (F.col("budget") - F.col("cum_before")).alias("remaining"),
+        )
+        full_keys = ["bucket"] if single else ["domain", "bucket"]
+        kept_full = bb.join(
+            F.broadcast(full_buckets.select(*full_keys)), full_keys, "semi"
+        ).select(
+            "domain", "doc_id", "n_tokens", "score", F.lit(True).alias("kept")
+        )
+        # the cutoff-bucket rows recurse with the remaining budget
+        # (cut derives from bb's own lineage, so join on RENAMED
+        # columns to keep the self-join resolution unambiguous)
+        cutr = cut.select(
+            F.col("domain").alias("_cut_domain"), "cut_bucket", "remaining"
+        )
+        cut_cond = F.col("bucket") == F.col("cut_bucket")
+        if not single:
+            cut_cond = cut_cond & (F.col("domain") == F.col("_cut_domain"))
+        in_cut = bb.join(F.broadcast(cutr), cut_cond).select(
+            "domain",
+            "doc_id",
+            "n_tokens",
+            "score",
+            F.col("remaining").alias("budget"),
+        )
+        # truncate lineage at the level boundary: the next level
+        # references in_cut several times (range agg, histogram, both
+        # kept arms) and would re-inline THIS level's whole subtree at
+        # each reference — the plan grew 11 -> 47 exchanges without
+        # the cut.  Lazy (no job at plan construction); materializing
+        # the cutoff bucket (~1/n_buckets of the level's input) is
+        # also exactly the scale-sized intermediate to pin down.
+        in_cut = in_cut.localCheckpoint(eager=False)
+        return kept_full.unionByName(_histogram_level(in_cut, depth - 1))
+
+    decided = _histogram_level(based, int(levels))
     return (
         base.join(
             decided.select("doc_id", "kept"), "doc_id", "left"
