@@ -97,14 +97,15 @@ def pagerank(
     float view ``round(rank_units/1e9, 9)`` for human consumption; the
     BIGINT ``rank_units`` column is the bit-exact result.
 
-    Plan shape per iteration: edges ⋈ rank on src (the rank side
-    arrives hash(id)-partitioned from the previous aggregation and its
-    id→src alias keeps it co-partitioned — no exchange), then ONE
-    aggregation shuffle on dst with the teleport/base rows unioned
-    into the same aggregation (no per-step node join).  N is a
-    broadcast 1-row aggregate folded in lazily (no eager count — plan
-    construction launches no job).  All intermediates are node-sized
-    except the edge join, which streams.  For deep
+    Plan shape per iteration: (edges ∪ per-node pseudo-edges) ⋈ rank
+    on src (the rank side arrives hash(id)-partitioned from the
+    previous aggregation and its id→src alias keeps it co-partitioned
+    — no exchange), then ONE aggregation shuffle on dst that also
+    folds in the teleport/base term via the pseudo-edges (no per-step
+    node join, no second union branch — see the loop comment).  N is
+    a broadcast 1-row aggregate folded in lazily (no eager count —
+    plan construction launches no job).  All intermediates are
+    node-sized except the edge join, which streams.  For deep
     iteration counts, localCheckpoint the rank relation every few
     steps — lineage grows linearly with ``n_iter``.
 
@@ -172,28 +173,41 @@ def pagerank(
         basis = basis.localCheckpoint(eager=False)
         deg = deg.localCheckpoint(eager=False)
     rank = basis.select("id", F.col("u0").alias("u"))
-    ed = edges.join(deg, "src")
-    if materialize:
-        # the (src, dst, od) join table is iteration-invariant —
-        # checkpoint it so the edges+degree derivation computes once,
-        # and the per-iteration exchange over the materialized blocks
-        # is byte-identical every step (runtime exchange reuse dedups
-        # it under AQE)
-        ed = ed.localCheckpoint(eager=False)
-    # the teleport/base term is folded INTO the aggregation: instead of
-    # a per-iteration node-sized LEFT JOIN rank = basis ⟕ contrib (one
-    # extra shuffle + sort per step), union a zero-contribution row per
-    # node into the contribution stream and let ONE groupBy produce
-    #   u = (d_num · Σ c) div d_den + Σ bu
-    # — integer-exact identical (Σ over the injected c=0 rows changes
-    # nothing; each node carries exactly one bu row), and the iteration
-    # costs exactly ONE exchange: the dst aggregation.  The rank side
-    # of the src join needs none — it leaves the previous aggregation
-    # hash(id)-partitioned and the id→src alias preserves the
-    # co-partitioning statically.
-    basis_rows = basis.select(
-        "id", F.lit(0).cast("long").alias("c"), F.col("bu")
+    # The teleport/base term is folded INTO the per-iteration
+    # aggregation — no node-sized join or second union branch per step.
+    # Mechanism: augment the iteration-invariant (src, dst, od) table
+    # with one PSEUDO-EDGE per node (src = dst = id, od = 2^62,
+    # bu = the node's base units).  In the iteration the pseudo edge
+    # joins the node's own rank like any edge, but ``u div 2^62`` is
+    # exactly 0 for every reachable magnitude (u ≤ ~1e9+ units), so it
+    # contributes zero mass and exactly one bu row, and ONE groupBy
+    # computes
+    #     u = (d_num · Σ c) div d_den + Σ bu
+    # — integer-exact identical to basis ⟕ contrib.  Per iteration:
+    # one join-map stage + one aggregation shuffle, nothing else.  The
+    # rank side of the src join needs no exchange — it leaves the
+    # previous aggregation hash(id)-partitioned and the id→src alias
+    # preserves the co-partitioning statically.  Pseudo edges also
+    # guarantee every node (including ones with no in-links) stays in
+    # the rank relation each step.
+    _ZERO_OD = 1 << 62  # u div 2^62 == 0 for all u in range
+    pseudo = basis.select(
+        F.col("id").alias("src"),
+        F.col("id").alias("dst"),
+        F.lit(_ZERO_OD).cast("long").alias("od"),
+        F.col("bu"),
     )
+    ed = (
+        edges.join(deg, "src")
+        .withColumn("bu", F.lit(0).cast("long"))
+        .unionByName(pseudo)
+    )
+    if materialize:
+        # iteration-invariant — checkpoint so the edges+degree+pseudo
+        # derivation computes once, and the per-iteration exchange over
+        # the materialized blocks is byte-identical every step (runtime
+        # exchange reuse dedups it under AQE)
+        ed = ed.localCheckpoint(eager=False)
     for it in range(int(n_iter)):
         if checkpoint_every and it and it % int(checkpoint_every) == 0:
             # plan depth grows linearly with iterations (3 operators
@@ -201,13 +215,13 @@ def pagerank(
             # convergence runs keep constant analysis cost — the
             # node-sized rank relation is cheap to materialize
             rank = rank.localCheckpoint(eager=False)
-        contrib = ed.join(rank.withColumnRenamed("id", "src"), "src").select(
-            F.col("dst").alias("id"),
-            F.expr("u div od").alias("c"),
-            F.lit(0).cast("long").alias("bu"),
-        )
         rank = (
-            contrib.unionByName(basis_rows)
+            ed.join(rank.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("u div od").alias("c"),
+                "bu",
+            )
             .groupBy("id")
             .agg(
                 F.expr(f"({d_num} * sum(c)) div {d_den} + sum(bu)").alias("u")
