@@ -469,6 +469,11 @@ class IndexDelta:
         fsutil.purge_versions(spark, path, "delta")
         for f in self._FIELDS:
             fsutil.delete(spark, f"{path}/{f}")
+        # also the streaming epoch markers (IVFPQIndex.save does the
+        # same): stale _batches/N.json over a fresh rebuild would make
+        # replayed/backfilled streaming epochs return False and
+        # silently skip those documents' tf rows
+        fsutil.delete(spark, f"{path}/_batches")
         # each field lands as its own batch_id=0 partition directory
         # (the IVFPQIndex layout): later streaming appends add sibling
         # batch_id=N directories, and a parquet reader over a MIXED

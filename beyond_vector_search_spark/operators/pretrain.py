@@ -232,11 +232,33 @@ def _toked(
     return tokens.select(F.col(id_src).alias("doc_id"), F.col(tok_src).alias("toks"))
 
 
+def _keep(cache: bool | None):
+    """Materialization policy for a twice-plus-consumed relation.
+
+    ``True`` → ``.cache()`` (memory/disk blocks, reconstructible from
+    lineage on executor loss).  ``False`` (default) → lazy
+    ``localCheckpoint`` — cheaper than cache for write-once/read-few
+    because it skips the storage-level bookkeeping, BUT checkpoint
+    blocks are NOT reconstructible: losing an executor (or having one
+    reclaimed by dynamic allocation) fails the job instead of
+    recomputing.  On a dynamic-allocation or preemptible cluster pass
+    ``None`` — fully lazy, each consumer recomputes the relation from
+    source (the pre-r9 behavior) — or, better at scale, persist the
+    relation to parquet once and pass it back in via the ``tokens=`` /
+    ``raw_tokens=`` parameters (the IndexDelta pattern)."""
+    if cache is None:
+        return lambda d: d
+    if cache:
+        return lambda d: d.cache()
+    return lambda d: d.localCheckpoint(eager=False)
+
+
 def unigram_logppl(
     df: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache: bool | None = False,
     tokens: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, logppl) — per-document unigram log-perplexity
@@ -259,16 +281,17 @@ def unigram_logppl(
     the catalog's determinism rule.
 
     ``tokens``: optional pre-tokenized (doc_id, toks ARRAY<STRING>)
-    relation — see :func:`bigram_logppl` for the contract.
+    relation — see :func:`bigram_logppl` for the contract.  ``cache``:
+    materialization policy for the twice-consumed tf relation — see
+    :func:`_keep` for the localCheckpoint reliability tradeoff.
     """
     toked = _toked(df, tokens, id_col=id_col, text_col=text_col)
-    wtf = (
+    wtf = _keep(cache)(
         toked.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
         # two consumers (term counts + the final join) — materialize so
         # the corpus is tokenized once, not once per consumer
-        .localCheckpoint(eager=False)
     )
     ctf = wtf.groupBy("term").agg(F.sum("tf").alias("ctf"))
     n = ctf.agg(F.sum("ctf").alias("n"))
@@ -427,7 +450,7 @@ def bigram_logppl(
     id_col: str = "doc_id",
     text_col: str = "text",
     lam: float = 0.9,
-    cache: bool = False,
+    cache: bool | None = False,
     tokens: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_bigrams, logppl2) — per-document log-perplexity under
@@ -466,12 +489,13 @@ def bigram_logppl(
     scoring pass (this, :func:`unigram_logppl`,
     :func:`dsir_logweights`) off the persisted tokens.  ``df`` is
     ignored for derivation when ``tokens`` is given.
+
+    ``cache``: materialization policy for the twice-plus-consumed tf
+    relation — ``cache=None`` keeps the plan fully lazy (recompute per
+    consumer; survives executor loss / dynamic allocation, which the
+    default localCheckpoint does not — see :func:`_keep`).
     """
-    keep = (
-        (lambda d: d.cache())
-        if cache
-        else (lambda d: d.localCheckpoint(eager=False))
-    )
+    keep = _keep(cache)
     toked = _toked(df, tokens, id_col=id_col, text_col=text_col)
     bigrams = F.when(
         F.size("toks") < 2, F.array().cast("array<string>")
@@ -541,7 +565,7 @@ def dsir_logweights(
     text_col: str = "text",
     n_buckets: int = 4096,
     alpha: float = 1.0,
-    cache: bool = False,
+    cache: bool | None = False,
     raw_tokens: DataFrame | None = None,
     target_tokens: DataFrame | None = None,
 ) -> DataFrame:
@@ -569,11 +593,12 @@ def dsir_logweights(
     occurrences map-side and the per-doc sum is one partial agg.  The
     target side is an eval-set / domain sample — small by definition,
     like the decontamination benchmark.  Both bigram-row relations are
-    materialized (lazy localCheckpoint; ``cache=True`` uses .cache())
-    so each side's text is scanned and hashed exactly once even though
-    the raw rows feed two consumers (bucket counts + the final join);
-    at cluster scale the bucket-row relations would be materialized
-    parquet (IndexDelta pattern).
+    materialized (lazy localCheckpoint; ``cache=True`` uses .cache();
+    ``cache=None`` stays fully lazy — see :func:`_keep` for the
+    executor-loss tradeoff) so each side's text is scanned and hashed
+    exactly once even though the raw rows feed two consumers (bucket
+    counts + the final join); at cluster scale the bucket-row
+    relations would be materialized parquet (IndexDelta pattern).
 
     ``raw_tokens`` / ``target_tokens``: optional pre-tokenized
     (doc_id, toks) relations — when supplied, that side's text is
@@ -593,11 +618,9 @@ def dsir_logweights(
             "doc_id", F.pmod(hash64("bg"), F.lit(n_buckets)).alias("bucket")
         )
 
-    keep = (
-        (lambda d: d.cache())
-        if cache
-        else (lambda d: d.localCheckpoint(eager=False))
-    )
+    # materialization policy per _keep — cache=None keeps the plan
+    # fully lazy for dynamic-allocation clusters
+    keep = _keep(cache)
     raw_rows = keep(bigram_rows(raw, raw_tokens))
     tgt_rows = keep(bigram_rows(target, target_tokens))
     raw_counts = raw_rows.groupBy("bucket").agg(F.count("*").alias("cr"))

@@ -168,12 +168,18 @@ def commit_version(spark, path: str, prefix: str, n: int) -> None:
 
 def gc_versions(spark, path: str, prefix: str, *, extra: tuple = ()) -> None:
     """Best-effort cleanup after a commit: drop markers below the
-    current version FIRST, then every non-current data directory
-    (including the legacy unversioned one, plus any ``extra`` legacy
-    paths — stores whose pre-version layout was not ``{path}/{prefix}``).
-    Any crash mid-GC leaves only extra history — the invariant
-    'highest marker's directory exists and is complete' holds at every
-    step."""
+    current version FIRST, then every data directory at a version
+    STRICTLY BELOW the current one (including the legacy unversioned
+    one, plus any ``extra`` legacy paths — stores whose pre-version
+    layout was not ``{path}/{prefix}``).  Directories at a HIGHER
+    version than the committed pointer are left alone: a concurrent
+    writer may be mid-build there, and deleting its uncommitted work
+    under it would corrupt the very commit it is about to make
+    (``next_version`` already refuses to reuse such leftovers; an
+    abandoned one is reclaimed by :func:`purge_versions` on the next
+    full rebuild).  Any crash mid-GC leaves only extra history — the
+    invariant 'highest marker's directory exists and is complete'
+    holds at every step."""
     vs = committed_versions(spark, path, prefix)
     if not vs:
         return
@@ -182,10 +188,15 @@ def gc_versions(spark, path: str, prefix: str, *, extra: tuple = ()) -> None:
         delete(spark, f"{_marker_dir(path)}/{prefix}-v{n}")
     head = f"{prefix}-v"
     for name in list_names(spark, path):
-        if name == prefix or (
-            name.startswith(head) and name != f"{prefix}-v{cur}"
-        ):
+        if name == prefix:
             delete(spark, f"{path}/{name}")
+        elif name.startswith(head):
+            try:
+                v = int(name[len(head):])
+            except ValueError:
+                continue
+            if v < cur:
+                delete(spark, f"{path}/{name}")
     for p in extra:
         delete(spark, p)
 

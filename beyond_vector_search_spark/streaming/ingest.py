@@ -21,6 +21,21 @@ At 100 TB: each micro-batch's delta append is proportional to NEW text
 only; the read-side re-derivation aggregates already-aggregated (id,
 term, tf) rows.  Compaction of the accumulated append files is ordinary
 parquet-directory maintenance.
+
+Epoch-id migration note (store-format change, 2026-08 / r9): streaming
+epoch N now lands in partition directory ``batch_id=N+1`` — batch 0 is
+reserved for the ``save()``/``compact()`` fold (a parquet reader over a
+directory mixing flat files with partition subdirs silently DROPS the
+flat files, so folds must own an explicit ``batch_id=0``).  Stores
+whose streaming appends predate the offset have epoch N at
+``batch_id=N``; for those, ``load(up_to_batch=K)`` means "through epoch
+K" rather than the new "fold + epochs 0..K-1".  Mixed-era stores (old
+appends, then new ones after an upgrade) additionally have epoch ids
+meaning different things across the boundary — run ``compact()`` once
+after upgrading (folds all history into ``batch_id=0``) so every
+subsequent append uses the new convention uniformly; historical
+``up_to_batch`` reads into the pre-compact era are not supported on
+mixed stores.
 """
 
 from __future__ import annotations

@@ -2511,3 +2511,99 @@ def test_cluster_aware_split_leakage_free(spark):
         cluster_aware_split(df, fractions={"train": 0.5})
     with pytest.raises(ValueError, match="non-empty"):
         cluster_aware_split(df, fractions={})
+
+
+def test_delta_resave_clears_stale_batches(spark, tmp_path):
+    """Re-saving a REBUILT delta store over an existing path (the full
+    index-rebuild flow) must clear stale ``_batches`` epoch markers,
+    mirroring IVFPQIndex.save: a marker surviving the rebuild makes a
+    replayed/backfilled streaming epoch return False and silently skip
+    that batch's documents' tf rows."""
+    from beyond_vector_search_spark.operators.corpus_index import (
+        IndexDelta,
+        build_delta,
+    )
+    from beyond_vector_search_spark.sources import fsutil
+    from beyond_vector_search_spark.streaming.ingest import append_delta_batch
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha doc{i} tok{i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "delta_rs")
+
+    def doc_ids():
+        return sorted(
+            r["doc_id"] for r in IndexDelta.load(spark, store).doc_ids.collect()
+        )
+
+    build_delta(docs.where("doc_id < 4"), cache=False).save(store)
+    # streaming epoch 0 lands + leaves its marker
+    assert append_delta_batch(docs.where("doc_id >= 4 and doc_id < 8"), 0, store)
+    assert fsutil.exists(spark, f"{store}/_batches/0.json")
+    assert doc_ids() == list(range(8))
+
+    # full rebuild over the same path: markers must be gone...
+    build_delta(docs.where("doc_id < 4"), cache=False).save(store)
+    assert not fsutil.exists(spark, f"{store}/_batches")
+    assert doc_ids() == list(range(4))
+    # ...so a REPLAYED epoch 0 re-ingests instead of silently skipping
+    assert append_delta_batch(docs.where("doc_id >= 8"), 0, store) is True
+    assert doc_ids() == [0, 1, 2, 3, 8, 9, 10, 11]
+
+
+def test_gc_versions_spares_higher_uncommitted(spark, tmp_path):
+    """gc_versions only reclaims versions STRICTLY BELOW the committed
+    pointer: a higher-numbered uncommitted directory may be a concurrent
+    writer's build-in-progress — deleting it would corrupt the commit
+    that writer is about to make.  (purge_versions, the full-rebuild
+    path, still removes everything.)"""
+    from beyond_vector_search_spark.sources import fsutil
+
+    root = str(tmp_path / "store")
+    for n in (0, 1):
+        fsutil.write_text(spark, f"{root}/x-v{n}/data.txt", f"v{n}")
+        fsutil.commit_version(spark, root, "x", n)
+    # a concurrent writer mid-build at v2 (no marker yet) + legacy dir
+    fsutil.write_text(spark, f"{root}/x-v2/data.txt", "wip")
+    fsutil.write_text(spark, f"{root}/x/data.txt", "legacy")
+
+    fsutil.gc_versions(spark, root, "x")
+    # old version + legacy gone, current kept, uncommitted v2 SPARED
+    assert not fsutil.exists(spark, f"{root}/x-v0")
+    assert not fsutil.exists(spark, f"{root}/x")
+    assert fsutil.exists(spark, f"{root}/x-v1/data.txt")
+    assert fsutil.exists(spark, f"{root}/x-v2/data.txt")
+    assert fsutil.resolve_version(spark, root, "x") == f"{root}/x-v1"
+    # the spared dir is never half-reused: next writer builds v3
+    assert fsutil.next_version(spark, root, "x") == 3
+    # purge (full rebuild) still clears everything, including v2
+    fsutil.purge_versions(spark, root, "x")
+    assert not fsutil.exists(spark, f"{root}/x-v1")
+    assert not fsutil.exists(spark, f"{root}/x-v2")
+
+
+def test_lm_cache_none_fully_lazy_parity(spark):
+    """cache=None (the dynamic-allocation-safe path, no localCheckpoint
+    blocks) is value-identical to the default materialized form for the
+    three LM ops that accept it."""
+    from beyond_vector_search_spark.operators.pretrain import (
+        bigram_logppl,
+        dsir_logweights,
+        unigram_logppl,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i % 5} gamma tok{i % 3} beta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    target = docs.where("doc_id % 4 = 0")
+
+    for op, args in (
+        (unigram_logppl, (docs,)),
+        (bigram_logppl, (docs,)),
+        (dsir_logweights, (docs, target)),
+    ):
+        lazy = sorted(map(tuple, op(*args, cache=None).collect()))
+        dflt = sorted(map(tuple, op(*args).collect()))
+        assert lazy == dflt, op.__name__
