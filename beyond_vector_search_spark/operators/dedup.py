@@ -167,6 +167,16 @@ def _make_tok_hash():
     return tok_hash
 
 
+def _sig_from_shingles(shingles: set, num_hashes: int, digests) -> list:
+    """MinHash signature from a document's shingle SET — the shared
+    core of every minhash kernel (same md5 inputs, lexicographic min;
+    all-NULL signature for an empty set)."""
+    if not shingles:
+        return [None] * num_hashes
+    per_hash = zip(*(digests(s) for s in shingles))
+    return [min(col) for col in per_hash]
+
+
 def _minhash_sig(toks: list, shingle_n: int, num_hashes: int, digests) -> list:
     """Per-doc MinHash signature from the token list — byte-identical
     to the expression path (same md5 inputs, lexicographic min; all-NULL
@@ -174,10 +184,7 @@ def _minhash_sig(toks: list, shingle_n: int, num_hashes: int, digests) -> list:
     shingles = {
         " ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)
     }
-    if not shingles:
-        return [None] * num_hashes
-    per_hash = zip(*(digests(s) for s in shingles))
-    return [min(col) for col in per_hash]
+    return _sig_from_shingles(shingles, num_hashes, digests)
 
 
 def _simhash_fp(tokset: set, shifts, powers, tok_hash) -> int:
@@ -258,6 +265,62 @@ def minhash_signatures(
         )
     sh = _doc_shingles(df, id_col=id_col, text_col=text_col, n=shingle_n)
     return sh.select("doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
+
+
+def minhash_shingle_rows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig array<string>, shingles array<string>) — MinHash
+    signature AND the distinct shingle set from ONE Arrow pass over the
+    text (one tokenize, one shingle build, one transfer).
+
+    The shared-signature form of the LSH-then-verify pipelines
+    (:func:`~beyond_vector_search_spark.operators.pretrain.fuzzy_contamination`
+    is the canonical consumer): candidate generation needs the
+    signature, the exact-Jaccard verify needs the shingle set, and both
+    derive from the same per-document shingle build — computing them
+    together and materializing the relation means the corpus text is
+    scanned exactly ONCE no matter how many consumers follow.  ``sig``
+    is byte-identical to :func:`minhash_signatures`; ``shingles``
+    (sorted for a deterministic materialized relation) explodes to
+    exactly :func:`shingle_rows` — both pinned by test."""
+    from collections.abc import Iterator
+
+    from beyond_vector_search_spark.functions.kernels import _TOKEN_RE, _project
+
+    src, id_type = _project(df, id_col, F.col(text_col))
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        digests = _make_shingle_digests(num_hashes)
+        for pdf in batches:
+            ids, sigs, shs = [], [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
+                toks = [t.lower() for t in _TOKEN_RE.findall(txt or "")]
+                shingles = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+                ids.append(doc_id)
+                sigs.append(_sig_from_shingles(shingles, num_hashes, digests))
+                shs.append(sorted(shingles))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                    "sig": pd.Series(sigs, dtype="object"),
+                    "shingles": pd.Series(shs, dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(
+        kernel, f"doc_id {id_type}, sig array<string>, shingles array<string>"
+    )
 
 
 def doc_signatures(

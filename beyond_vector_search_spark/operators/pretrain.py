@@ -1047,6 +1047,7 @@ def fuzzy_contamination(
     max_bucket_size: int | None = 10_000,
     corpus_bands: DataFrame | None = None,
     corpus_shingles: DataFrame | None = None,
+    cache: bool | None = False,
 ) -> DataFrame:
     """(doc_id, bench_id, jaccard) — corpus documents NEAR-duplicate to
     a benchmark document: MinHash-LSH candidate generation between the
@@ -1067,9 +1068,18 @@ def fuzzy_contamination(
 
     ``max_bucket_size`` drops corpus band buckets larger than the cap
     (the standard hot-bucket guard; boilerplate buckets would pair
-    with everything).  Corpus shingle sets are computed only for
-    candidate ids (semi-join pruning), so the verify never scans the
-    full corpus text a second time at scale.
+    with everything).
+
+    Shared signatures are the DEFAULT: each side's text is scanned
+    exactly ONCE — a fused Arrow pass
+    (:func:`dedup.minhash_shingle_rows`) emits the MinHash signature
+    AND the distinct shingle set together, and that relation is
+    materialized (``cache`` is the :func:`_keep` policy), so the band
+    keys for candidate generation and the shingle rows for the exact
+    verify both read the materialized rows, never the text.  The
+    from-scratch form previously re-derived the signature chain per
+    consumer — ~21 corpus scans in the audited plan; at 100 TB that is
+    twenty-one passes where one suffices.
 
     ``corpus_bands`` / ``corpus_shingles`` accept the corpus's
     PRECOMPUTED dedup state — band keys (:func:`dedup.banded_keys`
@@ -1083,20 +1093,27 @@ def fuzzy_contamination(
     """
     from beyond_vector_search_spark.operators import dedup as dd
 
+    keep = _keep(cache)
     kw = dict(
         id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
+    c_state = None
+    if corpus_bands is None or corpus_shingles is None:
+        # ONE corpus text pass yields both band keys and verify shingles
+        c_state = keep(dd.minhash_shingle_rows(corpus, **kw))
     if corpus_bands is not None:
         # banded_keys' normalized shape: (doc_id, band_id, band_key)
         cb = corpus_bands.select("doc_id", "band_id", "band_key")
     else:
         cb = dd.banded_keys(
-            dd.minhash_signatures(corpus, **kw),
+            c_state.select("doc_id", "sig"),
             bands=bands,
             rows_per_band=rows_per_band,
         )
+    # the eval set is small by definition: one fused pass, materialized
+    b_state = keep(dd.minhash_shingle_rows(benchmark, **kw))
     bb = dd.banded_keys(
-        dd.minhash_signatures(benchmark, **kw),
+        b_state.select("doc_id", "sig"),
         bands=bands,
         rows_per_band=rows_per_band,
     ).withColumnRenamed("doc_id", "bench_id")
@@ -1108,28 +1125,27 @@ def fuzzy_contamination(
             .select("band_id", "band_key")
         )
         cb = cb.join(ok, ["band_id", "band_key"], "semi")
-    cands = (
+    cands = keep(
         cb.join(F.broadcast(bb), ["band_id", "band_key"])
         .select("doc_id", "bench_id")
         .distinct()
     )
     if corpus_shingles is not None:
         # prune the precomputed rows to candidates — same semi-join
-        # discipline as the text path, no shingle kernel at all
+        # discipline as the fused path, no shingle kernel at all
         csh = corpus_shingles.join(
             cands.select("doc_id").distinct(), "doc_id", "semi"
         )
     else:
-        cand_ids = cands.select(F.col("doc_id").alias(id_col)).distinct()
-        csh = dd.shingle_rows(
-            corpus.join(cand_ids, [id_col], "semi"),
-            id_col=id_col,
-            text_col=text_col,
-            n=shingle_n,
+        # explode the MATERIALIZED shingle sets for candidate ids only
+        # — no second corpus text scan
+        csh = (
+            c_state.join(cands.select("doc_id").distinct(), "doc_id", "semi")
+            .select("doc_id", F.explode("shingles").alias("sh"))
         )
-    bsh = dd.shingle_rows(
-        benchmark, id_col=id_col, text_col=text_col, n=shingle_n
-    ).withColumnRenamed("doc_id", "bench_id")
+    bsh = b_state.select(
+        F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("sh")
+    )
     na = csh.groupBy("doc_id").agg(F.count("*").alias("na"))
     nb = bsh.groupBy("bench_id").agg(F.count("*").alias("nb"))
     inter = (

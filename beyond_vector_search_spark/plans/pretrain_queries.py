@@ -614,9 +614,18 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus carries INJECTED fuzzy leaks (benchmark texts with a
     short appended edit) so the sweep's catch is driver-visible.
     Catalog tail: restates benchmark_contamination's broadcast-eval-set
-    shape + incremental_dedup_pairs' asymmetric banded join."""
+    shape + incremental_dedup_pairs' asymmetric banded join.
+
+    Scan discipline: the EVAL SET (small by definition) is cached once,
+    so the leak-injection union and the operator's benchmark side read
+    it without re-reading parquet; the operator's shared-signature form
+    (default since r10 — one fused sig+shingle pass per side,
+    ``cache=True`` here so the audited plan keeps its real lineage
+    visible) scans ``documents`` exactly TWICE — the corpus branch and
+    the bench materialize — where the r9 from-scratch form scanned it
+    21 times."""
     docs = load_table(spark, sf_dir, "documents")
-    bench = docs.where("doc_id % 97 = 0").select("doc_id", "text")
+    bench = docs.where("doc_id % 97 = 0").select("doc_id", "text").cache()
     corpus = (
         docs.where("doc_id % 97 <> 0")
         .select("doc_id", "text")
@@ -630,5 +639,5 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pt.fuzzy_contamination(
-        corpus, bench, threshold=_FUZZY_THRESHOLD, max_bucket_size=None
+        corpus, bench, threshold=_FUZZY_THRESHOLD, max_bucket_size=None, cache=True
     )

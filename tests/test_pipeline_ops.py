@@ -2683,3 +2683,78 @@ def test_nndescent_extend_scoped_retop_parity(spark):
     scoped = sim.nndescent_extend(base, new, g, k=5, iterations=2)
     full = sim.nndescent_extend(base, new, g, k=5, iterations=2, scoped_topk=False)
     assert rows(scoped) == rows(full)
+
+
+def test_minhash_shingle_rows_fused_parity(spark):
+    """dedup.minhash_shingle_rows (the shared-signature fused pass) is
+    byte-identical to minhash_signatures, and its exploded shingle
+    arrays reproduce shingle_rows exactly — the two halves of
+    fuzzy_contamination's one-scan form cannot drift from their
+    standalone operators."""
+    import pyspark.sql.functions as F
+
+    from beyond_vector_search_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "one two"),  # shorter than the shingle width -> empty
+            (4, ""),
+            (5, "Unicode Émoji 🎉 mixed CASE tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    fused = dd.minhash_shingle_rows(docs, num_hashes=8, shingle_n=3)
+    sig_ref = sorted(
+        map(tuple, dd.minhash_signatures(docs, num_hashes=8, shingle_n=3).collect())
+    )
+    sig_fused = sorted(
+        map(tuple, fused.select("doc_id", "sig").collect())
+    )
+    assert [(i, tuple(s)) for i, s in sig_fused] == [
+        (i, tuple(s)) for i, s in sig_ref
+    ]
+    sh_ref = sorted(
+        map(tuple, dd.shingle_rows(docs, n=3).collect())
+    )
+    sh_fused = sorted(
+        map(
+            tuple,
+            fused.select("doc_id", F.explode("shingles").alias("sh")).collect(),
+        )
+    )
+    assert sh_fused == sh_ref
+
+
+def test_fuzzy_contamination_cache_modes_and_mixed_state(spark):
+    """fuzzy_contamination is value-identical across cache policies
+    (None/False/True) and when only ONE of corpus_bands /
+    corpus_shingles is precomputed (the mixed-state path still derives
+    the other half from the fused pass)."""
+    import pyspark.sql.functions as F
+
+    from beyond_vector_search_spark.operators import dedup as dd
+    from beyond_vector_search_spark.operators.pretrain import fuzzy_contamination
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} delta epsilon zeta eta") for i in range(60)],
+        "doc_id long, text string",
+    )
+    bench = docs.where("doc_id % 10 = 0")
+    leaks = bench.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat("text", F.lit(" edited")).alias("text"),
+    )
+    corpus = docs.where("doc_id % 10 != 0").unionByName(leaks)
+
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    base = rows(fuzzy_contamination(corpus, bench, threshold=0.5))
+    assert base  # planted leaks matched
+    for kw in (
+        dict(cache=None),
+        dict(cache=True),
+        dict(corpus_bands=dd.banded_keys(dd.minhash_signatures(corpus))),
+        dict(corpus_shingles=dd.shingle_rows(corpus, n=3)),
+    ):
+        assert rows(fuzzy_contamination(corpus, bench, threshold=0.5, **kw)) == base
