@@ -34,20 +34,34 @@ HIT_WEIGHT, EM_WEIGHT = 0.7, 0.3  # reference evaluator.py:13-16
 
 
 def strategy_eval(
-    top_k: DataFrame,
-    documents: DataFrame,
+    top_k: DataFrame | None,
+    documents: DataFrame | None,
     labels: DataFrame,
     *,
     id_col: str = "doc_id",
     title_col: str | None = "title",
     text_col: str = "text",
     cfg: EngineConfig = DEFAULT,
+    answers: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, hit_at_k, exact_match, total, top_doc_ids) for one
-    strategy's top-k relation (reference evaluator.py:19-40)."""
+    strategy's top-k relation (reference evaluator.py:19-40).
+
+    ``answers``: a precomputed :func:`generate_answers` relation for
+    this strategy — when supplied, ``top_k``/``documents`` are unused
+    (may be None) and no answer subtree is built: the hit/EM/total
+    scoring is pure column work over the given rows.  Callers that
+    evaluate several strategies derive all answer relations from ONE
+    tagged-union generate_answers pass and split it per strategy
+    (plans/coverage_queries.q_eval_loop), so the documents join and
+    snippet derivation run once, not once per strategy."""
     queries = labels.select("query_id", "query")
-    ans = generate_answers(
-        top_k, documents, queries, id_col=id_col, title_col=title_col, text_col=text_col, cfg=cfg
+    ans = (
+        answers
+        if answers is not None
+        else generate_answers(
+            top_k, documents, queries, id_col=id_col, title_col=title_col, text_col=text_col, cfg=cfg
+        )
     )
     j = ans.join(
         labels.select("query_id", "expected_doc_id", "expected_answer"), "query_id"

@@ -566,8 +566,6 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     trajectory is an exclusive prefix sum — _EVAL_LOOP_SQL computes it
     with DuckDB window functions, the same closed form as
     evaluate.fold_weights_windowed."""
-    import concurrent.futures as cf
-
     from beyond_vector_search_spark.operators.evaluate import evaluate_all, strategy_eval
 
     _EVAL_LOOP_CACHE = session_memo(spark)
@@ -577,38 +575,61 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     idx = _docs_index(spark, sf_dir)
-    top1 = stable_topk(_scores(spark, sf_dir, "keyword"), 5).where("rank = 1")
-    ans = generate_answers(top1, docs, _queries_df(spark), title_col=None)
-    # labels is a tiny relation whose plan embeds a full answers
-    # subtree; without the cache each of the three strategy_eval
-    # branches below re-executes it (measured 3x ~1.3s at sf0.01)
-    labels = (
-        _queries_df(spark)
-        .join(top1.select("query_id", F.col("doc_id").cast("string").alias("expected_doc_id")), "query_id")
-        .join(ans.select("query_id", F.col("answer").alias("expected_answer")), "query_id")
-    ).cache()
-    labels.count()  # shared dependency of all three eval branches
     from beyond_vector_search_spark.operators.retrieval import hybrid_scores
 
     key = _scores(spark, sf_dir, "keyword")
     vec = _scores(spark, sf_dir, "vector")
     tops = {
-        "keyword": stable_topk(key, 5).cache(),
-        "vector": stable_topk(vec, 5).cache(),
-        "hybrid": stable_topk(hybrid_scores(_queries_df(spark), idx, keyword=key, vector=vec), 5).cache(),
+        "keyword": stable_topk(key, 5),
+        "vector": stable_topk(vec, 5),
+        "hybrid": stable_topk(hybrid_scores(_queries_df(spark), idx, keyword=key, vector=vec), 5),
     }
-    # Pre-materialize the three strategy_eval relations (one tiny row
-    # per query each) as concurrent jobs, so the merged fold input is a
-    # 3-way join of cached rows instead of a plan embedding three full
-    # answer/hit/EM subtrees (measured ~7s -> ~3s at sf0.01).
+    # ONE answer pass for the whole loop: the three strategies' top-5
+    # AND the label-synthesis top-1 are tagged with a composite
+    # "{tag}|{query_id}" key and answered together — one documents
+    # join + snippet derivation + context fold instead of four
+    # (the r9 shape pre-filled three cached strategy_eval relations as
+    # separate jobs: ~40 tiny stages, ~8 s at sf0.01; this is the
+    # materialize-once form that collapses them).
+    qdf = _queries_df(spark)
+    branches = dict(tops)
+    branches["top1"] = tops["keyword"].where("rank = 1")
+
+    def tag_qid(tag: str):
+        return F.concat(F.lit(tag + "|"), F.col("query_id")).alias("query_id")
+
+    union_topk = None
+    for tag, t in branches.items():
+        part = t.select(tag_qid(tag), "doc_id", "score", "rank")
+        union_topk = part if union_topk is None else union_topk.unionByName(part)
+    queries4 = None
+    for tag in branches:
+        part = qdf.select(tag_qid(tag), "query")
+        queries4 = part if queries4 is None else queries4.unionByName(part)
+    ans_all = generate_answers(union_topk, docs, queries4, title_col=None).cache()
+    ans_all.count()  # the single heavy fill every branch below reads
+
+    def branch(tag: str) -> DataFrame:
+        pre = tag + "|"
+        return ans_all.where(F.col("query_id").startswith(pre)).withColumn(
+            "query_id", F.expr(f"substring(query_id, {len(pre) + 1})")
+        )
+
+    top1 = branches["top1"]
+    labels = (
+        qdf
+        .join(top1.select("query_id", F.col("doc_id").cast("string").alias("expected_doc_id")), "query_id")
+        .join(branch("top1").select("query_id", F.col("answer").alias("expected_answer")), "query_id")
+    ).cache()
+    labels.count()  # tiny: reads the cached answers + the cached arm
+    # per-strategy evals are pure column work over the cached answers
+    # (strategy_eval answers= path) — no per-strategy fill jobs at all
     evals = {
-        s: strategy_eval(tops[s], docs, labels, title_col=None).cache()
+        s: strategy_eval(None, None, labels, title_col=None, answers=branch(s))
         for s in ("vector", "keyword", "hybrid")
     }
-    with cf.ThreadPoolExecutor(max_workers=3) as ex:
-        list(ex.map(lambda df: df.count(), evals.values()))
     report, state, _runs = evaluate_all(
-        labels, docs, idx, title_col=None, tops=tops, evals=evals
+        labels, docs, idx, title_col=None, evals=evals
     )
     rows = [
         (

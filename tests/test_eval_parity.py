@@ -171,3 +171,47 @@ def test_windowed_fold_has_no_unpartitioned_window(spark):
         ).items():
             units[name] += m
         assert d["wafter_vector"] == units["vector"] * half
+
+
+def test_strategy_eval_answers_path_parity(ref_labels, ref_corpus, ref_index):
+    """strategy_eval(answers=...) — the precomputed-answers path the
+    eval-loop catalog entry uses to derive all strategies from ONE
+    tagged-union generate_answers pass — is row-identical to the
+    from-top-k path, including via composite-tagged ids."""
+    import pyspark.sql.functions as F
+
+    from beyond_vector_search_spark.operators.answer import generate_answers
+    from beyond_vector_search_spark.operators.evaluate import strategy_eval
+    from beyond_vector_search_spark.operators.retrieval import search_all, stable_topk
+
+    queries = ref_labels.select("query_id", "query")
+    tops = search_all(queries, ref_index, k=5)
+
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+
+    # direct answers= handoff
+    ans = generate_answers(tops["keyword"], ref_corpus, queries, title_col="title")
+    direct = strategy_eval(None, None, ref_labels, title_col="title", answers=ans)
+    base = strategy_eval(tops["keyword"], ref_corpus, ref_labels, title_col="title")
+    assert rows(direct) == rows(base)
+
+    # tagged-union handoff (the q_eval_loop shape): two strategies in
+    # one generate_answers pass, split by prefix
+    def tag_qid(tag):
+        return F.concat(F.lit(tag + "|"), F.col("query_id")).alias("query_id")
+
+    union_topk = tops["keyword"].select(tag_qid("keyword"), "doc_id", "score", "rank").unionByName(
+        tops["vector"].select(tag_qid("vector"), "doc_id", "score", "rank")
+    )
+    queries2 = queries.select(tag_qid("keyword"), "query").unionByName(
+        queries.select(tag_qid("vector"), "query")
+    )
+    ans_all = generate_answers(union_topk, ref_corpus, queries2, title_col="title")
+    for s in ("keyword", "vector"):
+        pre = s + "|"
+        b = ans_all.where(F.col("query_id").startswith(pre)).withColumn(
+            "query_id", F.expr(f"substring(query_id, {len(pre) + 1})")
+        )
+        got = strategy_eval(None, None, ref_labels, title_col="title", answers=b)
+        want = strategy_eval(tops[s], ref_corpus, ref_labels, title_col="title")
+        assert rows(got) == rows(want), s
