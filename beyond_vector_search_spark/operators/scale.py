@@ -352,6 +352,7 @@ def fill_token_budget(
     id_col: str = "doc_id",
     n_buckets: int = 1000,
     levels: int = 2,
+    _probe: dict | None = None,
 ) -> DataFrame:
     """(doc_id, domain, n_tokens, score, kept) — fill a per-domain TOKEN
     budget with the highest-scoring documents: the final assembly step
@@ -386,6 +387,11 @@ def fill_token_budget(
     (score DESC, id ASC)-prefix whose token total stays ≤ budget.
     Documents with NULL score or NULL/negative tokens are dropped from
     the output entirely (they cannot be budgeted).
+
+    ``_probe``: test hook — when a dict is passed, the final
+    running-cumsum window's INPUT relation is stored under
+    ``_probe["window_input"]`` so the ~n/n_buckets^levels bound above
+    is a checked contract (tests/test_scale_ops.py), not a comment.
     """
     from pyspark.sql import Window
 
@@ -426,7 +432,18 @@ def fill_token_budget(
 
     def _window_fill(b: DataFrame) -> DataFrame:
         # innermost level: the per-doc (score DESC, id ASC) running
-        # cumsum over whatever survived the histogram narrowing
+        # cumsum over whatever survived the histogram narrowing.
+        # BOUNDED BY CONSTRUCTION: b is the last level's cutoff bucket,
+        # ~domain/n_buckets^levels rows (each level keeps/drops whole
+        # buckets and recurses into exactly ONE), so the
+        # "WindowExec: No Partition Defined" warning this emits for
+        # single-domain inputs is accepted-by-design — the window never
+        # sees a corpus-sized input unless the cutoff bucket collapses
+        # to one distinct rounded score (ties; no bucketing can shrink
+        # that).  The bound is a checked contract:
+        # tests/test_scale_ops.py::test_fill_token_budget_window_bound.
+        if _probe is not None:
+            _probe["window_input"] = b
         wc = (
             Window.partitionBy("domain")
             .orderBy(F.desc("score"), F.asc("doc_id"))

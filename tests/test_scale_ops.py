@@ -2607,3 +2607,67 @@ def test_lm_cache_none_fully_lazy_parity(spark):
         lazy = sorted(map(tuple, op(*args, cache=None).collect()))
         dflt = sorted(map(tuple, op(*args).collect()))
         assert lazy == dflt, op.__name__
+
+
+def test_fill_token_budget_window_bound(spark):
+    """The recursive histogram cutoff's CONTRACT: the final id-ordered
+    running-cumsum window (the one unpartitioned WindowExec on
+    single-domain inputs) sees only ~n/n_buckets^levels rows — each
+    level keeps/drops whole buckets and recurses into exactly ONE.
+    Pinned on a skewed two-domain corpus so a future edit can't
+    silently regress the final fill to a corpus-sized global sort."""
+    import pyspark.sql.functions as F
+
+    from beyond_vector_search_spark.operators.scale import fill_token_budget
+
+    n_big = 20_000
+    # skewed: one 20k-doc domain, one 50-doc domain; distinct scores
+    # (equal scores share a bucket BY DESIGN and void the bound)
+    df = (
+        spark.range(n_big)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("web").alias("domain"),
+            (F.lit(100) + F.pmod("id", F.lit(7))).alias("n_tokens"),
+            (F.col("id") * 0.000037 + F.pmod("id", F.lit(991)) * 0.001).alias("score"),
+        )
+        .unionByName(
+            spark.range(n_big, n_big + 50).select(
+                F.col("id").alias("doc_id"),
+                F.lit("books").alias("domain"),
+                F.lit(200).alias("n_tokens"),
+                (F.col("id") * 0.01).alias("score"),
+            )
+        )
+    )
+    nb, levels = 10, 2
+    probe: dict = {}
+    out = fill_token_budget(
+        df,
+        budget={"web": 300_000, "books": 2_000},
+        score_col="score",
+        domain_col="domain",
+        n_buckets=nb,
+        levels=levels,
+        _probe=probe,
+    )
+    rows = out.collect()
+
+    # the checked bound: cutoff-bucket rows per domain ~ n/nb per
+    # level; allow 4x slack per level for uneven bucket occupancy
+    win_n = probe["window_input"].count()
+    bound = 4**levels * (n_big / nb**levels) + 50  # + the tiny domain
+    assert win_n <= bound, (win_n, bound)
+
+    # and the histogram path still equals the brute-force global fill
+    import itertools
+
+    for domain, budget in (("web", 300_000), ("books", 2_000)):
+        docs = sorted(
+            (r for r in rows if r["domain"] == domain),
+            key=lambda r: (-r["score"], r["doc_id"]),
+        )
+        run = list(itertools.accumulate(r["n_tokens"] for r in docs))
+        want = {r["doc_id"]: c <= budget for r, c in zip(docs, run)}
+        got = {r["doc_id"]: r["kept"] for r in docs}
+        assert got == want, domain
