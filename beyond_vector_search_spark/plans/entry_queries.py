@@ -161,16 +161,23 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> ci.CorpusIndex:
         # text column is expensive to scan/ship (measured A/B at sf0.1:
         # 0.95 s vs 1.03 s; the fused builder's slice pass ~= the saved
         # second scan at this size)
-        delta = ci.build_delta(docs, text="text", cache=False).checkpoint(
-            target_partitions=target
-        )
+        # background checkpoint: the tokenize/shingle kernel jobs run
+        # while the driver builds the derived plans + cache
+        # registrations below (~0.3 s of py4j work that used to wait
+        # for the kernels); join() before returning so no later action
+        # can race the forcing threads
+        delta, join = ci.build_delta(
+            docs, text="text", cache=False
+        ).checkpoint_background(target_partitions=target)
         # serving profile: checkpointed relations and doc_vec stay
         # uncached (see CorpusIndex.cache docstring); scalars is a
         # 1-row aggregate consumed only through the memoized
         # scalar_values() collect — caching it buys one wasted job
-        _INDEX_CACHE[key] = ci.index_from_delta(delta).cache(
+        idx = ci.index_from_delta(delta).cache(
             skip=("postings", "doc_ids", "doc_vec", "scalars")
         )
+        join()
+        _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 
 
