@@ -1022,7 +1022,15 @@ def register_all() -> None:
         q_spell_suggest,
     )
 
-    # last two driver-window slots (entries 48-49)
+    # last three driver-window slots: r10 rotated selection_pipeline in
+    # (the only end-to-end curation composite — NB quality -> quality-
+    # aware semantic dedup -> token-budget fill, fully oracled) and
+    # simhash_pairs out to the tail (its generic banded-hamming join is
+    # restated in-window by minhash_pairs' banded-LSH shape and pinned
+    # by the phash kernel tests)
+    register("selection_pipeline", _selection_pipeline_sql())(
+        q_selection_pipeline
+    )
     register("semantic_dedup", _SEMANTIC_DEDUP_SQL)(q_semantic_dedup)
     register("data_quality", _DATA_QUALITY_SQL)(q_data_quality)
     # the tail
@@ -1102,13 +1110,15 @@ def register_all() -> None:
     register("fuzzy_contamination", FUZZY_CONTAMINATION_SQL)(
         q_fuzzy_contamination
     )
-    # model-targeted data-selection assembly: the full oracle for the
-    # previously tests-only cluster_canonicals + fill_token_budget
-    # (see the module comment at q_selection_pipeline); restates
-    # nb_quality_scores (nested verbatim) and semantic_dedup's closure
-    register("selection_pipeline", _selection_pipeline_sql())(
-        q_selection_pipeline
+    # r10 rotation demotion (selection_pipeline took a window slot):
+    # SimHash banded-hamming near-dup pairs — the banded join shape is
+    # restated in-window by minhash_pairs; phash tests pin the kernel
+    from beyond_vector_search_spark.plans.pipeline_queries import (
+        SIMHASH_PAIRS_SQL,
+        q_simhash_pairs,
     )
+
+    register("simhash_pairs", SIMHASH_PAIRS_SQL)(q_simhash_pairs)
     # encoding-artifact (mojibake) detection over planted damage:
     # restates pii_scrub_customers' regexp-count-over-derived-text shape
     register("encoding_artifacts", _ENC_SQL)(q_encoding_artifacts)

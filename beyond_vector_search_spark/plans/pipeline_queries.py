@@ -121,14 +121,20 @@ _SIMHASH_SQL = (
 )
 
 
-@register(
-    "simhash_pairs",
+# r10 rotation demotion (selection_pipeline took a window slot): the
+# generic banded-hamming join is also exercised in-window by
+# minhash_pairs' banded-LSH shape and pinned by the phash kernel tests;
+# registered in coverage_queries.register_all's tail section — still
+# fully oracled in the local artifacts.
+SIMHASH_PAIRS_SQL = (
     f"WITH {_SIMHASH_BASE_SQL}, {_SIMHASH_SQL}, "
     "hpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
     "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
     "FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id) "
-    "SELECT doc_a, doc_b, hamming FROM hpairs WHERE hamming <= 3",
+    "SELECT doc_a, doc_b, hamming FROM hpairs WHERE hamming <= 3"
 )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = (
