@@ -1098,13 +1098,12 @@ def fuzzy_contamination(
         id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
     c_state = None
-    if corpus_bands is None or corpus_shingles is None:
-        # ONE corpus text pass yields both band keys and verify shingles
-        c_state = keep(dd.minhash_shingle_rows(corpus, **kw))
     if corpus_bands is not None:
         # banded_keys' normalized shape: (doc_id, band_id, band_key)
         cb = corpus_bands.select("doc_id", "band_id", "band_key")
     else:
+        # ONE corpus text pass yields both band keys and verify shingles
+        c_state = keep(dd.minhash_shingle_rows(corpus, **kw))
         cb = dd.banded_keys(
             c_state.select("doc_id", "sig"),
             bands=bands,
@@ -1136,12 +1135,23 @@ def fuzzy_contamination(
         csh = corpus_shingles.join(
             cands.select("doc_id").distinct(), "doc_id", "semi"
         )
-    else:
+    elif c_state is not None:
         # explode the MATERIALIZED shingle sets for candidate ids only
         # — no second corpus text scan
         csh = (
             c_state.join(cands.select("doc_id").distinct(), "doc_id", "semi")
             .select("doc_id", F.explode("shingles").alias("sh"))
+        )
+    else:
+        # corpus_bands given but shingles not: shingle only the
+        # candidate documents' text (the bands made the fused pass
+        # unnecessary; a candidates-only kernel beats a corpus-wide one)
+        cand_ids = cands.select(F.col("doc_id").alias(id_col)).distinct()
+        csh = dd.shingle_rows(
+            corpus.join(cand_ids, [id_col], "semi"),
+            id_col=id_col,
+            text_col=text_col,
+            n=shingle_n,
         )
     bsh = b_state.select(
         F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("sh")
