@@ -189,6 +189,21 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> ci.CorpusIndex:
 def _scores(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
     _SCORES_CACHE = session_memo(spark)
     key = ("scores", sf_dir, strategy)
+    if strategy == "hybrid":
+        # The blend is memoized like the arms: the two normalization
+        # windows + the union/agg shuffle run once per index snapshot,
+        # and repeat consumers (hybrid_topk, ranking_metrics, rrf/prf
+        # baselines) read the cached 3-shuffle result — the
+        # ServingArms "hybrid" arm shape.  Blend semantics unchanged.
+        if key not in _SCORES_CACHE:
+            _SCORES_CACHE[key] = rt.hybrid_scores(
+                _queries_df(spark), _docs_index(spark, sf_dir),
+                cfg=_CFG,
+                keyword=_scores(spark, sf_dir, "keyword"),
+                vector=_scores(spark, sf_dir, "vector"),
+                minmax_via="window",  # single-pass over the cached arms
+            ).cache()
+        return _SCORES_CACHE[key]
     if key not in _SCORES_CACHE:
         # Serving shape: the 3-query workload is COMPILED against the
         # index (retrieval.compile_query_batch — driver-side
@@ -419,15 +434,7 @@ _HYBRID_CTE = (
     f"{_VEC_SCORED_CTE}, {_HYBRID_CTE} {_rank_sql('blended')}",
 )
 def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = _docs_index(spark, sf_dir)
-    scored = rt.hybrid_scores(
-        _queries_df(spark), idx,
-        cfg=_CFG,
-        keyword=_scores(spark, sf_dir, "keyword"),
-        vector=_scores(spark, sf_dir, "vector"),
-        minmax_via="window",  # arms are uncached compiled plans
-    )
-    return _ranked(scored)
+    return _ranked(_scores(spark, sf_dir, "hybrid"))
 
 
 # REFERENCE-semantics top-k (EngineConfig DEFAULT, include_zero_score_docs):

@@ -302,12 +302,9 @@ def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pseudo-truth — per-query metric rows reduced by one aggregation."""
     from pyspark.sql import Window
 
-    idx = _docs_index(spark, sf_dir)
     key = _scores(spark, sf_dir, "keyword")
     vec = _scores(spark, sf_dir, "vector")
-    from beyond_vector_search_spark.operators import retrieval as _rt
-
-    hyb = _rt.hybrid_scores(_queries_df(spark), idx, cfg=_CFG, keyword=key, vector=vec)
+    hyb = _scores(spark, sf_dir, "hybrid")  # memoized blend, shared with hybrid_topk
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("score"), 6)), F.asc("doc_id")

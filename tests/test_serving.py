@@ -126,3 +126,28 @@ def test_duplicate_query_ids_fail_loudly(spark, corpus_index):
     arms = ServingArms(idx, dup, cfg=_CFG)
     with pytest.raises(rt.DuplicateQueryIdError, match="duplicate query_id"):
         arms.arm("keyword")
+
+
+def test_entry_hybrid_blend_memoized(spark):
+    """The catalog's hybrid blend is built ONCE per (session, sf): repeat
+    hybrid_topk calls rank over the same cached relation instead of
+    re-running the two normalization windows + union/agg (the
+    ServingArms "hybrid" arm shape, lifted into the plans layer)."""
+    from beyond_vector_search_spark.plans import entry_queries as eq
+
+    sf = "/root/testdata/sf0.001"
+    first = eq._scores(spark, sf, "hybrid")
+    again = eq._scores(spark, sf, "hybrid")
+    assert first is again, "hybrid blend must be session-memoized"
+    assert first.is_cached, "hybrid blend must be persisted"
+    # and the blend's values are exactly hybrid_scores over the arms
+    from beyond_vector_search_spark.operators import retrieval as rt
+
+    fresh = rt.hybrid_scores(
+        eq._queries_df(spark), eq._docs_index(spark, sf), cfg=eq._CFG,
+        keyword=eq._scores(spark, sf, "keyword"),
+        vector=eq._scores(spark, sf, "vector"),
+    )
+    got = {(r.query_id, r.doc_id): round(r.score, 9) for r in first.collect()}
+    want = {(r.query_id, r.doc_id): round(r.score, 9) for r in fresh.collect()}
+    assert got == want
