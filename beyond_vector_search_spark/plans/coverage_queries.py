@@ -575,14 +575,17 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     idx = _docs_index(spark, sf_dir)
-    from beyond_vector_search_spark.operators.retrieval import hybrid_scores
 
     key = _scores(spark, sf_dir, "keyword")
     vec = _scores(spark, sf_dir, "vector")
+    # the hybrid arm comes from the same session memo hybrid_topk
+    # serves from (cached blend) — the loop's answer pass and the
+    # merged-eval collect read cache blocks instead of re-running the
+    # two normalization windows + union/agg
     tops = {
         "keyword": stable_topk(key, 5),
         "vector": stable_topk(vec, 5),
-        "hybrid": stable_topk(hybrid_scores(_queries_df(spark), idx, keyword=key, vector=vec), 5),
+        "hybrid": stable_topk(_scores(spark, sf_dir, "hybrid"), 5),
     }
     # ONE answer pass for the whole loop: the three strategies' top-5
     # AND the label-synthesis top-1 are tagged with a composite
