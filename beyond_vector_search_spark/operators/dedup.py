@@ -83,10 +83,7 @@ def shingle_rows(
                 ids, shs = [], []
                 for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
                     toks = [t.lower() for t in _TOKEN_RE.findall(txt or "")]
-                    for s in {
-                        " ".join(toks[i : i + n])
-                        for i in range(len(toks) - n + 1)
-                    }:
+                    for s in _shingle_set(toks, n):
                         ids.append(doc_id)
                         shs.append(s)
                 yield pd.DataFrame(
@@ -167,6 +164,12 @@ def _make_tok_hash():
     return tok_hash
 
 
+def _shingle_set(toks: list, n: int) -> set:
+    """A document's DISTINCT word n-gram shingles from its token list —
+    the one definition every shingle-building kernel shares."""
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
 def _sig_from_shingles(shingles: set, num_hashes: int, digests) -> list:
     """MinHash signature from a document's shingle SET — the shared
     core of every minhash kernel (same md5 inputs, lexicographic min;
@@ -181,10 +184,7 @@ def _minhash_sig(toks: list, shingle_n: int, num_hashes: int, digests) -> list:
     """Per-doc MinHash signature from the token list — byte-identical
     to the expression path (same md5 inputs, lexicographic min; all-NULL
     signature for docs shorter than the shingle width)."""
-    shingles = {
-        " ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)
-    }
-    return _sig_from_shingles(shingles, num_hashes, digests)
+    return _sig_from_shingles(_shingle_set(toks, shingle_n), num_hashes, digests)
 
 
 def _simhash_fp(tokset: set, shifts, powers, tok_hash) -> int:
@@ -303,10 +303,7 @@ def minhash_shingle_rows(
             ids, sigs, shs = [], [], []
             for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
                 toks = [t.lower() for t in _TOKEN_RE.findall(txt or "")]
-                shingles = {
-                    " ".join(toks[i : i + shingle_n])
-                    for i in range(len(toks) - shingle_n + 1)
-                }
+                shingles = _shingle_set(toks, shingle_n)
                 ids.append(doc_id)
                 sigs.append(_sig_from_shingles(shingles, num_hashes, digests))
                 shs.append(sorted(shingles))

@@ -1102,10 +1102,17 @@ def fuzzy_contamination(
         # banded_keys' normalized shape: (doc_id, band_id, band_key)
         cb = corpus_bands.select("doc_id", "band_id", "band_key")
     else:
-        # ONE corpus text pass yields both band keys and verify shingles
-        c_state = keep(dd.minhash_shingle_rows(corpus, **kw))
+        if corpus_shingles is not None:
+            # mixed state: verify shingles are precomputed, so the
+            # fused pass's corpus-wide shingle arrays would be dead
+            # weight — run the sig-only kernel for the band keys
+            sigs = keep(dd.minhash_signatures(corpus, **kw))
+        else:
+            # ONE corpus text pass yields band keys AND verify shingles
+            c_state = keep(dd.minhash_shingle_rows(corpus, **kw))
+            sigs = c_state
         cb = dd.banded_keys(
-            c_state.select("doc_id", "sig"),
+            sigs.select("doc_id", "sig"),
             bands=bands,
             rows_per_band=rows_per_band,
         )

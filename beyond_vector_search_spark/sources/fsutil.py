@@ -194,6 +194,10 @@ def gc_versions(spark, path: str, prefix: str, *, extra: tuple = ()) -> None:
             try:
                 v = int(name[len(head):])
             except ValueError:
+                # unparseable suffix ("delta-v3.tmp", editor junk) can
+                # never be a concurrent writer's valid in-progress
+                # version — reclaim it, matching the old startswith rule
+                delete(spark, f"{path}/{name}")
                 continue
             if v < cur:
                 delete(spark, f"{path}/{name}")

@@ -2567,11 +2567,15 @@ def test_gc_versions_spares_higher_uncommitted(spark, tmp_path):
     # a concurrent writer mid-build at v2 (no marker yet) + legacy dir
     fsutil.write_text(spark, f"{root}/x-v2/data.txt", "wip")
     fsutil.write_text(spark, f"{root}/x/data.txt", "legacy")
+    # unparseable version-like junk can never be a valid in-progress
+    # version — GC must reclaim it, not leak it forever
+    fsutil.write_text(spark, f"{root}/x-v3.tmp/data.txt", "junk")
 
     fsutil.gc_versions(spark, root, "x")
-    # old version + legacy gone, current kept, uncommitted v2 SPARED
+    # old version + legacy + junk gone, current kept, uncommitted v2 SPARED
     assert not fsutil.exists(spark, f"{root}/x-v0")
     assert not fsutil.exists(spark, f"{root}/x")
+    assert not fsutil.exists(spark, f"{root}/x-v3.tmp")
     assert fsutil.exists(spark, f"{root}/x-v1/data.txt")
     assert fsutil.exists(spark, f"{root}/x-v2/data.txt")
     assert fsutil.resolve_version(spark, root, "x") == f"{root}/x-v1"

@@ -134,8 +134,9 @@ def test_entry_hybrid_blend_memoized(spark):
     re-running the two normalization windows + union/agg (the
     ServingArms "hybrid" arm shape, lifted into the plans layer)."""
     from beyond_vector_search_spark.plans import entry_queries as eq
+    from tests.conftest import SF_DIR
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR
     first = eq._scores(spark, sf, "hybrid")
     again = eq._scores(spark, sf, "hybrid")
     assert first is again, "hybrid blend must be session-memoized"
