@@ -74,6 +74,10 @@ def fan_out(src: DataFrame) -> DataFrame:
     unconditionally (view-backed small relations — saves the 0.3 s RDD
     probe), ``never`` passes through (the source is known to be
     well-partitioned), ``auto`` (default) probes as described."""
+    if src.isStreaming:
+        # micro-batches inherit the source's partitioning; the file /
+        # RDD probes below are illegal on a streaming plan
+        return src
     mode = src.sparkSession.conf.get("spark.bvs.fanout", "auto")
     parallelism = src.sparkSession.sparkContext.defaultParallelism
     if mode == "never":

@@ -257,6 +257,17 @@ def _knn_kernel_topk(
     )
 
 
+def round_half_away(x, decimals: int = 6):
+    """Round half-AWAY-FROM-ZERO (Spark F.round's HALF_UP rule —
+    np.round / Python round are half-even).  Every numpy kernel that
+    must order or threshold like the expression form shares this one
+    definition, so the two rules cannot drift apart."""
+    import numpy as np
+
+    s = np.asarray(x, dtype=np.float64) * (10.0 ** decimals)
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)) / (10.0 ** decimals)
+
+
 def _centroid_topk_assign_kernel(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -267,6 +278,7 @@ def _centroid_topk_assign_kernel(
     out_id: str = "bvec_id",
     with_cos: bool = False,
     with_vec: bool = False,
+    carry: tuple = (),
 ) -> DataFrame:
     """(out_id, centroid_id[, cos][, _v]) — each vector's ``probe``
     nearest centroids (rounded-cosine desc, centroid_id asc), as ONE
@@ -310,11 +322,14 @@ def _centroid_topk_assign_kernel(
 
     src = _fan_out(
         embeddings.select(
-            F.col(id_col).alias(out_id), as_double_array(F.col(vec_col)).alias("_v")
+            F.col(id_col).alias(out_id),
+            as_double_array(F.col(vec_col)).alias("_v"),
+            *[F.col(c) for c in carry],
         )
     )
     idt = src.schema[out_id].dataType.simpleString()
     cidt = centroids.schema["centroid_id"].dataType.simpleString()
+    carry_types = {c: src.schema[c].dataType.simpleString() for c in carry}
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -327,10 +342,7 @@ def _centroid_topk_assign_kernel(
             en = np.sqrt((E * E).sum(axis=1))
             denom = en[:, None] * cn[None, :]
             cos = np.where(denom == 0.0, 0.0, (E @ C.T) / np.where(denom == 0.0, 1.0, denom))
-            # half-away-from-zero at 6 decimals — F.round's rule, not
-            # numpy's half-even
-            scaled = cos * 1e6
-            cr = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / 1e6
+            cr = round_half_away(cos)  # F.round's rule, not numpy's half-even
             # stable argsort over the id-ascending axis: ties keep the
             # smaller centroid_id first
             order = np.argsort(-cr, axis=1, kind="stable")[:, :take]
@@ -347,6 +359,8 @@ def _centroid_topk_assign_kernel(
                 out["_v"] = pd.Series(
                     np.repeat(pdf["_v"].to_numpy(dtype=object), take)
                 )
+            for c in carry:
+                out[c] = pd.Series(np.repeat(pdf[c].to_numpy(), take))
             yield pd.DataFrame(out)
 
     schema = f"{out_id} {idt}, centroid_id {cidt}"
@@ -354,6 +368,8 @@ def _centroid_topk_assign_kernel(
         schema += ", cos double"
     if with_vec:
         schema += ", _v array<double>"
+    for c in carry:
+        schema += f", {c} {carry_types[c]}"
     return src.mapInPandas(kernel, schema)
 
 
@@ -738,8 +754,7 @@ def embedding_neardup_pairs(
             iu, ju = np.triu_indices(m, k=1)
             c = cos[iu, ju]
             # half-away-from-zero 6-decimal threshold — F.round's rule
-            scaled = c * 1e6
-            cr = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / 1e6
+            cr = round_half_away(c)
             keep = cr >= thr
             # drop same-id self pairs (a doc double-probing two buckets
             # never pairs with itself here: ids are distinct per bucket,

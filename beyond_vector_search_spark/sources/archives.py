@@ -139,9 +139,18 @@ def _explode_members(shards: DataFrame, members_fn, *, with_ts: bool = False) ->
             rows = []
             for i, (path, blob) in enumerate(zip(pdf["path"], pdf["content"])):
                 ts = pdf["modificationTime"].iloc[i] if with_ts else None
+                # a shard may legally hold the same member name twice
+                # (``tar -u`` keeps the superseded copy; zips can
+                # repeat names): tar semantics say the LATER member
+                # wins, so dedupe per (key, ext) in archive order —
+                # without this, webdataset_samples' map_from_entries
+                # would abort the whole job with DUPLICATED_MAP_KEY
+                # on one such shard.
+                last: dict[tuple, tuple] = {}
                 for name, data in members_fn(bytes(blob)):
                     key, ext = _split_member_name(name)
-                    row = (path, key, ext, bytearray(data))
+                    last[(key, ext)] = (path, key, ext, bytearray(data))
+                for row in last.values():
                     rows.append(row + (ts,) if with_ts else row)
             yield pd.DataFrame(rows, columns=cols)
 
@@ -155,7 +164,11 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
     into samples by basename key.  ``parts['png']`` is the image bytes,
     ``parts['txt']`` the caption, etc.  The only shuffle in the source
     path, keyed on (shard, key) — sample-sized groups, no skew by
-    construction (keys are unique within a shard)."""
+    construction (keys are unique within a shard).
+
+    Duplicate (key, ext) members never reach this group: the explode
+    kernel already applies tar's later-member-wins rule per shard, so
+    ``map_from_entries`` cannot hit DUPLICATED_MAP_KEY here."""
     return members.groupBy("shard", "key").agg(
         F.map_from_entries(F.collect_list(F.struct("ext", "content"))).alias("parts")
     )
@@ -173,11 +186,13 @@ def image_rows_from_samples(
     member must not poison downstream kernels (they int() the id)."""
     img = F.element_at(F.col("parts"), ext)
     hash_id = F.abs(F.xxhash64("shard", "key"))
-    # regexp_extract returns '' on no match — nullif before the cast
-    # (ANSI mode would throw on ''::bigint), then fall back to the hash
+    # regexp_extract returns '' on no match, and a 20+-digit numeric
+    # key overflows bigint — try_cast turns both into NULL (ANSI cast
+    # would throw and kill the job on one oddly-named member), then
+    # fall back to the hash id
     media_id = (
         F.coalesce(
-            F.nullif(F.regexp_extract(F.col("key"), r"(\d+)$", 1), F.lit("")).cast("bigint"),
+            F.regexp_extract(F.col("key"), r"(\d+)$", 1).try_cast("bigint"),
             hash_id,
         )
         if id_from_key

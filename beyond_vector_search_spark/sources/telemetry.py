@@ -30,6 +30,12 @@ RUNS_SCHEMA = (
     "run_id BIGINT, ts_unix DOUBLE, query STRING, strategy STRING, "
     "score DOUBLE, meta_json STRING"
 )
+# what runs() actually returns: RUNS_SCHEMA plus the run_date partition
+# column the parquet layout carries — the empty-store fallback and the
+# JDBC backend must present the SAME shape, or a query written against
+# a populated store (e.g. partition-pruning on run_date) breaks the
+# first time it meets a fresh store or a different backend
+RUNS_VIEW_SCHEMA = RUNS_SCHEMA + ", run_date DATE"
 STATE_SCHEMA = "key STRING, value_json STRING, version BIGINT"
 
 
@@ -79,7 +85,7 @@ class TelemetryStore:
         # Hadoop FS probe, not os.path: the log lives wherever the
         # parquet does (HDFS/S3A on a cluster)
         if not fsutil.exists(self.spark, self._runs):
-            return self.spark.createDataFrame([], RUNS_SCHEMA)
+            return self.spark.createDataFrame([], RUNS_VIEW_SCHEMA)
         return self.spark.read.parquet(self._runs)
 
     # -- state KV -----------------------------------------------------------
@@ -187,7 +193,19 @@ class JdbcTelemetryStore(TelemetryStore):
         ).jdbc(self.url, self.table, properties=self.properties)
 
     def runs(self) -> DataFrame:
-        return self.spark.read.jdbc(self.url, self.table, properties=self.properties)
+        # align to the parquet backend's view shape (RUNS_VIEW_SCHEMA):
+        # the JDBC table has no run_id/run_date columns, so derive them
+        # — backend choice must not change the relation a consumer sees
+        df = self.spark.read.jdbc(self.url, self.table, properties=self.properties)
+        if "run_id" not in df.columns:
+            df = df.withColumn("run_id", F.monotonically_increasing_id())
+        if "run_date" not in df.columns:
+            df = df.withColumn(
+                "run_date", F.to_date(F.to_timestamp(F.col("ts_unix")))
+            )
+        return df.select(
+            "run_id", "ts_unix", "query", "strategy", "score", "meta_json", "run_date"
+        )
 
 
 def telemetry_from_env(spark: SparkSession, path: str) -> TelemetryStore:

@@ -83,50 +83,42 @@ def centroid_buckets_stream(
     probe: int = 2,
 ) -> DataFrame:
     """(vec_id, ts, centroid_id, embedding) — stateless top-``probe``
-    bucket assignment: one numpy pass per Arrow batch, rounded-cosine
-    ordering with centroid-id tie-break (the batch operator's rule,
-    similarity.py: assign_centroids), vector carried along for the
+    bucket assignment via the SHARED batch kernel
+    (similarity._centroid_topk_assign_kernel: one BLAS matmul per Arrow
+    batch, half-away-from-zero rounded-cosine ordering with centroid-id
+    tie-break — the same code path as assign_centroids, so the stream
+    can never drift from the batch operator's bucket rule), with the
+    event time carried through and the vector riding along for the
     in-bucket exact verify.  No window, no shuffle — streaming-legal."""
-    import numpy as np
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.similarity import (
+        _centroid_topk_assign_kernel,
+    )
 
     cids, M = _centroid_matrix(centroids)
-    cn = np.sqrt((M * M).sum(axis=1))
+    spark = vec_stream.sparkSession
+    cents_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(cids, M)],
+        "centroid_id BIGINT, cv ARRAY<DOUBLE>",
+    )
     src = vec_stream.selectExpr(
-        f"{id_col} AS vec_id",
+        f"CAST({id_col} AS BIGINT) AS vec_id",
         f"{ts_col} AS ts",
         f"CAST({vec_col} AS ARRAY<DOUBLE>) AS embedding",
     )
-
-    def kernel(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            out_id, out_ts, out_cid, out_v = [], [], [], []
-            for vid, ts, vec in zip(pdf["vec_id"], pdf["ts"], pdf["embedding"]):
-                v = np.asarray(vec, dtype=np.float64)
-                vn = float(np.sqrt((v * v).sum()))
-                denom = vn * cn
-                cos = np.where(denom == 0.0, 0.0, (M @ v) / np.where(denom == 0.0, 1.0, denom))
-                cr = np.round(cos, 6)
-                order = sorted(range(len(cids)), key=lambda j: (-cr[j], cids[j]))[:probe]
-                for j in order:
-                    out_id.append(int(vid))
-                    out_ts.append(ts)
-                    out_cid.append(int(cids[j]))
-                    out_v.append(v.tolist())
-            yield pd.DataFrame(
-                {
-                    "vec_id": pd.Series(out_id, dtype="int64"),
-                    "ts": pd.Series(out_ts),
-                    "centroid_id": pd.Series(out_cid, dtype="int64"),
-                    "embedding": pd.Series(out_v, dtype="object"),
-                }
-            )
-
-    return src.mapInPandas(
-        kernel, "vec_id BIGINT, ts TIMESTAMP, centroid_id BIGINT, embedding ARRAY<DOUBLE>"
+    assigned = _centroid_topk_assign_kernel(
+        src,
+        cents_df,
+        id_col="vec_id",
+        vec_col="embedding",
+        probe=probe,
+        out_id="vec_id",
+        with_vec=True,
+        carry=("ts",),
+    )
+    return assigned.select(
+        "vec_id", "ts", "centroid_id", F.col("_v").alias("embedding")
     )
 
 
@@ -147,6 +139,8 @@ def _empty_pairs():
 def _make_bucket_update(threshold: float, max_bucket_size: int, ttl_ms: int):
     import numpy as np
     import pandas as pd
+
+    from beyond_vector_search_spark.operators.similarity import round_half_away
 
     def update(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
@@ -170,10 +164,18 @@ def _make_bucket_update(threshold: float, max_bucket_size: int, ttl_ms: int):
                 last_ms = max(last_ms, max(int(t.value // 1_000_000) for t in pdf["ts"]))
                 pdf = pdf.sort_values("ts", kind="stable")  # pair ts = later doc
             tss = pdf["ts"].tolist() if has_ts else [None] * len(pdf)
+            in_state = set(ids)
             for vid, t, vec in zip(
                 pdf["vec_id"].astype("int64").tolist(), tss, pdf["embedding"].tolist()
             ):
                 if saturated:
+                    continue
+                if vid in in_state:
+                    # a re-delivered vector (re-crawl, replay) is
+                    # already paired with every bucket member — never
+                    # re-append: duplicates would re-emit every pair,
+                    # multiply state by dim doubles per copy, and
+                    # inflate the bucket toward saturation
                     continue
                 v = np.asarray(vec, dtype=np.float64)
                 vn = float(np.sqrt((v * v).sum()))
@@ -184,9 +186,13 @@ def _make_bucket_update(threshold: float, max_bucket_size: int, ttl_ms: int):
                     sn = float(np.sqrt((s * s).sum()))
                     denom = vn * sn
                     cos = 0.0 if denom == 0.0 else float(v @ s) / denom
-                    cos = round(cos, 6)
+                    # half-away-from-zero — the batch verify's rule
+                    # (similarity.round_half_away), NOT Python's
+                    # half-even round()
+                    cos = float(round_half_away(cos))
                     if cos >= threshold:
                         pairs.append((min(sid, vid), max(sid, vid), centroid_id, cos, t))
+                in_state.add(vid)
                 ids.append(vid)
                 vecs.append(v.tolist())
                 if len(ids) > max_bucket_size:

@@ -99,9 +99,11 @@ def append_delta_batch(
         getattr(delta, f).write.mode("overwrite").parquet(
             f"{root}/{f}/batch_id={batch_id + 1}"
         )
-    _write_marker(
-        spark, marker, {"batch_id": batch_id, "n_docs": docs_batch.count()}
-    )
+    # marker count from the just-written doc_ids partition (parquet
+    # footer metadata only) — never a second scan of the source batch,
+    # which for non-file sources (Kafka) would re-read every byte
+    n_docs = spark.read.parquet(f"{root}/doc_ids/batch_id={batch_id + 1}").count()
+    _write_marker(spark, marker, {"batch_id": batch_id, "n_docs": n_docs})
     return True
 
 
@@ -251,7 +253,10 @@ def dedup_ingest_batch(
     docs = docs_batch.select(
         F.col(id_col).alias("doc_id"), text_col.alias("text")
     )
-    sigs = minhash_signatures(docs)
+    # persist for the batch: sigs feed the pairs job (twice — the cap
+    # union and the join), the bands write, and the marker count; the
+    # Arrow minhash kernel over the batch text must run ONCE, not 3x
+    sigs = minhash_signatures(docs).persist()
     new_bands = banded_keys(sigs, bands=bands, rows_per_band=rows_per_band)
     bands_dir = os.path.join(path, "bands")
     have_history = any(
@@ -276,15 +281,20 @@ def dedup_ingest_batch(
         rows_per_band=rows_per_band,
         max_bucket_size=max_bucket_size,
     )
-    pairs.write.mode("overwrite").parquet(
-        os.path.join(path, "pairs", f"batch_id={batch_id}")
-    )
-    new_bands.write.mode("overwrite").parquet(
-        os.path.join(bands_dir, f"batch_id={batch_id}")
-    )
-    _write_marker(
-        spark, marker, {"batch_id": batch_id, "n_docs": docs_batch.count()}
-    )
+    try:
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(path, "pairs", f"batch_id={batch_id}")
+        )
+        new_bands.write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"batch_id={batch_id}")
+        )
+        # count from the cached sigs (1:1 with docs) — never a second
+        # scan/tokenize of the batch text just to stamp the marker
+        _write_marker(
+            spark, marker, {"batch_id": batch_id, "n_docs": sigs.count()}
+        )
+    finally:
+        sigs.unpersist()
     return True
 
 
@@ -390,18 +400,36 @@ def start_graph_ingest(
     the batch and its blast radius, never a graph rebuild; serving
     jobs observe the new nodes on their next ``load``.
 
-    ``base_embeddings`` is a BATCH DataFrame of the existing corpus
-    vectors; epochs past the first also need the PRIOR epochs'
-    vectors, so pass a view over the growing corpus table (e.g. the
-    parquet directory the same pipeline appends raw vectors into) —
-    it is re-read per epoch inside foreachBatch."""
+    ``base_embeddings`` supplies the existing corpus vectors and may
+    be:
+
+    - a parquet directory PATH (str) — re-listed and re-read at every
+      epoch (``refreshByPath`` + fresh reader), the right form when
+      the same pipeline appends raw vectors per epoch;
+    - a factory ``spark -> DataFrame`` — called once per epoch;
+    - a BATCH DataFrame — a STATIC snapshot.  A captured path-based
+      DataFrame pins its file listing at creation, so files appended
+      after the stream starts are INVISIBLE to it; pass the path or a
+      factory instead when the corpus grows, or epochs past the first
+      would violate append's "base covers the store's node ids"
+      precondition and silently degrade the graph."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if callable(base_embeddings):
+            base = base_embeddings(spark)
+        elif isinstance(base_embeddings, str):
+            # fresh listing every epoch — a held reader would snapshot
+            # the file set and miss vectors appended since stream start
+            spark.catalog.refreshByPath(base_embeddings)
+            base = spark.read.parquet(base_embeddings)
+        else:
+            base = base_embeddings
         append_graph_batch(
             batch_df,
             batch_id,
             store_path,
-            base_embeddings,
+            base,
             id_col=id_col,
             vec_col=vec_col,
             **extend_kw,

@@ -184,8 +184,19 @@ def _make_bucket_update(max_bucket_size: int, ttl_ms: int, buffered: bool = Fals
                 # are from earlier batches/rows, so current ts >= both)
                 pdf = pdf.sort_values("ts", kind="stable")
             tss_in = pdf["ts"].tolist() if has_ts else [None] * len(pdf)
+            pos = {d: i for i, d in enumerate(seen)}
             for d, t in zip(pdf["doc_id"].astype("int64").tolist(), tss_in):
                 if saturated:
+                    continue
+                t_ms = 0 if t is None else int(t.value // 1_000_000)
+                if d in pos:
+                    # a re-delivered document (re-crawl, replay) is
+                    # already paired with every bucket member — refresh
+                    # its arrival time for TTL purposes, but never
+                    # re-append: duplicates would re-emit every pair
+                    # and inflate the bucket toward saturation
+                    i = pos[d]
+                    tss[i] = max(tss[i], t_ms)
                     continue
                 if not buffered:
                     for s in seen:
@@ -196,8 +207,9 @@ def _make_bucket_update(max_bucket_size: int, ttl_ms: int, buffered: bool = Fals
                             # watermark-bounded dedup
                             # (dropDuplicatesWithinWatermark) composes
                             pairs.append((min(s, d), max(s, d), band_id, band_key, t))
+                pos[d] = len(seen)
                 seen.append(d)
-                tss.append(0 if t is None else int(t.value // 1_000_000))
+                tss.append(t_ms)
                 if len(seen) > max_bucket_size:
                     # batch-guard semantics: an over-cap bucket emits
                     # NOTHING (its pairs are all suspect); state keeps

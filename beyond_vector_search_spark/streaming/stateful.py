@@ -45,7 +45,10 @@ def _update(
         for ts_ms in sorted(int(t) for t in pdf["ts_ms"]):
             if last_ms is None or ts_ms - last_ms > gap_ms:
                 n_sessions += 1
-            last_ms = ts_ms
+            # cross-batch out-of-order events join the current session
+            # without regressing its end (same rule as the event-time
+            # variant)
+            last_ms = ts_ms if last_ms is None else max(last_ms, ts_ms)
             new_events += 1
     n_events += new_events
     state.update((n_events, n_sessions, last_ms))
@@ -96,7 +99,10 @@ def _make_event_time_update(gap_ms: int):
             for ts_ms in sorted(int(t.value // 1_000_000) for t in pdf["ts"]):
                 if last_ms is None or ts_ms - last_ms > gap_ms:
                     n_sessions += 1
-                last_ms = ts_ms
+                # a late in-watermark event (ts_ms < last_ms, a LATER
+                # batch) joins the current session but must never
+                # regress its end: the deadline stays last-event + gap
+                last_ms = ts_ms if last_ms is None else max(last_ms, ts_ms)
                 n_events += 1
         state.update((n_events, n_sessions, last_ms))
         # close when the WATERMARK (not the clock) passes the gap

@@ -2758,3 +2758,58 @@ def test_fuzzy_contamination_cache_modes_and_mixed_state(spark):
         dict(corpus_shingles=dd.shingle_rows(corpus, n=3)),
     ):
         assert rows(fuzzy_contamination(corpus, bench, threshold=0.5, **kw)) == base
+
+
+def test_webdataset_duplicate_member_later_wins(spark, tmp_path):
+    """``tar -u`` legally stores a superseded member alongside its
+    replacement; the explode kernel applies tar's later-member-wins
+    rule so webdataset_samples' map build cannot die with
+    DUPLICATED_MAP_KEY on such a shard."""
+    import io
+    import tarfile
+
+    from beyond_vector_search_spark.sources import archives as ar
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for payload in (b"old caption", b"new caption"):
+            info = tarfile.TarInfo("000001.txt")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+        img = b"fakepixels"
+        info = tarfile.TarInfo("000001.png")
+        info.size = len(img)
+        tf.addfile(info, io.BytesIO(img))
+    (tmp_path / "dup.tar").write_bytes(buf.getvalue())
+
+    members = ar.read_tar_shards(spark, str(tmp_path / "*.tar"))
+    samples = ar.webdataset_samples(members).collect()
+    assert len(samples) == 1
+    parts = dict(samples[0].parts)
+    assert bytes(parts["txt"]) == b"new caption"   # later member won
+    assert bytes(parts["png"]) == b"fakepixels"
+
+
+def test_archive_image_rows_overflow_key_falls_back_to_hash(spark):
+    """A 20+-digit trailing-numeric key overflows bigint; try_cast
+    falls back to the hash id instead of killing the job under ANSI
+    mode (one oddly-named member must not poison the batch)."""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.sources import archives as ar
+
+    samples = spark.createDataFrame(
+        [
+            ("s1", "99999999999999999999", {"png": bytearray(b"x")}),
+            ("s1", "000042", {"png": bytearray(b"y")}),
+        ],
+        "shard STRING, key STRING, parts MAP<STRING, BINARY>",
+    )
+    rows = {bytes(r.content): r.media_id for r in ar.image_rows_from_samples(samples).collect()}
+    assert rows[b"y"] == 42
+    expected_hash = (
+        samples.where("key = '99999999999999999999'")
+        .select(F.abs(F.xxhash64("shard", "key")).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert rows[b"x"] == expected_hash

@@ -2675,3 +2675,200 @@ def test_fill_token_budget_window_bound(spark):
         want = {r["doc_id"]: c <= budget for r, c in zip(docs, run)}
         got = {r["doc_id"]: r["kept"] for r in docs}
         assert got == want, domain
+
+
+def test_streaming_minhash_redelivered_doc_no_duplicate_pairs(spark, tmp_path):
+    """A re-delivered document (same doc_id in a later micro-batch — a
+    re-crawl or replay) must NOT re-emit its pairs or grow the bucket
+    state: the bucket refreshes the doc's arrival time and moves on.
+    Before the fix, every copy re-paired with the whole bucket and
+    pushed it toward saturation."""
+    import datetime as dt
+
+    from beyond_vector_search_spark.streaming.neardup import minhash_pairs_stream
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tail boilerplate"
+    b1 = [(1, base, t0), (2, near, t0)]
+    # the SAME doc 1 re-delivered twice more in later batches
+    b2 = [(1, base, t0 + dt.timedelta(minutes=1))]
+    b3 = [(1, base, t0 + dt.timedelta(minutes=2))]
+    schema = "doc_id BIGINT, text STRING, ts TIMESTAMP"
+    src = tmp_path / "redeliver_src"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out: list = []
+    q = (
+        minhash_pairs_stream(stream, watermark="30 minutes")
+        .writeStream.foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "redeliver_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # the near-dup pair surfaced, and NO (pair, band) row is duplicated
+    assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2)}
+    keys = [(r.doc_a, r.doc_b, r.band_id, r.band_key) for r in out]
+    assert len(keys) == len(set(keys)), "re-delivery re-emitted pairs"
+
+
+def test_streaming_embed_neardup_redelivered_vector_state_stable(spark, tmp_path):
+    """A re-delivered vector must not re-emit pairs nor multiply the
+    bucket state (each copy would cost dim doubles and count toward
+    saturation)."""
+    import datetime as dt
+
+    from beyond_vector_search_spark.streaming.embed_neardup import (
+        embedding_neardup_stream,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.9999, 0.0001, 0.0, 0.0]
+    b1 = [(1, base, t0), (3, near, t0)]
+    b2 = [(1, base, t0 + dt.timedelta(minutes=1))]   # re-delivery
+    b3 = [(1, base, t0 + dt.timedelta(minutes=2))]   # and again
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>, ts TIMESTAMP"
+    src = tmp_path / "end_redeliver_src"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    cents = [(1, base), (2, [0.0, 1.0, 0.0, 0.0])]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out: list = []
+    q = (
+        embedding_neardup_stream(stream, cents, threshold=0.999, watermark="30 minutes")
+        .writeStream.foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "end_redeliver_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # exactly the one true pair per shared bucket — re-deliveries add nothing
+    keys = [(r.id_a, r.id_b, r.centroid_id) for r in out]
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 3)}
+    assert len(keys) == len(set(keys)), "re-delivery re-emitted pairs"
+
+
+def test_event_time_sessionize_late_event_does_not_regress_session(spark, tmp_path):
+    """A late in-watermark event joins the current session without
+    pulling the session's end (and its event-time timeout) backwards:
+    last_ms stays the max event time seen."""
+    from datetime import datetime, timezone
+
+    from beyond_vector_search_spark.streaming.stateful import sessionize_event_time
+
+    def ts(minute):
+        return datetime(2026, 1, 1, minute // 60, minute % 60, tzinfo=timezone.utc)
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, ts(60))], "user_id BIGINT, ts TIMESTAMP"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    # late event (59) — inside the 10-minute watermark from 60
+    spark.createDataFrame(
+        [(1, ts(59))], "user_id BIGINT, ts TIMESTAMP"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = sessionize_event_time(stream, gap_ms=30 * 60 * 1000, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = sorted(
+        spark.sql("SELECT * FROM sess_late").collect(), key=lambda r: r.n_events
+    )
+    final = rows[-1]
+    assert final.n_events == 2 and final.n_sessions == 1
+    # session end stays at the 01:00 event — NOT regressed to 00:59
+    assert final.last_ms == int(ts(60).timestamp() * 1000)
+
+
+def test_streaming_graph_ingest_path_base_sees_growing_corpus(spark, tmp_path):
+    """base_embeddings as a parquet PATH is re-listed per epoch, so a
+    corpus directory that grows while the pipeline runs keeps
+    satisfying append's 'base covers the store's node ids'
+    precondition.  (A captured path-based DataFrame pins its file
+    listing at creation and would silently miss vectors appended after
+    stream start — the documented trap.)"""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators import similarity as sim
+    from beyond_vector_search_spark.sources.readers import load_table
+    from beyond_vector_search_spark.streaming.ingest import start_graph_ingest
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        "vec_id < 240"
+    ).localCheckpoint()
+    base = emb.where("vec_id < 200")
+    s1, s2 = emb.where("vec_id >= 200 AND vec_id < 220"), emb.where("vec_id >= 220")
+
+    corpus_dir = str(tmp_path / "corpus")
+    base.write.parquet(corpus_dir)
+
+    store = str(tmp_path / "gstore_path")
+    sim.KnnGraphIndex.build(base, k=5, iterations=2).save(store)
+
+    src = tmp_path / "gsrc_path"
+    src.mkdir()
+    ckpt = str(tmp_path / "gsrc_ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = start_graph_ingest(
+            stream, store, corpus_dir,   # PATH form — fresh listing per epoch
+            trigger={"availableNow": True}, checkpoint=ckpt, iterations=2,
+        )
+        q.awaitTermination(300)
+
+    # epoch 0: ingest s1 against the base-only corpus
+    s1.coalesce(1).write.parquet(str(src / "f1"))
+    drain()
+    # the corpus GROWS (the same pipeline lands s1's raw vectors)...
+    s1.write.mode("append").parquet(corpus_dir)
+    # ...then epoch 1 ingests s2 — its blast radius needs s1's vectors
+    s2.coalesce(1).write.parquet(str(src / "f2"))
+    drain()
+
+    # same view as sequential in-session appends with full base
+    store2 = str(tmp_path / "gstore_path2")
+    sim.KnnGraphIndex.build(base, k=5, iterations=2).save(store2)
+    sim.KnnGraphIndex.append(spark, store2, emb, s1, batch_id=1, iterations=2)
+    sim.KnnGraphIndex.append(spark, store2, emb, s2, batch_id=2, iterations=2)
+    key = lambda df: sorted(  # noqa: E731
+        (r["node_id"], r["neighbor_id"], r["cos"], r["rank"]) for r in df.collect()
+    )
+    got = sim.KnnGraphIndex.load(spark, store)
+    assert key(got.graph) == key(sim.KnnGraphIndex.load(spark, store2).graph)
+    assert got.graph.select("node_id").distinct().count() == 240
