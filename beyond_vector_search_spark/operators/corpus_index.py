@@ -68,7 +68,9 @@ def corpus_scalars(tokens_df: DataFrame) -> DataFrame:
     """
     return tokens_df.agg(
         F.greatest(F.count("*"), F.lit(1)).alias("n_docs"),
-        (F.sum(F.size("tokens")) / F.greatest(F.count("*"), F.lit(1))).alias("avg_dl"),
+        # coalesce: sum() over ZERO rows is NULL — an empty corpus must
+        # yield avg_dl 0.0, not crash scalar_values() with float(None)
+        (F.coalesce(F.sum(F.size("tokens")), F.lit(0)) / F.greatest(F.count("*"), F.lit(1))).alias("avg_dl"),
     )
 
 
@@ -500,17 +502,14 @@ class IndexDelta:
         from beyond_vector_search_spark.sources import fsutil
 
         spark = self.postings.sparkSession
-        # full-rebuild discipline (IVFPQIndex.save): clear every
-        # committed version and stale legacy field dir so nothing old
-        # shadows or merges into the fresh store
-        fsutil.purge_versions(spark, path, "delta")
-        for f in self._FIELDS:
-            fsutil.delete(spark, f"{path}/{f}")
-        # also the streaming epoch markers (IVFPQIndex.save does the
-        # same): stale _batches/N.json over a fresh rebuild would make
-        # replayed/backfilled streaming epochs return False and
-        # silently skip those documents' tf rows
-        fsutil.delete(spark, f"{path}/_batches")
+        # CRASH-SAFE full rebuild (compact's ordering, not purge-first):
+        # write the fresh store into the NEXT version directory, clear
+        # the stale epoch markers, cut over with one atomic marker
+        # create, THEN reclaim old versions + legacy flat field dirs.
+        # A crash at any step leaves the previously committed store
+        # loadable; purging first would lose it in the window between
+        # purge and commit.
+        n = fsutil.next_version(spark, path, "delta")
         # each field lands as its own batch_id=0 partition directory
         # (the IVFPQIndex layout): later streaming appends add sibling
         # batch_id=N directories, and a parquet reader over a MIXED
@@ -519,9 +518,20 @@ class IndexDelta:
         # append readable
         for f in self._FIELDS:
             getattr(self, f).write.mode("overwrite").parquet(
-                f"{path}/delta-v0/{f}/batch_id=0"
+                f"{path}/delta-v{n}/{f}/batch_id=0"
             )
-        fsutil.commit_version(spark, path, "delta", 0)
+        # stale _batches/N.json over a fresh rebuild would make
+        # replayed/backfilled streaming epochs return False and
+        # silently skip those documents' tf rows.  Deleting BEFORE the
+        # commit is safe: if we crash here, a replayed epoch re-runs
+        # against the still-committed OLD store, whose batch_id=N
+        # overwrite directories make the re-append idempotent.
+        fsutil.delete(spark, f"{path}/_batches")
+        fsutil.commit_version(spark, path, "delta", n)
+        fsutil.gc_versions(
+            spark, path, "delta",
+            extra=tuple(f"{path}/{f}" for f in self._FIELDS),
+        )
 
     @classmethod
     def load(cls, spark, path: str, *, up_to_batch: int | None = None) -> "IndexDelta":
@@ -624,12 +634,15 @@ def build_delta(
         )
         gram_tf = keep(kernels.gram_tf_frame(docs, id_col=id_col, text=text, n=cfg.ngram_n))
     else:
-        toks = doc_tokens(docs, id_col=id_col, text=text).cache()
+        # keep(), not unconditional cache(): with cache=False the delta
+        # is checkpointed immediately and cached intermediates would be
+        # never-read dead weight that nothing ever unpersists
+        toks = keep(doc_tokens(docs, id_col=id_col, text=text))
         postings = keep(build_postings(toks))
-        # cached: the explode below carries an inferred size(grams)>0
-        # filter that would otherwise inline the shingling expression 2
-        # extra times per row (see docstring)
-        grams = doc_grams(docs, id_col=id_col, text=text, n=cfg.ngram_n).cache()
+        # cached (cache=True): the explode below carries an inferred
+        # size(grams)>0 filter that would otherwise inline the
+        # shingling expression 2 extra times per row (see docstring)
+        grams = keep(doc_grams(docs, id_col=id_col, text=text, n=cfg.ngram_n))
         gram_tf = keep(
             grams.select("doc_id", F.explode("grams").alias("gram"))
             .groupBy("doc_id", "gram")
@@ -724,7 +737,8 @@ def index_from_delta(delta: IndexDelta, *, cfg: EngineConfig = DEFAULT) -> Corpu
     )
     scalars = doc_stats.agg(
         F.greatest(F.count("*"), F.lit(1)).alias("n_docs"),
-        (F.sum("doc_len") / F.greatest(F.count("*"), F.lit(1))).alias("avg_dl"),
+        # coalesce: empty-delta unions must yield 0.0, never NULL
+        (F.coalesce(F.sum("doc_len"), F.lit(0)) / F.greatest(F.count("*"), F.lit(1))).alias("avg_dl"),
     )
     term_stats = (
         postings.groupBy("term")

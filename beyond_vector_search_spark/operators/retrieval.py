@@ -392,7 +392,20 @@ def compile_query_batch(
     from beyond_vector_search_spark.functions.kernels import _TOKEN_RE, _WS_RE
 
     if isinstance(queries, DataFrame):
-        rows = [(r["query_id"], r["query"]) for r in queries.collect()]
+        # BOUNDED collect: the bulk fallback (ServingArms catching this
+        # ValueError) exists for huge batches, and collecting the whole
+        # DataFrame to find out it is huge would OOM the driver before
+        # the max_features check could fire.  limit(cap+1) bounds the
+        # driver transfer to max_features+1 rows in every case — if we
+        # got fewer, the collect was complete.
+        got = queries.limit(max_features + 1).collect()
+        if len(got) > max_features:
+            raise ValueError(
+                f"query batch exceeds {max_features} rows — the bulk "
+                "regime; use the join-form scorers "
+                "(bm25_scores/vector_scores)"
+            )
+        rows = [(r["query_id"], r["query"]) for r in got]
     else:
         rows = list(queries)
     rows.sort(key=lambda x: str(x[0]))
@@ -707,13 +720,24 @@ def search_all(
 ) -> dict[str, DataFrame]:
     """Top-k per strategy for a batch of queries:
     {"vector": df, "keyword": df, "hybrid": df}, each
-    (query_id, doc_id, score, rank).  The keyword/vector score scans are
-    shared into the hybrid blend (computed once, branched twice).
+    (query_id, doc_id, score, rank).
+
+    The returned relations are LAZY and uncached: consuming an arm's
+    top-k and the hybrid top-k executes that arm's scoring plan once
+    per action (Spark shares nothing across actions without a cache).
+    The hybrid blend uses ``minmax_via="window"`` so each arm plan
+    appears exactly ONCE inside the hybrid action — the agg form would
+    reference every uncached arm twice more (bounds agg + join probe).
+    Callers that consume several relations repeatedly should hold the
+    arms in :class:`operators.serving.ServingArms` (the cached-arm
+    protocol) instead.
     """
     k = k if k is not None else cfg.k
     key = bm25_scores(queries, index, cfg=cfg)
     vec = vector_scores(queries, index, cfg=cfg)
-    hyb = hybrid_scores(queries, index, cfg=cfg, keyword=key, vector=vec)
+    hyb = hybrid_scores(
+        queries, index, cfg=cfg, keyword=key, vector=vec, minmax_via="window"
+    )
     return {
         "vector": stable_topk(vec, k),
         "keyword": stable_topk(key, k),

@@ -80,6 +80,17 @@ class ServingArms:
         else:
             self._queries_df = None
             self._rows = list(queries)
+        if self._rows is not None:
+            # duplicate ids are a CALLER bug on EVERY path: the compiled
+            # path raises DuplicateQueryIdError inside compile, but the
+            # join-form fallback (compiled=False, or a rejected batch)
+            # would silently SUM the duplicates' contributions into
+            # doubled scores — fail loudly here instead
+            ids = [qid for qid, _ in self._rows]
+            if len(set(ids)) != len(ids):
+                raise rt.DuplicateQueryIdError(
+                    "duplicate query_id in batch — ids must be unique"
+                )
         self._batch = None  # CompiledQueryBatch | False (fallback) | None (unresolved)
         self._arms: dict[str, DataFrame] = {}
 
@@ -115,6 +126,26 @@ class ServingArms:
                     self._batch = False
         return self._batch
 
+    def _assert_unique_df_ids(self) -> None:
+        """Join-form fallback guard for DataFrame-input batches: the
+        compiled path checks duplicates driver-side during compile, but
+        the join form would silently SUM a duplicated id's rows into
+        doubled scores.  One tiny bounded job, run once per batch."""
+        if self._rows is not None or getattr(self, "_df_ids_ok", False):
+            return
+        dup = (
+            self._queries_df.groupBy("query_id")
+            .count()
+            .where("count > 1")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise rt.DuplicateQueryIdError(
+                f"duplicate query_id in batch ({dup[0]['query_id']!r}) — ids must be unique"
+            )
+        self._df_ids_ok = True
+
     # -- arms --------------------------------------------------------------
 
     def arm(self, name: str) -> DataFrame:
@@ -147,6 +178,7 @@ class ServingArms:
                         self.index, batch, queries=self.queries_df(), cfg=self.cfg
                     )
                 else:
+                    self._assert_unique_df_ids()
                     scorer = rt.bm25_scores if name == "keyword" else rt.vector_scores
                     df = scorer(self.queries_df(), self.index, cfg=self.cfg)
             self._arms[name] = df.cache() if self._cache else df
@@ -167,9 +199,16 @@ class ServingArms:
         later consumers serve entirely from cache — the explicit
         'index warm-up' step of a serving deployment.  Arm fills run as
         CONCURRENT jobs (they share the executor pool; measured at
-        sf0.1 the pair fills in ~0.4 s wall vs ~1.4 s sequentially)."""
+        sf0.1 the pair fills in ~0.4 s wall vs ~1.4 s sequentially).
+
+        With ``cache=False`` there is nothing to warm — the count jobs
+        would execute the arm plans and throw the rows away, and every
+        later consumer would still re-execute from scratch — so this is
+        a documented no-op in that configuration."""
         import concurrent.futures as cf
 
+        if not self._cache:
+            return self
         arms = [self.arm(n) for n in names or ("keyword", "vector")]
         with cf.ThreadPoolExecutor(max_workers=max(1, len(arms))) as ex:
             list(ex.map(lambda df: df.count(), arms))

@@ -2103,27 +2103,33 @@ class IVFPQIndex:
         self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
         self.codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
         # Re-saving over an EXISTING store (the documented retrain-on-
-        # drift flow) must not leave append artifacts behind: batch 0's
-        # overwrite only clears its own directory, so codes/batch_id>=1
-        # written against the OLD quantizer/codebooks — and _batches
-        # markers that would make replayed streaming epochs silently
-        # skip — would survive and corrupt the next load's merge.
-        # Delete the whole code log and marker set before writing.
-        fsutil.purge_versions(spark, path, "codes")
-        fsutil.delete(spark, f"{path}/_batches")
-        # two-level code layout: codes-v0/batch_id=N/centroid_id=M —
-        # the initial build is batch 0; each later ``append`` gets its
-        # own batch directory (retry-idempotent overwrites, the
-        # IndexDelta ingest layout), and centroid_id stays a partition
-        # column so a search's probed buckets still prune to their own
-        # directories.  The version level belongs to ``compact``'s
-        # pointer-file commit protocol (sources/fsutil.py): readers
-        # resolve the highest committed codes-v{N}, so a compaction
-        # rewrite is one atomic marker create, never a rename.
+        # drift flow) must not leave append artifacts behind: old
+        # codes/batch_id>=1 written against the OLD quantizer/codebooks
+        # — and _batches markers that would make replayed streaming
+        # epochs silently skip — would corrupt the next load's merge.
+        # CRASH-SAFE ordering (compact's pattern, not purge-first):
+        # write the fresh code log into the NEXT version, clear the
+        # epoch markers, cut over with one atomic marker create, then
+        # GC — a crash at any step leaves the prior committed codes
+        # loadable.  Caveat (documented single-writer rebuild): the
+        # quantizer/codebooks above are overwrite-in-place, so a crash
+        # between their write and this commit pairs new codebooks with
+        # the old committed codes — re-run the rebuild to converge.
+        #
+        # Two-level code layout: codes-v{N}/batch_id=M/centroid_id=K —
+        # the build is batch 0; each later ``append`` gets its own
+        # batch directory (retry-idempotent overwrites, the IndexDelta
+        # ingest layout), and centroid_id stays a partition column so
+        # a search's probed buckets still prune to their own
+        # directories.  Readers resolve the highest committed
+        # codes-v{N}, so cutover is one marker create, never a rename.
+        n = fsutil.next_version(spark, path, "codes")
         self.codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
-            f"{path}/codes-v0/batch_id=0"
+            f"{path}/codes-v{n}/batch_id=0"
         )
-        fsutil.commit_version(spark, path, "codes", 0)
+        fsutil.delete(spark, f"{path}/_batches")
+        fsutil.commit_version(spark, path, "codes", n)
+        fsutil.gc_versions(spark, path, "codes")
         spark.createDataFrame(
             [(self.m, self.dim)], "m INT, dim INT"
         ).write.mode("overwrite").parquet(f"{path}/meta")
@@ -3207,12 +3213,15 @@ class KnnGraphIndex:
         # same stale-store discipline as IVFPQIndex.save: a re-saved
         # (rebuilt) graph must clear old append batches — their node
         # lists would otherwise LWW-shadow the fresh build's.  Same
-        # versioned layout too: data under graph-v{N}, current version
-        # committed by a marker file (sources/fsutil.py protocol).
-        fsutil.purge_versions(spark, path, "graph")
+        # CRASH-SAFE ordering too: write the next graph-v{N}, clear
+        # epoch markers, atomic marker-create cutover, then GC — a
+        # crash at any step leaves the prior committed graph loadable
+        # (purge-first would lose it mid-save).
+        n = fsutil.next_version(spark, path, "graph")
+        self.graph.write.mode("overwrite").parquet(f"{path}/graph-v{n}/batch_id=0")
         fsutil.delete(spark, f"{path}/_batches")
-        self.graph.write.mode("overwrite").parquet(f"{path}/graph-v0/batch_id=0")
-        fsutil.commit_version(spark, path, "graph", 0)
+        fsutil.commit_version(spark, path, "graph", n)
+        fsutil.gc_versions(spark, path, "graph")
         spark.createDataFrame([(self.k,)], "k INT").write.mode("overwrite").parquet(
             f"{path}/meta"
         )

@@ -90,7 +90,10 @@ def append_delta_batch(
     marker = _batch_marker(path, batch_id)
     if fsutil.exists(spark, marker):
         return False
-    delta = build_delta(docs_batch, id_col=id_col, text=text, cfg=cfg)
+    # cache=False: each delta relation has exactly ONE consumer (its
+    # parquet write below), and a long-running stream would otherwise
+    # leak two cached-but-never-unpersisted relations per micro-batch
+    delta = build_delta(docs_batch, id_col=id_col, text=text, cfg=cfg, cache=False)
     # write into the CURRENT committed version root (fsutil pointer
     # protocol): after a compact, batches must land in the live
     # delta-v{N} directory, not the garbage-collected legacy one

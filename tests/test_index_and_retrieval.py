@@ -97,3 +97,23 @@ def _group(rows):
     for r in rows:
         out.setdefault(r.query_id, []).append(r)
     return out
+
+
+def test_empty_corpus_index_is_servable(spark):
+    """An EMPTY corpus must build an index whose scalar_values() is
+    (n_docs>=1 guard, avg_dl 0.0) and whose scorers return zero rows —
+    never a float(None) crash (sum() over zero rows is NULL without
+    the coalesce guard)."""
+    from beyond_vector_search_spark.operators.corpus_index import build_index
+    from beyond_vector_search_spark.operators import retrieval as rt
+
+    empty = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    idx = build_index(empty, text="text")
+    n_docs, avg_dl = idx.scalar_values()
+    assert avg_dl == 0.0
+    qdf = spark.createDataFrame([("q1", "spark join")], "query_id string, query string")
+    cfg = rt.DEFAULT.__class__(include_zero_score_docs=False)
+    assert rt.bm25_scores(qdf, idx, cfg=cfg).count() == 0
+    assert rt.vector_scores(qdf, idx, cfg=cfg).count() == 0
+    compiled = rt.compile_query_batch([("q1", "spark join")], idx, cfg=cfg)
+    assert rt.compiled_bm25_scores(idx, compiled, cfg=cfg).count() == 0

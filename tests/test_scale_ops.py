@@ -2872,3 +2872,46 @@ def test_streaming_graph_ingest_path_base_sees_growing_corpus(spark, tmp_path):
     got = sim.KnnGraphIndex.load(spark, store)
     assert key(got.graph) == key(sim.KnnGraphIndex.load(spark, store2).graph)
     assert got.graph.select("node_id").distinct().count() == 240
+
+
+def test_save_crash_before_commit_preserves_old_store(spark, tmp_path, monkeypatch):
+    """save() over an existing store follows compact's crash-safe
+    ordering (write next version -> atomic marker -> GC): a crash
+    BEFORE the commit marker leaves the previously committed store
+    loadable and byte-identical.  The old purge-first ordering lost
+    all committed data in that window."""
+    import pytest
+
+    from beyond_vector_search_spark.operators.corpus_index import (
+        IndexDelta,
+        build_delta,
+    )
+    from beyond_vector_search_spark.sources import fsutil
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha doc{i} tok{i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "delta_crash")
+
+    def doc_ids():
+        return sorted(
+            r["doc_id"] for r in IndexDelta.load(spark, store).doc_ids.collect()
+        )
+
+    build_delta(docs.where("doc_id < 6"), cache=False).save(store)
+    assert doc_ids() == list(range(6))
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(fsutil, "commit_version", boom)
+    with pytest.raises(RuntimeError):
+        build_delta(docs, cache=False).save(store)
+    monkeypatch.undo()
+    # the OLD committed store still loads, intact
+    assert fsutil.resolve_version(spark, store, "delta").endswith("delta-v0")
+    assert doc_ids() == list(range(6))
+    # recovery: the next save commits and serves the new corpus
+    build_delta(docs, cache=False).save(store)
+    assert doc_ids() == list(range(12))

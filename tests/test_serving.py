@@ -117,15 +117,46 @@ def test_unknown_arm_rejected(spark, corpus_index):
 
 
 def test_duplicate_query_ids_fail_loudly(spark, corpus_index):
-    """Duplicate query_ids are a caller bug: the compiled path's
-    validation must surface through ServingArms (re-raised, NOT
-    absorbed into a join-form fallback that would emit duplicated
-    score rows)."""
+    """Duplicate query_ids are a caller bug on EVERY path: tuple input
+    fails at construction (before any plan exists), and compiled=False
+    — which skips compile's own check — must fail too, because the
+    join form would silently SUM the duplicates into doubled scores."""
     _, idx = corpus_index
     dup = [("q1", "spark join"), ("q1", "vector hash")]
-    arms = ServingArms(idx, dup, cfg=_CFG)
+    with pytest.raises(rt.DuplicateQueryIdError, match="duplicate query_id"):
+        ServingArms(idx, dup, cfg=_CFG)
+    with pytest.raises(rt.DuplicateQueryIdError, match="duplicate query_id"):
+        ServingArms(idx, dup, cfg=_CFG, compiled=False)
+    # DataFrame input with compiled=False: the one-job uniqueness probe
+    # fires before the first join-form arm builds
+    dup_df = spark.createDataFrame(dup, "query_id string, query string")
+    arms = ServingArms(idx, dup_df, cfg=_CFG, compiled=False)
     with pytest.raises(rt.DuplicateQueryIdError, match="duplicate query_id"):
         arms.arm("keyword")
+
+
+def test_materialize_noop_without_cache(spark, corpus_index):
+    """materialize() with cache=False has nothing to warm — it must
+    no-op instead of running count jobs whose rows are discarded."""
+    _, idx = corpus_index
+    arms = ServingArms(idx, QS, cfg=_CFG, cache=False)
+    assert arms.materialize() is arms
+    assert arms._arms == {}  # no arm was built, let alone counted
+    arms.release()
+
+
+def test_oversized_dataframe_batch_bounded_collect(spark, corpus_index):
+    """compile_query_batch over a DataFrame bigger than max_features
+    rejects via a BOUNDED limit(cap+1) collect — the driver never pulls
+    the whole batch in to find out it is too big."""
+    import beyond_vector_search_spark.operators.retrieval as rtm
+
+    _, idx = corpus_index
+    big = spark.range(10).selectExpr(
+        "concat('q', id) AS query_id", "'spark join' AS query"
+    )
+    with pytest.raises(ValueError, match="bulk"):
+        rtm.compile_query_batch(big, idx, cfg=_CFG, max_features=5)
 
 
 def test_entry_hybrid_blend_memoized(spark):
