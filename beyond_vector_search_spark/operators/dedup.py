@@ -383,8 +383,30 @@ def banded_keys(
     PERSISTABLE form of the corpus's dedup state: write it partitioned
     (or bucketed) by band_key once, and every arriving batch joins its
     own few band rows against the store instead of re-signing the
-    corpus — the input contract of :func:`lsh_pairs_against_corpus`."""
-    return sigs.select(
+    corpus — the input contract of :func:`lsh_pairs_against_corpus`.
+
+    Band geometry is VALIDATED against the signature length at
+    runtime: bands * rows_per_band beyond ``size(sig)`` would slice
+    empty arrays, so every document would share the md5("") bucket in
+    each overflow band — silent all-pairs candidates on small corpora,
+    silently dropped bands under the bucket cap on large ones."""
+    need = bands * rows_per_band
+    guard = F.when(
+        F.size("sig") >= F.lit(need), F.col("sig")
+    ).otherwise(
+        F.raise_error(
+            F.printf(
+                F.lit(
+                    "banded_keys: bands*rows_per_band = %s exceeds the "
+                    "signature length %s — overflow bands would "
+                    "degenerate to one shared md5('') bucket"
+                ),
+                F.lit(str(need)),
+                F.size("sig").cast("string"),
+            )
+        )
+    )
+    return sigs.select("doc_id", guard.alias("sig")).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -572,6 +594,19 @@ def jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(keep, "sh", "left_semi")
+    if candidates is not None:
+        # prune the shingle relation to candidate DOCS before the
+        # self-join — the pair-level semi below cannot push into the
+        # join's sides, so without this the "verify only those pairs"
+        # path still paid the full all-pairs intersection join (the
+        # fuzzy_contamination candidate-pruning shape).  Per-doc sizes
+        # are unaffected: docs are pruned, never their shingles.
+        cand_ids = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -795,7 +830,11 @@ def simhash64(
     the DuckDB mirror reproduces (same md5 hash, same bit fold).  Tests
     pin the two bit-identical.
     """
-    if kernel and bits <= 63:
+    # same validation as doc_signatures — an out-of-range bits must
+    # raise, never silently fall back to the ~20x-slower expression
+    # fold (or, for bits<1, die later in an opaque sequence() error)
+    _check_simhash_bits(bits)
+    if kernel:
         return _simhash_kernel(df, id_col=id_col, text_col=text_col, bits=bits)
     hashed = df.select(
         F.col(id_col).alias("doc_id"),
@@ -1029,10 +1068,19 @@ def line_dedup(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
     ).withColumn("_t", F.trim("line"))
+    # exempt lines (blank/short) bypass the window entirely: they keep
+    # unconditionally, and routing them through the value-partitioned
+    # window would funnel every blank line in the corpus into ONE
+    # degenerate _t='' partition — a billion-row straggler sort whose
+    # row_number nobody reads.  Values are identical either way: equal
+    # _t implies equal length, so no exempt line ever shares a
+    # partition with a window-decided one.
+    exempt = F.length("_t") < min_len
+    windowed = lines.where(~exempt)
     w = Window.partitionBy("_t").orderBy("doc_id", "line_no")
-    flagged = lines.withColumn(
-        "_keep",
-        (F.length("_t") < min_len) | (F.row_number().over(w) == 1),
+    flagged = (
+        windowed.withColumn("_keep", F.row_number().over(w) == 1)
+        .unionByName(lines.where(exempt).withColumn("_keep", F.lit(True)))
     )
     kept_lines = F.array_sort(
         F.collect_list(F.when(F.col("_keep"), F.struct("line_no", "line")))
@@ -1098,10 +1146,24 @@ def connected_components(
             edges.join(labels, edges.v == labels.node)
             .select(F.col("u").alias("node"), "component")
         )
-        new_labels = (
+        hop = (
             labels.unionByName(neighbor_min)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # shortcut (pointer doubling): relabel by the component's OWN
+        # current label — every label is a node id present in the
+        # label table, so one extra join doubles the propagation
+        # distance per round and convergence is O(log diameter)
+        # rounds instead of O(diameter).  A 1M-doc boilerplate chain
+        # converges in ~20 rounds; pure one-hop min propagation would
+        # need 1M (and the max_iter guard below would fire).
+        roots = hop.select(
+            F.col("node").alias("component"), F.col("component").alias("_root")
+        )
+        new_labels = (
+            hop.join(roots, "component", "left")
+            .select("node", F.coalesce("_root", "component").alias("component"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -1113,6 +1175,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without a fixed point means distant
+        # nodes still carry non-minimal labels — one true cluster
+        # would be reported as several, each electing its own
+        # canonical, so duplicates would SILENTLY survive.  Fail loud.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing) — the graph "
+            "has a longer chain than max_iter; raise max_iter"
+        )
     return labels
 
 

@@ -104,22 +104,24 @@ def pii_scrub(
     codegen, one narrow map over the corpus, embarrassingly parallel at
     any scale.  Emails are replaced first so their domains can never be
     re-matched by the looser patterns.
+
+    Counts are taken SEQUENTIALLY on the same intermediate strings the
+    redaction cascade produces (phones counted on the email-redacted
+    text, IPs on the phone-redacted text), so each count equals the
+    number of that family's tokens actually present in ``clean_text``
+    — an audit reconciling counts against redactions always balances.
+    Counting every family on the raw text would disagree whenever
+    patterns overlap ('1.2.3.4@example.com' is one <EMAIL>, zero <IP>).
     """
     text = F.col(text_col)
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(text, F.lit(EMAIL_RE), F.lit("<EMAIL>")),
-            F.lit(PHONE_RE),
-            F.lit("<PHONE>"),
-        ),
-        F.lit(IPV4_RE),
-        F.lit("<IP>"),
-    )
+    after_email = F.regexp_replace(text, F.lit(EMAIL_RE), F.lit("<EMAIL>"))
+    after_phone = F.regexp_replace(after_email, F.lit(PHONE_RE), F.lit("<PHONE>"))
+    clean = F.regexp_replace(after_phone, F.lit(IPV4_RE), F.lit("<IP>"))
     return df.select(
         F.col(id_col),
         F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(text, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
-        F.regexp_count(text, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(after_email, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(after_phone, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
         clean.alias("clean_text"),
     )
 
@@ -167,14 +169,7 @@ def repetition_flags(
     # non-distinct bigrams (frequency matters — word_shingles_from_tokens
     # dedups, so build them inline; toks is a projected column, keeping
     # the tokenize regex out of the per-gram lambda)
-    bigrams = F.when(
-        F.size("toks") < 2, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
-        )
-    )
+    bigrams = _bigram_array("toks")
     btf = (
         toked.select("doc_id", F.explode(bigrams).alias("bg"))
         .groupBy("doc_id", "bg")
@@ -251,6 +246,22 @@ def _keep(cache: bool | None):
     if cache:
         return lambda d: d.cache()
     return lambda d: d.localCheckpoint(eager=False)
+
+
+def _bigram_array(toks_col: str):
+    """NON-DISTINCT word-bigram array from a token-array column — the
+    one definition repetition_flags / bigram_logppl / dsir_logweights
+    share (frequency matters, so word_shingles_from_tokens' dedup form
+    cannot be used; the cross-function count reuse and the DuckDB
+    oracles depend on all three building bigrams identically)."""
+    return F.when(
+        F.size(toks_col) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_col) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i, 2)),
+        )
+    )
 
 
 def unigram_logppl(
@@ -497,14 +508,7 @@ def bigram_logppl(
     """
     keep = _keep(cache)
     toked = _toked(df, tokens, id_col=id_col, text_col=text_col)
-    bigrams = F.when(
-        F.size("toks") < 2, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
-        )
-    )
+    bigrams = _bigram_array("toks")
     # fused single pass: both grains tagged (kind, gram) from one
     # explode, counted by one aggregation — exactly the rows the two
     # separate explode+agg passes produced, minus one corpus scan
@@ -606,14 +610,7 @@ def dsir_logweights(
     """
     def bigram_rows(df: DataFrame, tokens: DataFrame | None = None) -> DataFrame:
         toked = _toked(df, tokens, id_col=id_col, text_col=text_col)
-        bigrams = F.when(
-            F.size("toks") < 2, F.array().cast("array<string>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
-            )
-        )
+        bigrams = _bigram_array("toks")
         return toked.select("doc_id", F.explode(bigrams).alias("bg")).select(
             "doc_id", F.pmod(hash64("bg"), F.lit(n_buckets)).alias("bucket")
         )
@@ -913,7 +910,12 @@ def _nb_labeled_tf(
     relation the NB train/score stages share."""
     if labels is None:
         labels = wordcount_labels(df, id_col=id_col, text_col=text_col)
-    keep_rel = (lambda d: d.cache()) if cache else (lambda d: d)
+    # the module-wide policy (_keep): True=cache, False=lazy
+    # localCheckpoint, None=fully lazy — a hand-rolled False=no-op here
+    # would make the same-named knob silently mean ~7 corpus
+    # re-tokenizations in nb_quality_scores while meaning one scan in
+    # every LM op
+    keep_rel = _keep(cache)
     lab = keep_rel(
         labels.select(
             F.col("doc_id")

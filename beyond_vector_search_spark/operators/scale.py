@@ -48,10 +48,17 @@ def salted_join(
 ) -> DataFrame:
     """Join with the large side's hot keys spread over ``salt`` buckets.
 
-    The large side gets a random-but-deterministic salt (hash of its
-    whole row modulo ``salt``); the small side is exploded ``salt``
-    times.  Each (key, salt) shard lands in its own task, so one hot
-    key occupies ``salt`` tasks instead of straggling on one.
+    The large side's salt is drawn per ROW POSITION
+    (``monotonically_increasing_id() % salt``), NOT from the row's
+    content: a hot key whose rows are byte-identical (50M copies of
+    the same exploded token row — the classic skew shape) would all
+    hash to ONE content bucket and straggle exactly like the unsalted
+    join while still paying the small side's explosion.  Any salt
+    value is join-correct (the small side is replicated across all
+    ``salt`` values), so re-salting differently on a task retry is
+    harmless.  The small side is exploded ``salt`` times; each
+    (key, salt) shard lands in its own task, so one hot key occupies
+    ``salt`` tasks instead of straggling on one.
 
     Use when AQE's skew-join splitting isn't available (e.g. the skew
     is in an aggregation feeding the join) or the skew factor is known
@@ -69,7 +76,7 @@ def salted_join(
             "joins would duplicate unmatched small rows"
         )
     salted_large = large.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt))
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
     )
     exploded_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -241,6 +248,12 @@ def write_zordered(
     from pyspark.sql import Window
 
     nb = n_buckets or (1 << bits)
+    if nb > (1 << bits):
+        # more rank buckets than interleave bits would silently drop
+        # the rank's HIGH bits (bucket 2^bits aliases bucket 0 — rows
+        # from opposite ends of the key space co-locate and the
+        # min/max pruning guarantee dies).  Widen bits to cover nb.
+        bits = (nb - 1).bit_length()
     ranked = df
     rank_cols = []
     for i, c in enumerate(cols):

@@ -143,13 +143,19 @@ def _pii_text_col() -> F.Column:
 
 @register(
     "pii_scrub_customers",
-    f"WITH {_PII_TEXT_SQL} SELECT c_custkey, "
+    # sequential counts on the cascade's intermediate strings — the
+    # operator's contract: each count equals that family's tokens in
+    # clean_text (see pretrain.pii_scrub)
+    f"WITH {_PII_TEXT_SQL}, "
+    f"s1 AS (SELECT c_custkey, text, "
+    f"regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g') AS t1 FROM pii), "
+    f"s2 AS (SELECT *, regexp_replace(t1, '{_PHONE}', '<PHONE>', 'g') AS t2 FROM s1) "
+    "SELECT c_custkey, "
     f"CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS BIGINT) AS n_emails, "
-    f"CAST(len(regexp_extract_all(text, '{_PHONE}')) AS BIGINT) AS n_phones, "
-    f"CAST(len(regexp_extract_all(text, '{_IPV4}')) AS BIGINT) AS n_ips, "
-    f"regexp_replace(regexp_replace(regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'), "
-    f"'{_PHONE}', '<PHONE>', 'g'), '{_IPV4}', '<IP>', 'g') AS clean_text "
-    "FROM pii",
+    f"CAST(len(regexp_extract_all(t1, '{_PHONE}')) AS BIGINT) AS n_phones, "
+    f"CAST(len(regexp_extract_all(t2, '{_IPV4}')) AS BIGINT) AS n_ips, "
+    f"regexp_replace(t2, '{_IPV4}', '<IP>', 'g') AS clean_text "
+    "FROM s2",
 )
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")

@@ -2813,3 +2813,49 @@ def test_archive_image_rows_overflow_key_falls_back_to_hash(spark):
         .collect()[0]["h"]
     )
     assert rows[b"x"] == expected_hash
+
+
+def test_banded_keys_rejects_overflow_band_geometry(spark):
+    """bands * rows_per_band beyond the signature length would slice
+    empty arrays, putting EVERY document in one shared md5('') bucket
+    per overflow band (silent all-pairs candidates / silently dropped
+    bands under the cap) — it must raise instead."""
+    import pytest
+
+    from beyond_vector_search_spark.operators.dedup import (
+        banded_keys,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta eps"), (2, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=16)
+    assert banded_keys(sigs, bands=4, rows_per_band=4).count() == 8
+    with pytest.raises(Exception, match="exceeds the signature length"):
+        banded_keys(sigs, bands=8, rows_per_band=4).count()
+
+
+def test_pii_scrub_counts_reconcile_with_redactions(spark):
+    """Counts are taken on the cascade's intermediate strings, so each
+    count equals that family's tokens in clean_text even when the
+    patterns overlap ('1.2.3.4@example.com' is one <EMAIL>, no <IP>)."""
+    from beyond_vector_search_spark.operators.pretrain import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail 1.2.3.4@example.com end"),          # ip-shaped local part
+            (2, "plain a@b.com and ip 10.1.2.3 here"),
+            (3, "phone 12-345-678-9012 only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    for r in rows.values():
+        assert r.n_emails == r.clean_text.count("<EMAIL>"), r
+        assert r.n_phones == r.clean_text.count("<PHONE>"), r
+        assert r.n_ips == r.clean_text.count("<IP>"), r
+    assert rows[1].n_emails == 1 and rows[1].n_ips == 0
+    assert rows[2].n_emails == 1 and rows[2].n_ips == 1
+    assert rows[3].n_phones == 1

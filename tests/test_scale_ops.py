@@ -2915,3 +2915,55 @@ def test_save_crash_before_commit_preserves_old_store(spark, tmp_path, monkeypat
     # recovery: the next save commits and serves the new corpus
     build_delta(docs, cache=False).save(store)
     assert doc_ids() == list(range(12))
+
+
+def test_write_zordered_widens_bits_for_large_n_buckets(spark, tmp_path):
+    """n_buckets above 2^bits widens the interleave width instead of
+    silently truncating the rank's high bits (bucket 2^bits would
+    alias bucket 0 and co-locate opposite ends of the key space): the
+    x-dimension pruning property must hold with n_buckets=64, bits=2."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from beyond_vector_search_spark.operators.scale import write_zordered
+
+    n = 8_000
+    df = spark.range(n).select(
+        (F.pmod(F.xxhash64("id"), F.lit(10_000))).alias("x"),
+        (F.pmod(F.xxhash64((F.col("id") + 1).cast("long")), F.lit(10_000))).alias("y"),
+    )
+    zpath = str(tmp_path / "zwide")
+    write_zordered(df, zpath, "x", "y", bits=2, n_buckets=64, n_files=8)
+    files = glob.glob(f"{zpath}/**/*.parquet", recursive=True)
+    hits = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        names = [md.schema.column(j).name for j in range(md.num_columns)]
+        ci = names.index("x")
+        fmin = min(md.row_group(i).column(ci).statistics.min for i in range(md.num_row_groups))
+        fmax = max(md.row_group(i).column(ci).statistics.max for i in range(md.num_row_groups))
+        if fmax >= 4000 and fmin <= 4500:
+            hits += 1
+    # with truncated bits every file covered the whole x range (all 8
+    # hit); widened interleave keeps the slab inside a minority
+    assert hits <= len(files) // 2, (hits, len(files))
+
+
+def test_connected_components_long_chain_and_nonconvergence_guard(spark):
+    """Pointer doubling converges a 60-node chain well inside
+    max_iter=25 (one-hop propagation needed 59 rounds); a genuinely
+    insufficient max_iter raises instead of returning silently split
+    clusters."""
+    import pytest
+
+    from beyond_vector_search_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(pairs, max_iter=25)
+    assert {r.component for r in labels.collect()} == {0}
+    assert labels.count() == 60
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
