@@ -522,10 +522,19 @@ class IndexDelta:
             )
         # stale _batches/N.json over a fresh rebuild would make
         # replayed/backfilled streaming epochs return False and
-        # silently skip those documents' tf rows.  Deleting BEFORE the
-        # commit is safe: if we crash here, a replayed epoch re-runs
-        # against the still-committed OLD store, whose batch_id=N
-        # overwrite directories make the re-append idempotent.
+        # silently skip those documents' tf rows.  Ordering caveat
+        # (single-writer rebuild): a crash between this delete and the
+        # commit leaves the OLD store committed with its replay guards
+        # gone — a replayed epoch then re-appends there.  For a store
+        # whose epochs were never compacted that re-append is an
+        # idempotent batch_id=N overwrite; after a compact (epochs
+        # folded into batch 0) it would duplicate those rows until the
+        # rebuild is re-run.  Deleting AFTER the commit has the dual
+        # window (stale markers on the NEW store -> silently skipped
+        # epochs — the worse failure, data loss vs duplicates).  Full
+        # atomicity needs the markers INSIDE the versioned directory;
+        # until then the recovery rule is simply: re-run the
+        # interrupted save().
         fsutil.delete(spark, f"{path}/_batches")
         fsutil.commit_version(spark, path, "delta", n)
         fsutil.gc_versions(

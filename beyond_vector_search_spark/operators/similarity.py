@@ -23,19 +23,15 @@ from pyspark.sql import functions as F
 from beyond_vector_search_spark.functions.vectors import (
     as_double_array,
     cosine_from_norms,
-    cosine_sim,
-    dot_product,
     l2_norm,
 )
 
 
-def _with_cos(df: DataFrame) -> DataFrame:
-    return df.withColumn("cos", cosine_sim(F.col("qv"), F.col("cv")))
-
-
 def _with_cos_hoisted(df: DataFrame) -> DataFrame:
-    """cos from pre-projected per-row norms ``qn``/``cn`` (bit-identical
-    to :func:`_with_cos`; norms computed once per row, not per pair)."""
+    """cos from pre-projected per-row norms ``qn``/``cn`` — bit-identical
+    to ``cosine_sim(qv, cv)`` (functions/vectors, pinned by
+    test_cosine_from_norms_bitwise_equals_cosine_sim); norms computed
+    once per row, not per pair."""
     return df.withColumn(
         "cos", cosine_from_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
     )
@@ -204,8 +200,12 @@ def _knn_kernel_topk(
     # could ever be missed
     take = k + 16
 
+    # NULL-id parity with the expression path (where a null id never
+    # survives the != / join comparisons): Arrow would coerce a null
+    # bigint id batch to float64/NaN — garbage ids or executor
+    # TypeErrors in the tie-break sort
     src = _fan_out(
-        embeddings.select(
+        embeddings.where(F.col(id_col).isNotNull()).select(
             F.col(id_col).alias("neighbor_id"),
             as_double_array(F.col(vec_col)).alias("_v"),
         )
@@ -320,8 +320,9 @@ def _centroid_topk_assign_kernel(
     cn = np.sqrt((C * C).sum(axis=1))
     take = min(probe, len(cent_ids))
 
+    # NULL-id parity: see _knn_kernel_topk
     src = _fan_out(
-        embeddings.select(
+        embeddings.where(F.col(id_col).isNotNull()).select(
             F.col(id_col).alias(out_id),
             as_double_array(F.col(vec_col)).alias("_v"),
             *[F.col(c) for c in carry],
@@ -975,8 +976,12 @@ def knn_dual_topk(
     qmats = {"exact": Q, "int8": Qq}
     take = k + 16  # same boundary-rounding cushion as _knn_kernel_topk
 
+    # NULL-id parity with the expression path (where a null id never
+    # survives the != / join comparisons): Arrow would coerce a null
+    # bigint id batch to float64/NaN — garbage ids or executor
+    # TypeErrors in the tie-break sort
     src = _fan_out(
-        embeddings.select(
+        embeddings.where(F.col(id_col).isNotNull()).select(
             F.col(id_col).alias("neighbor_id"),
             as_double_array(F.col(vec_col)).alias("_v"),
         )
@@ -1146,7 +1151,11 @@ def pq_encode(
         subs = sorted(cb)
         nid_src = embeddings.select(F.col(id_col).alias("vec_id"))
         vid_type = nid_src.schema["vec_id"].dataType.simpleString()
-        src = _fan_out(embeddings.select(F.col(id_col).alias("vec_id"), v.alias("_v")))
+        src = _fan_out(
+            embeddings.where(F.col(id_col).isNotNull()).select(
+                F.col(id_col).alias("vec_id"), v.alias("_v")
+            )
+        )  # NULL-id parity: see _knn_kernel_topk
 
         def enc_kernel(batches: Iterator) -> Iterator:
             import pandas as pd
@@ -1275,6 +1284,11 @@ def pq_topk(
     difference between ~0.3 and ~0.96 recall@5 at R=100.  ``dist`` is
     then the exact squared L2, still deterministic/oracle-checkable.
     """
+    if dim % m:
+        # validated on EVERY path: with supplied codebooks the d=dim//m
+        # slices would silently exclude the trailing dim%m dimensions
+        # from every distance — wrong rankings with no error
+        raise ValueError(f"m={m} must divide dim={dim}")
     if codebooks is None:
         codebooks = pq_codebooks(
             embeddings, id_col=id_col, vec_col=vec_col, m=m, dim=dim, n_codes=n_codes
@@ -1311,7 +1325,9 @@ def pq_topk(
         use_codes = codes is not None
         if use_codes:
             src = _fan_out(
-                codes.select(F.col("vec_id").alias("neighbor_id"), "codes")
+                codes.where(F.col("vec_id").isNotNull()).select(
+                    F.col("vec_id").alias("neighbor_id"), "codes"
+                )
             )
             # code_id -> position in each subspace's codeword block
             id_pos = {}
@@ -1322,7 +1338,7 @@ def pq_topk(
                 id_pos[s] = pm
         else:
             src = _fan_out(
-                embeddings.select(
+                embeddings.where(F.col(id_col).isNotNull()).select(
                     F.col(id_col).alias("neighbor_id"),
                     as_double_array(F.col(vec_col)).alias("_v"),
                 )
@@ -1517,6 +1533,8 @@ def pq_search_codes(
     frame for the exact second stage (a q x R candidate broadcast, not
     a corpus scan).
     """
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")  # see pq_topk
     import numpy as np
 
     from collections.abc import Iterator
@@ -1542,7 +1560,11 @@ def pq_search_codes(
         lut[s] = (np.round((diff * diff).sum(axis=2), 6), ids)
     shortlist = k if rerank is None else rerank
     take = shortlist + 16
-    src = _fan_out(codes.select(F.col("vec_id").alias("neighbor_id"), "codes"))
+    src = _fan_out(
+        codes.where(F.col("vec_id").isNotNull()).select(
+            F.col("vec_id").alias("neighbor_id"), "codes"
+        )
+    )  # NULL-id parity: see _knn_kernel_topk
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1874,8 +1896,14 @@ def ivfpq_residual_topk(
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
     d = dim // m
+    # module convention: ``vec_col`` names the CORPUS vector column;
+    # centroids are (centroid_id, embedding) and queries are
+    # (query_id, embedding) — the assign_centroids / pq_topk contracts.
+    # Reading vec_col off centroids/queries here would make any
+    # non-default vec_col call fail (or silently read a different
+    # column than the coarse assignment).
     cent = centroids.select(
-        "centroid_id", as_double_array(F.col(vec_col)).alias("cv")
+        "centroid_id", as_double_array(F.col("embedding")).alias("cv")
     )
     assigned = assign_centroids(embeddings, centroids, id_col=id_col, vec_col=vec_col)
     resid = (
@@ -1934,15 +1962,17 @@ def _ivfpq_residual_serve(
     code column of the corpus — raw vectors appear solely in the
     optional exact-rerank second stage."""
     d = dim // m
+    # vec_col is the CORPUS column only (see ivfpq_residual_topk);
+    # centroids/queries carry the fixed 'embedding' contract
     cent = centroids.select(
-        "centroid_id", as_double_array(F.col(vec_col)).alias("cv")
+        "centroid_id", as_double_array(F.col("embedding")).alias("cv")
     )
     # probe: same cosine coarse ranking as ivfpq_topk / assign_centroids
-    qv = as_double_array(F.col(vec_col))
+    qv = as_double_array(F.col("embedding"))
     q = queries.select("query_id", qv.alias("qv"), l2_norm(qv).alias("qn"))
     c_n = centroids.select(
-        "centroid_id", as_double_array(F.col(vec_col)).alias("cv"),
-        l2_norm(as_double_array(F.col(vec_col))).alias("cn"),
+        "centroid_id", as_double_array(F.col("embedding")).alias("cv"),
+        l2_norm(as_double_array(F.col("embedding"))).alias("cn"),
     )
     q_probe = _with_cos_hoisted(F.broadcast(q).crossJoin(F.broadcast(c_n)))
     wq = Window.partitionBy("query_id").orderBy(
@@ -1990,9 +2020,12 @@ def _ivfpq_residual_serve(
         F.col("vec_id").alias("neighbor_id"), "centroid_id",
         F.posexplode("codes").alias("sub", "code_id"),
     ).join(probed.select("centroid_id").distinct(), "centroid_id", "left_semi")
+    # no (query_id, centroid_id) semi against probed here: lut carries
+    # one row per PROBED (query, centroid) pair by construction, so the
+    # inner join above already enforces that filter — a second semi
+    # would only add a join stage to every search
     scored = (
         ecx.join(F.broadcast(lut), ["centroid_id", "sub", "code_id"])
-        .join(probed, ["query_id", "centroid_id"], "left_semi")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("d2"), 6).alias("dist"))
@@ -2063,7 +2096,7 @@ class IVFPQIndex:
         if dim % m:
             raise ValueError(f"m={m} must divide dim={dim}")
         cent = centroids.select(
-            "centroid_id", as_double_array(F.col(vec_col)).alias("cv")
+            "centroid_id", as_double_array(F.col("embedding")).alias("cv")
         )
         assigned = assign_centroids(
             embeddings, centroids, id_col=id_col, vec_col=vec_col
@@ -2089,7 +2122,7 @@ class IVFPQIndex:
             resid.select("vec_id", "centroid_id"), "vec_id"
         )
         return cls(
-            centroids.select("centroid_id", F.col(vec_col).alias("embedding")),
+            centroids.select("centroid_id", "embedding"),
             codebooks,
             codes,
             m=m,
@@ -2111,7 +2144,8 @@ class IVFPQIndex:
         # write the fresh code log into the NEXT version, clear the
         # epoch markers, cut over with one atomic marker create, then
         # GC — a crash at any step leaves the prior committed codes
-        # loadable.  Caveat (documented single-writer rebuild): the
+        # loadable (replay-marker window caveat: IndexDelta.save).
+        # Caveat (documented single-writer rebuild): the
         # quantizer/codebooks above are overwrite-in-place, so a crash
         # between their write and this commit pairs new codebooks with
         # the old committed codes — re-run the rebuild to converge.
@@ -2573,7 +2607,10 @@ def opq_topk(
             n_codes=n_codes, **train_kwargs,
         )
     emb_r = rotate_embeddings(embeddings, rotation, vec_col=vec_col)
-    q_r = rotate_embeddings(queries, rotation, vec_col=vec_col)
+    # queries carry the fixed (query_id, embedding) shape pq_topk
+    # reads — rotating vec_col here would either fail or leave the
+    # 'embedding' column UNROTATED against rotated codebooks
+    q_r = rotate_embeddings(queries, rotation, vec_col="embedding")
     return pq_topk(
         emb_r, q_r,
         id_col=id_col, vec_col=vec_col,
@@ -2619,7 +2656,13 @@ def train_ivf_centroids(
     from beyond_vector_search_spark.operators.scale import deterministic_sample
 
     if train_fraction is None:
-        n = embeddings.count()
+        # footer/plan estimate, not a full corpus count job — the same
+        # 'sizing must not launch a count' rule the other samplers in
+        # this file follow (_estimate_rows falls back to count() only
+        # for non-file sources)
+        n = _estimate_rows(embeddings)
+        if n is None:
+            n = embeddings.count()
         train_fraction = min(1.0, max_train_rows / max(n, 1))
     if train_fraction < 1.0:
         embeddings = deterministic_sample(
@@ -2659,9 +2702,10 @@ def nndescent_knn_graph(
     Spark shape (every stage is bounded; nothing is ever all-pairs):
 
     - **init**: two independent hash blockings (deterministic
-      ``hash64(seed || id)`` buckets of expected size ~2(k+1)); the
-      within-bucket pair space is O(n·k) rows total, scored in one
-      Arrow cosine pass per blocking.
+      ``hash64(seed || id)`` buckets of expected size ~2(L+1), where
+      L = ``list_size`` defaults to max(3k, k+10)); the within-bucket
+      pair space is O(n·L) rows total — budget the init stage on L,
+      not k — scored in one Arrow cosine pass per blocking.
     - **iterate** (``iterations``×): undirect the current graph
       (forward ∪ reverse edges, reverse side capped at
       ``reverse_cap`` — default k — per node by (cos, id) so a hub
@@ -3161,7 +3205,13 @@ def graph_ann_topk(
             .select("query_id", "neighbor_id")
             .join(visited.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti")
             .distinct()
+            .localCheckpoint()
         )
+        if frontier.isEmpty():
+            # beam converged for every query — remaining rounds would
+            # each pay an empty _score, a union, and an eager
+            # re-checkpoint of the full visited relation for nothing
+            break
         scored = _score(frontier)
         visited = visited.unionByName(scored).localCheckpoint()
         beam = visited.withColumn("_r", F.row_number().over(wbeam)).where(
@@ -3216,7 +3266,8 @@ class KnnGraphIndex:
         # CRASH-SAFE ordering too: write the next graph-v{N}, clear
         # epoch markers, atomic marker-create cutover, then GC — a
         # crash at any step leaves the prior committed graph loadable
-        # (purge-first would lose it mid-save).
+        # (purge-first would lose it mid-save; replay-marker window
+        # caveat: IndexDelta.save).
         n = fsutil.next_version(spark, path, "graph")
         self.graph.write.mode("overwrite").parquet(f"{path}/graph-v{n}/batch_id=0")
         fsutil.delete(spark, f"{path}/_batches")

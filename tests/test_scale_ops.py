@@ -2967,3 +2967,54 @@ def test_connected_components_long_chain_and_nonconvergence_guard(spark):
     assert labels.count() == 60
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=1)
+
+
+def test_pq_family_custom_corpus_vec_col(spark):
+    """``vec_col`` names the CORPUS vector column only; centroids are
+    (centroid_id, embedding) and queries (query_id, embedding).  A
+    renamed corpus column must produce results identical to the
+    default-named corpus — previously the residual/OPQ paths read
+    vec_col off centroids/queries too, so any non-default call failed
+    (or silently scanned an unrotated column)."""
+    import numpy as np
+
+    from beyond_vector_search_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    X = rng.standard_normal((40, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    emb_v = emb.withColumnRenamed("embedding", "v")
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in X[:20].mean(axis=0)]),
+         (1, [float(x) for x in X[20:].mean(axis=0)])],
+        "centroid_id INT, embedding ARRAY<DOUBLE>",
+    )
+    q = spark.createDataFrame(
+        [(900, [float(x) for x in X[3]])], "query_id LONG, embedding ARRAY<DOUBLE>"
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    base = rows(sim.ivfpq_residual_topk(emb, q, cents, m=2, dim=dim, k=3, nprobe=2))
+    renamed = rows(
+        sim.ivfpq_residual_topk(emb_v, q, cents, m=2, dim=dim, k=3, nprobe=2, vec_col="v")
+    )
+    assert base == renamed and base
+
+    base_o = rows(sim.opq_topk(emb, q, m=2, dim=dim, k=3, n_codes=8, iters=2))
+    renamed_o = rows(
+        sim.opq_topk(emb_v, q, m=2, dim=dim, k=3, n_codes=8, iters=2, vec_col="v")
+    )
+    assert base_o == renamed_o and base_o
+
+    # dim % m is validated even with supplied codebooks
+    import pytest
+
+    cb = sim.pq_codebooks(emb, m=2, dim=dim, n_codes=8)
+    with pytest.raises(ValueError, match="must divide"):
+        sim.pq_topk(emb, q, m=3, dim=dim, codebooks=cb, k=3)
