@@ -206,7 +206,12 @@ def pagerank(
         # iteration-invariant — checkpoint so the edges+degree+pseudo
         # derivation computes once, and the per-iteration exchange over
         # the materialized blocks is byte-identical every step (runtime
-        # exchange reuse dedups it under AQE)
+        # exchange reuse dedups it under AQE).  Audit reconciliation
+        # (r9 "8 shuffles" vs r10 PLANS.md "10"): the STATIC plan for 5
+        # iterations shows 10 exchanges (5 aggs + 4 ed + 1 in-degree);
+        # AQE reuses the identical ed exchanges at RUNTIME, so ~8
+        # shuffle stages actually execute — both layers are pinned by
+        # tests/test_graph.py::test_pagerank_plan_shape_pinned.
         ed = ed.localCheckpoint(eager=False)
     for it in range(int(n_iter)):
         if checkpoint_every and it and it % int(checkpoint_every) == 0:

@@ -144,3 +144,63 @@ def test_pagerank_deep_iteration_converges(spark):
         for r in pagerank(e, n_iter=21, checkpoint_every=4).collect()
     }
     assert more == with_cut  # fixpoint reached
+
+
+def test_pagerank_plan_shape_pinned(spark):
+    """Exchange-count regression pin (the r9-vs-r10 audit discrepancy,
+    reconciled): the STATIC plan for n_iter iterations carries exactly
+    2*n_iter shuffle exchanges — n_iter per-iteration aggregations,
+    (n_iter - 1) re-shuffles of the checkpointed iteration-invariant
+    ``ed`` relation (iteration 1's rank side broadcasts instead), and
+    one in-degree aggregation.  At RUNTIME the ed exchanges are
+    byte-identical, so AQE's exchange reuse dedups them — the final
+    adaptive plan must contain ReusedExchange nodes and execute fewer
+    shuffle stages than the static count (this is how r9 measured 8
+    where the static audit shows 10).  A future edit that breaks either
+    layer — adds a per-iteration shuffle, or de-canonicalizes ed so
+    reuse stops firing — fails here."""
+    import contextlib
+    import io
+    import re
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def shuffle_keys(plan):
+        """hashpartitioning key column of every shuffle Exchange."""
+        keys = []
+        for m in re.finditer(
+            r"\(\d+\) Exchange\b.*?hashpartitioning\((\w+)#\d+", plan, re.S
+        ):
+            keys.append(m.group(1))
+        return keys
+
+    e = _edges(
+        spark,
+        [(i, (i * 3 + 1) % 40) for i in range(40)]
+        + [(i, (i * 7 + 2) % 40) for i in range(40)],
+    )
+    for n_iter in (3, 5):
+        pr = pagerank(e, n_iter=n_iter)
+        static = plan_of(pr)
+        keys = shuffle_keys(static)
+        # one aggregation shuffle per iteration — never more
+        assert keys.count("id") == n_iter, (static, keys)
+        # one in-degree aggregation
+        assert keys.count("dst") == 1, keys
+        # ed re-shuffles: at most one per SMJ iteration plus possibly
+        # iteration 1's rank side (when Catalyst lacks broadcast stats)
+        assert keys.count("src") <= n_iter + 1, keys
+        assert len(keys) <= 2 * n_iter + 2, keys
+        pr.collect()
+        final = plan_of(pr)
+        assert "isFinalPlan=true" in final
+        reused = final.count("ReusedExchange")
+        assert reused >= 1, (
+            "AQE exchange reuse stopped firing on the iteration-"
+            "invariant ed relation — each iteration now pays its own "
+            "edge-sized shuffle write"
+        )
