@@ -211,6 +211,13 @@ def main() -> None:
         t0 = time.time()
         stable_topk(arms.arm("vector"), 10).count()
         t_v = time.time() - t0
+        # hybrid batch: blends the two arms just materialized above —
+        # the arm the router actually picks for mixed queries; cheap
+        # since the r10 blend memo, so the batch regime covers all
+        # three strategies (VERDICT r10 ask #6)
+        t0 = time.time()
+        stable_topk(arms.arm("hybrid"), 10).count()
+        t_h = time.time() - t0
         arms.release()
         batch_serve = {
             "n_queries": 100,
@@ -218,6 +225,8 @@ def main() -> None:
             "bm25_per_query_ms": round(t_k * 10.0, 2),
             "vector_total_sec": round(t_v, 3),
             "vector_per_query_ms": round(t_v * 10.0, 2),
+            "hybrid_total_sec": round(t_h, 3),
+            "hybrid_per_query_ms": round(t_h * 10.0, 2),
         }
         print(f"# batch serve (100 queries): {batch_serve}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — informational metric only

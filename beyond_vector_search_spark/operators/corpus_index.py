@@ -412,7 +412,12 @@ class IndexDelta:
         ``new_docs_delta``, then union its rows in."""
         return self.remove(new_docs_delta.doc_ids).union(new_docs_delta)
 
-    def checkpoint(self, *, target_partitions: int | None = None) -> "IndexDelta":
+    def checkpoint(
+        self,
+        *,
+        target_partitions: int | None = None,
+        storage_level=None,
+    ) -> "IndexDelta":
         """Materialize eagerly via ``localCheckpoint`` (concurrent jobs)
         and truncate lineage.
 
@@ -435,14 +440,26 @@ class IndexDelta:
         overhead.  This is the same right-sizing AQE applies to shuffle
         outputs, applied to materialized blocks (which AQE cannot see).
 
-        The cluster equivalent is persisting the delta to parquet
-        (``save``) and reading it back — same lineage cut; use that for
-        multi-job pipelines, this for within-session serving."""
+        ``storage_level`` sizes the checkpointed blocks for the corpus:
+        the default (MEMORY_AND_DISK_DESER) keeps one UnsafeRow OBJECT
+        per row — fastest to re-read, but ~3x the payload bytes in
+        object headers, and 32 concurrent downstream aggregation tasks
+        on top of that is exactly how the 500k-doc build blew an 8 GiB
+        local[32] heap (r10 finding #1).  Pass
+        ``StorageLevel.MEMORY_AND_DISK`` (serialized, spillable) for
+        large corpora — measured: the 500k-doc build that OOM'd the
+        default heap completes in it unchanged.  The cluster equivalent
+        is persisting the delta to parquet (``save``) and reading it
+        back — same lineage cut; use that for multi-job pipelines, this
+        for within-session serving."""
         import concurrent.futures as cf
 
         with cf.ThreadPoolExecutor(max_workers=len(self._FIELDS)) as ex:
             futs = {
-                f: ex.submit(getattr(self, f).localCheckpoint) for f in self._FIELDS
+                f: ex.submit(
+                    getattr(self, f).localCheckpoint, True, storage_level
+                )
+                for f in self._FIELDS
             }
             out = {f: fut.result() for f, fut in futs.items()}
         if target_partitions is not None:
@@ -452,7 +469,10 @@ class IndexDelta:
         return IndexDelta(**out)
 
     def checkpoint_background(
-        self, *, target_partitions: int | None = None
+        self,
+        *,
+        target_partitions: int | None = None,
+        storage_level=None,
     ) -> tuple["IndexDelta", "object"]:
         """:meth:`checkpoint`, overlapped: returns immediately with
         ``(delta, join)`` — the kernel jobs materialize in background
@@ -471,7 +491,8 @@ class IndexDelta:
         import concurrent.futures as cf
 
         lazy = {
-            f: getattr(self, f).localCheckpoint(eager=False) for f in self._FIELDS
+            f: getattr(self, f).localCheckpoint(eager=False, storageLevel=storage_level)
+            for f in self._FIELDS
         }
         ex = cf.ThreadPoolExecutor(max_workers=len(self._FIELDS))
         futs = [ex.submit(df.count) for df in lazy.values()]
@@ -671,6 +692,7 @@ def build_delta_fused(
     text: Column | str = "text",
     cfg: EngineConfig = DEFAULT,
     target_partitions: int | None = None,
+    storage_level=None,
 ) -> IndexDelta:
     """``build_delta(...).checkpoint(...)`` with the corpus text
     scanned ONCE: the fused term+gram kernel
@@ -690,13 +712,13 @@ def build_delta_fused(
 
     if cfg.index_kernel != "arrow":
         return build_delta(docs, id_col=id_col, text=text, cfg=cfg, cache=False).checkpoint(
-            target_partitions=target_partitions
+            target_partitions=target_partitions, storage_level=storage_level
         )
     fused_lazy = kernels.fused_tf_frame(docs, id_col=id_col, text=text, n=cfg.ngram_n)
     ids_lazy = docs.select(F.col(id_col).alias("doc_id"))
     with cf.ThreadPoolExecutor(max_workers=2) as ex:
-        f_fused = ex.submit(fused_lazy.localCheckpoint)
-        f_ids = ex.submit(ids_lazy.localCheckpoint)
+        f_fused = ex.submit(fused_lazy.localCheckpoint, True, storage_level)
+        f_ids = ex.submit(ids_lazy.localCheckpoint, True, storage_level)
         fused, doc_ids = f_fused.result(), f_ids.result()
     # Re-checkpoint each slice into its OWN blocks: leaving postings/
     # gram_tf as kind-filters over the fused blocks would make every
@@ -710,7 +732,7 @@ def build_delta_fused(
         # checkpoint at source width (the slice pass keeps the fused
         # blocks' parallelism), coalesce only what downstream READS —
         # the same order IndexDelta.checkpoint uses
-        out = df.localCheckpoint()
+        out = df.localCheckpoint(storageLevel=storage_level)
         return out.coalesce(tgt) if tgt is not None else out
 
     post_lazy = fused.where(F.col("kind") == "t").select(

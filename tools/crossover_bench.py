@@ -89,7 +89,7 @@ def time_reference(rows: list[tuple[int, str]], queries: list[str]) -> dict:
     out["total"] = round(sum(out.values()), 3)
     # batched workload: the reference's only mode is a per-query loop
     batch = [q for _, q in batch_queries()]
-    for name, r in (("bm25", kw), ("vector", vec)):
+    for name, r in (("bm25", kw), ("vector", vec), ("hybrid", hyb)):
         t0 = time.time()
         for q in batch:
             r.search(q, k=K)
@@ -116,12 +116,31 @@ def time_spark(spark, copies: int, queries_df) -> dict:
         ],
     )
     n_docs = base.count() * copies
+    # Heap posture scales with the corpus (r10 finding #1: the 500k-doc
+    # build OOM'd the default 8 GiB local[32] heap).  Two knobs:
+    # - serialized+spillable checkpoint blocks past 100k docs — the
+    #   default deserialized level keeps one UnsafeRow object per row
+    #   (~3x payload bytes in headers) pinned under 32 concurrent
+    #   aggregation tasks;
+    # - shuffle partitions scale with n_docs so each aggregation task's
+    #   hash map stays small enough to spill instead of OOM (AQE
+    #   coalesces the excess back at small scales).
+    from pyspark import StorageLevel
+
+    level = StorageLevel.MEMORY_AND_DISK if n_docs >= 100_000 else None
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(int(prev_sp), n_docs // 2500))
+    )
     t0 = time.time()
-    idx = ci.index_from_delta(
-        ci.build_delta(scaled, text="text", cache=False).checkpoint(
-            target_partitions=-(-n_docs // 2500)
-        )
-    ).cache(skip=("postings", "doc_ids", "doc_vec", "scalars")).materialize()
+    try:
+        idx = ci.index_from_delta(
+            ci.build_delta(scaled, text="text", cache=False).checkpoint(
+                target_partitions=-(-n_docs // 2500), storage_level=level
+            )
+        ).cache(skip=("postings", "doc_ids", "doc_vec", "scalars")).materialize()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     out = {"index_build": round(time.time() - t0, 3)}
 
     # the compiled serving path (entry_queries._scores shape): the
@@ -159,8 +178,16 @@ def time_spark(spark, copies: int, queries_df) -> dict:
     _ranked(rt.compiled_bm25_scores(idx, c100, cfg=_CFG)).count()
     out["batch100_bm25"] = round(time.time() - t0 + 0.0, 3)
     t0 = time.time()
-    _ranked(rt.compiled_vector_scores(idx, c100, cfg=_CFG)).count()
+    vec100 = rt.compiled_vector_scores(idx, c100, cfg=_CFG)
+    _ranked(vec100).count()
     out["batch100_vector"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    kw100 = rt.compiled_bm25_scores(idx, c100, cfg=_CFG)
+    _ranked(
+        rt.hybrid_scores(b100, idx, cfg=_CFG, keyword=kw100, vector=vec100,
+                         minmax_via="window")
+    ).count()
+    out["batch100_hybrid"] = round(time.time() - t0, 3)
 
     # release executor memory between scales
     for f in idx._FIELDS:
@@ -198,6 +225,9 @@ def main() -> int:
                 (eng["batch100_bm25"] + eng["batch100_vector"])
                 / max(ref["batch100_bm25"] + ref["batch100_vector"], 1e-9),
                 3,
+            ),
+            "batch100_hybrid_ratio_spark_over_ref": round(
+                eng["batch100_hybrid"] / max(ref["batch100_hybrid"], 1e-9), 3
             ),
         }
         results.append(rec)
