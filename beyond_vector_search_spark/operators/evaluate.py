@@ -79,6 +79,43 @@ def strategy_eval(
     )
 
 
+def strategy_eval_tagged(
+    answers_tagged: DataFrame, labels: DataFrame, tags: tuple[str, ...]
+) -> DataFrame:
+    """All strategies' eval metrics in ONE relation: ``answers_tagged``
+    is a tagged-union :func:`generate_answers` output whose query_id
+    carries a ``"{tag}|{query_id}"`` composite key (the
+    plans/coverage_queries.q_eval_loop answer pass).  Splits the
+    composite, keeps only ``tags`` rows, and scores hit/EM/total with
+    the exact :func:`strategy_eval` expressions over one labels join —
+    so evaluating three strategies costs one join and zero per-strategy
+    relations (the r10 shape paid three joins whose cached-read +
+    broadcast-build AQE stages dominated the merged collect's job
+    count).  Returns (tag, query_id, hit_at_k, exact_match, total,
+    top_doc_ids)."""
+    split = answers_tagged.select(
+        F.substring_index("query_id", "|", 1).alias("tag"),
+        F.expr("substring(query_id, instr(query_id, '|') + 1)").alias("query_id"),
+        "answer",
+        "top_doc_ids",
+    ).where(F.col("tag").isin(*tags))
+    j = split.join(
+        labels.select("query_id", "expected_doc_id", "expected_answer"), "query_id"
+    )
+    hit = F.when(
+        F.array_contains("top_doc_ids", F.col("expected_doc_id").cast("string")), 1.0
+    ).otherwise(0.0)
+    em = F.when(norm_answer("answer") == norm_answer("expected_answer"), 1.0).otherwise(0.0)
+    return j.select(
+        "tag",
+        "query_id",
+        hit.alias("hit_at_k"),
+        em.alias("exact_match"),
+        (HIT_WEIGHT * hit + EM_WEIGHT * em).alias("total"),
+        "top_doc_ids",
+    )
+
+
 def fold_weights_windowed(
     merged: DataFrame, state: RouterState, *, n_chunks: int = 32
 ) -> DataFrame:
@@ -232,6 +269,7 @@ def evaluate_all(
     k: int | None = None,
     tops: dict[str, DataFrame] | None = None,
     evals: dict[str, DataFrame] | None = None,
+    evals_tagged: DataFrame | None = None,
     fold: str = "driver",
 ) -> tuple[EvalReport, RouterState, DataFrame]:
     """Run the full evaluation; returns (report, final_state, runs_df).
@@ -244,8 +282,10 @@ def evaluate_all(
     Pass precomputed ``tops`` ({strategy: top-k DataFrame}) to reuse
     cached score relations across callers, or precomputed ``evals``
     ({strategy: strategy_eval output}) to skip the answer/hit/EM
-    derivation entirely (callers that serve the loop repeatedly cache
-    those three tiny relations — plans/coverage_queries.q_eval_loop).
+    derivation entirely.  ``evals_tagged`` is the cheapest form: ONE
+    :func:`strategy_eval_tagged` relation for all strategies, pivoted
+    into the arm columns here — one aggregation + one join instead of
+    three per-strategy joins (plans/coverage_queries.q_eval_loop).
 
     ``fold="driver"`` replays the weight trajectory as a sequential
     driver fold (the reference semantics, one tiny row per label);
@@ -259,30 +299,52 @@ def evaluate_all(
     k = k if k is not None else cfg.k
     queries = labels.select("query_id", "query")
 
-    if evals is None:
-        tops = tops or search_all(queries, index, k=k, cfg=cfg)
-        evals = {
-            s: strategy_eval(
-                tops[s], documents, labels,
-                id_col=id_col, title_col=title_col, text_col=text_col, cfg=cfg,
-            )
-            for s in ("vector", "keyword", "hybrid")
-        }
     feats = heuristic_columns(query_features(queries, index.term_stats))
 
     # One tiny row per query: all three arms' scores + routing heuristics.
-    merged = (
-        feats.join(evals["vector"].select("query_id", F.col("total").alias("s_vec"), F.col("top_doc_ids").alias("ids_vec")), "query_id")
-        .join(evals["keyword"].select("query_id", F.col("total").alias("s_key"), F.col("top_doc_ids").alias("ids_key")), "query_id")
-        .join(evals["hybrid"].select("query_id", F.col("total").alias("s_hyb"), F.col("top_doc_ids").alias("ids_hyb")), "query_id")
-        .orderBy("query_id")
-    )
+    if evals_tagged is not None:
+        # single tagged relation (strategy_eval_tagged): pivot the tag
+        # into the three arm columns — ONE aggregation + ONE join
+        # instead of three per-strategy joins (each of which paid its
+        # own cached-read + broadcast-build AQE stages in the collect)
+        short = {"vector": "vec", "keyword": "key", "hybrid": "hyb"}
+        wide = (
+            evals_tagged.groupBy("query_id")
+            .pivot("tag", list(short))
+            .agg(F.first("total").alias("s"), F.first("top_doc_ids").alias("ids"))
+        )
+        for name, sh in short.items():
+            wide = wide.withColumnRenamed(f"{name}_s", f"s_{sh}").withColumnRenamed(
+                f"{name}_ids", f"ids_{sh}"
+            )
+        merged = feats.join(wide, "query_id")
+    else:
+        if evals is None:
+            tops = tops or search_all(queries, index, k=k, cfg=cfg)
+            evals = {
+                s: strategy_eval(
+                    tops[s], documents, labels,
+                    id_col=id_col, title_col=title_col, text_col=text_col, cfg=cfg,
+                )
+                for s in ("vector", "keyword", "hybrid")
+            }
+        merged = (
+            feats.join(evals["vector"].select("query_id", F.col("total").alias("s_vec"), F.col("top_doc_ids").alias("ids_vec")), "query_id")
+            .join(evals["keyword"].select("query_id", F.col("total").alias("s_key"), F.col("top_doc_ids").alias("ids_key")), "query_id")
+            .join(evals["hybrid"].select("query_id", F.col("total").alias("s_hyb"), F.col("top_doc_ids").alias("ids_hyb")), "query_id")
+        )
     if fold == "windowed":
         # trajectory computed engine-side; the collect returns RESULTS
         # (chosen arm + weights), not a sequential dependency
-        rows = fold_weights_windowed(merged, state).orderBy("query_id").collect()
+        rows = fold_weights_windowed(merged, state).collect()
     else:
         rows = merged.collect()
+    # Sort on the DRIVER, not with a plan-level orderBy: the rows are
+    # already driver-sized (that's what collect means), and a global
+    # sort plans a rangepartitioning exchange plus its sampling job per
+    # call.  Python's str sort compares code points == UTF8 byte order,
+    # so the fold order is identical to Spark's ORDER BY query_id.
+    rows = sorted(rows, key=lambda r: r["query_id"])
 
     per_query: list[dict] = []
     run_rows: list[tuple] = []

@@ -566,7 +566,10 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     trajectory is an exclusive prefix sum — _EVAL_LOOP_SQL computes it
     with DuckDB window functions, the same closed form as
     evaluate.fold_weights_windowed."""
-    from beyond_vector_search_spark.operators.evaluate import evaluate_all, strategy_eval
+    from beyond_vector_search_spark.operators.evaluate import (
+        evaluate_all,
+        strategy_eval_tagged,
+    )
 
     _EVAL_LOOP_CACHE = session_memo(spark)
     memo_key = ("eval_loop", sf_dir)
@@ -588,15 +591,18 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hybrid": stable_topk(_scores(spark, sf_dir, "hybrid"), 5),
     }
     # ONE answer pass for the whole loop: the three strategies' top-5
-    # AND the label-synthesis top-1 are tagged with a composite
-    # "{tag}|{query_id}" key and answered together — one documents
-    # join + snippet derivation + context fold instead of four
-    # (the r9 shape pre-filled three cached strategy_eval relations as
-    # separate jobs: ~40 tiny stages, ~8 s at sf0.01; this is the
-    # materialize-once form that collapses them).
+    # are tagged with a composite "{tag}|{query_id}" key and answered
+    # together — one documents join / snippet derivation / context fold
+    # instead of four (the r9 shape pre-filled three cached
+    # strategy_eval relations as separate jobs: ~40 tiny stages, ~8 s
+    # at sf0.01).  The r10 form also unioned a 4th "top1" branch for
+    # label synthesis; it was bit-redundant — the answer template reads
+    # only the RANK-1 hit (answer.py generate_answers: title + snippet
+    # of element_at(hits, 1)), so the keyword branch's answer IS the
+    # top-1 answer, and its rank-sorted top_doc_ids[1] IS the expected
+    # doc.  Three branches, one fewer arm-cache read + topk window.
     qdf = _queries_df(spark)
     branches = dict(tops)
-    branches["top1"] = tops["keyword"].where("rank = 1")
 
     def tag_qid(tag: str):
         return F.concat(F.lit(tag + "|"), F.col("query_id")).alias("query_id")
@@ -609,31 +615,61 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tag in branches:
         part = qdf.select(tag_qid(tag), "query")
         queries4 = part if queries4 is None else queries4.unionByName(part)
-    ans_all = generate_answers(union_topk, docs, queries4, title_col=None).cache()
-    ans_all.count()  # the single heavy fill every branch below reads
+    # Everything from here to the fold collect runs label-sized plans
+    # (one row per query) over already-cached relations.  AQE turns
+    # every exchange in those plans into its own stage-materialization
+    # job — measured 22 first-call jobs, all scheduler overhead at this
+    # grain — so the loop's execution scope runs with AQE off: the same
+    # tiny plans execute as ~3 conventional multi-stage jobs.  The
+    # generic evaluate_all path (10M-label windowed folds) keeps the
+    # session's AQE; this is an entry-level choice for the driver-sized
+    # loop only.  The conf is restored even on error.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ans_all = generate_answers(union_topk, docs, queries4, title_col=None).cache()
+        ans_all.count()  # the single heavy fill every branch below reads
 
-    def branch(tag: str) -> DataFrame:
-        pre = tag + "|"
-        return ans_all.where(F.col("query_id").startswith(pre)).withColumn(
-            "query_id", F.expr(f"substring(query_id, {len(pre) + 1})")
+        def branch(tag: str) -> DataFrame:
+            pre = tag + "|"
+            return ans_all.where(F.col("query_id").startswith(pre)).withColumn(
+                "query_id", F.expr(f"substring(query_id, {len(pre) + 1})")
+            )
+
+        # labels derive from the SAME cached answers pass: the keyword
+        # branch row carries both the expected answer (identical to the
+        # former top1 branch's — the template reads only the rank-1 hit)
+        # and, via rank-sorted top_doc_ids[1], the expected doc — one join,
+        # no extra arm-cache read.  size>0 keeps the r10 inner-join
+        # semantics: queries with no keyword top-1 produce no label.
+        labels = (
+            qdf.join(
+                branch("keyword")
+                .where(F.size("top_doc_ids") > 0)
+                .select(
+                    "query_id",
+                    F.element_at("top_doc_ids", 1).alias("expected_doc_id"),
+                    F.col("answer").alias("expected_answer"),
+                ),
+                "query_id",
+            )
+        ).cache()
+        # ALL strategies' eval metrics in one relation over the cached
+        # answers (strategy_eval_tagged): one labels join, and evaluate_all
+        # pivots the tag into the arm columns — the r10 per-strategy evals
+        # paid three joins whose cached-read + broadcast-build AQE stages
+        # dominated the merged collect's job count (first call 23 jobs;
+        # this form is pinned ≤ 15 by tests/test_eval_parity.py).  labels
+        # is NOT pre-counted: the single merged collect below fills the
+        # cache — one fewer driver job, same blocks.
+        tagged = strategy_eval_tagged(
+            ans_all, labels, ("vector", "keyword", "hybrid")
         )
-
-    top1 = branches["top1"]
-    labels = (
-        qdf
-        .join(top1.select("query_id", F.col("doc_id").cast("string").alias("expected_doc_id")), "query_id")
-        .join(branch("top1").select("query_id", F.col("answer").alias("expected_answer")), "query_id")
-    ).cache()
-    labels.count()  # tiny: reads the cached answers + the cached arm
-    # per-strategy evals are pure column work over the cached answers
-    # (strategy_eval answers= path) — no per-strategy fill jobs at all
-    evals = {
-        s: strategy_eval(None, None, labels, title_col=None, answers=branch(s))
-        for s in ("vector", "keyword", "hybrid")
-    }
-    report, state, _runs = evaluate_all(
-        labels, docs, idx, title_col=None, evals=evals
-    )
+        report, state, _runs = evaluate_all(
+            labels, docs, idx, title_col=None, evals_tagged=tagged
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     rows = [
         (
             q["query_id"], q["chosen"], float(q["chosen_score"]),
@@ -1069,7 +1105,8 @@ def register_all() -> None:
     # r9 rotation demotion (incremental_dedup_pairs took its window
     # slot): token-set Jaccard verify — restates duplicate_spans'
     # in-window token/shingle self-join + groupBy shape; the same
-    # verify math is replayed by fuzzy_contamination's tail oracle
+    # verify math is replayed by fuzzy_contamination's oracle
+    # (in-window since the r11 rotation)
     register("ngram_jaccard_pairs", NGRAM_JACCARD_SQL)(q_ngram_jaccard)
     # r7 rotation demotion: the tumbling-window drift aggregation's
     # date-bucket groupBy shape is pinned in-window by events_sessions
@@ -1101,18 +1138,15 @@ def register_all() -> None:
     )
 
     register("weighted_sample", WEIGHTED_SAMPLE_SQL)(q_weighted_sample)
-    # fuzzy benchmark decontamination: restates
-    # benchmark_contamination's broadcast-eval-set shape +
-    # incremental_dedup_pairs' asymmetric banded join, with an exact
-    # Jaccard verify on the candidates
-    from beyond_vector_search_spark.plans.pretrain_queries import (
-        FUZZY_CONTAMINATION_SQL,
-        q_fuzzy_contamination,
+    # r11 rotation demotion (fuzzy_contamination took its window slot):
+    # plain union/intersect/except set ops — restated in-window by
+    # grouping_orders' conditional aggregation; stays fully oracled
+    # here and in the local artifacts
+    from beyond_vector_search_spark.plans.relational_queries import (
+        SETOPS_CUSTKEYS,
     )
 
-    register("fuzzy_contamination", FUZZY_CONTAMINATION_SQL)(
-        q_fuzzy_contamination
-    )
+    register_shared_sql("setops_custkeys", SETOPS_CUSTKEYS)
     # r10 rotation demotion (selection_pipeline took a window slot):
     # SimHash banded-hamming near-dup pairs — the banded join shape is
     # restated in-window by minhash_pairs; phash tests pin the kernel

@@ -327,7 +327,20 @@ def register_all() -> None:
     register("tpch_q3_topk", TPCH_Q3)(q_tpch_q3_topk)
     register_shared_sql("tpch_ratio_aggs", TPCH_RATIO_AGGS)
     register_shared_sql("grouping_orders", GROUPING_ORDERS)
-    register_shared_sql("setops_custkeys", SETOPS_CUSTKEYS)
+    # r11 rotation: fuzzy_contamination takes this window slot now that
+    # its fused shared-signature plan is efficient (2 documents scans /
+    # 9 exchanges) — it is the only Lee-et-al-style fuzzy
+    # decontamination oracle in the catalog.  setops_custkeys (plain
+    # union/intersect/except, restated by grouping_orders' conditional
+    # aggregation + tests) moves to the tail in its place.
+    from beyond_vector_search_spark.plans.pretrain_queries import (
+        FUZZY_CONTAMINATION_SQL,
+        q_fuzzy_contamination,
+    )
+
+    register("fuzzy_contamination", FUZZY_CONTAMINATION_SQL)(
+        q_fuzzy_contamination
+    )
     register("events_sessions", EVENTS_SESSIONS_DUCKDB)(_sql_fn(EVENTS_SESSIONS_SPARK))
     register("events_json_stats", EVENTS_JSON_DUCKDB)(_sql_fn(EVENTS_JSON_SPARK))
 

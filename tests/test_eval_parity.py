@@ -215,3 +215,62 @@ def test_strategy_eval_answers_path_parity(ref_labels, ref_corpus, ref_index):
         got = strategy_eval(None, None, ref_labels, title_col="title", answers=b)
         want = strategy_eval(tops[s], ref_corpus, ref_labels, title_col="title")
         assert rows(got) == rows(want), s
+
+
+def test_strategy_eval_tagged_matches_per_strategy(ref_labels, ref_corpus, ref_index):
+    """strategy_eval_tagged (one relation, one labels join, all
+    strategies) produces exactly the per-strategy strategy_eval rows —
+    the q_eval_loop merged collapse rests on this equivalence."""
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.answer import generate_answers
+    from beyond_vector_search_spark.operators.evaluate import (
+        strategy_eval,
+        strategy_eval_tagged,
+    )
+    from beyond_vector_search_spark.operators.retrieval import search_all
+
+    queries = ref_labels.select("query_id", "query")
+    tops = search_all(queries, ref_index, k=5)
+
+    def tag_qid(tag):
+        return F.concat(F.lit(tag + "|"), F.col("query_id")).alias("query_id")
+
+    union_topk = tops["keyword"].select(tag_qid("keyword"), "doc_id", "score", "rank").unionByName(
+        tops["vector"].select(tag_qid("vector"), "doc_id", "score", "rank")
+    )
+    queries2 = queries.select(tag_qid("keyword"), "query").unionByName(
+        queries.select(tag_qid("vector"), "query")
+    )
+    ans_all = generate_answers(union_topk, ref_corpus, queries2, title_col="title")
+    tagged = strategy_eval_tagged(ans_all, ref_labels, ("keyword", "vector"))
+    for s in ("keyword", "vector"):
+        got = sorted(
+            map(tuple, tagged.where(F.col("tag") == s).drop("tag").collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                strategy_eval(tops[s], ref_corpus, ref_labels, title_col="title").collect(),
+            )
+        )
+        assert got == want, s
+
+
+def test_eval_loop_first_call_job_count(spark):
+    """The catalog eval-loop entry is paid on every driver correctness
+    check; its first call must stay micro-stage-lean.  r9: ~44 jobs,
+    r10 (tagged-union answers): 23, r11 (tagged evals + AQE-off scope +
+    labels from the answers pass): measured 9 — pin ≤ 15 so a future
+    edit can't quietly reintroduce the per-strategy fill jobs."""
+    from beyond_vector_search_spark.plans.coverage_queries import q_eval_loop
+    from beyond_vector_search_spark.plans.entry_queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    # warm the shared index memo the way the driver window does
+    REGISTRY["bm25_topk"][0](spark, sf).count()
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    q_eval_loop(spark, sf).count()
+    jobs = set(tracker.getJobIdsForGroup(None)) - before
+    assert len(jobs) <= 15, f"eval loop first call ran {len(jobs)} jobs"
