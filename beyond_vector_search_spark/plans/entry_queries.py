@@ -181,6 +181,20 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> ci.CorpusIndex:
     return _INDEX_CACHE[key]
 
 
+def seed_index(spark: SparkSession, sf_dir: str, idx: "ci.CorpusIndex") -> None:
+    """Install ``idx`` as the session's index for ``sf_dir`` — every
+    catalog entry and the compiled-serving arms then read it instead of
+    building one.  This is how a deployment serves from a PERSISTED
+    snapshot (CorpusIndex.load) rather than re-deriving the index per
+    process: bench.py times exactly that load+materialize as its
+    index_build entry.  Clears the dependent score/blend memos so arms
+    rebuild against the seeded snapshot."""
+    memo = session_memo(spark)
+    for k in [k for k in memo if isinstance(k, tuple) and sf_dir in k]:
+        del memo[k]
+    memo[("index", sf_dir)] = idx
+
+
 # The full (query, doc) score relations for the fixed workload are each
 # consumed twice (their own top-k + the hybrid blend) — cache like the
 # index (same per-session memo).

@@ -183,3 +183,37 @@ def test_entry_hybrid_blend_memoized(spark):
     got = {(r.query_id, r.doc_id): round(r.score, 9) for r in first.collect()}
     want = {(r.query_id, r.doc_id): round(r.score, 9) for r in fresh.collect()}
     assert got == want
+
+
+def test_seeded_snapshot_serves_identically(spark, tmp_path):
+    """The bench deployment protocol (r11): build once, persist
+    (CorpusIndex.save), load in a serving session and seed_index it —
+    every retrieval entry must produce EXACTLY the rows the in-session
+    built index produced.  Pins the save→load→seed path end-to-end so
+    the snapshot-served bench numbers stay comparable."""
+    from beyond_vector_search_spark.operators.corpus_index import CorpusIndex
+    from beyond_vector_search_spark.plans import entry_queries as eq
+
+    sf = "/root/testdata/sf0.001"
+
+    def trio():
+        return {
+            name: sorted(
+                (r.query_id, r.doc_id, round(r.score, 9), r.rank)
+                for r in eq.REGISTRY[name][0](spark, sf).collect()
+            )
+            for name in ("bm25_topk", "vector_topk", "hybrid_topk")
+        }
+
+    built = eq._docs_index(spark, sf)
+    want = trio()
+
+    path = str(tmp_path / "snap")
+    built.save(path)
+    loaded = CorpusIndex.load(spark, path).cache(skip=("scalars",)).materialize()
+    eq.seed_index(spark, sf, loaded)
+    assert eq._docs_index(spark, sf) is loaded, "seed must replace the memo"
+    got = trio()
+    assert got == want
+    # clean the session memo so later tests rebuild normally
+    eq.seed_index(spark, sf, built)
