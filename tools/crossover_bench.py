@@ -116,31 +116,54 @@ def time_spark(spark, copies: int, queries_df) -> dict:
         ],
     )
     n_docs = base.count() * copies
-    # Heap posture scales with the corpus (r10 finding #1: the 500k-doc
-    # build OOM'd the default 8 GiB local[32] heap).  Two knobs:
+    # Scale posture follows the corpus, both directions (r10 finding
+    # #1 was the up direction: the 500k-doc build OOM'd the default
+    # 8 GiB local[32] heap):
+    # - shuffle partitions are sized to the DATA for the whole scale
+    #   run — n_docs/2500 with a floor of 8 — so a 5k-doc run stops
+    #   paying 32-way scheduler overhead per tiny stage and a 500k run
+    #   gets aggregation tasks small enough to spill instead of OOM
+    #   (AQE still coalesces the reduce side at runtime);
     # - serialized+spillable checkpoint blocks past 100k docs — the
     #   default deserialized level keeps one UnsafeRow object per row
     #   (~3x payload bytes in headers) pinned under 32 concurrent
     #   aggregation tasks;
-    # - shuffle partitions scale with n_docs so each aggregation task's
-    #   hash map stays small enough to spill instead of OOM (AQE
-    #   coalesces the excess back at small scales).
+    # - the tokenize/shingle kernels checkpoint in BACKGROUND threads
+    #   while the driver builds the derived plans (the bench builder's
+    #   overlap, measured ~0.2 s at this grain).
     from pyspark import StorageLevel
 
     level = StorageLevel.MEMORY_AND_DISK if n_docs >= 100_000 else None
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(max(int(prev_sp), n_docs // 2500))
+        "spark.sql.shuffle.partitions", str(max(8, n_docs // 2500))
     )
-    t0 = time.time()
     try:
-        idx = ci.index_from_delta(
-            ci.build_delta(scaled, text="text", cache=False).checkpoint(
-                target_partitions=-(-n_docs // 2500), storage_level=level
-            )
-        ).cache(skip=("postings", "doc_ids", "doc_vec", "scalars")).materialize()
+        return _time_spark_scaled(spark, scaled, n_docs, level, queries_df)
     finally:
+        # restored even on error: bench.py catches crossover failures
+        # and keeps running — the session conf must not leak
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def _time_spark_scaled(spark, scaled, n_docs, level, queries_df) -> dict:
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from beyond_vector_search_spark.operators import corpus_index as ci
+    from beyond_vector_search_spark.operators import retrieval as rt
+    from beyond_vector_search_spark.plans.entry_queries import _CFG, QUERY_SET, _ranked
+
+    t0 = time.time()
+    delta, join = ci.build_delta(
+        scaled, text="text", cache=False
+    ).checkpoint_background(
+        target_partitions=-(-n_docs // 2500), storage_level=level
+    )
+    idx = ci.index_from_delta(delta).cache(
+        skip=("postings", "doc_ids", "doc_vec", "scalars")
+    )
+    join()
+    idx = idx.materialize()
     out = {"index_build": round(time.time() - t0, 3)}
 
     # the compiled serving path (entry_queries._scores shape): the
@@ -148,7 +171,10 @@ def time_spark(spark, copies: int, queries_df) -> dict:
     # single-action plans, hybrid min-maxes via windows so each arm
     # executes once
     t0 = time.time()
-    compiled = rt.compile_query_batch(queries_df, idx, cfg=_CFG)
+    # compile from the plain tuple list (the interactive-serving shape):
+    # passing the DataFrame form pays a bounded driver collect job per
+    # compile — a pure fixed-floor cost at single-query grain
+    compiled = rt.compile_query_batch(QUERY_SET, idx, cfg=_CFG)
     kw = rt.compiled_bm25_scores(idx, compiled, cfg=_CFG)
     vec = rt.compiled_vector_scores(idx, compiled, cfg=_CFG)
     _ranked(kw).count()
@@ -173,7 +199,7 @@ def time_spark(spark, copies: int, queries_df) -> dict:
     # size (the single-query rows above carry the floor per query)
     spark = queries_df.sparkSession
     b100 = spark.createDataFrame(batch_queries(), "query_id STRING, query STRING")
-    c100 = rt.compile_query_batch(b100, idx, cfg=_CFG)
+    c100 = rt.compile_query_batch(batch_queries(), idx, cfg=_CFG)
     t0 = time.time()
     _ranked(rt.compiled_bm25_scores(idx, c100, cfg=_CFG)).count()
     out["batch100_bm25"] = round(time.time() - t0 + 0.0, 3)
