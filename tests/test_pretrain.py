@@ -379,3 +379,34 @@ def test_fuzzy_contamination_shared_state_parity(spark):
         bench_shingles=dd.shingle_rows(bench, n=8),
     )
     assert rows(exact_shared) == rows(exact)
+
+
+def test_fuzzy_contamination_plan_shape_pinned(spark):
+    """Pin the r10 shared-signature win: the catalog fuzzy entry's plan
+    must read the documents table at most twice (one fused
+    signature+shingle pass per side) and stay under 12 shuffle
+    exchanges.  The r9 rederive form scanned documents 21x across 25
+    exchanges — this test makes that regression loud."""
+    import contextlib
+    import io
+    import re
+
+    from beyond_vector_search_spark.plans.pretrain_queries import (
+        q_fuzzy_contamination,
+    )
+
+    df = q_fuzzy_contamination(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # count scans whose block (through the Location line) names the
+    # documents table
+    doc_scans = sum(
+        1
+        for m in re.finditer(r"\(\d+\) Scan parquet.*?Location[^\n]*", plan, re.S)
+        if "documents" in m.group(0)
+    )
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert doc_scans <= 2, f"{doc_scans} documents scans (shared signatures broken?)"
+    assert n_exchanges <= 12, f"{n_exchanges} shuffle exchanges (was 9 at r10)"
