@@ -191,7 +191,17 @@ def seed_index(spark: SparkSession, sf_dir: str, idx: "ci.CorpusIndex") -> None:
     rebuild against the seeded snapshot."""
     memo = session_memo(spark)
     for k in [k for k in memo if isinstance(k, tuple) and sf_dir in k]:
-        del memo[k]
+        old = memo.pop(k)
+        # dropped score/blend relations (and the replaced index's own
+        # cached fields) may hold cache blocks — release them, or every
+        # reseed leaks a full arm cache into the session
+        if isinstance(old, DataFrame) and old.is_cached:
+            old.unpersist()
+        elif isinstance(old, ci.CorpusIndex) and old is not idx:
+            for f in old._FIELDS:
+                df = getattr(old, f, None)
+                if df is not None and df.is_cached:
+                    df.unpersist()
     memo[("index", sf_dir)] = idx
 
 
