@@ -271,6 +271,7 @@ def evaluate_all(
     evals: dict[str, DataFrame] | None = None,
     evals_tagged: DataFrame | None = None,
     fold: str = "driver",
+    with_runs: bool = True,
 ) -> tuple[EvalReport, RouterState, DataFrame]:
     """Run the full evaluation; returns (report, final_state, runs_df).
 
@@ -403,6 +404,12 @@ def evaluate_all(
         router_state=state.to_json(),
         per_query=per_query,
     )
+    if not with_runs:
+        # callers that discard the telemetry relation (the memoized
+        # catalog loop) skip its whole plan construction — a
+        # createDataFrame + join + to_json tree built per call only to
+        # be garbage-collected (~0.5 s of driver time at 14 labels)
+        return report, state, None
     spark = labels.sparkSession
     chosen_df = spark.createDataFrame(
         run_rows, "query STRING, strategy STRING, score DOUBLE, query_id STRING"

@@ -579,40 +579,34 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     idx = _docs_index(spark, sf_dir)
 
-    key = _scores(spark, sf_dir, "keyword")
-    vec = _scores(spark, sf_dir, "vector")
-    # the hybrid arm comes from the same session memo hybrid_topk
-    # serves from (cached blend) — the loop's answer pass and the
-    # merged-eval collect read cache blocks instead of re-running the
-    # two normalization windows + union/agg
-    tops = {
-        "keyword": stable_topk(key, 5),
-        "vector": stable_topk(vec, 5),
-        "hybrid": stable_topk(_scores(spark, sf_dir, "hybrid"), 5),
-    }
-    # ONE answer pass for the whole loop: the three strategies' top-5
-    # are tagged with a composite "{tag}|{query_id}" key and answered
-    # together — one documents join / snippet derivation / context fold
-    # instead of four (the r9 shape pre-filled three cached
-    # strategy_eval relations as separate jobs: ~40 tiny stages, ~8 s
-    # at sf0.01).  The r10 form also unioned a 4th "top1" branch for
-    # label synthesis; it was bit-redundant — the answer template reads
-    # only the RANK-1 hit (answer.py generate_answers: title + snippet
-    # of element_at(hits, 1)), so the keyword branch's answer IS the
-    # top-1 answer, and its rank-sorted top_doc_ids[1] IS the expected
-    # doc.  Three branches, one fewer arm-cache read + topk window.
+    # ONE answer pass for the whole loop: the three strategies' score
+    # relations (the session-memoized arm/blend caches every other
+    # entry serves from) are tagged with a composite "{tag}|{query_id}"
+    # key, UNIONED, and ranked by ONE stable_topk window — per
+    # composite key == per (strategy, query), so the rows are identical
+    # to three per-arm top-5 windows, at a third of the plan tree and
+    # one window shuffle instead of three.  The answers then derive in
+    # one documents join / snippet derivation / context fold (the r9
+    # shape pre-filled three cached strategy_eval relations as separate
+    # jobs: ~40 tiny stages, ~8 s at sf0.01).  The r10 form also
+    # unioned a 4th "top1" branch for label synthesis; it was
+    # bit-redundant — the answer template reads only the RANK-1 hit
+    # (answer.py generate_answers: title + snippet of
+    # element_at(hits, 1)), so the keyword branch's answer IS the top-1
+    # answer, and its rank-sorted top_doc_ids[1] IS the expected doc.
     qdf = _queries_df(spark)
-    branches = dict(tops)
+    tags = ("keyword", "vector", "hybrid")
 
     def tag_qid(tag: str):
         return F.concat(F.lit(tag + "|"), F.col("query_id")).alias("query_id")
 
-    union_topk = None
-    for tag, t in branches.items():
-        part = t.select(tag_qid(tag), "doc_id", "score", "rank")
-        union_topk = part if union_topk is None else union_topk.unionByName(part)
+    union_scores = None
+    for tag in tags:
+        part = _scores(spark, sf_dir, tag).select(tag_qid(tag), "doc_id", "score")
+        union_scores = part if union_scores is None else union_scores.unionByName(part)
+    union_topk = stable_topk(union_scores, 5)
     queries4 = None
-    for tag in branches:
+    for tag in tags:
         part = qdf.select(tag_qid(tag), "query")
         queries4 = part if queries4 is None else queries4.unionByName(part)
     # Everything from here to the fold collect runs label-sized plans
@@ -666,7 +660,8 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ans_all, labels, ("vector", "keyword", "hybrid")
         )
         report, state, _runs = evaluate_all(
-            labels, docs, idx, title_col=None, evals_tagged=tagged
+            labels, docs, idx, title_col=None, evals_tagged=tagged,
+            with_runs=False,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
