@@ -1142,6 +1142,16 @@ def register_all() -> None:
     )
 
     register_shared_sql("setops_custkeys", SETOPS_CUSTKEYS)
+    # r11 addition: corpus snapshot diff — the incremental-crawl
+    # change-set primitive (versioning.corpus_diff), fully oracled;
+    # feeds IndexDelta via apply_corpus_diff (rebuild parity pinned by
+    # tests/test_versioning.py)
+    from beyond_vector_search_spark.plans.pipeline_queries import (
+        CORPUS_DIFF_SQL,
+        q_corpus_diff,
+    )
+
+    register("corpus_diff", CORPUS_DIFF_SQL)(q_corpus_diff)
     # r10 rotation demotion (selection_pipeline took a window slot):
     # SimHash banded-hamming near-dup pairs — the banded join shape is
     # restated in-window by minhash_pairs; phash tests pin the kernel

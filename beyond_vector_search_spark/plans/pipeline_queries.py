@@ -948,3 +948,51 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "es_key",
         "rank",
     )
+
+
+# ------------------- corpus snapshot diff (versioning) ----------------------
+
+CORPUS_DIFF_SQL = (
+    # two snapshots derived deterministically from the one documents
+    # table: "old" = ids not divisible by 3, with a simulated edit on
+    # ids divisible by 5; "new" = ids not divisible by 7.  The diff is
+    # digest-only past the projections (md5 — the engine's md5_hex
+    # convention); membership comes from join-side presence, the
+    # changed test is null-safe (IS DISTINCT FROM).
+    "WITH oldc AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+    "THEN text || ' [v1]' ELSE text END AS text "
+    "FROM documents WHERE doc_id % 3 <> 0), "
+    "newc AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0), "
+    "oh AS (SELECT doc_id, md5(text) AS h FROM oldc), "
+    "nh AS (SELECT doc_id, md5(text) AS h FROM newc) "
+    "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+    "CASE WHEN o.doc_id IS NULL THEN 'added' "
+    "WHEN n.doc_id IS NULL THEN 'removed' "
+    "ELSE 'changed' END AS change, "
+    "o.h AS old_hash, n.h AS new_hash "
+    "FROM oh o FULL OUTER JOIN nh n ON o.doc_id = n.doc_id "
+    "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR (o.h IS DISTINCT FROM n.h)"
+)
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change-set between two corpus versions
+    (versioning.corpus_diff — the incremental-crawl primitive feeding
+    IndexDelta.remove/union via apply_corpus_diff): added / removed /
+    changed documents by null-safe content-digest comparison over a
+    full outer join on doc_id.  Catalog tail: the full-outer
+    presence/absence shape is new to the catalog; the md5 digest
+    convention restates dedup_exact's in-window content hashing."""
+    from beyond_vector_search_spark.operators.versioning import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [v1]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = docs.where(F.col("doc_id") % 7 != 0)
+    return corpus_diff(old, new).select("doc_id", "change", "old_hash", "new_hash")
