@@ -200,3 +200,67 @@ def encoding_artifacts(
         ),
         (total > 0).alias("flag_encoding_artifacts"),
     )
+
+
+# ----------------------- markup extraction (HTML) ---------------------------
+# The tag-stripping step of a web-crawl curation pipeline (the first
+# thing CCNet/RefinedWeb-style pipelines do to raw HTML).  Pure column
+# expressions — codegen'd regexp_replace chains, no Python in the hot
+# path — and every pattern stays inside the regex subset Java regex
+# and RE2 share (inline (?is) flags, non-greedy .*?, NO backreferences),
+# so the whole extraction is DuckDB-oracle-checkable ('g' flag supplied
+# on the DuckDB side, where replacement is first-match by default).
+
+# entity -> replacement, applied IN ORDER: &amp; must come last or
+# double-escaped input ("&amp;lt;") would double-unescape.  The subset
+# is the five XML predefineds + nbsp + the numeric apostrophe — the
+# entities that dominate real crawls; anything rarer passes through
+# verbatim (extraction must never guess).
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+# block-level closers + <br> become newlines BEFORE generic tag removal
+# so "<p>a</p><p>b</p>" extracts as "a b", never "ab" — paragraph
+# boundaries must survive as whitespace.
+_BLOCK_BREAK_RE = r"(?i)<br[^>]*>|</p>|</div>|</li>|</tr>|</h[1-6]>"
+_TAG_RE = r"<[^>]+>"
+
+
+def strip_markup(col: Column | str) -> Column:
+    """Markup-free text of one HTML column: drop script/style payloads
+    and comments, turn block closers into whitespace, strip remaining
+    tags, unescape the common entities, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, _BLOCK_BREAK_RE, "\n")
+    c = F.regexp_replace(c, _TAG_RE, " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, "[ \t\r\n]+", " ")
+    return F.trim(c)
+
+
+def html_extract(
+    df: DataFrame, *, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """(id, text, n_tags, n_chars_raw, n_chars_text) — markup-stripped
+    text plus extraction diagnostics (tag count and the raw->text size
+    drop, the usual boilerplate-density signals a curation pipeline
+    thresholds on)."""
+    raw = F.col(html_col)
+    return df.select(
+        F.col(id_col),
+        strip_markup(raw).alias("text"),
+        F.regexp_count(raw, F.lit(_TAG_RE)).alias("n_tags"),
+        F.length(raw).alias("n_chars_raw"),
+        F.length(strip_markup(raw)).alias("n_chars_text"),
+    )

@@ -1152,6 +1152,16 @@ def register_all() -> None:
     )
 
     register("corpus_diff", CORPUS_DIFF_SQL)(q_corpus_diff)
+    # r11 addition: HTML markup extraction (text_analysis.strip_markup)
+    # — the crawl-curation first step, expression-only and fully
+    # oracled via a synthesize->extract roundtrip in the shared
+    # Java-regex ∩ RE2 pattern subset
+    from beyond_vector_search_spark.plans.pipeline_queries import (
+        HTML_EXTRACT_SQL,
+        q_html_extract,
+    )
+
+    register("html_extract", HTML_EXTRACT_SQL)(q_html_extract)
     # r10 rotation demotion (selection_pipeline took a window slot):
     # SimHash banded-hamming near-dup pairs — the banded join shape is
     # restated in-window by minhash_pairs; phash tests pin the kernel

@@ -996,3 +996,85 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = docs.where(F.col("doc_id") % 7 != 0)
     return corpus_diff(old, new).select("doc_id", "change", "old_hash", "new_hash")
+
+
+# ---------------------- HTML markup extraction ------------------------------
+
+_HTML_PRE = (
+    "<html><head><style>p{color:red}</style></head><body><h1>Doc "
+)
+_HTML_MID = "</h1><p>"
+_HTML_POST = "</p><!-- boilerplate --><script>var x=1;</script></body></html>"
+
+HTML_EXTRACT_SQL = (
+    # synthesize a deterministic HTML page per document (entity-escaped
+    # body so the strip->unescape roundtrip is exact), then run the
+    # SAME extraction chain as text_analysis.strip_markup: every regex
+    # stays in the Java-regex ∩ RE2 subset; DuckDB needs the explicit
+    # 'g' flag (its regexp_replace is first-match by default, Spark's
+    # is always global).
+    "WITH h AS (SELECT doc_id, "
+    f"'{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{_HTML_MID}' || "
+    "replace(replace(text, '&', '&amp;'), '<', '&lt;') || "
+    f"'{_HTML_POST}' AS html FROM documents), "
+    "s AS (SELECT doc_id, html, "
+    "regexp_replace(regexp_replace(regexp_replace(html, "
+    "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), "
+    "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), "
+    "'(?s)<!--.*?-->', ' ', 'g') AS t1 FROM h), "
+    "s2 AS (SELECT doc_id, html, regexp_replace(regexp_replace(t1, "
+    "'(?i)<br[^>]*>|</p>|</div>|</li>|</tr>|</h[1-6]>', '\n', 'g'), "
+    "'<[^>]+>', ' ', 'g') AS t2 FROM s), "
+    "s3 AS (SELECT doc_id, html, "
+    "replace(replace(replace(replace(replace(replace(replace(t2, "
+    "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), "
+    "'&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t3 FROM s2) "
+    "SELECT doc_id, "
+    "trim(regexp_replace(t3, '[ \t\r\n]+', ' ', 'g')) AS text, "
+    "CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags, "
+    "CAST(length(html) AS INTEGER) AS n_chars_raw, "
+    "CAST(length(trim(regexp_replace(t3, '[ \t\r\n]+', ' ', 'g'))) AS INTEGER) "
+    "AS n_chars_text "
+    "FROM s3"
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup extraction (text_analysis.strip_markup / html_extract —
+    the CCNet/RefinedWeb-style first step over raw crawl HTML): a
+    deterministic HTML page is synthesized around each document's
+    entity-escaped text, then stripped back — script/style/comment
+    payload removal, block-break preservation, entity unescape,
+    whitespace collapse — with tag-count and size-drop diagnostics.
+    The synthesize->extract roundtrip makes the oracle exact: both
+    engines must reproduce 'Doc {id} {original text}' (modulo the
+    collapse of the text's own whitespace).  Catalog tail: pure
+    regexp_replace/replace chains — the expression-only codegen shape
+    every text_analysis entry pins, exercised here through a shared
+    Java-regex ∩ RE2 pattern subset."""
+    from beyond_vector_search_spark.operators.text_analysis import html_extract
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    esc = F.replace(
+        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit("<"),
+        F.lit("&lt;"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PRE),
+            F.col("doc_id").cast("string"),
+            F.lit(_HTML_MID),
+            esc,
+            F.lit(_HTML_POST),
+        ).alias("html"),
+    )
+    out = html_extract(pages)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_tags").cast("long").alias("n_tags"),
+        F.col("n_chars_raw").cast("int").alias("n_chars_raw"),
+        F.col("n_chars_text").cast("int").alias("n_chars_text"),
+    )
