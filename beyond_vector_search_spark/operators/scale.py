@@ -624,3 +624,56 @@ def cluster_aware_split(
         F.col(cluster_col).alias("cluster_id"),
         expr.alias("split"),
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    key: str | list[str],
+    *,
+    top: int = 20,
+) -> DataFrame:
+    """(key..., n_rows, share, avg_rows_per_key, skew_factor, rank) —
+    the ``top`` hottest join/aggregation keys with the numbers that
+    decide a salting/AQE strategy: each key's row count, its share of
+    the relation, the mean rows-per-key, and ``skew_factor`` =
+    n_rows / avg_rows_per_key (a key at factor 50 on a 32-slot cluster
+    WILL straggle; factor ≈ 1 means salting buys nothing).
+
+    This is the diagnostic in front of :func:`salted_join` and AQE's
+    skew threshold: run it once over a new table's candidate keys, read
+    the factor, pick ``salt`` ≈ the factor rounded to the task-slot
+    granularity.  Plan shape: one partial+final count aggregation on
+    the key (map-side combine does the heavy lifting — the shuffle
+    carries one row per distinct key), a 1-row global aggregate
+    broadcast back, and a top-k (TakeOrderedAndProject — no global
+    window).  At 100 TB this is the cheapest full-fidelity skew scan
+    you can run; sampled variants miss exactly the rare-but-huge keys
+    the diagnostic exists to find.
+
+    Determinism: ties in n_rows break by the key columns ascending, so
+    the profile is stable across runs and engines (oracle-checked).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        (F.sum("n_rows") / F.count("*")).alias("avg_rows_per_key"),
+    )
+    enriched = counts.crossJoin(F.broadcast(totals)).select(
+        *keys,
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_total"), 9).alias("share"),
+        F.round("avg_rows_per_key", 9).alias("avg_rows_per_key"),
+        F.round(F.col("n_rows") / F.col("avg_rows_per_key"), 9).alias("skew_factor"),
+    )
+    from pyspark.sql import Window
+
+    order = [F.desc("n_rows")] + [F.asc(k) for k in keys]
+    # global top-k via orderBy+limit, which Catalyst plans as
+    # TakeOrderedAndProject (per-partition heaps + driver merge) — the
+    # rank column is computed AFTER the limit on the tiny survivor set,
+    # so the unpartitioned window touches ``top`` rows, never the corpus
+    topped = enriched.orderBy(*order).limit(top)
+    return topped.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+    )

@@ -1162,6 +1162,15 @@ def register_all() -> None:
     )
 
     register("html_extract", HTML_EXTRACT_SQL)(q_html_extract)
+    # r11 addition: join-key skew diagnostic (scale.skew_profile) — the
+    # measurement feeding salted_join / AQE skew thresholds, fully
+    # oracled
+    from beyond_vector_search_spark.plans.pipeline_queries import (
+        SKEW_PROFILE_SQL,
+        q_skew_profile,
+    )
+
+    register("skew_profile", SKEW_PROFILE_SQL)(q_skew_profile)
     # r10 rotation demotion (selection_pipeline took a window slot):
     # SimHash banded-hamming near-dup pairs — the banded join shape is
     # restated in-window by minhash_pairs; phash tests pin the kernel

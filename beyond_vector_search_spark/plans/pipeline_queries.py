@@ -1078,3 +1078,36 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars_raw").cast("int").alias("n_chars_raw"),
         F.col("n_chars_text").cast("int").alias("n_chars_text"),
     )
+
+
+# ------------------------- join-key skew profile ----------------------------
+
+SKEW_PROFILE_SQL = (
+    # the same partial+final count / 1-row totals / top-k chain as
+    # scale.skew_profile, over the events table's event_type key
+    "WITH c AS (SELECT event_type, count(*) AS n_rows FROM events "
+    "GROUP BY event_type), "
+    "t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total, "
+    "CAST(sum(n_rows) AS DOUBLE) / count(*) AS avg_k FROM c) "
+    "SELECT event_type, n_rows, "
+    "round(n_rows / total, 9) AS share, "
+    "round(avg_k, 9) AS avg_rows_per_key, "
+    "round(n_rows / avg_k, 9) AS skew_factor, "
+    "CAST(row_number() OVER (ORDER BY n_rows DESC, event_type ASC) AS INTEGER) "
+    "AS rank "
+    "FROM c, t ORDER BY n_rows DESC, event_type ASC LIMIT 10"
+)
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostic (scale.skew_profile — the
+    measurement in front of salted_join and AQE's skew threshold): the
+    hottest keys of the events table's event_type with row count,
+    share, and skew_factor = rows / mean-rows-per-key.  Catalog tail:
+    restates the partial+final count aggregation every groupBy entry
+    pins plus the *_topk global ranking (TakeOrderedAndProject, pinned
+    by test to never plan a corpus-wide window)."""
+    from beyond_vector_search_spark.operators.scale import skew_profile
+
+    events = load_table(spark, sf_dir, "events")
+    return skew_profile(events, "event_type", top=10)

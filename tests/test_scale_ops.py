@@ -3018,3 +3018,40 @@ def test_pq_family_custom_corpus_vec_col(spark):
     cb = sim.pq_codebooks(emb, m=2, dim=dim, n_codes=8)
     with pytest.raises(ValueError, match="must divide"):
         sim.pq_topk(emb, q, m=3, dim=dim, codebooks=cb, k=3)
+
+
+def test_skew_profile_hand_computed(spark):
+    """skew_profile: counts, shares, skew factor, deterministic
+    ordering, and the plan stays TakeOrderedAndProject (no global
+    window over the full relation)."""
+    import contextlib
+    import io
+
+    from beyond_vector_search_spark.operators.scale import skew_profile
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("a",)] * 5 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_profile(df, "k", top=3)
+    got = [r.asDict() for r in out.collect()]
+    assert [r["k"] for r in got] == ["hot", "warm", "a"]  # tie a<b broken by key
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert got[0]["n_rows"] == 60 and abs(got[0]["share"] - 0.6) < 1e-9
+    # 4 distinct keys, 100 rows -> avg 25; hot factor 60/25
+    assert abs(got[0]["avg_rows_per_key"] - 25.0) < 1e-9
+    assert abs(got[0]["skew_factor"] - 2.4) < 1e-9
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_skew_profile_composite_key(spark):
+    from beyond_vector_search_spark.operators.scale import skew_profile
+
+    df = spark.createDataFrame(
+        [("x", 1)] * 4 + [("x", 2)] * 2 + [("y", 1)] * 2, "a string, b int"
+    )
+    got = {(r["a"], r["b"]): r["n_rows"] for r in skew_profile(df, ["a", "b"]).collect()}
+    assert got == {("x", 1): 4, ("x", 2): 2, ("y", 1): 2}
