@@ -264,3 +264,94 @@ def html_extract(
         F.length(raw).alias("n_chars_raw"),
         F.length(strip_markup(raw)).alias("n_chars_text"),
     )
+
+
+# ------------------------- URL / domain profiling ---------------------------
+# Per-domain grouping is how web-corpus pipelines apply quality priors
+# and budgets (per-registered-domain caps, domain blocklists, crawl
+# dedup by host).  Pure regexp_extract chains in the Java-regex ∩ RE2
+# shared subset — oracle-checkable like strip_markup, and codegen'd
+# (no parse_url, which DuckDB lacks).
+
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+_URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+
+
+def url_parts(col: Column | str) -> dict[str, Column]:
+    """{scheme, host, domain, path, has_query} column expressions for
+    one absolute-URL column.  ``domain`` is the last-two-labels
+    heuristic (``a.b.example.com`` → ``example.com``) — the standard
+    cheap proxy for the registered domain; a public-suffix list (for
+    ``co.uk``-style suffixes) is out of scope and documented as such.
+    Relative or malformed URLs yield NULL scheme/host/domain (regexp
+    miss → empty string → NULLed) and never throw."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def nn(expr: Column) -> Column:
+        return F.nullif(expr, F.lit(""))
+
+    host = nn(F.lower(F.regexp_extract(c, _URL_HOST_RE, 1)))
+    return {
+        "scheme": nn(F.lower(F.regexp_extract(c, _URL_SCHEME_RE, 1))),
+        "host": host,
+        "domain": nn(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)),
+        "path": nn(F.regexp_extract(c, _URL_PATH_RE, 1)),
+        "has_query": c.contains("?"),
+    }
+
+
+def url_profile(
+    df: DataFrame, *, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """(id, scheme, host, domain, path, path_depth, has_query) — parsed
+    URL fields per document.  path_depth counts non-empty segments."""
+    p = url_parts(url_col)
+    path = p["path"]
+    depth = F.when(
+        path.isNull() | (path == "/"), F.lit(0)
+    ).otherwise(
+        F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    )
+    return df.select(
+        F.col(id_col),
+        p["scheme"].alias("scheme"),
+        p["host"].alias("host"),
+        p["domain"].alias("domain"),
+        path.alias("path"),
+        depth.cast("int").alias("path_depth"),
+        p["has_query"].alias("has_query"),
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    text_col: str | None = "text",
+) -> DataFrame:
+    """(domain, n_docs, share, avg_chars) — per-registered-domain
+    corpus profile: the relation a per-domain budget/blocklist decision
+    reads.  One partial+final aggregation on the parsed domain; NULL
+    domains (unparseable URLs) group under NULL so they stay visible
+    rather than silently dropping."""
+    parsed = url_profile(df, id_col=id_col, url_col=url_col)
+    if text_col is not None:
+        parsed = parsed.join(
+            df.select(F.col(id_col), F.length(F.col(text_col)).alias("_chars")),
+            id_col,
+        )
+    else:
+        parsed = parsed.withColumn("_chars", F.lit(None).cast("int"))
+    counts = parsed.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("_chars"), 6).alias("avg_chars"),
+    )
+    total = counts.agg(F.sum("n_docs").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_t"), 9).alias("share"),
+        "avg_chars",
+    )

@@ -1171,6 +1171,15 @@ def register_all() -> None:
     )
 
     register("skew_profile", SKEW_PROFILE_SQL)(q_skew_profile)
+    # r11 addition: per-domain corpus profile (url_profile +
+    # domain_stats) — the per-registered-domain budget/blocklist
+    # relation, fully oracled via synthesized URLs
+    from beyond_vector_search_spark.plans.pipeline_queries import (
+        URL_DOMAINS_SQL,
+        q_url_domains,
+    )
+
+    register("url_domains", URL_DOMAINS_SQL)(q_url_domains)
     # r10 rotation demotion (selection_pipeline took a window slot):
     # SimHash banded-hamming near-dup pairs — the banded join shape is
     # restated in-window by minhash_pairs; phash tests pin the kernel

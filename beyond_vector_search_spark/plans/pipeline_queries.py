@@ -1111,3 +1111,65 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return skew_profile(events, "event_type", top=10)
+
+
+# ----------------------- per-domain corpus profile --------------------------
+
+_URL_CASE_SQL = (
+    "CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'news.alpha.com' "
+    "WHEN 1 THEN 'blog.alpha.com' WHEN 2 THEN 'beta.org' "
+    "ELSE 'cdn.gamma.net' END"
+)
+
+URL_DOMAINS_SQL = (
+    # deterministic URLs synthesized per document (incl. a malformed
+    # share at doc_id%11=0 that must group under NULL, never drop),
+    # then the SAME regexp parse chain as text_analysis.url_parts:
+    # host extract -> lowercase -> last-two-labels domain -> grouped
+    # counts/shares/avg_chars.
+    "WITH u AS (SELECT doc_id, text, "
+    "CASE WHEN doc_id % 11 = 0 THEN 'not a url' ELSE "
+    f"'https://' || {_URL_CASE_SQL} || '/p/' || CAST(doc_id % 13 AS VARCHAR) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '?ref=1' ELSE '' END END AS url "
+    "FROM documents), "
+    "p AS (SELECT doc_id, text, "
+    "nullif(regexp_extract(nullif(lower(regexp_extract(url, "
+    "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), ''), "
+    "'([^.]+\\.[^.]+)$', 1), '') AS domain FROM u), "
+    "c AS (SELECT domain, count(*) AS n_docs, "
+    "round(avg(length(text)), 6) AS avg_chars FROM p GROUP BY domain), "
+    "t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM c) "
+    "SELECT domain, n_docs, round(n_docs / tot, 9) AS share, avg_chars "
+    "FROM c, t"
+)
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus profile (text_analysis.url_profile
+    + domain_stats — the relation per-domain budgets and blocklists
+    read): deterministic URLs are synthesized per document (including
+    a malformed share that must group under NULL, never silently
+    drop), parsed with the shared Java-regex ∩ RE2 chains, and
+    aggregated to (domain, n_docs, share, avg_chars).  Catalog tail:
+    restates the partial+final groupBy + broadcast-totals shape
+    skew_profile pins, through the url-parsing expression chain."""
+    from beyond_vector_search_spark.operators.text_analysis import domain_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    host = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("news.alpha.com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("blog.alpha.com"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("beta.org"))
+        .otherwise(F.lit("cdn.gamma.net"))
+    )
+    url = F.when(F.col("doc_id") % 11 == 0, F.lit("not a url")).otherwise(
+        F.concat(
+            F.lit("https://"),
+            host,
+            F.lit("/p/"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?ref=1")).otherwise(F.lit("")),
+        )
+    )
+    pages = docs.select("doc_id", url.alias("url"), "text")
+    return domain_stats(pages)

@@ -1,0 +1,57 @@
+"""URL / domain profiling (text_analysis.url_profile / domain_stats)."""
+
+from __future__ import annotations
+
+from beyond_vector_search_spark.operators.text_analysis import (
+    domain_stats,
+    url_profile,
+)
+
+
+def test_url_profile_hand_computed(spark):
+    rows = [
+        (1, "https://news.example.com/world/2026/story.html?utm=1"),
+        (2, "http://user:pw@example.org:8080/a/b/"),
+        (3, "ftp://files.example.net/pub"),
+        (4, "https://example.com/"),
+        (5, "not a url"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r.asDict() for r in url_profile(df).collect()}
+
+    assert got[1]["scheme"] == "https"
+    assert got[1]["host"] == "news.example.com"
+    assert got[1]["domain"] == "example.com"
+    assert got[1]["path"] == "/world/2026/story.html"
+    assert got[1]["path_depth"] == 3
+    assert got[1]["has_query"] is True
+
+    # userinfo and port must not leak into the host
+    assert got[2]["host"] == "example.org"
+    assert got[2]["path"] == "/a/b/" and got[2]["path_depth"] == 2
+    assert got[2]["has_query"] is False
+
+    assert got[3]["scheme"] == "ftp" and got[3]["domain"] == "example.net"
+    assert got[4]["path"] == "/" and got[4]["path_depth"] == 0
+
+    # malformed / NULL: parsed fields NULL, never a throw
+    assert got[5]["scheme"] is None and got[5]["host"] is None
+    assert got[6]["scheme"] is None
+
+
+def test_domain_stats_grouping(spark):
+    rows = [
+        (1, "https://a.example.com/x", "aaaa"),
+        (2, "https://b.example.com/y", "bb"),
+        (3, "https://other.org/z", "cccccc"),
+        (4, "garbage", "dd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {r["domain"]: r.asDict() for r in domain_stats(df).collect()}
+    assert got["example.com"]["n_docs"] == 2
+    assert abs(got["example.com"]["share"] - 0.5) < 1e-9
+    assert abs(got["example.com"]["avg_chars"] - 3.0) < 1e-9
+    assert got["other.org"]["n_docs"] == 1
+    # unparseable URLs stay visible under NULL, not silently dropped
+    assert got[None]["n_docs"] == 1
