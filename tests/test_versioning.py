@@ -125,3 +125,37 @@ def test_apply_corpus_diff_with_removals(spark):
     assert sorted(map(tuple, inc.postings.collect())) == sorted(
         map(tuple, full.postings.collect())
     )
+
+
+def test_cli_diff_reports_and_updates_delta(spark, tmp_path):
+    """bvs diff: change-set counts from two snapshot parquets, and
+    --update-delta applies it to a persisted IndexDelta store in place
+    (reload == full rebuild of the new snapshot)."""
+    import argparse
+
+    from beyond_vector_search_spark.cli import cmd_diff
+    from beyond_vector_search_spark.operators.corpus_index import (
+        IndexDelta,
+        build_delta,
+    )
+
+    old = _corpus(spark, [(1, "a b"), (2, "b c"), (3, "c d")])
+    new = _corpus(spark, [(1, "a b"), (3, "c D edited"), (9, "fresh doc")])
+    p_old, p_new = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(p_old)
+    new.write.parquet(p_new)
+    store = str(tmp_path / "delta")
+    build_delta(old, text="text").save(store)
+
+    args = argparse.Namespace(
+        old=p_old, new=p_new, id_col="doc_id", text_col="text",
+        out=str(tmp_path / "chg"), update_delta=store,
+    )
+    out = cmd_diff(args)
+    assert (out["added"], out["removed"], out["changed"]) == (1, 1, 1)
+
+    updated = IndexDelta.load(spark, store)
+    full = build_delta(new, text="text")
+    assert sorted(map(tuple, updated.postings.collect())) == sorted(
+        map(tuple, full.postings.collect())
+    )
