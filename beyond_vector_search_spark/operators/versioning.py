@@ -134,6 +134,11 @@ def apply_corpus_diff(
 
     stale = diff.where(F.col("change").isin("removed", "changed")).select(id_col)
     fresh_ids = diff.where(F.col("change").isin("added", "changed")).select(id_col)
-    fresh_docs = new_docs.join(F.broadcast(fresh_ids), id_col, "semi")
+    # no broadcast HINT on the semi join: an incremental delta is small
+    # and auto-broadcasts, but a first-ever snapshot diffs EVERYTHING
+    # as 'added' — fresh_ids is then corpus-sized and a forced
+    # broadcast would OOM the very bootstrap run; AQE picks correctly
+    # from observed sizes in both regimes
+    fresh_docs = new_docs.join(fresh_ids, id_col, "semi")
     fresh = build_delta(fresh_docs, id_col=id_col, text=text, cfg=cfg, cache=False)
     return delta.remove(stale).union(fresh)
