@@ -236,7 +236,15 @@ _TAG_RE = r"<[^>]+>"
 def strip_markup(col: Column | str) -> Column:
     """Markup-free text of one HTML column: drop script/style payloads
     and comments, turn block closers into whitespace, strip remaining
-    tags, unescape the common entities, collapse whitespace."""
+    tags, unescape the common entities, collapse whitespace.
+
+    Known approximation (the standard tag-strip tradeoff): the generic
+    ``<[^>]+>`` pass assumes the input IS markup — a bare comparison
+    like ``a < b and c > d`` in NON-html text would lose the span
+    between the angle brackets.  Well-formed HTML escapes literal ``<``
+    as ``&lt;`` (which this chain unescapes AFTER tag removal), so the
+    loss only occurs when plain text is misrouted into the HTML
+    column."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
     c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
@@ -285,7 +293,10 @@ def url_parts(col: Column | str) -> dict[str, Column]:
     cheap proxy for the registered domain; a public-suffix list (for
     ``co.uk``-style suffixes) is out of scope and documented as such.
     Relative or malformed URLs yield NULL scheme/host/domain (regexp
-    miss → empty string → NULLed) and never throw."""
+    miss → empty string → NULLed) and never throw.  IPv6 bracket hosts
+    (``https://[::1]/``) are out of scope: the colon-terminated host
+    extract truncates them, and the domain correctly NULLs — crawl
+    corpora address hosts by name."""
     c = F.col(col) if isinstance(col, str) else col
 
     def nn(expr: Column) -> Column:
