@@ -22,6 +22,13 @@ only; the read-side re-derivation aggregates already-aggregated (id,
 term, tf) rows.  Compaction of the accumulated append files is ordinary
 parquet-directory maintenance.
 
+Append-only contract: a re-delivered doc_id with DIFFERENT text would
+leave the old tf rows in place (double counting).  For sources that
+UPDATE documents, reconcile periodically with the snapshot-diff path —
+``operators/versioning.corpus_diff`` + ``apply_corpus_diff`` (CLI:
+``bvs diff --update-delta``) removes stale ids and re-scans only the
+added/changed text, with full-rebuild parity pinned by test.
+
 Epoch-id migration note (store-format change, 2026-08 / r9): streaming
 epoch N now lands in partition directory ``batch_id=N+1`` — batch 0 is
 reserved for the ``save()``/``compact()`` fold (a parquet reader over a
