@@ -318,7 +318,17 @@ def evaluate_all(
             wide = wide.withColumnRenamed(f"{name}_s", f"s_{sh}").withColumnRenamed(
                 f"{name}_ids", f"ids_{sh}"
             )
-        merged = feats.join(wide, "query_id")
+        # preserve the legacy per-strategy INNER-join semantics: a query
+        # missing one strategy's tagged row pivots to NULL arm columns,
+        # and the driver fold below would crash on `total += None` —
+        # drop such queries instead, exactly as the three inner joins
+        # did (the in-repo caller always supplies all three tags; this
+        # guards the public-API path)
+        merged = feats.join(wide, "query_id").where(
+            F.col("s_vec").isNotNull()
+            & F.col("s_key").isNotNull()
+            & F.col("s_hyb").isNotNull()
+        )
     else:
         if evals is None:
             tops = tops or search_all(queries, index, k=k, cfg=cfg)

@@ -73,10 +73,14 @@ def corpus_diff(
 
     Membership comes from the join sides' presence, NOT from hash
     nullity — a document whose content columns are all NULL still
-    diffs correctly (its digest is non-null via concat_ws; an id
-    missing from a side is the only way to be added/removed).  The
-    changed test is null-safe on both engines (eqNullSafe here,
-    IS DISTINCT FROM in the oracle).
+    diffs correctly: an id missing from a side is the only way to be
+    added/removed, and the changed test is null-safe on both engines
+    (eqNullSafe here, IS DISTINCT FROM in the oracle).  Note the
+    digests themselves are NOT guaranteed non-null — the single-column
+    path digests NULL content to a NULL hash (only the multi-column
+    concat_ws path skips NULLs); NULL↔NULL compares as unchanged
+    solely because of the null-safe compare, so don't swap it for a
+    plain ``!=``.
 
     ``old``/``new`` must be id-unique (snapshots); duplicate ids make
     the full outer join fan out and the diff ambiguous — dedup first

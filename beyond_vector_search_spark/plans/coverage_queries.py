@@ -618,8 +618,14 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generic evaluate_all path (10M-label windowed folds) keeps the
     # session's AQE; this is an entry-level choice for the driver-sized
     # loop only.  The conf is restored even on error.
+    # NOTE the toggle is session-global: a concurrent query in the same
+    # session during this scope would silently run without AQE.  The
+    # loop is a driver-catalog entry (single-threaded correctness /
+    # bench runs), so the scope is assumed unshared; a multi-tenant
+    # deployment should run it in its own SparkSession.newSession().
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    ans_all = labels = None
     try:
         ans_all = generate_answers(union_topk, docs, queries4, title_col=None).cache()
         ans_all.count()  # the single heavy fill every branch below reads
@@ -665,6 +671,12 @@ def q_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        # the fold collected inside evaluate_all — report.per_query is
+        # plain Python now, so the scope's cache blocks are dead weight;
+        # without this they leak once per seed_index rebuild of the memo
+        for df in (ans_all, labels):
+            if df is not None and df.is_cached:
+                df.unpersist()
     rows = [
         (
             q["query_id"], q["chosen"], float(q["chosen_score"]),
