@@ -233,9 +233,17 @@ class CorpusIndex:
         # running it here overlaps the first wave's jobs (idle-core
         # absorption), so the first query's compile step finds it warm
         # instead of paying the two-stage agg in its own latency window
+        # a loaded (flat) index has no inter-relation dependencies —
+        # every field is its own parquet scan — so all counts run as
+        # one concurrent wave instead of three sequential ones
+        waves = (
+            [[f for w in self._WAVES for f in w]]
+            if getattr(self, "_flat", False)
+            else self._WAVES
+        )
         with cf.ThreadPoolExecutor(max_workers=1) as sex:
             fut = sex.submit(self.scalar_values)
-            for wave in self._WAVES:
+            for wave in waves:
                 todo = [
                     f
                     for f in wave
@@ -276,8 +284,23 @@ class CorpusIndex:
 
     @classmethod
     def load(cls, spark, path: str) -> "CorpusIndex":
-        rd = spark.read
-        return cls(**{f: rd.parquet(f"{path}/{f}") for f in cls._FIELDS})
+        """Load a persisted layout.  The 8 ``read.parquet`` calls each
+        pay a driver-side footer/schema read — issued concurrently
+        (they are independent py4j calls), which matters for serving
+        cold-start: load+materialize is the deployment's index_build.
+        The loaded relations are flat parquet scans with NO derivation
+        dependencies, so :meth:`materialize` runs them as ONE
+        concurrent wave (``_flat``) instead of the builder's
+        three-wave dependency order."""
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=len(cls._FIELDS)) as ex:
+            dfs = list(
+                ex.map(lambda f: spark.read.parquet(f"{path}/{f}"), cls._FIELDS)
+            )
+        idx = cls(**dict(zip(cls._FIELDS, dfs)))
+        idx._flat = True
+        return idx
 
     # Bucketed persistence: the cluster-scale index layout.  The large
     # relations are written as catalog tables bucketed on their join/agg

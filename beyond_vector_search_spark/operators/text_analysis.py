@@ -286,12 +286,78 @@ _URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 _URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)"
 
 
+def registered_domain(host: Column) -> Column:
+    """Registered domain of a (lowercased) host column: one label past
+    the public suffix.  The bundled multi-label suffix table
+    (functions/suffixes.py — a curated subset of the well-known
+    public-suffix list format) folds into the expression as a static
+    membership test (Catalyst InSet — hash probe inside codegen, no
+    join, no broadcast), so ``bbc.co.uk`` → ``bbc.co.uk`` and
+    ``alice.github.io`` → ``alice.github.io`` while ``www.example.com``
+    still → ``example.com``.  Fallbacks: a host NOT under a listed
+    multi-label suffix uses the last-two-labels rule; a host that IS
+    exactly a public suffix keeps its own name (PSL semantics would
+    say "no registered domain" — keeping the name keeps the row
+    visible in budget/blocklist groupings).  For the full ~10k-entry
+    upstream list (wildcards, 3-label registries) load it as a table
+    and use :func:`registered_domains` — the broadcast-join form with
+    identical pick logic."""
+    from beyond_vector_search_spark.functions.suffixes import MULTI_LABEL_SUFFIXES
+
+    last2 = F.nullif(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1), F.lit(""))
+    last3 = F.nullif(
+        F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1), F.lit("")
+    )
+    return F.when(
+        last2.isin(*MULTI_LABEL_SUFFIXES) & last3.isNotNull(), last3
+    ).otherwise(last2)
+
+
+def registered_domains(
+    df: DataFrame,
+    suffixes: DataFrame,
+    *,
+    host_col: str = "host",
+    out_col: str = "domain",
+) -> DataFrame:
+    """``df`` plus an ``out_col`` registered-domain column, resolved
+    against a RUNTIME suffix table (one ``suffix`` string column — the
+    full public-suffix list, a curated policy table, whatever the
+    deployment tracks).  Broadcast left join on the host's last two
+    labels: the suffix table is dimension-sized (~10k rows), the corpus
+    never moves.  Same pick logic as :func:`registered_domain` — the
+    two forms agree wherever their tables agree (pinned by
+    tests/test_url_profile.py)."""
+    host = F.lower(F.col(host_col))
+    last2 = F.nullif(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1), F.lit(""))
+    last3 = F.nullif(
+        F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1), F.lit("")
+    )
+    dim = suffixes.select(
+        F.lower(F.col("suffix")).alias("_l2"), F.lit(True).alias("_is_multi")
+    ).distinct()
+    return (
+        df.withColumn("_l2", last2)
+        .withColumn("_l3", last3)
+        .join(F.broadcast(dim), "_l2", "left")
+        .withColumn(
+            out_col,
+            F.when(
+                F.coalesce(F.col("_is_multi"), F.lit(False))
+                & F.col("_l3").isNotNull(),
+                F.col("_l3"),
+            ).otherwise(F.col("_l2")),
+        )
+        .drop("_l2", "_l3", "_is_multi")
+    )
+
+
 def url_parts(col: Column | str) -> dict[str, Column]:
     """{scheme, host, domain, path, has_query} column expressions for
-    one absolute-URL column.  ``domain`` is the last-two-labels
-    heuristic (``a.b.example.com`` → ``example.com``) — the standard
-    cheap proxy for the registered domain; a public-suffix list (for
-    ``co.uk``-style suffixes) is out of scope and documented as such.
+    one absolute-URL column.  ``domain`` is the registered domain via
+    the bundled public-suffix table (:func:`registered_domain` —
+    ``bbc.co.uk`` stays ``bbc.co.uk``; hosts not under a listed
+    multi-label suffix fall back to the last-two-labels rule).
     Relative or malformed URLs yield NULL scheme/host/domain (regexp
     miss → empty string → NULLed) and never throw.  IPv6 bracket hosts
     (``https://[::1]/``) are out of scope: the colon-terminated host
@@ -306,7 +372,7 @@ def url_parts(col: Column | str) -> dict[str, Column]:
     return {
         "scheme": nn(F.lower(F.regexp_extract(c, _URL_SCHEME_RE, 1))),
         "host": host,
-        "domain": nn(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)),
+        "domain": registered_domain(host),
         "path": nn(F.regexp_extract(c, _URL_PATH_RE, 1)),
         "has_query": c.contains("?"),
     }

@@ -1116,26 +1116,43 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------- per-domain corpus profile --------------------------
 
 _URL_CASE_SQL = (
-    "CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'news.alpha.com' "
+    "CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'news.alpha.com' "
     "WHEN 1 THEN 'blog.alpha.com' WHEN 2 THEN 'beta.org' "
-    "ELSE 'cdn.gamma.net' END"
+    "WHEN 3 THEN 'cdn.gamma.net' WHEN 4 THEN 'www.delta.co.uk' "
+    "ELSE 'docs.epsilon.github.io' END"
 )
+
+
+def _suffix_in_list() -> str:
+    """The bundled multi-label suffix table as a SQL IN list — the
+    oracle restates the SAME data the Spark expression folds in
+    (functions/suffixes.py), so the two engines disagree only if the
+    registered-domain pick logic itself diverges."""
+    from beyond_vector_search_spark.functions.suffixes import MULTI_LABEL_SUFFIXES
+
+    return ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+
 
 URL_DOMAINS_SQL = (
     # deterministic URLs synthesized per document (incl. a malformed
-    # share at doc_id%11=0 that must group under NULL, never drop),
-    # then the SAME regexp parse chain as text_analysis.url_parts:
-    # host extract -> lowercase -> last-two-labels domain -> grouped
-    # counts/shares/avg_chars.
+    # share at doc_id%11=0 that must group under NULL, never drop, a
+    # co.uk host and a github.io host that must resolve one label past
+    # the public suffix), then the SAME parse chain as
+    # text_analysis.url_parts: host extract -> lowercase ->
+    # suffix-aware registered domain -> grouped counts/shares/avg_chars.
     "WITH u AS (SELECT doc_id, text, "
     "CASE WHEN doc_id % 11 = 0 THEN 'not a url' ELSE "
     f"'https://' || {_URL_CASE_SQL} || '/p/' || CAST(doc_id % 13 AS VARCHAR) || "
     "CASE WHEN doc_id % 3 = 0 THEN '?ref=1' ELSE '' END END AS url "
     "FROM documents), "
+    "h AS (SELECT doc_id, text, nullif(lower(regexp_extract(url, "
+    "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), '') AS host FROM u), "
     "p AS (SELECT doc_id, text, "
-    "nullif(regexp_extract(nullif(lower(regexp_extract(url, "
-    "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), ''), "
-    "'([^.]+\\.[^.]+)$', 1), '') AS domain FROM u), "
+    "CASE WHEN nullif(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '') "
+    f"IN ({_suffix_in_list()}) "
+    "AND nullif(regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1), '') IS NOT NULL "
+    "THEN nullif(regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1), '') "
+    "ELSE nullif(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '') END AS domain FROM h), "
     "c AS (SELECT domain, count(*) AS n_docs, "
     "round(avg(length(text)), 6) AS avg_chars FROM p GROUP BY domain), "
     "t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM c) "
@@ -1157,10 +1174,15 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     host = (
-        F.when(F.col("doc_id") % 4 == 0, F.lit("news.alpha.com"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("blog.alpha.com"))
-        .when(F.col("doc_id") % 4 == 2, F.lit("beta.org"))
-        .otherwise(F.lit("cdn.gamma.net"))
+        F.when(F.col("doc_id") % 6 == 0, F.lit("news.alpha.com"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("blog.alpha.com"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("beta.org"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("cdn.gamma.net"))
+        # the two suffix-table paths: a ccTLD second-level registry and
+        # a hosting-platform (private-section) suffix — both must
+        # resolve one label PAST the suffix, not to it
+        .when(F.col("doc_id") % 6 == 4, F.lit("www.delta.co.uk"))
+        .otherwise(F.lit("docs.epsilon.github.io"))
     )
     url = F.when(F.col("doc_id") % 11 == 0, F.lit("not a url")).otherwise(
         F.concat(

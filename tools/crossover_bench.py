@@ -97,7 +97,7 @@ def time_reference(rows: list[tuple[int, str]], queries: list[str]) -> dict:
     return out
 
 
-def time_spark(spark, copies: int, queries_df) -> dict:
+def time_spark(spark, copies: int, queries_df, *, snapshot: bool = False):
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -139,37 +139,27 @@ def time_spark(spark, copies: int, queries_df) -> dict:
         "spark.sql.shuffle.partitions", str(max(8, n_docs // 2500))
     )
     try:
-        return _time_spark_scaled(spark, scaled, n_docs, level, queries_df)
+        return _time_spark_scaled(
+            spark, scaled, n_docs, level, queries_df, snapshot=snapshot
+        )
     finally:
         # restored even on error: bench.py catches crossover failures
         # and keeps running — the session conf must not leak
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
-def _time_spark_scaled(spark, scaled, n_docs, level, queries_df) -> dict:
-    from pyspark.sql import functions as F  # noqa: F811
-
-    from beyond_vector_search_spark.operators import corpus_index as ci
+def _query_suite(spark, idx, queries_df) -> dict:
+    """First-call single-query trio + batch100 trio against ``idx`` —
+    the per-index serving workload, identical for a just-built index
+    (rebuild regime) and a loaded snapshot (deployment regime)."""
     from beyond_vector_search_spark.operators import retrieval as rt
     from beyond_vector_search_spark.plans.entry_queries import _CFG, QUERY_SET, _ranked
-
-    t0 = time.time()
-    delta, join = ci.build_delta(
-        scaled, text="text", cache=False
-    ).checkpoint_background(
-        target_partitions=-(-n_docs // 2500), storage_level=level
-    )
-    idx = ci.index_from_delta(delta).cache(
-        skip=("postings", "doc_ids", "doc_vec", "scalars")
-    )
-    join()
-    idx = idx.materialize()
-    out = {"index_build": round(time.time() - t0, 3)}
 
     # the compiled serving path (entry_queries._scores shape): the
     # query batch folds into the plan as literals, arms are uncached
     # single-action plans, hybrid min-maxes via windows so each arm
     # executes once
+    out: dict = {}
     t0 = time.time()
     # compile from the plain tuple list (the interactive-serving shape):
     # passing the DataFrame form pays a bounded driver collect job per
@@ -191,13 +181,11 @@ def _time_spark_scaled(spark, scaled, n_docs, level, queries_df) -> dict:
         )
     ).count()
     out["hybrid_topk"] = round(time.time() - t0, 3)
-    out["total"] = round(sum(out.values()), 3)
 
     # batched workload: 100 queries compiled into ONE plan per arm —
     # Spark's fixed per-action floor amortizes across the batch, the
     # regime where the engine beats the reference loop at EVERY corpus
     # size (the single-query rows above carry the floor per query)
-    spark = queries_df.sparkSession
     b100 = spark.createDataFrame(batch_queries(), "query_id STRING, query STRING")
     c100 = rt.compile_query_batch(batch_queries(), idx, cfg=_CFG)
     t0 = time.time()
@@ -214,11 +202,69 @@ def _time_spark_scaled(spark, scaled, n_docs, level, queries_df) -> dict:
                          minmax_via="window")
     ).count()
     out["batch100_hybrid"] = round(time.time() - t0, 3)
-
-    # release executor memory between scales
-    for f in idx._FIELDS:
-        getattr(idx, f).unpersist()
     return out
+
+
+def _release(idx) -> None:
+    for f in idx._FIELDS:
+        df = getattr(idx, f, None)
+        if df is not None and df.is_cached:
+            df.unpersist()
+
+
+def _time_spark_scaled(spark, scaled, n_docs, level, queries_df, *, snapshot=False):
+    from beyond_vector_search_spark.operators import corpus_index as ci
+
+    t0 = time.time()
+    delta, join = ci.build_delta(
+        scaled, text="text", cache=False
+    ).checkpoint_background(
+        target_partitions=-(-n_docs // 2500), storage_level=level
+    )
+    idx = ci.index_from_delta(delta).cache(
+        skip=("postings", "doc_ids", "doc_vec", "scalars")
+    )
+    join()
+    idx = idx.materialize()
+    out = {"index_build": round(time.time() - t0, 3)}
+    singles = ("index_build", "bm25_topk", "vector_topk", "hybrid_topk")
+    out.update(_query_suite(spark, idx, queries_df))
+    out["total"] = round(sum(out[k] for k in singles), 3)
+    if not snapshot:
+        # release executor memory between scales
+        _release(idx)
+        return out
+
+    # Deployment regime (the bench.py r11 protocol, A/B'd here against
+    # the rebuild regime above on the SAME corpus in the SAME session):
+    # the index is built+persisted ONCE per corpus snapshot (one-off,
+    # recorded but outside the serve total) and a serving process times
+    # load+materialize as ITS index_build, then the identical query
+    # suite.  The reference has no persistence — its only mode is the
+    # rebuild loop — so the reference column is the same for both.
+    import shutil
+    import tempfile
+
+    snap_dir = tempfile.mkdtemp(prefix="bvs_crossover_snapshot_")
+    try:
+        t0 = time.time()
+        idx.save(snap_dir)
+        save_sec = round(time.time() - t0, 3)
+        # the loaded index must do its own work: drop the builder's
+        # cache blocks before timing the load-side materialize
+        _release(idx)
+        t0 = time.time()
+        idx2 = ci.CorpusIndex.load(spark, snap_dir).cache(skip=("scalars",)).materialize()
+        snap = {
+            "snapshot_build_save_unmeasured": save_sec,
+            "index_build": round(time.time() - t0, 3),
+        }
+        snap.update(_query_suite(spark, idx2, queries_df))
+        snap["total"] = round(sum(snap[k] for k in singles), 3)
+        _release(idx2)
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
+    return out, snap
 
 
 def main() -> int:
@@ -240,13 +286,22 @@ def main() -> int:
             (i + k * 10_000_000, t) for k in range(c) for i, t in rows
         ]
         ref = time_reference(scaled_rows, [q for _, q in QUERY_SET])
-        eng = time_spark(spark, c, queries_df)
+        eng, snap = time_spark(spark, c, queries_df, snapshot=True)
         rec = {
             "n_docs": len(scaled_rows),
             "copies": c,
             "reference": ref,
+            # rebuild regime: every process re-derives the index — the
+            # reference's own behavior (its run.py rebuilds per run)
             "spark": eng,
+            # deployment regime: serve from a persisted snapshot; the
+            # one-off build+save cost is inside spark_snapshot as
+            # snapshot_build_save_unmeasured
+            "spark_snapshot": snap,
             "ratio_spark_over_ref": round(eng["total"] / ref["total"], 2),
+            "snapshot_ratio_spark_over_ref": round(
+                snap["total"] / ref["total"], 2
+            ),
             "batch100_ratio_spark_over_ref": round(
                 (eng["batch100_bm25"] + eng["batch100_vector"])
                 / max(ref["batch100_bm25"] + ref["batch100_vector"], 1e-9),
@@ -260,7 +315,9 @@ def main() -> int:
         print(json.dumps(rec))
         print(
             f"# {len(scaled_rows):>7} docs: reference {ref['total']:.2f}s, "
-            f"spark {eng['total']:.2f}s, ratio {rec['ratio_spark_over_ref']:.2f}x; "
+            f"spark rebuild {eng['total']:.2f}s "
+            f"({rec['ratio_spark_over_ref']:.2f}x) / snapshot-serve "
+            f"{snap['total']:.2f}s ({rec['snapshot_ratio_spark_over_ref']:.2f}x); "
             f"batch100 ratio {rec['batch100_ratio_spark_over_ref']:.2f}x",
             file=sys.stderr,
         )
