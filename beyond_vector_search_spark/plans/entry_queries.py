@@ -148,6 +148,32 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> ci.CorpusIndex:
     _INDEX_CACHE = session_memo(spark)
     key = ("index", sf_dir)
     if key not in _INDEX_CACHE:
+        # Deployment regime, opt-in: SPARK_GRAFT_INDEX_SNAPSHOT_DIR
+        # names a snapshot root — the first process to want an index
+        # for this corpus builds and PERSISTS it there (CorpusIndex.
+        # save, the one-off setup), and every later process serves
+        # from the persisted layout (load+materialize — the same
+        # protocol bench.py times as index_build).  This is how the
+        # heavyweight catalog entries (q_eval_loop's arm/blend fill)
+        # go cold-start-cheap: the kernels never rerun per process.
+        # Results are identical either way (seeded-vs-built parity is
+        # pinned by tests/test_serving.py); default stays build-only.
+        import os
+
+        snap_root = os.environ.get("SPARK_GRAFT_INDEX_SNAPSHOT_DIR")
+        snap_dir = (
+            os.path.join(snap_root, os.path.basename(sf_dir.rstrip("/")))
+            if snap_root
+            else None
+        )
+        if snap_dir and os.path.isdir(os.path.join(snap_dir, "doc_stats")):
+            idx = (
+                ci.CorpusIndex.load(spark, snap_dir)
+                .cache(skip=("scalars",))
+                .materialize()
+            )
+            _INDEX_CACHE[key] = idx
+            return idx
         docs = load_table(spark, sf_dir, "documents")
         # Right-size the checkpointed delta for downstream scans: the
         # count is parquet-metadata-only (footer row counts), and ~2.5k
@@ -177,6 +203,10 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> ci.CorpusIndex:
             skip=("postings", "doc_ids", "doc_vec", "scalars")
         )
         join()
+        if snap_dir:
+            # first process under the snapshot root: persist the fresh
+            # build so later processes load instead of rebuilding
+            idx.save(snap_dir)
         _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 

@@ -217,3 +217,47 @@ def test_seeded_snapshot_serves_identically(spark, tmp_path):
     assert got == want
     # clean the session memo so later tests rebuild normally
     eq.seed_index(spark, sf, built)
+
+
+def test_snapshot_dir_env_build_save_then_load(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_INDEX_SNAPSHOT_DIR (r12): the first _docs_index call
+    under the root builds AND persists; a later process (simulated by
+    clearing the session memo) LOADS the layout instead of rebuilding,
+    and serves identical rows."""
+    import os
+
+    from beyond_vector_search_spark.plans import entry_queries as eq
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "snaproot")
+    memo = eq.session_memo(spark)
+    saved = {k: memo.pop(k) for k in list(memo) if isinstance(k, tuple) and sf in k}
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_INDEX_SNAPSHOT_DIR", root)
+        built = eq._docs_index(spark, sf)
+        assert not getattr(built, "_flat", False), "first call must build"
+        snap_dir = os.path.join(root, os.path.basename(sf))
+        assert os.path.isdir(os.path.join(snap_dir, "doc_stats")), (
+            "build under the root must persist the layout"
+        )
+        want = sorted(
+            (r.query_id, r.doc_id, round(r.score, 9), r.rank)
+            for r in eq.REGISTRY["bm25_topk"][0](spark, sf).collect()
+        )
+        # simulate a later serving process: clear this corpus's memos
+        for k in [k for k in list(memo) if isinstance(k, tuple) and sf in k]:
+            old = memo.pop(k)
+            if hasattr(old, "is_cached") and old.is_cached:
+                old.unpersist()
+        loaded = eq._docs_index(spark, sf)
+        assert getattr(loaded, "_flat", False), "second call must load"
+        got = sorted(
+            (r.query_id, r.doc_id, round(r.score, 9), r.rank)
+            for r in eq.REGISTRY["bm25_topk"][0](spark, sf).collect()
+        )
+        assert got == want
+    finally:
+        # restore the session's original index/score memos for later tests
+        for k in [k for k in list(memo) if isinstance(k, tuple) and sf in k]:
+            memo.pop(k)
+        memo.update(saved)
