@@ -1160,16 +1160,8 @@ def register_all() -> None:
     )
 
     register_shared_sql("setops_custkeys", SETOPS_CUSTKEYS)
-    # r11 addition: corpus snapshot diff — the incremental-crawl
-    # change-set primitive (versioning.corpus_diff), fully oracled;
-    # feeds IndexDelta via apply_corpus_diff (rebuild parity pinned by
-    # tests/test_versioning.py)
-    from beyond_vector_search_spark.plans.pipeline_queries import (
-        CORPUS_DIFF_SQL,
-        q_corpus_diff,
-    )
-
-    register("corpus_diff", CORPUS_DIFF_SQL)(q_corpus_diff)
+    # (corpus_diff — the snapshot-versioning oracle — rotated INTO the
+    # driver window in r12: relational_queries.register_all)
     # r11 addition: HTML markup extraction (text_analysis.strip_markup)
     # — the crawl-curation first step, expression-only and fully
     # oracled via a synthesize->extract roundtrip in the shared

@@ -325,7 +325,20 @@ def register_all() -> None:
     # q6 arm — same table, same pushed shipdate/discount filters, same
     # DECIMAL-exact sums), freeing its slot for nb_quality_scores.
     register("tpch_q3_topk", TPCH_Q3)(q_tpch_q3_topk)
-    register_shared_sql("tpch_ratio_aggs", TPCH_RATIO_AGGS)
+    # r12 rotation: corpus_diff takes this window slot — it is the
+    # catalog's only snapshot-versioning oracle (the incremental-crawl
+    # change-set primitive every between-crawl consumer reads) and
+    # more distinctive than tpch_ratio_aggs, whose conditional-agg
+    # ratio shape is restated in-window by grouping_orders and whose
+    # q6 filter-pushdown + DECIMAL-sum arm is restated by tpch_q1 in
+    # the tail.  tpch_ratio_aggs moves to the tail, still fully
+    # oracled there.
+    from beyond_vector_search_spark.plans.pipeline_queries import (
+        CORPUS_DIFF_SQL,
+        q_corpus_diff,
+    )
+
+    register("corpus_diff", CORPUS_DIFF_SQL)(q_corpus_diff)
     register_shared_sql("grouping_orders", GROUPING_ORDERS)
     # r11 rotation: fuzzy_contamination takes this window slot now that
     # its fused shared-signature plan is efficient (2 documents scans /
@@ -354,4 +367,9 @@ def register_tail() -> None:
     register_shared_sql("tpch_q1", TPCH_Q1)
     register_shared_sql("tpch_q5_region_volume", TPCH_Q5)
     register("tpch_q10_returns", TPCH_Q10)(q_tpch_q10_returns)
+    # r12 rotation demotion (corpus_diff took its window slot): the
+    # conditional-agg ratio shape is pinned in-window by
+    # grouping_orders, the q6 arm's filter-pushdown + DECIMAL sums by
+    # tpch_q1 here; stays fully oracled in the local artifacts
+    register_shared_sql("tpch_ratio_aggs", TPCH_RATIO_AGGS)
     register_shared_sql("window_top_customers", WINDOW_TOP_CUSTOMERS)
