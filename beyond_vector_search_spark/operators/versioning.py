@@ -57,6 +57,18 @@ def _hashed(df: DataFrame, id_col: str, content_cols: tuple[str, ...]) -> DataFr
     return df.select(F.col(id_col).alias("id"), h.alias("h"))
 
 
+def content_digests(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Public form of the digest projection: ``(id, h)`` rows in the
+    engine-wide md5 convention — what an incremental store persists
+    per batch so later diffs never re-read historical text."""
+    return _hashed(df, id_col, content_cols)
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,
@@ -86,8 +98,29 @@ def corpus_diff(
     the full outer join fan out and the diff ambiguous — dedup first
     (operators/dedup.exact_dedup_map) if the input is a raw crawl.
     """
-    o = _hashed(old, id_col, content_cols).withColumnRenamed("h", "old_hash")
-    n = _hashed(new, id_col, content_cols).withColumnRenamed("h", "new_hash")
+    return corpus_diff_hashed(
+        _hashed(old, id_col, content_cols),
+        _hashed(new, id_col, content_cols),
+        id_col=id_col,
+        include_unchanged=include_unchanged,
+    )
+
+
+def corpus_diff_hashed(
+    old_hashes: DataFrame,
+    new_hashes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """:func:`corpus_diff` over PRE-HASHED sides: two ``(id, h)``
+    relations (column names ``id``/``h``, the :func:`_hashed` shape).
+    This is the form incremental stores use — a persisted digest
+    relation stands in for the old snapshot, so diffing a micro-batch
+    against 100 TB of history reads digests, never historical text
+    (streaming/ingest.upsert_delta_batch)."""
+    o = old_hashes.withColumnRenamed("h", "old_hash")
+    n = new_hashes.withColumnRenamed("h", "new_hash")
     j = o.withColumnRenamed("id", "o_id").join(
         n.withColumnRenamed("id", "n_id"),
         F.col("o_id") == F.col("n_id"),

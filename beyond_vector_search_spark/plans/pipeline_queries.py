@@ -980,8 +980,8 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (versioning.corpus_diff — the incremental-crawl primitive feeding
     IndexDelta.remove/union via apply_corpus_diff): added / removed /
     changed documents by null-safe content-digest comparison over a
-    full outer join on doc_id.  Catalog tail: the full-outer
-    presence/absence shape is new to the catalog; the md5 digest
+    full outer join on doc_id.  Driver window since the r12 rotation
+    (the catalog's only snapshot-versioning oracle); the md5 digest
     convention restates dedup_exact's in-window content hashing."""
     from beyond_vector_search_spark.operators.versioning import corpus_diff
 

@@ -22,12 +22,23 @@ only; the read-side re-derivation aggregates already-aggregated (id,
 term, tf) rows.  Compaction of the accumulated append files is ordinary
 parquet-directory maintenance.
 
-Append-only contract: a re-delivered doc_id with DIFFERENT text would
-leave the old tf rows in place (double counting).  For sources that
-UPDATE documents, reconcile periodically with the snapshot-diff path —
-``operators/versioning.corpus_diff`` + ``apply_corpus_diff`` (CLI:
-``bvs diff --update-delta``) removes stale ids and re-scans only the
-added/changed text, with full-rebuild parity pinned by test.
+Append-only contract (:func:`start_index_ingest`): a re-delivered
+doc_id with DIFFERENT text would leave the old tf rows in place
+(double counting).  Sources that UPDATE documents have two
+reconciliation paths, both built on the snapshot-diff primitive:
+
+- streaming (r12): :func:`start_upsert_ingest` — each micro-batch
+  diffs against the store's persisted digest history
+  (versioning.corpus_diff_hashed), lands only added/changed text, and
+  :func:`load_upsert_delta` resolves last-writer-wins at read time
+  (merge-on-read — changed docs REPLACE their rows, identical
+  re-deliveries write nothing);
+- batch: ``operators/versioning.corpus_diff`` + ``apply_corpus_diff``
+  (CLI: ``bvs diff --update-delta``) for periodic full-snapshot
+  reconciliation.
+
+Parity between the two paths and with a full rebuild is pinned by
+tests/test_versioning.py.
 
 Epoch-id migration note (store-format change, 2026-08 / r9): streaming
 epoch N now lands in partition directory ``batch_id=N+1`` — batch 0 is
@@ -115,6 +126,191 @@ def append_delta_batch(
     n_docs = spark.read.parquet(f"{root}/doc_ids/batch_id={batch_id + 1}").count()
     _write_marker(spark, marker, {"batch_id": batch_id, "n_docs": n_docs})
     return True
+
+
+def upsert_delta_batch(
+    docs_batch: DataFrame,
+    batch_id: int,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text: Column | str = "text",
+    cfg: EngineConfig = DEFAULT,
+) -> bool:
+    """UPSERT one micro-batch into the delta store at ``path`` — the
+    reconciliation form of :func:`append_delta_batch` for sources that
+    re-deliver UPDATED documents (the append-only contract above would
+    double-count their tf rows).  Returns False on skip.
+
+    Per micro-batch this runs the snapshot-diff primitive against the
+    store's own digest history (operators/versioning.corpus_diff_hashed
+    — the streaming twin of the batch ``bvs diff --update-delta``
+    path):
+
+    1. digest the batch's content (versioning.content_digests) and diff
+       it against the persisted ``digests`` relation — digests only,
+       historical TEXT is never re-read;
+    2. ``unchanged`` re-deliveries write NOTHING (idempotent redelivery
+       is free); ``added``/``changed`` documents — and only they — are
+       re-scanned into this epoch's delta partitions; absence from a
+       micro-batch is NOT a delete (a stream is a change feed, not a
+       snapshot — ``removed`` classifications cannot arise because the
+       old side is filtered to the batch's own ids);
+    3. a ``digests/batch_id=N`` partition records the landed digests
+       for future diffs.
+
+    Stale rows from superseded versions are excluded at READ time:
+    :func:`load_upsert_delta` resolves last-writer-wins per document
+    from the partition column — the merge-on-read design (what
+    Delta/Iceberg/Hudi MOR tables do), so the hot ingest path never
+    rewrites history; :meth:`IndexDelta.compact` is the periodic
+    rewrite that folds versions down.  Retry-idempotent like the
+    append sink: the diff excludes this epoch's own digest partition,
+    so a replayed epoch recomputes the same change set and overwrites
+    the same directories.  Within-batch duplicate ids are collapsed
+    arbitrarily (``dropDuplicates``) — upstream should deliver
+    id-unique micro-batches (corpus_diff's id-unique contract).
+
+    Parity with the batch path (apply_corpus_diff) and replace-not-
+    duplicate semantics are pinned by tests/test_versioning.py.
+
+    Caveat — ``IndexDelta.compact``/``save`` rewrite only the three
+    index relations, so the digest history does not survive a compact:
+    the next epoch then diffs against empty history and re-scans every
+    document it carries (all classify as ``added``).  Results stay
+    CORRECT — the re-landed rows win the read-time LWW — the cost is
+    one wasted rescan of that epoch's text.
+    """
+    from pyspark.sql import functions as F
+
+    from beyond_vector_search_spark.operators.versioning import (
+        content_digests,
+        corpus_diff_hashed,
+    )
+
+    spark = docs_batch.sparkSession
+    marker = _batch_marker(path, batch_id)
+    if fsutil.exists(spark, marker):
+        return False
+    text_col = F.col(text) if isinstance(text, str) else text
+    docs = docs_batch.select(
+        F.col(id_col).alias("doc_id"), text_col.alias("text")
+    ).dropDuplicates(["doc_id"])
+    # the batch is consumed up to 3x (diff, fresh-doc scan, digest
+    # write) — one eager materialization, lineage truncated
+    docs = docs.localCheckpoint()
+
+    new_h = content_digests(docs)
+    root = IndexDelta._root(spark, path)
+    dig_dir = f"{root}/digests"
+    have_history = any(
+        d.startswith("batch_id=") for d in fsutil.list_names(spark, dig_dir)
+    )
+    if have_history:
+        spark.catalog.refreshByPath(dig_dir)
+        hist = spark.read.parquet(dig_dir).where(
+            # exclude this epoch's own partition: a retried epoch must
+            # diff against the same history it saw the first time
+            F.col("batch_id") != batch_id + 1
+        )
+        # LWW per doc: the digest that a later epoch landed supersedes
+        # earlier ones.  Restrict history to the batch's own ids FIRST
+        # (broadcast semi — the batch is small), so the window never
+        # shuffles the full history and 'removed' rows cannot arise.
+        hist = hist.join(F.broadcast(new_h.select(F.col("id").alias("id"))), "id", "semi")
+        latest = hist.groupBy("id").agg(F.max("batch_id").alias("batch_id"))
+        old_h = (
+            hist.join(latest, ["id", "batch_id"]).select("id", "h")
+        )
+    else:
+        old_h = new_h.limit(0)
+
+    diff = corpus_diff_hashed(old_h, new_h, id_col="doc_id")
+    fresh_ids = (
+        diff.where(F.col("change").isin("added", "changed"))
+        .select("doc_id")
+    )
+    fresh_docs = docs.join(F.broadcast(fresh_ids), "doc_id", "semi")
+    delta = build_delta(fresh_docs, id_col="doc_id", text="text", cfg=cfg, cache=False)
+    for f in IndexDelta._FIELDS:
+        getattr(delta, f).write.mode("overwrite").parquet(
+            f"{root}/{f}/batch_id={batch_id + 1}"
+        )
+    content_digests(fresh_docs).write.mode("overwrite").parquet(
+        f"{dig_dir}/batch_id={batch_id + 1}"
+    )
+    n_landed = spark.read.parquet(
+        f"{root}/doc_ids/batch_id={batch_id + 1}"
+    ).count()
+    _write_marker(
+        spark,
+        marker,
+        {"batch_id": batch_id, "n_docs": docs.count(), "n_landed": n_landed},
+    )
+    return True
+
+
+def load_upsert_delta(spark, path: str) -> IndexDelta:
+    """Load an upsert store (written by :func:`upsert_delta_batch`)
+    resolving last-writer-wins per document: for each doc_id only the
+    rows of its HIGHEST batch_id survive — superseded versions are
+    excluded at the scan, never rewritten on ingest (merge-on-read).
+
+    The winner set derives from ``doc_ids`` (one row per landed
+    (doc, epoch) — digest-sized) and broadcasts into a semi join on
+    (doc_id, batch_id) against each relation, so the big relations
+    never shuffle.  Global stats then re-derive exactly in
+    ``index_from_delta`` — df/idf/avg_dl see each document ONCE, at
+    its latest content."""
+    from pyspark.sql import functions as F
+
+    root = IndexDelta._root(spark, path)
+    raw = {}
+    for f in IndexDelta._FIELDS:
+        spark.catalog.refreshByPath(f"{root}/{f}")
+        raw[f] = spark.read.parquet(f"{root}/{f}")
+    winners = (
+        raw["doc_ids"]
+        .groupBy("doc_id")
+        .agg(F.max("batch_id").alias("batch_id"))
+    )
+
+    def lww(df: DataFrame) -> DataFrame:
+        cols = [c for c in df.columns if c != "batch_id"]
+        return df.join(
+            F.broadcast(winners), ["doc_id", "batch_id"], "semi"
+        ).select(cols)
+
+    return IndexDelta(**{f: lww(raw[f]) for f in IndexDelta._FIELDS})
+
+
+def start_upsert_ingest(
+    doc_stream: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text: Column | str = "text",
+    cfg: EngineConfig = DEFAULT,
+    trigger: dict | None = None,
+    checkpoint: str | None = None,
+):
+    """Start the streaming UPSERT ingest: like :func:`start_index_ingest`
+    but for change feeds that re-deliver updated documents — each
+    micro-batch reconciles against the store's digest history
+    (:func:`upsert_delta_batch`), so a changed document REPLACES its
+    index rows and an identical re-delivery writes nothing.  Read the
+    store with :func:`load_upsert_delta` (LWW merge-on-read)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_delta_batch(
+            batch_df, batch_id, path, id_col=id_col, text=text, cfg=cfg
+        )
+
+    w = doc_stream.writeStream.foreachBatch(sink).outputMode("append")
+    if trigger:
+        w = w.trigger(**trigger)
+    w = w.option("checkpointLocation", checkpoint or os.path.join(path, "_checkpoint"))
+    return w.start()
 
 
 def start_index_ingest(

@@ -159,3 +159,111 @@ def test_cli_diff_reports_and_updates_delta(spark, tmp_path):
     assert sorted(map(tuple, updated.postings.collect())) == sorted(
         map(tuple, full.postings.collect())
     )
+
+
+def test_streaming_upsert_replaces_changed_docs(spark, tmp_path):
+    """r12 (VERDICT r11 ask #6): the foreachBatch UPSERT path — a
+    re-delivered CHANGED document must REPLACE its index rows (not
+    duplicate them), an identical re-delivery must write nothing, and
+    the LWW-loaded store must match both the batch apply_corpus_diff
+    path and a from-scratch rebuild of the final corpus."""
+    from beyond_vector_search_spark.operators.corpus_index import (
+        build_delta,
+        index_from_delta,
+    )
+    from beyond_vector_search_spark.streaming.ingest import (
+        load_upsert_delta,
+        start_upsert_ingest,
+    )
+
+    schema = "doc_id BIGINT, text STRING"
+    b0 = [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "zeta eta")]
+    # epoch 1: doc 2 re-delivered UNCHANGED, doc 3 CHANGED, doc 4 added
+    b1 = [(2, "delta epsilon"), (3, "zeta eta theta iota"), (4, "kappa")]
+    final = [(1, "alpha beta gamma"), (2, "delta epsilon"),
+             (3, "zeta eta theta iota"), (4, "kappa")]
+
+    src = tmp_path / "upsert_src"
+    src.mkdir()
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    store = str(tmp_path / "upsert_store")
+    q = start_upsert_ingest(stream, store, trigger={"availableNow": True})
+    q.awaitTermination(300)
+
+    got = index_from_delta(load_upsert_delta(spark, store))
+    want = index_from_delta(build_delta(spark.createDataFrame(final, schema)))
+    # replace-not-duplicate: each doc exactly once, doc 3 at NEW content
+    assert got.doc_ids.count() == 4
+    for field in ("postings", "term_stats", "gram_stats", "doc_stats"):
+        inc, full = getattr(got, field), getattr(want, field)
+        assert inc.exceptAll(full).count() == 0, field
+        assert full.exceptAll(inc).count() == 0, field
+
+    # unchanged re-delivery wrote NOTHING in epoch 1 (doc 2 skipped,
+    # docs 3+4 landed) — read epoch 1's own doc_ids partition
+    from beyond_vector_search_spark.operators.corpus_index import IndexDelta
+
+    root = IndexDelta._root(spark, store)
+    landed = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/doc_ids/batch_id=2").collect()
+    }
+    assert landed == {3, 4}
+
+    # parity with the BATCH reconciliation path (apply_corpus_diff):
+    # same change feed applied as one snapshot diff over the b0 delta
+    old_docs = spark.createDataFrame(b0, schema)
+    new_docs = spark.createDataFrame(final, schema)
+    applied = index_from_delta(
+        apply_corpus_diff(
+            build_delta(old_docs), corpus_diff(old_docs, new_docs), new_docs
+        )
+    )
+    for field in ("postings", "term_stats"):
+        a, b = getattr(applied, field), getattr(got, field)
+        assert a.exceptAll(b).count() == 0, field
+        assert b.exceptAll(a).count() == 0, field
+
+
+def test_upsert_batch_retry_is_idempotent(spark, tmp_path):
+    """A replayed upsert epoch (at-least-once foreachBatch) must
+    recompute the same change set and overwrite the same directories —
+    never duplicate rows, even when the crash happened AFTER the digest
+    partition was written."""
+    from beyond_vector_search_spark.operators.corpus_index import (
+        index_from_delta,
+    )
+    from beyond_vector_search_spark.sources import fsutil
+    from beyond_vector_search_spark.streaming.ingest import (
+        _batch_marker,
+        load_upsert_delta,
+        upsert_delta_batch,
+    )
+
+    schema = "doc_id BIGINT, text STRING"
+    store = str(tmp_path / "retry_store")
+    assert upsert_delta_batch(
+        spark.createDataFrame([(1, "alpha"), (2, "beta")], schema), 0, store
+    )
+    batch1 = spark.createDataFrame([(2, "beta v2"), (3, "new")], schema)
+    assert upsert_delta_batch(batch1, 1, store)
+    before = sorted(
+        (r["term"], r["doc_id"], r["tf"])
+        for r in load_upsert_delta(spark, store).postings.collect()
+    )
+    # simulate the crash-retry: marker gone, digest partition present
+    fsutil.delete(spark, _batch_marker(store, 1))
+    assert upsert_delta_batch(batch1, 1, store)
+    after = sorted(
+        (r["term"], r["doc_id"], r["tf"])
+        for r in load_upsert_delta(spark, store).postings.collect()
+    )
+    assert after == before
+    # fast-skip on an intact marker
+    assert not upsert_delta_batch(batch1, 1, store)
