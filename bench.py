@@ -130,7 +130,12 @@ def main() -> None:
                 file=sys.stderr,
             )
             t0 = time.time()
-            idx = CorpusIndex.load(spark, snap_dir).cache(skip=("scalars",)).materialize()
+            idx = (
+                CorpusIndex.load(spark, snap_dir)
+                .cache(skip=("scalars",))
+                .materialize()
+                .warm_idf()
+            )
             seed_index(spark, SF_DIR, idx)
             import atexit
 

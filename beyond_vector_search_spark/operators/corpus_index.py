@@ -268,6 +268,44 @@ class CorpusIndex:
             self._scalar_vals = (int(row["n_docs"]), float(row["avg_dl"]))
         return self._scalar_vals
 
+    def warm_idf(
+        self, *, max_terms: int = 100_000, max_grams: int = 100_000
+    ) -> "CorpusIndex":
+        """Pre-collect the highest-df term/gram idf values into a
+        driver-side dict (two concurrent TakeOrderedAndProject jobs,
+        bounded at ``max_terms``/``max_grams`` rows — a few MB of
+        floats even at the caps).  ``compile_query_batch`` then
+        resolves query vocabulary from the dict and hits the cluster
+        only for terms the cache misses — for common-vocabulary
+        queries the compile step becomes ZERO jobs, which removes one
+        of the serving trio's three first-call floors (BASELINE.md
+        decomposition).  When a table fits entirely under its cap the
+        cache is marked COMPLETE and misses are genuine OOV (no
+        residual lookup at all).  One-off startup cost alongside
+        load/materialize; values are the exact collected idf doubles,
+        so scores are bit-identical to the uncached path (pinned by
+        tests/test_compiled_serving.py)."""
+        import concurrent.futures as cf
+
+        def grab(df: DataFrame, key: str, cap: int):
+            rows = (
+                df.orderBy(F.desc("df"), F.asc(key))
+                .limit(cap + 1)
+                .select(key, F.col("idf").cast("double").alias("idf"))
+                .collect()
+            )
+            complete = len(rows) <= cap
+            take = rows if complete else rows[:cap]
+            return {r[key]: float(r["idf"]) for r in take}, complete
+
+        with cf.ThreadPoolExecutor(max_workers=2) as ex:
+            ft = ex.submit(grab, self.term_stats, "term", max_terms)
+            fg = ex.submit(grab, self.gram_stats, "gram", max_grams)
+            t, tc = ft.result()
+            g, gc = fg.result()
+        self._idf_warm = {"t": t, "g": g, "t_complete": tc, "g_complete": gc}
+        return self
+
     def save(self, path: str) -> None:
         """Persist to parquet.  postings/doc_vec are the large tables —
         repartition by join key so scoring joins at read time can use

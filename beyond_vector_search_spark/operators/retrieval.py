@@ -451,8 +451,29 @@ def compile_query_batch(
             "scorers (bm25_scores/vector_scores), which broadcast the query side"
         )
 
-    # ONE collect for everything the compile needs: the term-idf and
-    # gram-idf lookups (isin-filtered, scan-prunable) unioned into a
+    # Driver-side idf warm cache (CorpusIndex.warm_idf): resolve the
+    # query vocabulary from the pre-collected dict first; only cache
+    # MISSES go to the cluster, and a COMPLETE cache turns misses into
+    # genuine OOV (no lookup at all) — the compile step is then zero
+    # jobs.  Values are the exact collected doubles, so the two paths
+    # score bit-identically.
+    term_idf: dict[str, float] = {}
+    gram_idf: dict[str, float] = {}
+    need_terms, need_grams = all_terms, all_grams
+    warm = getattr(index, "_idf_warm", None)
+    if warm is not None:
+        wt, wg = warm["t"], warm["g"]
+        term_idf = {t: wt[t] for t in all_terms if t in wt}
+        gram_idf = {g: wg[g] for g in all_grams if g in wg}
+        need_terms = (
+            [] if warm["t_complete"] else [t for t in all_terms if t not in wt]
+        )
+        need_grams = (
+            [] if warm["g_complete"] else [g for g in all_grams if g not in wg]
+        )
+
+    # ONE collect for everything the compile still needs: the term-idf
+    # and gram-idf lookups (isin-filtered, scan-prunable) unioned into a
     # single tagged relation, plus the index scalars when their memo is
     # cold.  The union is narrow (no shuffle — each branch reads its
     # own cached/pruned relation), so this is one job where separate
@@ -460,17 +481,17 @@ def compile_query_batch(
     # the compile step drops ~0.15 s, which is most of what remains of
     # the serving trio's first-call latency.
     parts: list[DataFrame] = []
-    if all_terms:
+    if need_terms:
         parts.append(
-            index.term_stats.where(F.col("term").isin(all_terms)).select(
+            index.term_stats.where(F.col("term").isin(need_terms)).select(
                 F.lit("t").alias("_k"),
                 F.col("term").alias("_key"),
                 F.col("idf").cast("double").alias("_v"),
             )
         )
-    if all_grams:
+    if need_grams:
         parts.append(
-            index.gram_stats.where(F.col("gram").isin(all_grams)).select(
+            index.gram_stats.where(F.col("gram").isin(need_grams)).select(
                 F.lit("g").alias("_k"),
                 F.col("gram").alias("_key"),
                 F.col("idf").cast("double").alias("_v"),
@@ -490,8 +511,6 @@ def compile_query_batch(
                 )
             )
         )
-    term_idf: dict[str, float] = {}
-    gram_idf: dict[str, float] = {}
     scal: dict[str, float] = {}
     if parts:
         u = parts[0]

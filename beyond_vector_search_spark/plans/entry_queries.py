@@ -171,6 +171,7 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> ci.CorpusIndex:
                 ci.CorpusIndex.load(spark, snap_dir)
                 .cache(skip=("scalars",))
                 .materialize()
+                .warm_idf()
             )
             _INDEX_CACHE[key] = idx
             return idx
@@ -203,6 +204,10 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> ci.CorpusIndex:
             skip=("postings", "doc_ids", "doc_vec", "scalars")
         )
         join()
+        # startup warm: the driver-side idf dict makes later query
+        # compiles zero-job for cached vocabulary (one bounded collect
+        # now instead of one per compile)
+        idx.warm_idf()
         if snap_dir:
             # first process under the snapshot root: persist the fresh
             # build so later processes load instead of rebuilding

@@ -174,12 +174,12 @@ def upsert_delta_batch(
     Parity with the batch path (apply_corpus_diff) and replace-not-
     duplicate semantics are pinned by tests/test_versioning.py.
 
-    Caveat — ``IndexDelta.compact``/``save`` rewrite only the three
-    index relations, so the digest history does not survive a compact:
-    the next epoch then diffs against empty history and re-scans every
-    document it carries (all classify as ``added``).  Results stay
-    CORRECT — the re-landed rows win the read-time LWW — the cost is
-    one wasted rescan of that epoch's text.
+    Compaction: use :func:`compact_upsert_store` (folds the LWW state
+    and PRESERVES the digest history).  The generic
+    ``IndexDelta.compact``/``save`` rewrite only the three index
+    relations — on an upsert store the generic compact would fold
+    superseded document versions back in and drop the digests, so it
+    is the wrong tool here.
     """
     from pyspark.sql import functions as F
 
@@ -282,6 +282,45 @@ def load_upsert_delta(spark, path: str) -> IndexDelta:
         ).select(cols)
 
     return IndexDelta(**{f: lww(raw[f]) for f in IndexDelta._FIELDS})
+
+
+def compact_upsert_store(spark, path: str, *, partitions: int | None = None):
+    """Compact an UPSERT store: fold the last-writer-wins state (stale
+    superseded versions drop here, at the rewrite — the merge-on-write
+    moment) AND the LWW digest history into a fresh ``delta-v{N}``
+    version, committed with the same crash-safe pointer protocol as
+    :meth:`IndexDelta.compact`.  Use this, not the generic compact,
+    for stores written by :func:`upsert_delta_batch`: the generic form
+    folds ALL rows — including superseded document versions — back
+    into batch 0, and preserving the digest relation is what keeps
+    post-compact epochs diffing instead of rescanning.  Epoch markers
+    under ``_batches/`` are kept: they are the replay guard that stops
+    a re-delivered old epoch from re-appending over the fold.  Returns
+    the reloaded LWW delta."""
+    from pyspark.sql import functions as F
+
+    root = IndexDelta._root(spark, path)
+    lww = load_upsert_delta(spark, path)
+    spark.catalog.refreshByPath(f"{root}/digests")
+    dig = spark.read.parquet(f"{root}/digests")
+    latest = dig.groupBy("id").agg(F.max("batch_id").alias("batch_id"))
+    dig_lww = dig.join(latest, ["id", "batch_id"]).select("id", "h")
+
+    n = fsutil.next_version(spark, path, "delta")
+    keys = {"postings": "term", "gram_tf": "gram", "doc_ids": "doc_id"}
+    for f in IndexDelta._FIELDS:
+        df = getattr(lww, f)
+        df = df.repartition(*(x for x in [partitions, keys[f]] if x is not None))
+        df.write.mode("overwrite").parquet(f"{path}/delta-v{n}/{f}/batch_id=0")
+    dig_lww.write.mode("overwrite").parquet(
+        f"{path}/delta-v{n}/digests/batch_id=0"
+    )
+    fsutil.commit_version(spark, path, "delta", n)
+    fsutil.gc_versions(
+        spark, path, "delta",
+        extra=tuple(f"{path}/{f}" for f in (*IndexDelta._FIELDS, "digests")),
+    )
+    return load_upsert_delta(spark, path)
 
 
 def start_upsert_ingest(

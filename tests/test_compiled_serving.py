@@ -263,3 +263,51 @@ def test_compiled_vector_norm_denormalized_gram_tf_profile(spark, docs_index, qd
         assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
     finally:
         cache.unpersist()
+
+
+def test_warm_idf_compile_is_bit_identical(spark, docs_index, qdf):
+    """r12: the driver-side idf warm cache (CorpusIndex.warm_idf) is a
+    job-count optimization only — compiled scores with a COMPLETE
+    cache, a PARTIAL cache (forcing the residual cluster lookup), and
+    no cache must be bit-identical; a partial cache must never turn an
+    uncached in-vocabulary term into OOV."""
+    import copy
+
+    def scores():
+        compiled = rt.compile_query_batch(QUERIES, docs_index, cfg=MATCHED)
+        kw = {
+            (r.query_id, r.doc_id): r.score
+            for r in rt.compiled_bm25_scores(docs_index, compiled, cfg=MATCHED).collect()
+        }
+        vec = {
+            (r.query_id, r.doc_id): r.score
+            for r in rt.compiled_vector_scores(docs_index, compiled, cfg=MATCHED).collect()
+        }
+        return kw, vec
+
+    had = getattr(docs_index, "_idf_warm", None)
+    try:
+        if hasattr(docs_index, "_idf_warm"):
+            del docs_index._idf_warm
+        cold = scores()
+
+        docs_index.warm_idf()
+        assert docs_index._idf_warm["t_complete"], "testdata vocab fits the cap"
+        warm = scores()
+        assert warm == cold
+
+        # partial cache: drop a query term ('spark') and a query gram,
+        # clear the complete flags — the residual lookup must fetch them
+        partial = copy.deepcopy(docs_index._idf_warm)
+        partial["t"].pop("spark", None)
+        partial["g"].pop("spar", None)
+        partial["t_complete"] = partial["g_complete"] = False
+        docs_index._idf_warm = partial
+        part = scores()
+        assert part == cold
+    finally:
+        if had is None:
+            if hasattr(docs_index, "_idf_warm"):
+                del docs_index._idf_warm
+        else:
+            docs_index._idf_warm = had

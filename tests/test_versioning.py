@@ -267,3 +267,58 @@ def test_upsert_batch_retry_is_idempotent(spark, tmp_path):
     assert after == before
     # fast-skip on an intact marker
     assert not upsert_delta_batch(batch1, 1, store)
+
+
+def test_compact_upsert_store_preserves_digests_and_lww(spark, tmp_path):
+    """compact_upsert_store folds the LWW state (superseded versions
+    drop at the rewrite) and PRESERVES digest history: a post-compact
+    unchanged re-delivery still writes nothing, and a changed one
+    still replaces."""
+    from beyond_vector_search_spark.operators.corpus_index import (
+        IndexDelta,
+        index_from_delta,
+    )
+    from beyond_vector_search_spark.streaming.ingest import (
+        compact_upsert_store,
+        load_upsert_delta,
+        upsert_delta_batch,
+    )
+
+    schema = "doc_id BIGINT, text STRING"
+    store = str(tmp_path / "cmp_store")
+    upsert_delta_batch(
+        spark.createDataFrame([(1, "alpha"), (2, "beta")], schema), 0, store
+    )
+    upsert_delta_batch(
+        spark.createDataFrame([(2, "beta v2"), (3, "new")], schema), 1, store
+    )
+    before = sorted(
+        (r["term"], r["doc_id"], r["tf"])
+        for r in load_upsert_delta(spark, store).postings.collect()
+    )
+    compacted = compact_upsert_store(spark, store)
+    after = sorted(
+        (r["term"], r["doc_id"], r["tf"]) for r in compacted.postings.collect()
+    )
+    assert after == before
+    # superseded rows physically dropped: doc 2 appears once, at v2
+    root = IndexDelta._root(spark, store)
+    raw = spark.read.parquet(f"{root}/postings")
+    assert raw.where("doc_id = 2 AND term = 'beta'").count() == 1
+
+    # post-compact epoch: doc 3 unchanged (digest survived the fold ->
+    # skip), doc 1 changed -> replaces
+    upsert_delta_batch(
+        spark.createDataFrame([(3, "new"), (1, "alpha v2")], schema), 2, store
+    )
+    landed = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/doc_ids/batch_id=3").collect()
+    }
+    assert landed == {1}
+    got = index_from_delta(load_upsert_delta(spark, store))
+    terms = {
+        (r["term"], r["doc_id"]) for r in got.postings.collect()
+    }
+    assert ("v2", 1) in terms and ("alpha", 1) in terms
+    assert got.doc_ids.count() == 3

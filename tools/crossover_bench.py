@@ -225,7 +225,7 @@ def _time_spark_scaled(spark, scaled, n_docs, level, queries_df, *, snapshot=Fal
         skip=("postings", "doc_ids", "doc_vec", "scalars")
     )
     join()
-    idx = idx.materialize()
+    idx = idx.materialize().warm_idf()
     out = {"index_build": round(time.time() - t0, 3)}
     singles = ("index_build", "bm25_topk", "vector_topk", "hybrid_topk")
     out.update(_query_suite(spark, idx, queries_df))
@@ -254,7 +254,12 @@ def _time_spark_scaled(spark, scaled, n_docs, level, queries_df, *, snapshot=Fal
         # cache blocks before timing the load-side materialize
         _release(idx)
         t0 = time.time()
-        idx2 = ci.CorpusIndex.load(spark, snap_dir).cache(skip=("scalars",)).materialize()
+        idx2 = (
+            ci.CorpusIndex.load(spark, snap_dir)
+            .cache(skip=("scalars",))
+            .materialize()
+            .warm_idf()
+        )
         snap = {
             "snapshot_build_save_unmeasured": save_sec,
             "index_build": round(time.time() - t0, 3),
