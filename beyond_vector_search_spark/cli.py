@@ -369,6 +369,53 @@ def cmd_diff(args) -> dict:
     return out
 
 
+def cmd_ingest(args) -> dict:
+    """Streaming ingest: tail a parquet directory of (doc_id, text)
+    files into a persisted IndexDelta store, one micro-batch per file
+    (Structured Streaming, availableNow drain — rerun on a schedule,
+    or embed streaming/ingest.start_*_ingest for a long-running
+    query).  ``--mode append`` is the append-only contract (new
+    documents only); ``--mode upsert`` reconciles each micro-batch
+    against the store's digest history (changed documents REPLACE
+    their index rows, identical re-deliveries write nothing — the
+    streaming twin of ``bvs diff --update-delta``)."""
+    from beyond_vector_search_spark.streaming.ingest import (
+        load_upsert_delta,
+        start_index_ingest,
+        start_upsert_ingest,
+    )
+
+    spark = get_spark("bvs-ingest")
+    schema = spark.read.parquet(args.src).select(args.id_col, args.text_col).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(args.src)
+        .select(args.id_col, args.text_col)
+    )
+    start = start_upsert_ingest if args.mode == "upsert" else start_index_ingest
+    q = start(
+        stream,
+        args.store,
+        id_col=args.id_col,
+        text=args.text_col,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    if args.mode == "upsert":
+        delta = load_upsert_delta(spark, args.store)
+    else:
+        from beyond_vector_search_spark.operators.corpus_index import IndexDelta
+
+        delta = IndexDelta.load(spark, args.store)
+    return {
+        "src": args.src,
+        "store": args.store,
+        "mode": args.mode,
+        "n_docs": delta.doc_ids.count(),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description="beyond-vector-search-spark CLI")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -469,6 +516,21 @@ def main() -> None:
                     help="IndexDelta store to update in place "
                          "(remove stale ids, scan only added/changed text)")
 
+    pg = sub.add_parser(
+        "ingest",
+        help="streaming ingest of a parquet directory into a persisted "
+             "index delta store (availableNow drain; append or "
+             "digest-diff upsert)",
+    )
+    pg.add_argument("--src", required=True,
+                    help="parquet directory to tail (one micro-batch per file)")
+    pg.add_argument("--store", required=True, help="IndexDelta store path")
+    pg.add_argument("--mode", choices=("append", "upsert"), default="append",
+                    help="append-only contract, or digest-diff upsert "
+                         "(changed docs replace their rows)")
+    pg.add_argument("--id-col", default="doc_id")
+    pg.add_argument("--text-col", default="text")
+
     args = p.parse_args()
     cmds = {
         "run": cmd_run,
@@ -477,6 +539,7 @@ def main() -> None:
         "tokenizer": cmd_tokenizer,
         "index": cmd_index,
         "diff": cmd_diff,
+        "ingest": cmd_ingest,
     }
     out = cmds[args.cmd](args)
     print(json.dumps(out, indent=2, sort_keys=True))

@@ -322,3 +322,41 @@ def test_compact_upsert_store_preserves_digests_and_lww(spark, tmp_path):
     }
     assert ("v2", 1) in terms and ("alpha", 1) in terms
     assert got.doc_ids.count() == 3
+
+
+def test_cli_ingest_upsert_mode(spark, tmp_path):
+    """bvs ingest --mode upsert: drains a parquet directory one file
+    per micro-batch into an upsert store; a changed doc in a later
+    file replaces its rows."""
+    import argparse
+
+    from beyond_vector_search_spark.cli import cmd_ingest
+    from beyond_vector_search_spark.operators.corpus_index import (
+        build_delta,
+        index_from_delta,
+    )
+    from beyond_vector_search_spark.streaming.ingest import load_upsert_delta
+
+    src = tmp_path / "cli_src"
+    src.mkdir()
+    _corpus(spark, [(1, "a b"), (2, "b c")]).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    _corpus(spark, [(2, "b c EDITED"), (3, "d")]).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    store = str(tmp_path / "cli_store")
+    out = cmd_ingest(
+        argparse.Namespace(
+            src=str(src / "*"), store=store, mode="upsert",
+            id_col="doc_id", text_col="text",
+        )
+    )
+    assert out["n_docs"] == 3
+    got = index_from_delta(load_upsert_delta(spark, store))
+    want = index_from_delta(
+        build_delta(_corpus(spark, [(1, "a b"), (2, "b c EDITED"), (3, "d")]))
+    )
+    assert sorted(map(tuple, got.postings.collect())) == sorted(
+        map(tuple, want.postings.collect())
+    )
