@@ -257,9 +257,12 @@ def load_upsert_delta(spark, path: str) -> IndexDelta:
     excluded at the scan, never rewritten on ingest (merge-on-read).
 
     The winner set derives from ``doc_ids`` (one row per landed
-    (doc, epoch) — digest-sized) and broadcasts into a semi join on
-    (doc_id, batch_id) against each relation, so the big relations
-    never shuffle.  Global stats then re-derive exactly in
+    (doc, epoch)) and semi-joins on (doc_id, batch_id) against each
+    relation.  No broadcast HINT on purpose (the apply_corpus_diff
+    rule): winners is CORPUS-sized — on a small store AQE broadcasts
+    it from observed sizes; at 100 TB a forced broadcast would OOM
+    the driver, and the right plan is the shuffled semi join it picks
+    instead.  Global stats then re-derive exactly in
     ``index_from_delta`` — df/idf/avg_dl see each document ONCE, at
     its latest content."""
     from pyspark.sql import functions as F
@@ -277,9 +280,7 @@ def load_upsert_delta(spark, path: str) -> IndexDelta:
 
     def lww(df: DataFrame) -> DataFrame:
         cols = [c for c in df.columns if c != "batch_id"]
-        return df.join(
-            F.broadcast(winners), ["doc_id", "batch_id"], "semi"
-        ).select(cols)
+        return df.join(winners, ["doc_id", "batch_id"], "semi").select(cols)
 
     return IndexDelta(**{f: lww(raw[f]) for f in IndexDelta._FIELDS})
 
