@@ -119,6 +119,35 @@ def probe(spark, copies: int) -> dict:
             lambda: dd.jaccard_pairs(docs, threshold=0.5).count(),
         )
     timed("text_profile", lambda: ta.quality_score(docs).count())
+    # snapshot diff (r11/r12 ops, previously measured ad hoc — in the
+    # probe so SCALING.jsonl rows regenerate from one tool): old/new
+    # derived like the catalog entry (%3 removed / %5 changed / %7
+    # missing-from-new), digests only reach the full-outer join
+    from beyond_vector_search_spark.operators.versioning import corpus_diff
+
+    def _diff() -> int:
+        old = docs.where(F.col("doc_id") % 3 != 0).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [v1]"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return corpus_diff(old, docs.where(F.col("doc_id") % 7 != 0)).count()
+
+    timed("corpus_diff", _diff)
+    # markup extraction over synthesized HTML (narrow map, text-linear)
+    timed(
+        "html_extract",
+        lambda: ta.html_extract(
+            docs.select(
+                "doc_id",
+                F.concat(
+                    F.lit("<html><body><h1>D</h1><p>"), F.col("text"),
+                    F.lit("</p><script>var x=1;</script></body></html>"),
+                ).alias("html"),
+            )
+        ).count(),
+    )
     timed("repetition_flags", lambda: pt.repetition_flags(docs).count())
     timed(
         "embed_neardup_blocked",
