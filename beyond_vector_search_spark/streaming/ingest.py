@@ -174,6 +174,16 @@ def upsert_delta_batch(
     Parity with the batch path (apply_corpus_diff) and replace-not-
     duplicate semantics are pinned by tests/test_versioning.py.
 
+    Scale note: each epoch's diff scans the digest HISTORY (id + 32-hex
+    digest per landed doc version — ~50 bytes/doc, i.e. per-mille of
+    the text it replaces re-reading), filtered to the batch's own ids
+    by a broadcast semi join.  That scan is digest-sized, not
+    text-sized, but it is not partition-prunable (partitions are by
+    epoch, the filter is by id) — at billions of documents run
+    :func:`compact_upsert_store` periodically so history stays one
+    folded partition, or go further and keep the compacted digest
+    table bucketed by id so the per-batch semi join prunes buckets.
+
     Compaction: use :func:`compact_upsert_store` (folds the LWW state
     and PRESERVES the digest history).  The generic
     ``IndexDelta.compact``/``save`` rewrite only the three index
