@@ -360,3 +360,38 @@ def test_cli_ingest_upsert_mode(spark, tmp_path):
     assert sorted(map(tuple, got.postings.collect())) == sorted(
         map(tuple, want.postings.collect())
     )
+
+
+def test_upsert_null_text_edges(spark, tmp_path):
+    """NULL-content edges through the upsert path: NULL<->NULL
+    re-delivery skips (null-safe digest compare), NULL->text and
+    text->NULL both classify as changed and land."""
+    from beyond_vector_search_spark.operators.corpus_index import (
+        IndexDelta,
+        index_from_delta,
+    )
+    from beyond_vector_search_spark.streaming.ingest import (
+        load_upsert_delta,
+        upsert_delta_batch,
+    )
+
+    schema = "doc_id BIGINT, text STRING"
+    store = str(tmp_path / "null_store")
+    upsert_delta_batch(
+        spark.createDataFrame([(1, None), (2, ""), (3, "hello world")], schema),
+        0, store,
+    )
+    upsert_delta_batch(
+        spark.createDataFrame([(1, None), (2, "now text"), (3, None)], schema),
+        1, store,
+    )
+    root = IndexDelta._root(spark, store)
+    landed = sorted(
+        r.doc_id for r in spark.read.parquet(f"{root}/doc_ids/batch_id=2").collect()
+    )
+    assert landed == [2, 3]
+    idx = index_from_delta(load_upsert_delta(spark, store))
+    assert sorted(r.doc_id for r in idx.doc_ids.collect()) == [1, 2, 3]
+    assert sorted((r.term, r.doc_id) for r in idx.postings.collect()) == [
+        ("now", 2), ("text", 2),
+    ]
