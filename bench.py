@@ -295,7 +295,17 @@ def main() -> None:
 
             queries_df = spark.createDataFrame(QUERY_SET, "query_id STRING, query STRING")
             t0 = time.time()
-            crossover = {"copies": copies, **cx.time_spark(spark, copies, queries_df)}
+            # protocol provenance (r12): the crossover query suite now
+            # caches the two arm relations, matching the engine's
+            # serving profile (_scores/ServingArms) — hybrid blends the
+            # cached fills instead of re-executing both arm plans.
+            # Recorded so r12+ rows aren't silently compared to the
+            # uncached-arm rows of earlier rounds.
+            crossover = {
+                "copies": copies,
+                "protocol": "cached-arms",
+                **cx.time_spark(spark, copies, queries_df),
+            }
             print(f"# crossover x{copies}: {time.time()-t0:.2f}s {crossover}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             errors["crossover"] = str(e).split("\n", 1)[0][:300]
