@@ -295,6 +295,37 @@ def load_upsert_delta(spark, path: str) -> IndexDelta:
     return IndexDelta(**{f: lww(raw[f]) for f in IndexDelta._FIELDS})
 
 
+def upsert_store_history(spark, path: str) -> DataFrame:
+    """(batch_id, n_landed, n_added, n_changed) — per-epoch ingest
+    report derived from the upsert store's digest relation: a landed
+    digest whose doc_id first appears at that epoch is ``added``, any
+    later landing is ``changed`` (the doc already had a version).
+    Digest-sized scan, two aggregations; the dashboard/ops view of a
+    change-feed ingest.  Epochs whose documents all skipped
+    (unchanged re-deliveries) appear with n_landed=0 only if the
+    empty partition was written — i.e. every epoch that ran appears."""
+    from pyspark.sql import functions as F
+
+    root = IndexDelta._root(spark, path)
+    spark.catalog.refreshByPath(f"{root}/digests")
+    dig = spark.read.parquet(f"{root}/digests")
+    first = dig.groupBy("id").agg(F.min("batch_id").alias("_first"))
+    return (
+        dig.join(first, "id")
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_landed"),
+            F.sum(
+                (F.col("batch_id") == F.col("_first")).cast("long")
+            ).alias("n_added"),
+            F.sum(
+                (F.col("batch_id") != F.col("_first")).cast("long")
+            ).alias("n_changed"),
+        )
+        .orderBy("batch_id")
+    )
+
+
 def compact_upsert_store(spark, path: str, *, partitions: int | None = None):
     """Compact an UPSERT store: fold the last-writer-wins state (stale
     superseded versions drop here, at the rewrite — the merge-on-write

@@ -395,3 +395,26 @@ def test_upsert_null_text_edges(spark, tmp_path):
     assert sorted((r.term, r.doc_id) for r in idx.postings.collect()) == [
         ("now", 2), ("text", 2),
     ]
+
+
+def test_upsert_store_history_report(spark, tmp_path):
+    """Per-epoch ingest report from the digest history: added vs
+    changed per batch."""
+    from beyond_vector_search_spark.streaming.ingest import (
+        upsert_delta_batch,
+        upsert_store_history,
+    )
+
+    schema = "doc_id BIGINT, text STRING"
+    store = str(tmp_path / "hist_store")
+    upsert_delta_batch(
+        spark.createDataFrame([(1, "a"), (2, "b")], schema), 0, store
+    )
+    upsert_delta_batch(
+        spark.createDataFrame([(2, "b v2"), (3, "c")], schema), 1, store
+    )
+    hist = {
+        r["batch_id"]: (r["n_landed"], r["n_added"], r["n_changed"])
+        for r in upsert_store_history(spark, store).collect()
+    }
+    assert hist == {1: (2, 2, 0), 2: (2, 1, 1)}
