@@ -167,9 +167,21 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> ci.CorpusIndex:
             else None
         )
         if snap_dir and os.path.isdir(os.path.join(snap_dir, "doc_stats")):
+            # scale-aware cache profile (the crossover rule): past 100k
+            # docs the big relations stay parquet-backed — compiled
+            # serving pushes its IN filters into those scans, and
+            # caching them in full is what starved the default heap
+            # during 500k batch fills.  The count is parquet-footer
+            # metadata only.
+            n_docs = spark.read.parquet(os.path.join(snap_dir, "doc_ids")).count()
+            skip = (
+                ("scalars",)
+                if n_docs < 100_000
+                else ("scalars", "postings", "doc_vec", "doc_ids")
+            )
             idx = (
                 ci.CorpusIndex.load(spark, snap_dir)
-                .cache(skip=("scalars",))
+                .cache(skip=skip)
                 .materialize()
                 .warm_idf()
             )

@@ -262,10 +262,24 @@ def _time_spark_scaled(spark, scaled, n_docs, level, queries_df, *, snapshot=Fal
         # the loaded index must do its own work: drop the builder's
         # cache blocks before timing the load-side materialize
         _release(idx)
+        # Scale-aware cache profile for the LOADED index: at small
+        # corpora cache everything (the bench sf0.1 protocol); past
+        # 100k docs leave the big relations (postings/doc_vec/doc_ids)
+        # parquet-backed — the compiled serving path pushes its IN
+        # filters into those scans, and caching them in full is what
+        # starved the 8 GiB heap during the 500k batch-100 fills
+        # (measured: flat-cache fills 45.6/74.2 s vs the rebuild's
+        # checkpoint-backed 12.8/17.1 s).  Same data-not-cores rule as
+        # the shuffle-partition sizing above.
+        skip = (
+            ("scalars",)
+            if n_docs < 100_000
+            else ("scalars", "postings", "doc_vec", "doc_ids")
+        )
         t0 = time.time()
         idx2 = (
             ci.CorpusIndex.load(spark, snap_dir)
-            .cache(skip=("scalars",))
+            .cache(skip=skip)
             .materialize()
             .warm_idf()
         )
