@@ -309,13 +309,23 @@ class CorpusIndex:
     def save(self, path: str) -> None:
         """Persist to parquet.  postings/doc_vec are the large tables —
         repartition by join key so scoring joins at read time can use
-        co-located shuffles; at cluster scale use bucketed tables
-        (``bucketBy(term)``) to remove the shuffle entirely."""
+        co-located shuffles, AND sort within partitions on that key so
+        each parquet row group covers a narrow key range: the compiled
+        serving path's IN filters then prune ROW GROUPS via min/max
+        stats instead of scanning the whole relation (measured at 500k
+        docs: the batch-100 vector arm fill reads the gram-sorted
+        layout in a fraction of the unsorted full scan).  At cluster
+        scale use bucketed tables (``bucketBy(term)``) to remove the
+        read-side shuffle entirely (save_bucketed already sorts)."""
         self.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
         self.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
-        self.postings.repartition("term").write.mode("overwrite").parquet(f"{path}/postings")
+        self.postings.repartition("term").sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/postings")
         self.gram_stats.write.mode("overwrite").parquet(f"{path}/gram_stats")
-        self.doc_vec.repartition("gram").write.mode("overwrite").parquet(f"{path}/doc_vec")
+        self.doc_vec.repartition("gram").sortWithinPartitions("gram").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/doc_vec")
         self.doc_norm.write.mode("overwrite").parquet(f"{path}/doc_norm")
         self.scalars.write.mode("overwrite").parquet(f"{path}/scalars")
         self.doc_ids.write.mode("overwrite").parquet(f"{path}/doc_ids")
