@@ -310,13 +310,17 @@ class CorpusIndex:
         """Persist to parquet.  postings/doc_vec are the large tables —
         repartition by join key so scoring joins at read time can use
         co-located shuffles, AND sort within partitions on that key so
-        each parquet row group covers a narrow key range: the compiled
-        serving path's IN filters then prune ROW GROUPS via min/max
-        stats instead of scanning the whole relation (measured at 500k
-        docs: the batch-100 vector arm fill reads the gram-sorted
-        layout in a fraction of the unsorted full scan).  At cluster
-        scale use bucketed tables (``bucketBy(term)``) to remove the
-        read-side shuffle entirely (save_bucketed already sorts)."""
+        each parquet row group covers a narrow key range — the layout
+        that lets stats-based row-group pruning and the key-ordered
+        readers work (standard warehouse hygiene).  Honest measurement
+        at 500k docs: the IN-filtered doc_vec scan itself is cheap in
+        BOTH layouts (~2-3 s for a 300-gram batch over ~10^8 rows);
+        the batch-serving fill cost lives in the score/rank pipeline
+        above the scan, so don't expect this sort to move end-to-end
+        batch numbers — it removes the scan as a future bottleneck,
+        at a one-off save-time sort cost.  At cluster scale use
+        bucketed tables (``bucketBy(term)``) to remove the read-side
+        shuffle entirely (save_bucketed already sorts)."""
         self.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
         self.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
         self.postings.repartition("term").sortWithinPartitions("term").write.mode(
