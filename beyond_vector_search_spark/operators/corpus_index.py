@@ -307,36 +307,74 @@ class CorpusIndex:
         return self
 
     def save(self, path: str) -> None:
-        """Persist to parquet.  postings/doc_vec are the large tables —
-        repartition by join key so scoring joins at read time can use
-        co-located shuffles, AND sort within partitions on that key so
-        each parquet row group covers a narrow key range — the layout
-        that lets stats-based row-group pruning and the key-ordered
-        readers work (standard warehouse hygiene).  Honest measurement
-        at 500k docs: the IN-filtered doc_vec scan itself is cheap in
-        BOTH layouts (~2-3 s for a 300-gram batch over ~10^8 rows);
-        the batch-serving fill cost lives in the score/rank pipeline
-        above the scan, so don't expect this sort to move end-to-end
-        batch numbers — it removes the scan as a future bottleneck,
-        at a one-off save-time sort cost.  At cluster scale use
-        bucketed tables (``bucketBy(term)``) to remove the read-side
-        shuffle entirely (save_bucketed already sorts)."""
-        self.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
-        self.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+        """Persist to parquet, committed via the versioned-pointer
+        protocol (sources/fsutil.py, same as IndexDelta.save /
+        IVFPQIndex): all 8 relations are written in full under a fresh
+        ``{path}/index-v{N}`` directory, then committed by ONE atomic
+        marker-file create, then older versions (and, on first
+        migration, the legacy flat field directories) are
+        garbage-collected.  A crash at any step leaves the previously
+        committed snapshot loadable; a reader never sees a
+        partially-written layout (the pre-r13 flat layout had no
+        commit point — a probe on the FIRST-written relation could
+        observe an in-progress save as "ready"); two writers racing a
+        cold start each build their own version directory and the
+        last marker wins, complete either way.
+
+        Layout of the big tables: postings/doc_vec repartition by join
+        key and sort within partitions so each parquet row group covers
+        a narrow key range — the layout that lets stats-based row-group
+        pruning and the key-ordered readers work (standard warehouse
+        hygiene).  Honest measurement at 500k docs: the IN-filtered
+        doc_vec scan itself is cheap in BOTH layouts (~2-3 s for a
+        300-gram batch over ~10^8 rows); the batch-serving fill cost
+        lives in the score/rank pipeline above the scan.  At cluster
+        scale use bucketed tables (``bucketBy(term)``) to remove the
+        read-side shuffle entirely (save_bucketed already sorts)."""
+        from beyond_vector_search_spark.sources import fsutil
+
+        spark = self.doc_stats.sparkSession
+        n = fsutil.next_version(spark, path, "index")
+        root = f"{path}/index-v{n}"
+        self.doc_stats.write.mode("overwrite").parquet(f"{root}/doc_stats")
+        self.term_stats.write.mode("overwrite").parquet(f"{root}/term_stats")
         self.postings.repartition("term").sortWithinPartitions("term").write.mode(
             "overwrite"
-        ).parquet(f"{path}/postings")
-        self.gram_stats.write.mode("overwrite").parquet(f"{path}/gram_stats")
+        ).parquet(f"{root}/postings")
+        self.gram_stats.write.mode("overwrite").parquet(f"{root}/gram_stats")
         self.doc_vec.repartition("gram").sortWithinPartitions("gram").write.mode(
             "overwrite"
-        ).parquet(f"{path}/doc_vec")
-        self.doc_norm.write.mode("overwrite").parquet(f"{path}/doc_norm")
-        self.scalars.write.mode("overwrite").parquet(f"{path}/scalars")
-        self.doc_ids.write.mode("overwrite").parquet(f"{path}/doc_ids")
+        ).parquet(f"{root}/doc_vec")
+        self.doc_norm.write.mode("overwrite").parquet(f"{root}/doc_norm")
+        self.scalars.write.mode("overwrite").parquet(f"{root}/scalars")
+        self.doc_ids.write.mode("overwrite").parquet(f"{root}/doc_ids")
+        fsutil.commit_version(spark, path, "index", n)
+        fsutil.gc_versions(
+            spark, path, "index",
+            extra=tuple(f"{path}/{f}" for f in self._FIELDS),
+        )
+
+    @classmethod
+    def snapshot_ready(cls, spark, path: str) -> bool:
+        """True when ``path`` holds a COMPLETE, committed snapshot that
+        :meth:`load` can serve.  Checks the versioned commit marker
+        first (the only signal that is crash/race-safe); a legacy
+        flat layout (pre-r13 saves) is accepted only when its
+        LAST-written relation (doc_ids) exists — probing the first
+        relation would treat a crashed partial save as ready.  Routed
+        through the Hadoop FS API so HDFS/S3A snapshot roots probe
+        correctly on a cluster."""
+        from beyond_vector_search_spark.sources import fsutil
+
+        if fsutil.committed_versions(spark, path, "index"):
+            return True
+        return fsutil.exists(spark, f"{path}/doc_ids")
 
     @classmethod
     def load(cls, spark, path: str) -> "CorpusIndex":
-        """Load a persisted layout.  The 8 ``read.parquet`` calls each
+        """Load a persisted layout: the committed ``index-v{N}``
+        directory (versioned-pointer protocol), or the legacy flat
+        layout for pre-r13 stores.  The 8 ``read.parquet`` calls each
         pay a driver-side footer/schema read — issued concurrently
         (they are independent py4j calls), which matters for serving
         cold-start: load+materialize is the deployment's index_build.
@@ -346,9 +384,12 @@ class CorpusIndex:
         three-wave dependency order."""
         import concurrent.futures as cf
 
+        from beyond_vector_search_spark.sources import fsutil
+
+        root = fsutil.resolve_version(spark, path, "index", legacy=path)
         with cf.ThreadPoolExecutor(max_workers=len(cls._FIELDS)) as ex:
             dfs = list(
-                ex.map(lambda f: spark.read.parquet(f"{path}/{f}"), cls._FIELDS)
+                ex.map(lambda f: spark.read.parquet(f"{root}/{f}"), cls._FIELDS)
             )
         idx = cls(**dict(zip(cls._FIELDS, dfs)))
         idx._flat = True

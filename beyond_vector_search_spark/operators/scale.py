@@ -223,27 +223,31 @@ def zorder_value(*cols, bits: int = 16):
     return z
 
 
-def write_zordered(
+def _zorder_frame(
     df: DataFrame,
-    path: str,
     *cols,
     bits: int = 10,
     n_buckets: int | None = None,
-    n_files: int = 8,
-) -> None:
-    """Write ``df`` as parquet Z-ordered on ``cols`` (numeric):
-    each key is rank-bucketed to ``2^bits`` quantile buckets (ntile —
-    rank space, so skew cannot waste interleave bits), rows are
-    range-partitioned then sorted by the interleaved Z-value, and each
-    output file covers a compact hyper-rectangle of the key space.
+    exact: bool = False,
+):
+    """``(df + "_z" column, bits)`` — the rank-bucket + Morton-interleave
+    stage of :func:`write_zordered`, factored out so its plan can be
+    pinned shuffle-free by test.
 
-    Effect (pinned by test): a predicate on ANY of the z-ordered
-    columns prunes most row groups via parquet min/max stats — the
-    reader-side win that linear sort order only gives the FIRST sort
-    key.  The ntile ranking is one global-ish window per key at write
-    time (write-time cost, read-time win); at true 100 TB scale swap it
-    for approxQuantile-derived bucket bounds to avoid the window
-    entirely (same z-space, sampled bounds).
+    Default (``exact=False``): each key's bucket bounds come from ONE
+    ``approxQuantile`` pass (Greenwald-Khanna sketch, per-partition
+    merge — no shuffle, no window), and the per-row bucket is the
+    count of bounds ≤ value, a codegen-side higher-order ``filter``
+    over the literal bounds array.  Same z-space as exact ranking —
+    quantile buckets, so skew cannot waste interleave bits — at
+    sampled-bound precision (relativeError 1/(4·nb): a row lands at
+    most a fraction of a bucket away from its exact-rank bucket,
+    which moves it to an ADJACENT hyper-rectangle at worst; min/max
+    pruning still holds).  This is the 100 TB path: the old
+    ``ntile`` form moved the whole table through ONE partition.
+
+    ``exact=True`` keeps the exact-rank ``ntile`` window for small
+    inputs where exact bucket occupancy matters (equal-sized files).
     """
     from pyspark.sql import Window
 
@@ -256,13 +260,61 @@ def write_zordered(
         bits = (nb - 1).bit_length()
     ranked = df
     rank_cols = []
-    for i, c in enumerate(cols):
-        rc = f"_zr{i}"
-        ranked = ranked.withColumn(
-            rc, (F.ntile(nb).over(Window.orderBy(F.col(c))) - 1).cast("long")
-        )
-        rank_cols.append(rc)
+    if exact:
+        for i, c in enumerate(cols):
+            rc = f"_zr{i}"
+            ranked = ranked.withColumn(
+                rc, (F.ntile(nb).over(Window.orderBy(F.col(c))) - 1).cast("long")
+            )
+            rank_cols.append(rc)
+    else:
+        names = [c if isinstance(c, str) else df.select(c).columns[0] for c in cols]
+        probs = [i / nb for i in range(1, nb)]
+        all_bounds = df.select(
+            *[F.col(n).cast("double").alias(n) for n in names]
+        ).approxQuantile(names, probs, 1.0 / (4 * nb))
+        for i, (c, bounds) in enumerate(zip(cols, all_bounds)):
+            rc = f"_zr{i}"
+            # clamp to nb-1: approxQuantile dups can make every bound
+            # ≤ max-value rows' count reach nb on degenerate columns
+            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            v = (F.col(c) if isinstance(c, str) else c).cast("double")
+            ranked = ranked.withColumn(
+                rc,
+                F.least(
+                    F.size(F.filter(arr, lambda b: b <= v)).cast("long"),
+                    F.lit(nb - 1).cast("long"),
+                ),
+            )
+            rank_cols.append(rc)
     zed = ranked.withColumn("_z", zorder_value(*rank_cols, bits=bits)).drop(*rank_cols)
+    return zed, bits
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *cols,
+    bits: int = 10,
+    n_buckets: int | None = None,
+    n_files: int = 8,
+    exact: bool = False,
+) -> None:
+    """Write ``df`` as parquet Z-ordered on ``cols`` (numeric):
+    each key is rank-bucketed to ``2^bits`` quantile buckets, rows are
+    range-partitioned then sorted by the interleaved Z-value, and each
+    output file covers a compact hyper-rectangle of the key space.
+
+    Effect (pinned by test): a predicate on ANY of the z-ordered
+    columns prunes most row groups via parquet min/max stats — the
+    reader-side win that linear sort order only gives the FIRST sort
+    key.  Bucketing is approxQuantile-sampled by default (no window,
+    no single-partition shuffle — see :func:`_zorder_frame`); pass
+    ``exact=True`` for the exact-rank ``ntile`` form on small inputs.
+    """
+    zed, bits = _zorder_frame(
+        df, *cols, bits=bits, n_buckets=n_buckets, exact=exact
+    )
     # Partition by the z-value's TOP bits via directory partitioning —
     # EXACT quadrant boundaries, where repartitionByRange's sampled
     # cuts would straddle them and smear two hyper-rectangles into one

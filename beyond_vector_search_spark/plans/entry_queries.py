@@ -166,25 +166,27 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> ci.CorpusIndex:
             if snap_root
             else None
         )
-        if snap_dir and os.path.isdir(os.path.join(snap_dir, "doc_stats")):
+        # readiness = the versioned commit marker (CorpusIndex.save's
+        # atomic commit point), probed through the Hadoop FS API — an
+        # in-progress or crashed save is invisible here, and a cluster
+        # snapshot root (hdfs://, s3a://) probes correctly.  Probing
+        # os.path on the first-written relation (the pre-r13 check)
+        # could adopt a partial layout as complete.
+        if snap_dir and ci.CorpusIndex.snapshot_ready(spark, snap_dir):
+            idx0 = ci.CorpusIndex.load(spark, snap_dir)
             # scale-aware cache profile (the crossover rule): past 100k
             # docs the big relations stay parquet-backed — compiled
             # serving pushes its IN filters into those scans, and
             # caching them in full is what starved the default heap
             # during 500k batch fills.  The count is parquet-footer
             # metadata only.
-            n_docs = spark.read.parquet(os.path.join(snap_dir, "doc_ids")).count()
+            n_docs = idx0.doc_ids.count()
             skip = (
                 ("scalars",)
                 if n_docs < 100_000
                 else ("scalars", "postings", "doc_vec", "doc_ids")
             )
-            idx = (
-                ci.CorpusIndex.load(spark, snap_dir)
-                .cache(skip=skip)
-                .materialize()
-                .warm_idf()
-            )
+            idx = idx0.cache(skip=skip).materialize().warm_idf()
             _INDEX_CACHE[key] = idx
             return idx
         docs = load_table(spark, sf_dir, "documents")

@@ -3055,3 +3055,23 @@ def test_skew_profile_composite_key(spark):
     )
     got = {(r["a"], r["b"]): r["n_rows"] for r in skew_profile(df, ["a", "b"]).collect()}
     assert got == {("x", 1): 4, ("x", 2): 2, ("y", 1): 2}
+
+
+def test_zorder_default_plan_has_no_single_partition_window(spark):
+    """The default (approxQuantile-sampled) rank bucketing must keep
+    the z-value plan window-free and single-partition-exchange-free —
+    the exact-rank ntile form moves the whole table through ONE
+    partition and is opt-in only (exact=True)."""
+    from beyond_vector_search_spark.operators.scale import _zorder_frame
+
+    df = spark.range(4_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1_000))).alias("x"),
+        (F.pmod(F.xxhash64((F.col("id") + 1).cast("long")), F.lit(1_000))).alias("y"),
+    )
+    zed, _ = _zorder_frame(df, "x", "y", bits=6)
+    plan = zed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    exact, _ = _zorder_frame(df, "x", "y", bits=6, exact=True)
+    eplan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in eplan  # the opt-in exact form is the old shape

@@ -226,6 +226,7 @@ def test_snapshot_dir_env_build_save_then_load(spark, tmp_path, monkeypatch):
     and serves identical rows."""
     import os
 
+    from beyond_vector_search_spark.operators.corpus_index import CorpusIndex
     from beyond_vector_search_spark.plans import entry_queries as eq
 
     sf = "/root/testdata/sf0.001"
@@ -237,8 +238,11 @@ def test_snapshot_dir_env_build_save_then_load(spark, tmp_path, monkeypatch):
         built = eq._docs_index(spark, sf)
         assert not getattr(built, "_flat", False), "first call must build"
         snap_dir = os.path.join(root, os.path.basename(sf))
-        assert os.path.isdir(os.path.join(snap_dir, "doc_stats")), (
-            "build under the root must persist the layout"
+        assert CorpusIndex.snapshot_ready(spark, snap_dir), (
+            "build under the root must persist AND commit the layout"
+        )
+        assert os.path.isdir(os.path.join(snap_dir, "index-v0", "doc_stats")), (
+            "r13 layout: relations live under the committed index-v{N} dir"
         )
         want = sorted(
             (r.query_id, r.doc_id, round(r.score, 9), r.rank)
@@ -261,3 +265,59 @@ def test_snapshot_dir_env_build_save_then_load(spark, tmp_path, monkeypatch):
         for k in [k for k in list(memo) if isinstance(k, tuple) and sf in k]:
             memo.pop(k)
         memo.update(saved)
+
+
+def test_corpus_snapshot_commit_protocol(spark, corpus_index, tmp_path):
+    """CorpusIndex.save commits via the versioned-pointer protocol
+    (r13): a crashed partial save is invisible to readiness/load, a
+    committed save is adopted atomically, re-saves GC old versions,
+    and a pre-r13 flat layout still loads (with migration GC)."""
+    import os
+
+    from beyond_vector_search_spark.operators.corpus_index import CorpusIndex
+
+    _, idx = corpus_index
+    path = str(tmp_path / "snap")
+    # a crashed writer: data directories exist, no commit marker
+    idx.doc_stats.write.parquet(f"{path}/index-v0/doc_stats")
+    idx.term_stats.write.parquet(f"{path}/index-v0/term_stats")
+    assert not CorpusIndex.snapshot_ready(spark, path), (
+        "uncommitted partial layout must not look ready"
+    )
+    # a committed save IS ready, and never reuses the crashed v0 dir
+    idx.save(path)
+    assert CorpusIndex.snapshot_ready(spark, path)
+    assert os.path.isdir(f"{path}/index-v1")
+    l1 = CorpusIndex.load(spark, path)
+    assert sorted(r.doc_id for r in l1.doc_ids.collect()) == [1, 2, 3, 4, 5]
+    # re-save commits a fresh version and GCs the superseded one
+    idx.save(path)
+    assert os.path.isdir(f"{path}/index-v2")
+    assert not os.path.isdir(f"{path}/index-v1")
+    assert sorted(
+        r.doc_id for r in CorpusIndex.load(spark, path).doc_ids.collect()
+    ) == [1, 2, 3, 4, 5]
+
+    # legacy pre-r13 flat layout: ready only once the LAST-written
+    # relation (doc_ids) exists; load resolves it; the next save
+    # migrates it away
+    legacy = str(tmp_path / "legacy")
+    for f in CorpusIndex._FIELDS:
+        if f == "doc_ids":
+            continue
+        getattr(idx, f).write.parquet(f"{legacy}/{f}")
+    assert not CorpusIndex.snapshot_ready(spark, legacy), (
+        "flat layout without its last relation is a crashed save"
+    )
+    idx.doc_ids.write.parquet(f"{legacy}/doc_ids")
+    assert CorpusIndex.snapshot_ready(spark, legacy)
+    l2 = CorpusIndex.load(spark, legacy)
+    assert sorted(r.doc_id for r in l2.doc_ids.collect()) == [1, 2, 3, 4, 5]
+    idx.save(legacy)
+    assert CorpusIndex.snapshot_ready(spark, legacy)
+    assert not os.path.isdir(f"{legacy}/doc_stats"), (
+        "migrating save must GC the flat field directories"
+    )
+    assert sorted(
+        r.doc_id for r in CorpusIndex.load(spark, legacy).doc_ids.collect()
+    ) == [1, 2, 3, 4, 5]
