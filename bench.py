@@ -304,7 +304,7 @@ def main() -> None:
             crossover = {
                 "copies": copies,
                 "protocol": "cached-arms",
-                **cx.time_spark(spark, copies, queries_df),
+                **cx.time_spark(spark, copies, queries_df)["rebuild"],
             }
             print(f"# crossover x{copies}: {time.time()-t0:.2f}s {crossover}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001

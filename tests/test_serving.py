@@ -321,3 +321,35 @@ def test_corpus_snapshot_commit_protocol(spark, corpus_index, tmp_path):
     assert sorted(
         r.doc_id for r in CorpusIndex.load(spark, legacy).doc_ids.collect()
     ) == [1, 2, 3, 4, 5]
+
+
+def test_save_layout_doc_placed_term_sorted(spark, corpus_index, tmp_path):
+    """The persisted postings/doc_vec layout (r13): rows are PLACED by
+    doc_id (each doc's contributions co-locate, so the serving score
+    aggregation's map-side combine collapses to final-size groups
+    before the exchange) and SORTED by term/gram within each file (so
+    the compiled IN filter still prunes row groups via min/max stats).
+    Measured basis: batch-100 fills at 50k docs were 8.1/11.6 s with
+    term placement vs 1.9/2.9 s with doc placement."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from beyond_vector_search_spark.operators.corpus_index import CorpusIndex
+
+    _, idx = corpus_index
+    path = str(tmp_path / "layout")
+    idx.save(path)
+    for rel, key in (("postings", "term"), ("doc_vec", "gram")):
+        files = glob.glob(f"{path}/index-v0/{rel}/*.parquet")
+        assert files
+        seen_docs: dict[object, str] = {}
+        for f in files:
+            t = pq.read_table(f, columns=["doc_id", key])
+            docs = set(t.column("doc_id").to_pylist())
+            for d in docs:
+                assert seen_docs.setdefault(d, f) == f, (
+                    f"{rel}: doc {d} split across files — placement must be by doc_id"
+                )
+            keys = t.column(key).to_pylist()
+            assert keys == sorted(keys), f"{rel}: {key} not sorted within {f}"

@@ -98,6 +98,9 @@ def time_reference(rows: list[tuple[int, str]], queries: list[str]) -> dict:
 
 
 def time_spark(spark, copies: int, queries_df, *, snapshot: bool = False):
+    """{"rebuild": timings, "snapshot": timings | None} — one return
+    shape regardless of ``snapshot``, so callers (bench.py splats the
+    rebuild dict) can't silently mis-unpack a mode-dependent tuple."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -242,7 +245,7 @@ def _time_spark_scaled(spark, scaled, n_docs, level, queries_df, *, snapshot=Fal
     if not snapshot:
         # release executor memory between scales
         _release(idx)
-        return out
+        return {"rebuild": out, "snapshot": None}
 
     # Deployment regime (the bench.py r11 protocol, A/B'd here against
     # the rebuild regime above on the SAME corpus in the SAME session):
@@ -292,7 +295,7 @@ def _time_spark_scaled(spark, scaled, n_docs, level, queries_df, *, snapshot=Fal
         _release(idx2)
     finally:
         shutil.rmtree(snap_dir, ignore_errors=True)
-    return out, snap
+    return {"rebuild": out, "snapshot": snap}
 
 
 def main() -> int:
@@ -314,7 +317,8 @@ def main() -> int:
             (i + k * 10_000_000, t) for k in range(c) for i, t in rows
         ]
         ref = time_reference(scaled_rows, [q for _, q in QUERY_SET])
-        eng, snap = time_spark(spark, c, queries_df, snapshot=True)
+        timed = time_spark(spark, c, queries_df, snapshot=True)
+        eng, snap = timed["rebuild"], timed["snapshot"]
         rec = {
             "n_docs": len(scaled_rows),
             "copies": c,
