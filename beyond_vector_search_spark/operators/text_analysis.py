@@ -321,35 +321,108 @@ def registered_domains(
     out_col: str = "domain",
 ) -> DataFrame:
     """``df`` plus an ``out_col`` registered-domain column, resolved
-    against a RUNTIME suffix table (one ``suffix`` string column — the
-    full public-suffix list, a curated policy table, whatever the
-    deployment tracks).  Broadcast left join on the host's last two
-    labels: the suffix table is dimension-sized (~10k rows), the corpus
-    never moves.  Same pick logic as :func:`registered_domain` — the
-    two forms agree wherever their tables agree (pinned by
-    tests/test_url_profile.py)."""
+    against a RUNTIME suffix table (one ``suffix`` string column) with
+    full public-suffix-list matching semantics (r13):
+
+    - plain rules of ANY depth (``co.uk``, ``pref.aichi.jp``) — the
+      longest matching rule prevails;
+    - wildcard rules (``*.ck``): every single label under the tail is
+      itself a public suffix;
+    - exception rules (``!www.ck``, ``!city.kobe.jp``): the exception
+      prevails over any wildcard/plain match, and the matched labels
+      ARE the registered domain;
+    - no rule matches → the implicit ``*`` rule (last label is the
+      suffix, last two labels are the domain).
+
+    One engine-policy divergence from the upstream PSL algorithm,
+    shared with :func:`registered_domain` and pinned by the parity
+    test: a host that IS exactly a listed public suffix keeps its own
+    name (upstream says "no registered domain") so the row stays
+    visible in budget/blocklist groupings.
+
+    Plan shape: the rule table is grouped per key-label-depth and each
+    depth is one BROADCAST left join on the host's last-k labels — the
+    corpus never shuffles; depth count (a PSL property, ≤5 in the real
+    list) is read off the dimension with one tiny job.  Temp columns
+    are namespaced away from the caller's schema (any ``_psl*``-like
+    collision widens the prefix)."""
     host = F.lower(F.col(host_col))
-    last2 = F.nullif(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1), F.lit(""))
-    last3 = F.nullif(
-        F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1), F.lit("")
-    )
-    dim = suffixes.select(
-        F.lower(F.col("suffix")).alias("_l2"), F.lit(True).alias("_is_multi")
+    # collision-free namespace for every temp column this op adds
+    p = "_psl"
+    while any(c.startswith(p) for c in df.columns):
+        p = "_" + p
+
+    rules = suffixes.select(F.lower(F.col("suffix")).alias("r")).where(
+        F.col("r").isNotNull() & (F.col("r") != "")
     ).distinct()
-    return (
-        df.withColumn("_l2", last2)
-        .withColumn("_l3", last3)
-        .join(F.broadcast(dim), "_l2", "left")
-        .withColumn(
-            out_col,
-            F.when(
-                F.coalesce(F.col("_is_multi"), F.lit(False))
-                & F.col("_l3").isNotNull(),
-                F.col("_l3"),
-            ).otherwise(F.col("_l2")),
-        )
-        .drop("_l2", "_l3", "_is_multi")
+    parsed = rules.select(
+        F.when(F.col("r").startswith("!"), F.expr("substring(r, 2)"))
+        .when(F.col("r").startswith("*."), F.expr("substring(r, 3)"))
+        .otherwise(F.col("r"))
+        .alias("key"),
+        F.col("r").startswith("!").alias("exc"),
+        F.col("r").startswith("*.").alias("wild"),
     )
+    # one row per key: a key may carry plain AND wildcard AND exception
+    # roles (e.g. "ck" via "ck" + "*.ck"); depth = label count of the key
+    dim = (
+        parsed.groupBy("key")
+        .agg(
+            F.max(~F.col("exc") & ~F.col("wild")).alias("plain"),
+            F.max("wild").alias("wild"),
+            F.max("exc").alias("exc"),
+        )
+        .withColumn("k", F.size(F.split("key", r"\.")))
+    )
+    ks = sorted(r["k"] for r in dim.select("k").distinct().collect())
+
+    lab, hl = f"{p}_labels", f"{p}_hl"
+    out = df.withColumn(lab, F.split(host, r"\.")).withColumn(
+        hl, F.size(F.col(lab))
+    )
+    for k in ks:
+        sk = f"{p}_s{k}"
+        out = out.withColumn(
+            sk,
+            F.when(
+                F.col(hl) >= k, F.array_join(F.slice(F.col(lab), -k, k), ".")
+            ),
+        )
+        dimk = dim.where(F.col("k") == k).select(
+            F.col("key").alias(sk),
+            F.col("plain").alias(f"{p}_p{k}"),
+            F.col("wild").alias(f"{p}_w{k}"),
+            F.col("exc").alias(f"{p}_e{k}"),
+        )
+        out = out.join(F.broadcast(dimk), sk, "left")
+
+    def last_n(n):
+        return F.array_join(F.slice(F.col(lab), -n, n), ".")
+
+    def greatest(cands):
+        if not cands:
+            return F.lit(None).cast("int")
+        return cands[0] if len(cands) == 1 else F.greatest(*cands)
+
+    # prevailing rule: exception first, else deepest match, else implicit
+    exc_len = greatest([F.when(F.col(f"{p}_e{k}"), F.lit(k)) for k in ks])
+    explicit_eff = greatest(
+        [F.when(F.col(f"{p}_p{k}"), F.lit(k)) for k in ks]
+        + [
+            F.when(F.col(f"{p}_w{k}") & (F.col(hl) >= k + 1), F.lit(k + 1))
+            for k in ks
+        ]
+    )
+    eff = F.coalesce(explicit_eff, F.lit(1))
+    domain = (
+        F.when(exc_len.isNotNull(), last_n(exc_len))
+        .when(F.col(hl) >= eff + 1, last_n(eff + 1))
+        .when(explicit_eff.isNotNull() & (F.col(hl) == eff), host)
+    )
+    drop = [lab, hl] + [
+        f"{p}_{tag}{k}" for k in ks for tag in ("s", "p", "w", "e")
+    ]
+    return out.withColumn(out_col, domain).drop(*drop)
 
 
 def url_parts(col: Column | str) -> dict[str, Column]:

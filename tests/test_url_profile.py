@@ -120,3 +120,77 @@ def test_registered_domains_join_form_parity(spark):
     # the join plan must broadcast the dimension, never shuffle the fact
     plan = registered_domains(df, sfx)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_registered_domains_full_psl_semantics(spark):
+    """Full PSL matching in the join form (r13): wildcard rules,
+    exception rules, deeper-than-2-label registries, longest-match
+    precedence, and the engine's keep-the-name policy when the host
+    IS a listed suffix.  Cases follow publicsuffix.org's test vectors
+    for *.ck/!www.ck and *.kobe.jp/!city.kobe.jp."""
+    from beyond_vector_search_spark.operators.text_analysis import (
+        registered_domains,
+    )
+
+    sfx = spark.createDataFrame(
+        [
+            ("co.uk",),
+            ("pref.aichi.jp",),   # 3-label plain registry
+            ("*.ck",),            # wildcard
+            ("!www.ck",),         # exception under the wildcard
+            ("*.kobe.jp",),
+            ("!city.kobe.jp",),
+        ],
+        "suffix string",
+    )
+    hosts = [
+        "www.bbc.co.uk",          # 2-label plain -> bbc.co.uk
+        "www.pref.aichi.jp",      # 3-label plain -> www.pref.aichi.jp
+        "docs.www.pref.aichi.jp", # deeper host, same registry
+        "www.example.ck",         # wildcard: example.ck is a suffix
+        "example.ck",             # host IS a wildcard suffix (policy: keep)
+        "www.ck",                 # exception beats the wildcard
+        "sub.www.ck",             # under the exception's domain
+        "www.city.kobe.jp",       # exception: city.kobe.jp is the domain
+        "city.kobe.jp",
+        "other.kobe.jp",          # wildcard: other.kobe.jp is a suffix
+        "x.other.kobe.jp",
+        "plain.example.com",      # no rule -> implicit last-2
+        "localhost",              # single label -> null
+        None,
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r["host"]: r["domain"] for r in registered_domains(df, sfx).collect()}
+    assert got["www.bbc.co.uk"] == "bbc.co.uk"
+    assert got["www.pref.aichi.jp"] == "www.pref.aichi.jp"
+    assert got["docs.www.pref.aichi.jp"] == "www.pref.aichi.jp"
+    assert got["www.example.ck"] == "www.example.ck"
+    assert got["example.ck"] == "example.ck"      # keep-the-name policy
+    assert got["www.ck"] == "www.ck"              # exception rule
+    assert got["sub.www.ck"] == "www.ck"          # exception domain
+    assert got["www.city.kobe.jp"] == "city.kobe.jp"
+    assert got["city.kobe.jp"] == "city.kobe.jp"
+    assert got["other.kobe.jp"] == "other.kobe.jp"
+    assert got["x.other.kobe.jp"] == "x.other.kobe.jp"
+    assert got["plain.example.com"] == "example.com"
+    assert got["localhost"] is None
+    assert got[None] is None
+
+
+def test_registered_domains_temp_name_collision_safe(spark):
+    """A caller frame that already has _psl*-prefixed columns keeps
+    them untouched (the op widens its temp-name prefix)."""
+    from beyond_vector_search_spark.operators.text_analysis import (
+        registered_domains,
+    )
+
+    df = spark.createDataFrame(
+        [("www.bbc.co.uk", "keepme", 7)],
+        "host string, _psl_s2 string, _psl_labels int",
+    )
+    sfx = spark.createDataFrame([("co.uk",)], "suffix string")
+    out = registered_domains(df, sfx)
+    row = out.collect()[0]
+    assert row["domain"] == "bbc.co.uk"
+    assert row["_psl_s2"] == "keepme" and row["_psl_labels"] == 7
+    assert set(out.columns) == {"host", "_psl_s2", "_psl_labels", "domain"}
