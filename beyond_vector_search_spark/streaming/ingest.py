@@ -136,6 +136,7 @@ def upsert_delta_batch(
     id_col: str = "doc_id",
     text: Column | str = "text",
     cfg: EngineConfig = DEFAULT,
+    auto_compact_epochs: int | None = None,
 ) -> bool:
     """UPSERT one micro-batch into the delta store at ``path`` — the
     reconciliation form of :func:`append_delta_batch` for sources that
@@ -179,10 +180,22 @@ def upsert_delta_batch(
     the text it replaces re-reading), filtered to the batch's own ids
     by a broadcast semi join.  That scan is digest-sized, not
     text-sized, but it is not partition-prunable (partitions are by
-    epoch, the filter is by id) — at billions of documents run
-    :func:`compact_upsert_store` periodically so history stays one
-    folded partition, or go further and keep the compacted digest
-    table bucketed by id so the per-batch semi join prunes buckets.
+    epoch, the filter is by id) — so the history read grows one
+    partition per landed epoch, unboundedly.  ``auto_compact_epochs``
+    bounds it (r13): once the digest relation holds at least that many
+    epoch partitions after a land, the batch runs
+    :func:`compact_upsert_store` inline, folding history back to ONE
+    partition — per-epoch cost stays flat across arbitrarily many
+    epochs, at a periodic corpus-sized rewrite amortized over N
+    epochs.  It is safe at any point: epoch markers survive the fold
+    (the replay guard), and a compact only runs AFTER this epoch's
+    marker commits, so a replayed epoch can never diff against a
+    history that already folded its own rows in.  The streaming entry
+    point :func:`start_upsert_ingest` defaults it ON; the manual batch
+    form defaults it off for callers that schedule compaction
+    themselves.  At billions of documents, additionally keep the
+    compacted digest table bucketed by id so the per-batch semi join
+    prunes buckets.
 
     Compaction: use :func:`compact_upsert_store` (folds the LWW state
     and PRESERVES the digest history).  The generic
@@ -257,6 +270,14 @@ def upsert_delta_batch(
         marker,
         {"batch_id": batch_id, "n_docs": docs.count(), "n_landed": n_landed},
     )
+    if auto_compact_epochs is not None:
+        n_epochs = sum(
+            1
+            for d in fsutil.list_names(spark, dig_dir)
+            if d.startswith("batch_id=")
+        )
+        if n_epochs >= auto_compact_epochs:
+            compact_upsert_store(spark, path)
     return True
 
 
@@ -301,16 +322,20 @@ def upsert_store_history(spark, path: str) -> DataFrame:
     digest whose doc_id first appears at that epoch is ``added``, any
     later landing is ``changed`` (the doc already had a version).
     Digest-sized scan, two aggregations; the dashboard/ops view of a
-    change-feed ingest.  Epochs whose documents all skipped
-    (unchanged re-deliveries) appear with n_landed=0 only if the
-    empty partition was written — i.e. every epoch that ran appears."""
+    change-feed ingest.  Every epoch PARTITION appears: an epoch whose
+    documents all skipped (unchanged re-deliveries) wrote a zero-row
+    digest partition, which the aggregation alone would drop — the
+    partition-directory list (dimension-sized, driver-side) is outer-
+    joined back in so those epochs report n_landed=0.  Epochs folded
+    by :func:`compact_upsert_store` are summarized under batch_id=0
+    (compaction rewrites history by design)."""
     from pyspark.sql import functions as F
 
     root = IndexDelta._root(spark, path)
     spark.catalog.refreshByPath(f"{root}/digests")
     dig = spark.read.parquet(f"{root}/digests")
     first = dig.groupBy("id").agg(F.min("batch_id").alias("_first"))
-    return (
+    agg = (
         dig.join(first, "id")
         .groupBy("batch_id")
         .agg(
@@ -322,6 +347,18 @@ def upsert_store_history(spark, path: str) -> DataFrame:
                 (F.col("batch_id") != F.col("_first")).cast("long")
             ).alias("n_changed"),
         )
+    )
+    epochs = sorted(
+        int(d.split("=", 1)[1])
+        for d in fsutil.list_names(spark, f"{root}/digests")
+        if d.startswith("batch_id=")
+    )
+    edf = dig.sparkSession.createDataFrame(
+        [(e,) for e in epochs], "batch_id int"
+    )
+    return (
+        edf.join(agg, "batch_id", "left")
+        .fillna(0, ["n_landed", "n_added", "n_changed"])
         .orderBy("batch_id")
     )
 
@@ -374,17 +411,26 @@ def start_upsert_ingest(
     cfg: EngineConfig = DEFAULT,
     trigger: dict | None = None,
     checkpoint: str | None = None,
+    auto_compact_epochs: int | None = 16,
 ):
     """Start the streaming UPSERT ingest: like :func:`start_index_ingest`
     but for change feeds that re-deliver updated documents — each
     micro-batch reconciles against the store's digest history
     (:func:`upsert_delta_batch`), so a changed document REPLACES its
     index rows and an identical re-delivery writes nothing.  Read the
-    store with :func:`load_upsert_delta` (LWW merge-on-read)."""
+    store with :func:`load_upsert_delta` (LWW merge-on-read).
+
+    ``auto_compact_epochs`` (default 16) keeps the per-epoch diff cost
+    flat under a long-running stream by folding the store once its
+    digest history reaches that many epoch partitions — see
+    :func:`upsert_delta_batch`.  ``None`` disables (history grows one
+    partition per landed epoch until a manual
+    :func:`compact_upsert_store`)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         upsert_delta_batch(
-            batch_df, batch_id, path, id_col=id_col, text=text, cfg=cfg
+            batch_df, batch_id, path, id_col=id_col, text=text, cfg=cfg,
+            auto_compact_epochs=auto_compact_epochs,
         )
 
     w = doc_stream.writeStream.foreachBatch(sink).outputMode("append")
@@ -483,6 +529,98 @@ def start_vector_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         append_vector_batch(
             batch_df, batch_id, store_path, id_col=id_col, vec_col=vec_col
+        )
+
+    w = vec_stream.writeStream.foreachBatch(sink).outputMode("append")
+    if trigger:
+        w = w.trigger(**trigger)
+    w = w.option(
+        "checkpointLocation", checkpoint or os.path.join(store_path, "_checkpoint")
+    )
+    return w.start()
+
+
+def append_graph_batch(
+    vec_batch: DataFrame,
+    batch_id: int,
+    store_path: str,
+    *,
+    base_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **extend_kw,
+) -> bool:
+    """Extend the persisted :class:`KnnGraphIndex` at ``store_path``
+    with ONE micro-batch of vectors (``nndescent_extend`` under
+    ``KnnGraphIndex.append`` — only the batch's new nodes and their
+    blast-radius base lists are rewritten, LWW per node).  Returns
+    False on skip.
+
+    Same idempotence story as :func:`append_vector_batch`: a retried
+    epoch overwrites its own ``batch_id=N`` directory, the marker file
+    is the fast-skip plus the replay guard after a compact/rebuild
+    folds batch directories, and epoch ids are offset by +1 so
+    streaming epoch 0 never collides with the initial build's
+    ``batch_id=0``.
+
+    ``base_embeddings`` supplies vectors for the store's EXISTING
+    nodes (the graph persists structure only — see
+    ``KnnGraphIndex.search``); pass the corpus embeddings table the
+    stream also lands into — ``append`` restricts it to the store's
+    node set, and it is re-read fresh each epoch so earlier epochs'
+    vectors are visible to later ones."""
+    from beyond_vector_search_spark.operators.similarity import KnnGraphIndex
+
+    spark = vec_batch.sparkSession
+    marker = _batch_marker(store_path, batch_id)
+    if fsutil.exists(spark, marker):
+        return False
+    KnnGraphIndex.append(
+        spark,
+        store_path,
+        base_embeddings,
+        vec_batch,
+        id_col=id_col,
+        vec_col=vec_col,
+        batch_id=batch_id + 1,
+        **extend_kw,
+    )
+    _write_marker(
+        spark, marker, {"batch_id": batch_id, "n_vecs": vec_batch.count()}
+    )
+    return True
+
+
+def start_graph_ingest(
+    vec_stream: DataFrame,
+    store_path: str,
+    *,
+    base_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger: dict | None = None,
+    checkpoint: str | None = None,
+    **extend_kw,
+):
+    """Start a streaming kNN-graph maintenance query: tail a streaming
+    embeddings DataFrame and keep the persisted :class:`KnnGraphIndex`
+    at ``store_path`` current (readStream → foreachBatch →
+    :func:`append_graph_batch`) — :func:`start_vector_ingest` for the
+    graph-ANN backbone.  Serving jobs observe the extended graph on
+    their next ``load``.  ``base_embeddings`` is the corpus embeddings
+    table covering every ingested vector (structure-only store); a
+    drained stream equals the same batches applied by in-session
+    ``nndescent_extend`` (pinned by test)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_graph_batch(
+            batch_df,
+            batch_id,
+            store_path,
+            base_embeddings=base_embeddings,
+            id_col=id_col,
+            vec_col=vec_col,
+            **extend_kw,
         )
 
     w = vec_stream.writeStream.foreachBatch(sink).outputMode("append")

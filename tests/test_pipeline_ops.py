@@ -2859,3 +2859,67 @@ def test_pii_scrub_counts_reconcile_with_redactions(spark):
     assert rows[1].n_emails == 1 and rows[1].n_ips == 0
     assert rows[2].n_emails == 1 and rows[2].n_ips == 1
     assert rows[3].n_phones == 1
+
+
+def test_streaming_graph_ingest_extends_store(spark, tmp_path):
+    """Streaming kNN-graph maintenance (r13): a file-source embedding
+    stream drains through foreachBatch → KnnGraphIndex.append; the
+    resulting store equals the same batches applied by in-session
+    nndescent_extend, each epoch lands in its own LWW batch_id=N
+    directory, and a replayed epoch is skipped by its marker."""
+    import glob
+
+    from beyond_vector_search_spark.operators import similarity as sim
+    from beyond_vector_search_spark.sources import fsutil
+    from beyond_vector_search_spark.sources.readers import load_table
+    from beyond_vector_search_spark.streaming.ingest import (
+        append_graph_batch,
+        start_graph_ingest,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        "vec_id < 260"
+    )
+    base = emb.where("vec_id < 200")
+    b1 = emb.where("vec_id >= 200 AND vec_id < 230")
+    b2 = emb.where("vec_id >= 230")
+    key = lambda df: sorted(  # noqa: E731
+        (r["node_id"], r["neighbor_id"], r["cos"], r["rank"]) for r in df.collect()
+    )
+
+    idx = sim.KnnGraphIndex.build(base, k=5, iterations=2)
+    store = str(tmp_path / "stream_gstore")
+    idx.save(store)
+
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    # base_embeddings = the corpus embeddings table: covers base AND
+    # earlier epochs' vectors by the time later epochs extend
+    q = start_graph_ingest(
+        stream, store, base_embeddings=emb,
+        trigger={"availableNow": True}, iterations=2,
+    )
+    q.awaitTermination(300)
+
+    # parity: drained stream == the same two extends applied in session
+    g1 = sim.nndescent_extend(base, b1, idx.graph, k=5, iterations=2)
+    g2 = sim.nndescent_extend(
+        base.unionByName(b1), b2, g1, k=5, iterations=2
+    )
+    loaded = sim.KnnGraphIndex.load(spark, store)
+    assert key(loaded.graph) == key(g2)
+
+    # one LWW batch directory per epoch (+ the build's batch 0)
+    root = fsutil.resolve_version(spark, store, "graph")
+    assert len(glob.glob(f"{root}/batch_id=*")) == 3
+
+    # replayed epoch: marker short-circuits, store unchanged
+    assert append_graph_batch(b1, 0, store, base_embeddings=emb) is False
+    assert key(sim.KnnGraphIndex.load(spark, store).graph) == key(g2)

@@ -418,3 +418,98 @@ def test_upsert_store_history_report(spark, tmp_path):
         for r in upsert_store_history(spark, store).collect()
     }
     assert hist == {1: (2, 2, 0), 2: (2, 1, 1)}
+
+
+def test_upsert_history_reports_all_unchanged_epochs(spark, tmp_path):
+    """An epoch whose documents all skipped (unchanged re-deliveries)
+    writes a zero-row digest partition; the report must still show it,
+    as n_landed=0 — the aggregation alone would drop it."""
+    from beyond_vector_search_spark.streaming.ingest import (
+        upsert_delta_batch,
+        upsert_store_history,
+    )
+
+    schema = "doc_id BIGINT, text STRING"
+    store = str(tmp_path / "hist0_store")
+    upsert_delta_batch(
+        spark.createDataFrame([(1, "a"), (2, "b")], schema), 0, store
+    )
+    # identical re-delivery: nothing lands, the epoch still ran
+    upsert_delta_batch(
+        spark.createDataFrame([(1, "a"), (2, "b")], schema), 1, store
+    )
+    hist = {
+        r["batch_id"]: (r["n_landed"], r["n_added"], r["n_changed"])
+        for r in upsert_store_history(spark, store).collect()
+    }
+    assert hist == {1: (2, 2, 0), 2: (0, 0, 0)}
+
+
+def test_upsert_auto_compact_bounds_digest_history(spark, tmp_path):
+    """auto_compact_epochs folds the digest history back to ONE
+    partition once the threshold is reached, without changing the
+    LWW view — the bound that keeps per-epoch diff cost flat under a
+    long-running stream."""
+    import os
+
+    from beyond_vector_search_spark.operators.corpus_index import (
+        IndexDelta,
+        build_delta,
+        index_from_delta,
+    )
+    from beyond_vector_search_spark.streaming.ingest import (
+        load_upsert_delta,
+        upsert_delta_batch,
+    )
+
+    schema = "doc_id BIGINT, text STRING"
+    store = str(tmp_path / "ac_store")
+
+    def n_digest_parts():
+        root = IndexDelta._root(spark, store)
+        return sum(
+            1
+            for d in os.listdir(f"{root}/digests")
+            if d.startswith("batch_id=")
+        )
+
+    # epochs 0..3 at threshold 3: epochs 0-1 accumulate, epoch 2's land
+    # crosses the threshold and folds, epoch 3 lands on the fold
+    docs = {
+        0: [(1, "alpha"), (2, "beta")],
+        1: [(2, "beta v2"), (3, "gamma")],
+        2: [(4, "delta")],
+        3: [(1, "alpha v2"), (5, "epsilon")],
+    }
+    for e, rows in docs.items():
+        upsert_delta_batch(
+            spark.createDataFrame(rows, schema), e, store,
+            auto_compact_epochs=3,
+        )
+        if e == 1:
+            assert n_digest_parts() == 2  # below threshold: no fold
+        if e == 2:
+            assert n_digest_parts() == 1  # folded at the threshold
+    assert n_digest_parts() == 2  # fold + epoch 3's fresh partition
+
+    final = [(1, "alpha v2"), (2, "beta v2"), (3, "gamma"),
+             (4, "delta"), (5, "epsilon")]
+    got = index_from_delta(load_upsert_delta(spark, store))
+    want = index_from_delta(build_delta(spark.createDataFrame(final, schema)))
+    for field in ("postings", "term_stats", "doc_stats"):
+        a, b = getattr(got, field), getattr(want, field)
+        assert a.exceptAll(b).count() == 0, field
+        assert b.exceptAll(a).count() == 0, field
+
+    # a post-compact unchanged re-delivery still skips (digests kept):
+    # its zero-row epoch partition crosses the threshold again, folds,
+    # and the LWW view is unchanged — doc 4 landed exactly once ever
+    assert upsert_delta_batch(
+        spark.createDataFrame([(4, "delta")], schema), 4, store,
+        auto_compact_epochs=3,
+    )
+    assert n_digest_parts() == 1  # folded again
+    after = index_from_delta(load_upsert_delta(spark, store))
+    assert after.doc_ids.count() == 5
+    assert after.postings.exceptAll(want.postings).count() == 0
+    assert want.postings.exceptAll(after.postings).count() == 0
