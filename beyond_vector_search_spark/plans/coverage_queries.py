@@ -1094,7 +1094,8 @@ def register_all() -> None:
     register("ranking_metrics", RANKING_METRICS_SQL)(q_ranking_metrics)
     register("curation_pipeline", _CURATION_SQL)(q_curation_pipeline)
     register_shared_sql("lineitem_frames", LINEITEM_FRAMES)
-    register("line_dedup", _LINE_DEDUP_SQL)(q_line_dedup)
+    # line_dedup registers IN-WINDOW since the r13 rotation
+    # (relational_queries.register_all)
     relational_queries.register_tail()
     register("rrf_topk", RRF_TOPK_SQL)(q_rrf_topk)
     register("prf_topk", PRF_TOPK_SQL)(q_prf_topk)

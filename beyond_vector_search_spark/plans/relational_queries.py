@@ -339,7 +339,20 @@ def register_all() -> None:
     )
 
     register("corpus_diff", CORPUS_DIFF_SQL)(q_corpus_diff)
-    register_shared_sql("grouping_orders", GROUPING_ORDERS)
+    # r13 rotation: line_dedup takes this window slot — the catalog's
+    # only LINE-grain dedup oracle (the C4/RefinedWeb boilerplate-strip
+    # pass: exact line hashing + per-line keep/drop + document
+    # reassembly, a different grain from every doc-level dedup entry).
+    # grouping_orders moves to the tail: its multi-grouping/conditional
+    # aggregation shape is restated there by tpch_ratio_aggs and
+    # pivot_status_priority, and its cube/rollup arm by cube_orders'
+    # tests; stays fully oracled in the local artifacts.
+    from beyond_vector_search_spark.plans.coverage_queries import (
+        _LINE_DEDUP_SQL,
+        q_line_dedup,
+    )
+
+    register("line_dedup", _LINE_DEDUP_SQL)(q_line_dedup)
     # r11 rotation: fuzzy_contamination takes this window slot now that
     # its fused shared-signature plan is efficient (2 documents scans /
     # 9 exchanges) — it is the only Lee-et-al-style fuzzy
@@ -372,4 +385,8 @@ def register_tail() -> None:
     # grouping_orders, the q6 arm's filter-pushdown + DECIMAL sums by
     # tpch_q1 here; stays fully oracled in the local artifacts
     register_shared_sql("tpch_ratio_aggs", TPCH_RATIO_AGGS)
+    # r13 rotation demotion (line_dedup took its window slot): the
+    # multi-grouping + conditional-agg shape is restated here by
+    # tpch_ratio_aggs and pivot_status_priority; fully oracled still
+    register_shared_sql("grouping_orders", GROUPING_ORDERS)
     register_shared_sql("window_top_customers", WINDOW_TOP_CUSTOMERS)
