@@ -340,10 +340,16 @@ class CorpusIndex:
           term-placed vs 1.9 / 2.9 doc-placed, the whole 500k-doc
           snapshot batch-fill regression.
 
-        At cluster scale, bucketed tables take the next step — a
-        doc_id-bucketed postings scan reports HashPartitioning(doc_id),
-        which satisfies the score group's ClusteredDistribution and
-        drops the aggregation exchange entirely (save_bucketed)."""
+        At cluster scale, bucketed catalog tables take the next step:
+        a doc_id-bucketed postings scan reports
+        HashPartitioning(doc_id), which satisfies the score group's
+        ClusteredDistribution([query_id, doc_id]) (subset rule) and
+        drops the aggregation exchange entirely.  Note
+        :meth:`save_bucketed` currently buckets by TERM — the layout
+        that removes the shuffle from the JOIN-form scorers and the
+        term_stats derivation — so pick the bucketing for the
+        workload: term buckets for join-form/bulk scoring, doc buckets
+        for compiled batch serving."""
         from beyond_vector_search_spark.sources import fsutil
 
         spark = self.doc_stats.sparkSession
