@@ -762,3 +762,54 @@ def search_all(
         "keyword": stable_topk(key, k),
         "hybrid": stable_topk(hyb, k),
     }
+
+
+def search_all_tagged(
+    queries: DataFrame,
+    index: CorpusIndex,
+    *,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+    keyword: DataFrame | None = None,
+    vector: DataFrame | None = None,
+    minmax_via: str = "window",
+) -> DataFrame:
+    """(arm, query_id, doc_id, score, rank) — ALL THREE strategies'
+    top-k in ONE relation, so one action serves the whole trio.
+
+    This is the latency shape :func:`search_all` cannot give: its three
+    relations cost one Spark action each, and at interactive grain the
+    fixed per-action floor (scheduler round trip + stage launch,
+    BASELINE.md's decomposition) dominates the actual scoring work —
+    three actions pay the floor three times.  Here the keyword, vector
+    and blended scores union under an ``arm`` tag and ONE row_number
+    window over (arm, query_id) ranks all of them: one job, one floor,
+    one ranking exchange — the same tagged-union fold
+    ``operators/evaluate.py`` uses for the eval loop
+    (strategy-tagged answers).  Per-arm rows are exactly
+    :func:`search_all`'s (pinned by test).
+
+    Pass CACHED arm score relations (``keyword``/``vector`` — the
+    ServingArms / plans._scores serving profile) so each arm's plan
+    executes once; with the defaults the uncached arm plans appear
+    both in the union and inside the hybrid blend, which is correct
+    but re-executes them (the search_all caching note applies
+    doubly)."""
+    k = k if k is not None else cfg.k
+    key = keyword if keyword is not None else bm25_scores(queries, index, cfg=cfg)
+    vec = vector if vector is not None else vector_scores(queries, index, cfg=cfg)
+    hyb = hybrid_scores(
+        queries, index, cfg=cfg, keyword=key, vector=vec, minmax_via=minmax_via
+    )
+    cols = ["query_id", "doc_id", "score"]
+    tagged = (
+        key.select(F.lit("keyword").alias("arm"), *cols)
+        .unionByName(vec.select(F.lit("vector").alias("arm"), *cols))
+        .unionByName(hyb.select(F.lit("hybrid").alias("arm"), *cols))
+    )
+    w = Window.partitionBy("arm", "query_id").orderBy(
+        F.desc(F.round(F.col("score"), 10)), F.asc("doc_id")
+    )
+    return tagged.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -353,3 +353,37 @@ def test_save_layout_doc_placed_term_sorted(spark, corpus_index, tmp_path):
                 )
             keys = t.column(key).to_pylist()
             assert keys == sorted(keys), f"{rel}: {key} not sorted within {f}"
+
+
+def test_search_all_tagged_matches_per_arm_topk(spark, corpus_index):
+    """search_all_tagged (r13, the one-action trio): each arm's rows
+    equal search_all's per-arm top-k exactly; with cached arms the
+    whole trio is a single count() on one relation."""
+    from beyond_vector_search_spark.operators.corpus_index import CorpusIndex  # noqa: F401
+
+    _, idx = corpus_index
+    qdf = spark.createDataFrame(QS, "query_id string, query string")
+    per_arm = rt.search_all(qdf, idx, k=3, cfg=_CFG)
+    kw = rt.bm25_scores(qdf, idx, cfg=_CFG).cache()
+    vec = rt.vector_scores(qdf, idx, cfg=_CFG).cache()
+    tagged = rt.search_all_tagged(
+        qdf, idx, k=3, cfg=_CFG, keyword=kw, vector=vec
+    )
+    rows = tagged.collect()
+    assert set(tagged.columns) == {"arm", "query_id", "doc_id", "score", "rank"}
+    got = {
+        arm: sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+            for r in rows
+            if r["arm"] == arm
+        )
+        for arm in ("keyword", "vector", "hybrid")
+    }
+    for arm in ("keyword", "vector", "hybrid"):
+        want = sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+            for r in per_arm[arm].collect()
+        )
+        assert got[arm] == want, arm
+    kw.unpersist()
+    vec.unpersist()
