@@ -183,19 +183,25 @@ def upsert_delta_batch(
     epoch, the filter is by id) — so the history read grows one
     partition per landed epoch, unboundedly.  ``auto_compact_epochs``
     bounds it (r13): once the digest relation holds at least that many
-    epoch partitions after a land, the batch runs
-    :func:`compact_upsert_store` inline, folding history back to ONE
-    partition — per-epoch cost stays flat across arbitrarily many
-    epochs, at a periodic corpus-sized rewrite amortized over N
-    epochs.  It is safe at any point: epoch markers survive the fold
-    (the replay guard), and a compact only runs AFTER this epoch's
-    marker commits, so a replayed epoch can never diff against a
-    history that already folded its own rows in.  The streaming entry
-    point :func:`start_upsert_ingest` defaults it ON; the manual batch
-    form defaults it off for callers that schedule compaction
-    themselves.  At billions of documents, additionally keep the
-    compacted digest table bucketed by id so the per-batch semi join
-    prunes buckets.
+    epoch partitions after a land, the batch folds the DIGEST history
+    back to one partition inline (:func:`compact_upsert_digests` — a
+    digest-sized rewrite, ~50 bytes per landed doc version; measured
+    by tools/upsert_epochs_probe.py, a full
+    :func:`compact_upsert_store` here would spike the triggering
+    epoch 3-10x because it rewrites the corpus-sized index relations,
+    while the unbounded digest scan itself stays flat for dozens of
+    epochs — the bound matters for LONG-running streams where the
+    per-epoch listing and scan of hundreds of partitions accretes).
+    Safe at any point: only marker-committed epochs fold, so a
+    replayed epoch can never diff against a history that already
+    folded its own rows in.  The streaming entry point
+    :func:`start_upsert_ingest` defaults it ON; the manual batch form
+    defaults it off for callers that schedule compaction themselves.
+    The index relations' own per-epoch directories are untouched
+    here — their fold stays scheduled maintenance
+    (:func:`compact_upsert_store` / ``bvs maintain``).  At billions
+    of documents, additionally keep the compacted digest table
+    bucketed by id so the per-batch semi join prunes buckets.
 
     Compaction: use :func:`compact_upsert_store` (folds the LWW state
     and PRESERVES the digest history).  The generic
@@ -277,7 +283,7 @@ def upsert_delta_batch(
             if d.startswith("batch_id=")
         )
         if n_epochs >= auto_compact_epochs:
-            compact_upsert_store(spark, path)
+            compact_upsert_digests(spark, path)
     return True
 
 
@@ -363,6 +369,68 @@ def upsert_store_history(spark, path: str) -> DataFrame:
     )
 
 
+def compact_upsert_digests(spark, path: str) -> int:
+    """Fold the upsert store's DIGEST history (only) down to a single
+    ``batch_id=0`` partition — the digest-sized bound for the ingest
+    hot path.  Returns the number of partitions folded (0 = nothing to
+    do).
+
+    Why a digests-only fold exists (r13, measured by
+    tools/upsert_epochs_probe.py): the per-epoch diff reads ONLY the
+    digest relation, ~50 bytes per landed doc version, so at 50k docs
+    the unbounded history scan stays flat for dozens of epochs — while
+    :func:`compact_upsert_store`'s full LWW rewrite is CORPUS-sized
+    (tokenize-derived postings/gram_tf) and spikes the triggering
+    epoch 3-10x when run inline.  Folding just the digests bounds the
+    diff scan and the per-epoch directory listing at digest cost,
+    leaving the big relations' fold to scheduled maintenance
+    (``bvs maintain`` / :func:`compact_upsert_store`).
+
+    Safety:
+
+    - only epochs whose ``_batches`` marker COMMITTED are folded — a
+      crashed epoch's digest partition must survive as its own
+      ``batch_id=N`` directory so the retry's self-exclusion
+      (``batch_id != N``) still sees it;
+    - the fold is materialized (localCheckpoint) before overwriting
+      ``batch_id=0`` and deleting the folded partitions, and a crash
+      between those steps only leaves DUPLICATE digests, which the
+      LWW read (max batch_id per id) resolves to the same winners.
+    """
+    from pyspark.sql import functions as F
+
+    root = IndexDelta._root(spark, path)
+    dig_dir = f"{root}/digests"
+    committed = {
+        int(name.split(".", 1)[0]) + 1
+        for name in fsutil.list_names(spark, f"{path}/_batches")
+        if name.endswith(".json")
+    }
+    parts = sorted(
+        int(d.split("=", 1)[1])
+        for d in fsutil.list_names(spark, dig_dir)
+        if d.startswith("batch_id=")
+    )
+    fold = [p for p in parts if p == 0 or p in committed]
+    if len(fold) < 2:
+        return 0
+    spark.catalog.refreshByPath(dig_dir)
+    dig = (
+        spark.read.option("basePath", dig_dir)
+        .parquet(*[f"{dig_dir}/batch_id={p}" for p in fold])
+    )
+    latest = dig.groupBy("id").agg(F.max("batch_id").alias("batch_id"))
+    winners = (
+        dig.join(latest, ["id", "batch_id"]).select("id", "h").localCheckpoint()
+    )
+    winners.write.mode("overwrite").parquet(f"{dig_dir}/batch_id=0")
+    for p in fold:
+        if p != 0:
+            fsutil.delete(spark, f"{dig_dir}/batch_id={p}")
+    spark.catalog.refreshByPath(dig_dir)
+    return len(fold)
+
+
 def compact_upsert_store(spark, path: str, *, partitions: int | None = None):
     """Compact an UPSERT store: fold the last-writer-wins state (stale
     superseded versions drop here, at the rewrite — the merge-on-write
@@ -421,8 +489,9 @@ def start_upsert_ingest(
     store with :func:`load_upsert_delta` (LWW merge-on-read).
 
     ``auto_compact_epochs`` (default 16) keeps the per-epoch diff cost
-    flat under a long-running stream by folding the store once its
-    digest history reaches that many epoch partitions — see
+    flat under a long-running stream by folding the DIGEST history
+    (digest-sized, not corpus-sized — :func:`compact_upsert_digests`)
+    once it reaches that many epoch partitions — see
     :func:`upsert_delta_batch`.  ``None`` disables (history grows one
     partition per landed epoch until a manual
     :func:`compact_upsert_store`)."""

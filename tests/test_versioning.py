@@ -501,7 +501,7 @@ def test_upsert_auto_compact_bounds_digest_history(spark, tmp_path):
         assert a.exceptAll(b).count() == 0, field
         assert b.exceptAll(a).count() == 0, field
 
-    # a post-compact unchanged re-delivery still skips (digests kept):
+    # a post-fold unchanged re-delivery still skips (digests kept):
     # its zero-row epoch partition crosses the threshold again, folds,
     # and the LWW view is unchanged — doc 4 landed exactly once ever
     assert upsert_delta_batch(
@@ -513,3 +513,32 @@ def test_upsert_auto_compact_bounds_digest_history(spark, tmp_path):
     assert after.doc_ids.count() == 5
     assert after.postings.exceptAll(want.postings).count() == 0
     assert want.postings.exceptAll(after.postings).count() == 0
+    # the fold is digest-sized, not a store rewrite: the index
+    # relations keep their per-epoch directories (scheduled
+    # maintenance folds those), and no delta-v version was cut
+    root = IndexDelta._root(spark, store)
+    assert root == store
+    assert len(
+        [d for d in os.listdir(f"{root}/doc_ids") if d.startswith("batch_id=")]
+    ) > 1
+
+    # crash safety: a digest partition whose epoch never committed its
+    # marker must SURVIVE the fold (the retry's self-exclusion needs it)
+    from beyond_vector_search_spark.streaming.ingest import (
+        compact_upsert_digests,
+    )
+
+    spark.createDataFrame([(99, "zz", 77)], "id BIGINT, h STRING, x INT").select(
+        "id", "h"
+    ).write.parquet(f"{root}/digests/batch_id=77")
+    # two more committed epochs so there is something to fold
+    upsert_delta_batch(
+        spark.createDataFrame([(6, "zeta")], schema), 5, store
+    )
+    folded = compact_upsert_digests(spark, store)
+    assert folded >= 2
+    parts = {
+        d for d in os.listdir(f"{root}/digests") if d.startswith("batch_id=")
+    }
+    assert "batch_id=77" in parts, "uncommitted epoch partition must survive"
+    assert parts == {"batch_id=0", "batch_id=77"}
