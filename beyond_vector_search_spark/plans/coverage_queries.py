@@ -1212,6 +1212,15 @@ def register_all() -> None:
     # is pinned by tests (recall-vs-exact, sketch error bound)
     register("ann_methods_topk", None)(q_ann_methods_topk)
     register("approx_distinct_hll", None)(q_approx_distinct_hll)
+    # r13: the one-action trio (search_all_tagged's serving fold over
+    # the memoized arms) — fully oracled; restates the three in-window
+    # *_topk shapes through a single tagged union + ranking window
+    from beyond_vector_search_spark.plans.entry_queries import (
+        TRIO_TAGGED_SQL,
+        q_trio_tagged,
+    )
+
+    register("trio_tagged_topk", TRIO_TAGGED_SQL)(q_trio_tagged)
 
 
 _DATA_QUALITY_SQL = (

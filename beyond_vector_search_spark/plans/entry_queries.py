@@ -584,6 +584,60 @@ def q_topk_alldocs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registered at the catalog TAIL (coverage_queries.register_all, r13):
+# the ONE-ACTION trio — retrieval.search_all_tagged's serving fold over
+# the memoized arm caches, in the catalog's matched-only profile (_CFG).
+# One tagged union + one (arm, query_id) ranking window serves all
+# three strategies' top-k from a single action; per-arm rows equal the
+# three in-window *_topk entries (the operator itself is parity-pinned
+# in tests/test_serving.py).  Distinct from topk_alldocs_parity, its
+# zero-restored reference-semantics twin at k=5.
+TRIO_TAGGED_SQL = (
+    f"WITH {_QUERIES_CTE}, {_TOKS_CTE}, {_SCALARS_CTE}, {_EXPLODED_CTE}, "
+    f"{_TERM_STATS_CTE}, {_POSTINGS_CTE}, {_BM25_SCORED_CTE}, "
+    f"{_GRAMS_CTE}, {_GRAM_STATS_CTE}, {_DOC_VEC_CTE}, {_VEC_QUERY_CTE}, "
+    f"{_VEC_SCORED_CTE}, {_HYBRID_CTE}, "
+    "tagged AS (SELECT 'keyword' AS arm, query_id, doc_id, score FROM kscored "
+    "UNION ALL SELECT 'vector' AS arm, query_id, doc_id, score FROM vscored "
+    "UNION ALL SELECT 'hybrid' AS arm, query_id, doc_id, score FROM blended), "
+    "tranked AS (SELECT arm, query_id, doc_id, round(score, 6) AS score, "
+    "CAST(row_number() OVER (PARTITION BY arm, query_id "
+    "ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS rank FROM tagged) "
+    f"SELECT arm, query_id, doc_id, score, rank FROM tranked WHERE rank <= {TOP_K}"
+)
+
+
+def q_trio_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cols = ["query_id", "doc_id", "score"]
+    tagged = (
+        _scores(spark, sf_dir, "keyword")
+        .select(F.lit("keyword").alias("arm"), *cols)
+        .unionByName(
+            _scores(spark, sf_dir, "vector").select(
+                F.lit("vector").alias("arm"), *cols
+            )
+        )
+        .unionByName(
+            _scores(spark, sf_dir, "hybrid").select(
+                F.lit("hybrid").alias("arm"), *cols
+            )
+        )
+    )
+    w = Window.partitionBy("arm", "query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id")
+    )
+    return (
+        tagged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "arm", "query_id", "doc_id",
+            F.round("score", 6).alias("score"), "rank",
+        )
+    )
+
+
 # ------------------------------ routing (R1) --------------------------------
 
 _FEATS_CTE = (
