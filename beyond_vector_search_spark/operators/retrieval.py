@@ -794,7 +794,19 @@ def search_all_tagged(
     executes once; with the defaults the uncached arm plans appear
     both in the union and inside the hybrid blend, which is correct
     but re-executes them (the search_all caching note applies
-    doubly)."""
+    doubly).
+
+    Regime note (measured at 50k docs): each arm relation has TWO
+    consumers inside the one action (the union and the blend), and a
+    cold cache fills under concurrent consumers with some duplicated
+    work — the fused action cost ~6 s there vs ~3.7 s for the three
+    separate warm-cache actions (cached arms still beat uncached,
+    6.1-6.5 vs 7.1-9.8: exchange reuse does not fully deduplicate the
+    arm subtrees).  So this is the INTERACTIVE-grain shape — small
+    matched sets or warm arms, where the saved action floors dominate
+    (at 5k docs the fused trio ≈ the sum of the three, minus two
+    floors); for bulk serving over cold big corpora, fill the arms
+    once (ServingArms) and rank per arm."""
     k = k if k is not None else cfg.k
     key = keyword if keyword is not None else bm25_scores(queries, index, cfg=cfg)
     vec = vector if vector is not None else vector_scores(queries, index, cfg=cfg)
