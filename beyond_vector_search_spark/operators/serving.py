@@ -194,6 +194,22 @@ class ServingArms:
         """stable_topk of one arm (the MMR/export candidate shape)."""
         return rt.stable_topk(self.arm(name), k)
 
+    def tagged_topk(self, k: int) -> DataFrame:
+        """(arm, query_id, doc_id, score, rank) — ALL THREE arms'
+        top-k as one relation (:func:`retrieval.search_all_tagged`
+        over this object's cached arms): one action serves the whole
+        trio, the interactive-latency shape.  After
+        :meth:`materialize` the single action reads warm caches and
+        pays exactly one job floor for all three strategies."""
+        return rt.search_all_tagged(
+            self.queries_df(),
+            self.index,
+            k=k,
+            cfg=self.cfg,
+            keyword=self.arm("keyword"),
+            vector=self.arm("vector"),
+        )
+
     def materialize(self, *names: str) -> "ServingArms":
         """Force-build the named arms (default keyword + vector) so
         later consumers serve entirely from cache — the explicit

@@ -387,3 +387,26 @@ def test_search_all_tagged_matches_per_arm_topk(spark, corpus_index):
         assert got[arm] == want, arm
     kw.unpersist()
     vec.unpersist()
+
+
+def test_serving_arms_tagged_topk(spark, corpus_index):
+    """ServingArms.tagged_topk: one relation carrying every arm's
+    stable top-k, equal per arm to topk(name, k)."""
+    _, idx = corpus_index
+    with ServingArms(idx, QS, cfg=_CFG) as arms:
+        arms.materialize()
+        rows = arms.tagged_topk(3).collect()
+        got = {
+            a: sorted(
+                (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+                for r in rows
+                if r["arm"] == a
+            )
+            for a in ("keyword", "vector", "hybrid")
+        }
+        for a in ("keyword", "vector", "hybrid"):
+            want = sorted(
+                (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+                for r in arms.topk(a, 3).collect()
+            )
+            assert got[a] == want, a
