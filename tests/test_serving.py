@@ -410,3 +410,34 @@ def test_serving_arms_tagged_topk(spark, corpus_index):
                 for r in arms.topk(a, 3).collect()
             )
             assert got[a] == want, a
+
+
+def test_search_all_tagged_edge_queries(spark, corpus_index):
+    """Edge inputs through the one-action trio (the engine's never-throw
+    rule): empty query, all-OOV query, unicode/emoji.  Every arm
+    completes; in the reference-parity profile (zero-restore) each arm
+    still ranks k docs per query, zero scores tie-broken by doc_id."""
+    from beyond_vector_search_spark.config import EngineConfig
+
+    cfg = EngineConfig()  # include_zero_score_docs: reference semantics
+    _, idx = corpus_index
+    edge = [("e1", ""), ("e2", "zzz qqq xxyzzy"), ("e3", "🚀 café naïve")]
+    qdf = spark.createDataFrame(edge, "query_id string, query string")
+    kw = rt.bm25_scores(qdf, idx, cfg=cfg).cache()
+    vec = rt.vector_scores(qdf, idx, cfg=cfg).cache()
+    rows = rt.search_all_tagged(qdf, idx, k=3, cfg=cfg, keyword=kw, vector=vec).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r["arm"], r["query_id"]), []).append(r)
+    for arm in ("keyword", "vector", "hybrid"):
+        for qid, _ in edge:
+            grp = sorted(by[(arm, qid)], key=lambda r: r["rank"])
+            assert len(grp) == 3, (arm, qid)
+            assert [r["rank"] for r in grp] == [1, 2, 3]
+    # the empty query scores every doc 0.0 in the keyword arm: doc_id
+    # ascending is the deterministic tie-break
+    e1kw = sorted(by[("keyword", "e1")], key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in e1kw] == [1, 2, 3]
+    assert all(r["score"] == 0.0 for r in e1kw)
+    kw.unpersist()
+    vec.unpersist()
