@@ -73,6 +73,39 @@ def cmd_run(args) -> dict:
     # router picks the arm.  Explicit names override it; rrf/mmr are
     # the engine's fusion extensions (operators/fusion.py).
     strategy = routed.strategy if args.strategy == "auto" else args.strategy
+    if strategy == "all":
+        # every arm's top-k from ONE action (the r13 tagged-union
+        # serving fold); the answer/telemetry flow needs a single arm,
+        # so this mode reports the trio table and the router's pick
+        from beyond_vector_search_spark.operators.retrieval import (
+            compile_query_batch,
+            compiled_bm25_scores,
+            compiled_vector_scores,
+            search_all_tagged,
+        )
+
+        compiled = compile_query_batch([("q", args.query)], idx)
+        key = compiled_bm25_scores(idx, compiled, queries=queries)
+        vec = compiled_vector_scores(idx, compiled, queries=queries)
+        rows = sorted(
+            search_all_tagged(
+                queries, idx, k=args.k, keyword=key, vector=vec
+            ).collect(),
+            key=lambda r: (r.arm, r.rank),
+        )
+        return {
+            "query": args.query,
+            "strategy": "all",
+            "routed_strategy": routed.strategy,
+            "top_k": {
+                arm: [
+                    {"doc_id": r.doc_id, "score": r.score}
+                    for r in rows
+                    if r.arm == arm
+                ]
+                for arm in ("keyword", "vector", "hybrid")
+            },
+        }
     if strategy == "rrf":
         from pyspark.sql import functions as _F
 
@@ -424,9 +457,11 @@ def main() -> None:
     pr.add_argument("--query", required=True)
     pr.add_argument("--k", type=int, default=5)
     pr.add_argument("--strategy", default="auto",
-                    choices=["auto", "keyword", "vector", "hybrid", "rrf", "mmr"],
+                    choices=["auto", "keyword", "vector", "hybrid", "rrf",
+                             "mmr", "all"],
                     help="auto = learned router (reference behavior); "
-                         "rrf/mmr = fusion extensions")
+                         "rrf/mmr = fusion extensions; all = every arm's "
+                         "top-k in ONE action (search_all_tagged)")
     pr.add_argument("--corpus", default=DEFAULT_CORPUS)
     pr.add_argument("--labels", default=DEFAULT_LABELS)
     pr.add_argument("--db", default=None, help="telemetry directory")

@@ -3075,3 +3075,28 @@ def test_zorder_default_plan_has_no_single_partition_window(spark):
     exact, _ = _zorder_frame(df, "x", "y", bits=6, exact=True)
     eplan = exact._jdf.queryExecution().executedPlan().toString()
     assert "Window" in eplan  # the opt-in exact form is the old shape
+
+
+def test_cli_strategy_all_one_action_trio(spark, tmp_path):
+    """cli run --strategy all (r13): every arm's top-k from ONE tagged
+    action, keyword top-1 at the pinned reference score, router's pick
+    reported alongside."""
+    import argparse
+
+    from beyond_vector_search_spark.cli import cmd_run
+
+    args = argparse.Namespace(
+        query="INC-49217 details", k=3, strategy="all",
+        corpus="/root/reference/data/corpus.jsonl",
+        labels="/root/reference/data/labels.jsonl",
+        db=str(tmp_path / "db_all"), index_dir=None,
+        index_format="parquet",
+    )
+    out = cmd_run(args)
+    assert out["strategy"] == "all"
+    assert out["routed_strategy"] == "keyword"
+    assert set(out["top_k"]) == {"keyword", "vector", "hybrid"}
+    kw = out["top_k"]["keyword"]
+    assert len(kw) == 3 and kw[0]["doc_id"] == "DOC-190"
+    assert abs(kw[0]["score"] - 4.210981) < 1e-4
+    assert all(len(v) == 3 for v in out["top_k"].values())
