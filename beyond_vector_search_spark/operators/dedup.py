@@ -328,15 +328,23 @@ def doc_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
     bits: int = 32,
+    fingerprint: bool = False,
 ) -> DataFrame:
-    """(doc_id, sig, simhash) — MinHash signature AND SimHash
-    fingerprint from ONE Arrow pass over the text (one tokenize, one
-    Arrow transfer), for consumers that want the whole per-doc
+    """(doc_id, sig, simhash[, fingerprint]) — MinHash signature AND
+    SimHash fingerprint from ONE Arrow pass over the text (one tokenize,
+    one Arrow transfer), for consumers that want the whole per-doc
     signature suite (the ``doc_hashes`` catalog entry).  Each column is
     byte/bit-identical to its standalone operator
     (:func:`minhash_signatures` / :func:`simhash64`) — pinned by test,
     and built from the SAME per-document primitives (:func:`_minhash_sig`
     / :func:`_simhash_fp`), so the three kernels cannot drift apart.
+
+    ``fingerprint=True`` additionally emits
+    :func:`text_analysis.doc_fingerprint`'s column (md5 of the sorted
+    distinct-token set) from the same tokenize — byte-identical to the
+    expression form (pinned by test).  The tokens are already in hand
+    here, so the fused column costs one md5 per doc where the join form
+    costs a SECOND full text scan plus a corpus-wide join.
     """
     from collections.abc import Iterator
 
@@ -346,6 +354,8 @@ def doc_signatures(
     src, id_type = _project(df, id_col, F.col(text_col))
 
     def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
         import numpy as np
         import pandas as pd
 
@@ -355,21 +365,30 @@ def doc_signatures(
         tok_hash = _make_tok_hash()
 
         for pdf in batches:
-            ids, sigs, fps = [], [], []
+            ids, sigs, fps, prints = [], [], [], []
             for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
                 toks = [t.lower() for t in _TOKEN_RE.findall(txt or "")]
+                tokset = set(toks)
                 ids.append(doc_id)
                 sigs.append(_minhash_sig(toks, shingle_n, num_hashes, digests))
-                fps.append(_simhash_fp(set(toks), shifts, powers, tok_hash))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
-                    "sig": pd.Series(sigs, dtype="object"),
-                    "simhash": pd.Series(fps, dtype="int64"),
-                }
-            )
+                fps.append(_simhash_fp(tokset, shifts, powers, tok_hash))
+                if fingerprint:
+                    prints.append(
+                        hashlib.md5(" ".join(sorted(tokset)).encode("utf-8")).hexdigest()
+                    )
+            out = {
+                "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                "sig": pd.Series(sigs, dtype="object"),
+                "simhash": pd.Series(fps, dtype="int64"),
+            }
+            if fingerprint:
+                out["fingerprint"] = pd.Series(prints, dtype="object")
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(kernel, f"doc_id {id_type}, sig array<string>, simhash long")
+    schema = f"doc_id {id_type}, sig array<string>, simhash long"
+    if fingerprint:
+        schema += ", fingerprint string"
+    return src.mapInPandas(kernel, schema)
 
 
 def banded_keys(

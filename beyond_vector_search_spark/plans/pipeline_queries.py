@@ -67,12 +67,15 @@ _SIG_SQL = (
 )
 def q_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # MinHash + SimHash from ONE Arrow pass (dedup.doc_signatures —
-    # column-identical to the standalone operators, pinned by test)
-    both = dd.doc_signatures(docs).select(
-        "doc_id", F.concat_ws("|", "sig").alias("sig_str"), "simhash"
+    # MinHash + SimHash + fingerprint from ONE Arrow pass
+    # (dedup.doc_signatures(fingerprint=True) — column-identical to the
+    # standalone operators, pinned by test).  The pre-r13-opt form
+    # joined a second text scan (ta.doc_fingerprint) onto the kernel
+    # output: one extra corpus scan + a corpus-wide join for a column
+    # the kernel's tokens already determine.
+    return dd.doc_signatures(docs, fingerprint=True).select(
+        "doc_id", F.concat_ws("|", "sig").alias("sig_str"), "simhash", "fingerprint"
     )
-    return both.join(ta.doc_fingerprint(docs), "doc_id")
 
 
 # LSH near-dup pairs over a corpus that CONTAINS near-duplicates: the

@@ -71,9 +71,16 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination sweep: every ~97th document plays the held-out
     benchmark; the corpus (with deterministically injected leaks of
     benchmark text) is checked for 8-token-gram collisions against it
-    (operators/pretrain.benchmark_contamination)."""
-    from beyond_vector_search_spark.operators.dedup import shingle_rows
+    (operators/pretrain.benchmark_contamination).
 
+    Serves the broadcast-set shape (r13 optimization): the benchmark's
+    distinct shingles collect once (the bench side is ~1% of the docs)
+    and the corpus side counts collisions inside ONE Arrow pass — the
+    corpus's ~300 shingles/doc never leave the Python worker, where the
+    pre-r13-opt shared-cache form materialized every corpus shingle
+    row (a corpus-scale cache fill + broadcast join + count exchange)
+    to ship back counts that are per-document anyway.  Join-form
+    parity is pinned by tests/test_pretrain.py."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     leaks = bench.select(
@@ -81,21 +88,7 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" leaked benchmark copy")).alias("text"),
     )
     corpus = docs.where(F.col("doc_id") % 97 != 0).unionByName(leaks)
-    # shared-signature shape: ONE shingle kernel pass over originals +
-    # leaks, cached, sliced into the two sides — the bench rows are a
-    # subset of the originals, so shingling corpus and benchmark
-    # separately would scan ~2 passes of text for 1 pass of content
-    all_sh = shingle_rows(
-        docs.unionByName(leaks), id_col="doc_id", text_col="text", n=8
-    ).cache()
-    is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 100000)
-    return pt.benchmark_contamination(
-        corpus,
-        bench,
-        n=8,
-        corpus_shingles=all_sh.where(~is_bench),
-        bench_shingles=all_sh.where(is_bench),
-    )
+    return pt.benchmark_contamination(corpus, bench, n=8, broadcast_set=True)
 
 
 # ------------------------------- PII scrub ---------------------------------

@@ -1644,6 +1644,32 @@ def test_doc_signatures_matches_standalone_operators(spark):
     assert fused == want
 
 
+def test_doc_signatures_fused_fingerprint_matches_expression(spark):
+    """doc_signatures(fingerprint=True) — the r13-opt fused column —
+    equals text_analysis.doc_fingerprint's expression form (md5 of the
+    sorted distinct-token set) byte for byte, and leaves sig/simhash
+    identical to the fingerprint-less kernel."""
+    from beyond_vector_search_spark.operators.dedup import doc_signatures
+    from beyond_vector_search_spark.operators.text_analysis import doc_fingerprint
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    extra = spark.createDataFrame(
+        [(40_001, ""), (40_002, "two words"), (40_003, "b a b A")],
+        "doc_id BIGINT, text STRING",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    fused = sorted(
+        (r.doc_id, tuple(r.sig), r.simhash, r.fingerprint)
+        for r in doc_signatures(both, fingerprint=True).collect()
+    )
+    want = sorted(
+        (r.doc_id, tuple(r.sig), r.simhash, r.fingerprint)
+        for r in doc_signatures(both).join(doc_fingerprint(both), "doc_id").collect()
+    )
+    assert fused == want
+
+
 def test_token_budget_counters(spark):
     """ws_tokens / bpe_ish_tokens sanity on hand-checked strings: the
     BPE-ish counter splits contractions and punctuation like a GPT-2

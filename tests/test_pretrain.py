@@ -43,6 +43,59 @@ def test_benchmark_contamination_no_false_positives(spark, corpus):
     assert pt.benchmark_contamination(corpus, bench, n=8).count() == 0
 
 
+def test_benchmark_contamination_broadcast_set_parity(spark, corpus):
+    """The r13-opt broadcast-set kernel path (bench shingles collected,
+    collisions counted inside the corpus Arrow pass) equals the join
+    form row for row, including multi-collision counts; the guard
+    rejects the meaningless corpus_shingles combination."""
+    from beyond_vector_search_spark.operators.dedup import shingle_rows
+
+    bench = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (101, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    for n in (3, 8):
+        join_form = sorted(
+            map(tuple, pt.benchmark_contamination(corpus, bench, n=n).collect())
+        )
+        kernel_form = sorted(
+            map(
+                tuple,
+                pt.benchmark_contamination(
+                    corpus, bench, n=n, broadcast_set=True
+                ).collect(),
+            )
+        )
+        assert join_form == kernel_form, n
+        assert kernel_form  # the planted overlap is found
+    with pytest.raises(ValueError, match="broadcast_set"):
+        pt.benchmark_contamination(
+            corpus,
+            bench,
+            corpus_shingles=shingle_rows(corpus, n=8),
+            broadcast_set=True,
+        )
+
+
+def test_repetition_flags_kernel_matches_expression(spark, corpus):
+    """The r13-opt zero-exchange Arrow path equals the explode +
+    partial-aggregation expression form row for row (including the
+    absent empty-token doc and the single-token no-bigram doc)."""
+    k = sorted(map(tuple, pt.repetition_flags(corpus).collect()))
+    e = sorted(map(tuple, pt.repetition_flags(corpus, kernel=False).collect()))
+    assert k == e
+    one_tok = spark.createDataFrame(
+        [(10, "solo"), (11, "")], "doc_id BIGINT, text STRING"
+    )
+    k1 = sorted(map(tuple, pt.repetition_flags(one_tok).collect()))
+    e1 = sorted(map(tuple, pt.repetition_flags(one_tok, kernel=False).collect()))
+    assert k1 == e1
+    assert len(k1) == 1  # the empty doc stays absent on both paths
+
+
 def test_pii_scrub_counts_and_redacts(spark):
     df = spark.createDataFrame(
         [
