@@ -128,6 +128,70 @@ def lang_guess(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def text_profile(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, avg_token_len, ws_tokens,
+    bpe_ish_tokens, n_chars, alpha_ratio, stopword_ratio, quality,
+    lang_guess, votes_en, votes_de, votes_fr, votes_es) — the full
+    per-document text-analysis suite (:func:`token_stats` +
+    :func:`quality_score` + :func:`lang_guess`) from ONE scan and ONE
+    projection.
+
+    Every column is per-row, so joining the three standalone operators
+    (the pre-r13-opt ``text_profile`` entry shape) paid three full text
+    scans and two corpus-wide joins for columns one projection
+    determines.  Column expressions are the standalone operators'
+    verbatim; the 15-column row set is pinned identical to the 3-way
+    join by test."""
+    toks = F.col("toks")
+    n = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    )
+    n_chars_raw = F.length(F.col("_text"))
+    n_alpha = F.length(F.regexp_replace(F.col("_text"), r"[^A-Za-z0-9]", ""))
+    alpha_ratio = F.when(n_chars_raw == 0, F.lit(0.0)).otherwise(n_alpha / n_chars_raw)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS_EN)))
+    stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(n_stop / n)
+    n_chars = n_chars_raw.cast("long")
+    quality = (
+        0.4 * alpha_ratio
+        + 0.4 * F.least(F.lit(1.0), stop_ratio * 5)
+        + 0.2 * F.when((n_chars >= 50) & (n_chars <= 5000), 1.0).otherwise(0.0)
+    )
+
+    def votes(words: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(words))).cast("long")
+
+    ven, vde, vfr, ves = (
+        votes(w) for w in (STOPWORDS_EN, STOPWORDS_DE, STOPWORDS_FR, STOPWORDS_ES)
+    )
+    guess = (
+        F.when(F.col("_text").rlike(r"[一-鿿]"), "zh")
+        .when((ven >= vde) & (ven >= vfr) & (ven >= ves) & (ven > 0), "en")
+        .when((vde >= ves) & (vde >= vfr) & (vde > 0), "de")
+        .when((ves >= vfr) & (ves > 0), "es")
+        .when(vfr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return _with_tokens(df, id_col, text_col, F.col(text_col).alias("_text")).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.when(n == 0, F.lit(0.0)).otherwise(total_len / n).alias("avg_token_len"),
+        F.regexp_count(F.col("_text"), F.lit(WS_TOKEN_RE)).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("_text"), F.lit(BPE_ISH_RE)).cast("long").alias("bpe_ish_tokens"),
+        n_chars.alias("n_chars"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+        guess.alias("lang_guess"),
+        ven.alias("votes_en"),
+        vde.alias("votes_de"),
+        vfr.alias("votes_fr"),
+        ves.alias("votes_es"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint) — canonical content fingerprint: md5 of the
     sorted distinct token set.  Robust to word order and repetition —

@@ -382,11 +382,11 @@ def _votes_sql(words: list[str]) -> str:
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        ta.token_stats(docs)
-        .join(ta.quality_score(docs), "doc_id")
-        .join(ta.lang_guess(docs), "doc_id")
-    )
+    # one scan, one projection (r13 optimization): all 15 columns are
+    # per-row, so the former token_stats ⋈ quality_score ⋈ lang_guess
+    # compose paid three text scans + two corpus-wide joins for a
+    # relation one narrow map produces (parity pinned by test)
+    return ta.text_profile(docs)
 
 
 # --------------------------- embedding similarity --------------------------

@@ -537,6 +537,46 @@ def test_proximity_counts_semantics(spark):
     assert rows[3]["min_dist"] == 9 and rows[3]["n_within"] == 0
 
 
+def test_phrase_and_proximity_kernel_matches_expression(spark):
+    """The r13-opt Arrow kernels equal the expression forms row for row
+    on testdata + edge docs (empty text, doc shorter than the phrase,
+    repeated terms, max_positions cap)."""
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    extra = spark.createDataFrame(
+        [
+            (60_001, ""),
+            (60_002, "spark"),
+            (60_003, "spark join spark join spark join"),
+            (60_004, "SPARK Join mixed case query"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    phrases = ["spark join", "slow query", "spark"]
+    pk = sorted(map(tuple, fu.phrase_counts(both, phrases).collect()))
+    pe = sorted(map(tuple, fu.phrase_counts(both, phrases, kernel=False).collect()))
+    assert pk == pe
+    pairs = [("spark", "join"), ("slow", "query")]
+    for mp in (None, 2):
+        xk = sorted(
+            map(
+                tuple,
+                fu.proximity_counts(both, pairs, window=5, max_positions=mp).collect(),
+            )
+        )
+        xe = sorted(
+            map(
+                tuple,
+                fu.proximity_counts(
+                    both, pairs, window=5, max_positions=mp, kernel=False
+                ).collect(),
+            )
+        )
+        assert xk == xe, mp
+
+
 def test_proximity_counts_python_parity(spark):
     import random
 

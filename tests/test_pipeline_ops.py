@@ -1670,6 +1670,42 @@ def test_doc_signatures_fused_fingerprint_matches_expression(spark):
     assert fused == want
 
 
+def test_text_profile_fused_matches_three_way_join(spark):
+    """The r13-opt one-projection text_profile equals
+    token_stats ⋈ quality_score ⋈ lang_guess row for row (same column
+    expressions, zero joins), including CJK/empty/non-English edges."""
+    from beyond_vector_search_spark.operators.text_analysis import (
+        lang_guess,
+        quality_score,
+        text_profile,
+        token_stats,
+    )
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    extra = spark.createDataFrame(
+        [
+            (50_001, ""),
+            (50_002, "der die das und ist nicht"),
+            (50_003, "你好 世界"),
+            (50_004, "the " * 30 + "x" * 6000),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    fused = sorted(map(tuple, text_profile(both).collect()))
+    joined = sorted(
+        map(
+            tuple,
+            token_stats(both)
+            .join(quality_score(both), "doc_id")
+            .join(lang_guess(both), "doc_id")
+            .collect(),
+        )
+    )
+    assert fused == joined
+
+
 def test_token_budget_counters(spark):
     """ws_tokens / bpe_ish_tokens sanity on hand-checked strings: the
     BPE-ish counter splits contractions and punctuation like a GPT-2
