@@ -1473,6 +1473,30 @@ def pq_topk(
     )
 
 
+def pq_rerank(
+    shortlist: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact squared-L2 re-rank of an ADC shortlist, DECOUPLED from the
+    quantized scan — so one :func:`pq_topk` pass can serve both PQ
+    serving shapes: ``pq_topk(..., k=R)`` is exactly the rerank arm's
+    internal shortlist (same window, same ``(round(dist, 6),
+    neighbor_id)`` tie-breaks), its ``rank <= k`` prefix is the pure-ADC
+    top-k, and ``pq_rerank(shortlist, ...)`` is the refinement stage —
+    row-identical to ``pq_topk(..., k=k, rerank=R)`` without the second
+    full scan over the corpus codes (pinned by
+    test_pq_topk_shared_scan_derivation).  ``shortlist`` needs columns
+    (query_id, neighbor_id); extra columns are ignored."""
+    return _pq_exact_rerank(
+        shortlist, embeddings, queries, id_col=id_col, vec_col=vec_col, k=k
+    )
+
+
 def _pq_exact_rerank(
     ranked: DataFrame,
     embeddings: DataFrame,

@@ -557,8 +557,20 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    adc = sim.pq_topk(emb, queries, m=8, dim=64, n_codes=16, k=5)
-    rr = sim.pq_topk(emb, queries, m=8, dim=64, n_codes=16, k=5, rerank=50)
+    # ONE quantized scan serves both ADC arms (r13-opt): pq_topk(k=50)
+    # is exactly the rerank arm's shortlist (same window, same
+    # (dist, neighbor_id) tie-breaks), so the pure-ADC top-5 is its
+    # rank<=5 prefix and pq_rerank refines the same 50 rows the old
+    # two-call form did — which paid a SECOND full ADC kernel pass over
+    # the corpus codes for rows the first pass already ordered (at
+    # 100 TB: one corpus scan saved per batch).  Derivation pinned by
+    # test_pq_topk_shared_scan_derivation; lazy localCheckpoint so the
+    # union's single action materializes the 250-row shortlist once.
+    short = sim.pq_topk(
+        emb, queries, m=8, dim=64, n_codes=16, k=50
+    ).localCheckpoint(eager=False)
+    adc = short.where(F.col("rank") <= 5)
+    rr = sim.pq_rerank(short, emb, queries, k=5)
     centroids = emb.where("vec_id < 8").select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )

@@ -1991,6 +1991,31 @@ def test_pq_topk_parity_and_rerank_recall(spark):
     assert recall >= 0.9, recall
 
 
+def test_pq_topk_shared_scan_derivation(spark):
+    """The r13-opt shared-scan entry rule: one pq_topk(k=50) ADC pass's
+    rank<=5 prefix equals the standalone k=5 arm row for row, and
+    pq_rerank over that shortlist equals pq_topk(k=5, rerank=50) — the
+    two-arm entry derives from ONE quantized corpus scan."""
+    from beyond_vector_search_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    short = sim.pq_topk(emb, q, m=8, dim=64, n_codes=16, k=50)
+    adc_prefix = sorted(map(tuple, short.where("rank <= 5").collect()))
+    adc_alone = sorted(
+        map(tuple, sim.pq_topk(emb, q, m=8, dim=64, n_codes=16, k=5).collect())
+    )
+    assert adc_prefix == adc_alone
+    rr_shared = sorted(map(tuple, sim.pq_rerank(short, emb, q, k=5).collect()))
+    rr_alone = sorted(
+        map(
+            tuple,
+            sim.pq_topk(emb, q, m=8, dim=64, n_codes=16, k=5, rerank=50).collect(),
+        )
+    )
+    assert rr_shared == rr_alone
+
+
 def test_pq_topk_persisted_codes_parity(spark):
     """pq_topk(codes=...) — the serve-from-persisted-codes form (encode
     once, every later query batch scans ONLY the 8-byte code column) —
