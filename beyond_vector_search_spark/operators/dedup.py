@@ -490,13 +490,25 @@ def lsh_pairs_against_corpus(
     shuffle), and the cap aggregation is the only full pass over the
     stored keys.  A deployment appends the batch's own keys to the
     store after each epoch."""
-    new_banded = banded_keys(new_sigs, bands=bands, rows_per_band=rows_per_band)
+    # lazy-localCheckpoint the banded relations we DERIVE here: the new
+    # side is referenced up to 4x below (cap aggregation, cross join,
+    # both self-join sides) and the corpus side twice, and Spark
+    # re-inlines an uncached subtree at every reference — so each
+    # reference re-ran the caller's signing kernel (measured: the
+    # incremental_dedup_pairs entry's plan held 12 MapInPandas signing
+    # passes for 2 logical ones).  Both relations are bounded and
+    # narrow (docs x bands key rows).  A caller-supplied corpus_bands
+    # STORE (the streaming ingest path) is left untouched — re-reading
+    # a pruned parquet store is the cheap, intended access path.
+    new_banded = banded_keys(
+        new_sigs, bands=bands, rows_per_band=rows_per_band
+    ).localCheckpoint(eager=False)
     if corpus_bands is None:
         if corpus_sigs is None:
             raise ValueError("pass corpus_sigs or a corpus_bands relation")
         corpus_bands = banded_keys(
             corpus_sigs, bands=bands, rows_per_band=rows_per_band
-        )
+        ).localCheckpoint(eager=False)
     if max_bucket_size is not None:
         sizes = (
             corpus_bands.select("band_id", "band_key")
@@ -565,6 +577,16 @@ def lsh_candidate_pairs(
             .where(F.col("_bucket_n") <= max_bucket_size)
             .drop("_bucket_n")
         )
+    # lazy-localCheckpoint before the self-join: Spark inlines an
+    # uncached subtree at EVERY reference and plans no ReusedExchange
+    # here, so without the cut both join sides re-run the signature
+    # kernel (and the cap window) — signing is the dominant cost of
+    # this operator at every SCALING.jsonl probe, and it was paid
+    # twice per action (measured: the minhash_pairs entry's plan held
+    # 2 MapInPandas signing passes).  The checkpointed relation is
+    # bounded and narrow (docs x bands key rows, never text); results
+    # are unchanged (materialization boundary only).
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -484,6 +484,46 @@ def test_incremental_lsh_matches_monolithic(spark):
     }
 
 
+def test_lsh_pair_joins_sign_each_side_once(spark):
+    """The r13-opt single-signing guarantee: both LSH pair operators
+    lazy-localCheckpoint their derived banded relations before the
+    multi-reference joins, so the signing kernel subtree sits BEHIND a
+    checkpoint cut and executes once per side — the pre-fix plans
+    inlined it at every reference (2x monolithic, up to 12x
+    incremental).  Pinned as a plan shape: no MapInPandas (and no raw
+    text scan) may appear above the cut."""
+    from beyond_vector_search_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_pairs_against_corpus,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"plan shape probe body {i % 5}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i + 100, f"plan shape probe body {i % 5} tail") for i in range(20)],
+        "doc_id long, text string",
+    )
+    import contextlib
+    import io
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    mono = lsh_candidate_pairs(minhash_signatures(docs))
+    inc = lsh_pairs_against_corpus(minhash_signatures(new), minhash_signatures(docs))
+    for df in (mono, inc):
+        assert "MapInPandas" not in plan_of(df)
+    # and the results still materialize correctly through the cut
+    assert mono.count() > 0
+    assert inc.count() > 0
+
+
 def test_incremental_lsh_cap_crossing_caveat(spark):
     """When a bucket crosses max_bucket_size only after the new batch
     arrives, the incremental epoch emits none of its pairs (combined
