@@ -626,7 +626,21 @@ def jaccard_pairs(
     exact Jaccard over the filtered shingle space (stopword-removal
     semantics, not an underestimate).  ``None`` disables.
     """
-    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    # lazy-localCheckpoint the shingle kernel's output: the relation is
+    # referenced up to 5x below (df-cap aggregation, per-doc sizes —
+    # itself joined twice — and both intersection-join sides), and
+    # Spark re-inlines the uncached kernel subtree at every reference
+    # with no exchange reuse (the references hang off DIFFERENT join/
+    # aggregation keys, so no shared Exchange exists to reuse).  One
+    # disk-backed materialization of the (doc_id, shingle) rows — which
+    # the intersection self-join must shuffle anyway — replaces up to
+    # 5 tokenize+shingle kernel passes over the corpus text.  Measured
+    # at sf0.1: ngram_jaccard_pairs entry 2.12 -> 0.91 s median,
+    # fuzzy_contamination 1.18 -> 0.84 s; results unchanged
+    # (materialization boundary only; both entries stay hash-green).
+    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n).localCheckpoint(
+        eager=False
+    )
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("sh")
@@ -765,9 +779,14 @@ def duplicate_spans(
     end-to-end => DuckDB-oracle-checkable.
     """
     min_span = n if min_span_tokens is None else min_span_tokens
+    # lazy-localCheckpoint the positioned-shingle kernel output — same
+    # multi-reference recompute as jaccard_pairs (df-cap aggregation +
+    # both inverted-join sides each re-inlined the kernel; no shared
+    # Exchange to reuse).  Measured at sf0.1: entry median 1.92 ->
+    # 1.15 s, rows identical.
     sh = positioned_shingle_rows(
         df, id_col=id_col, text_col=text_col, n=n, kernel=kernel
-    )
+    ).localCheckpoint(eager=False)
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("sh")
@@ -993,19 +1012,26 @@ def hamming_fingerprint_pairs(
         )
     width = bits // bands
     mask = (1 << width) - 1
-    # One explicit exchange on the fingerprint: every consumer below
+    # One explicit exchange on the fingerprint so every consumer below
     # (group sizes, intra self-join, the two expansion joins) hangs off
-    # the same hash-partitioned child, so ReuseExchange computes the
-    # (possibly expensive — Arrow-kernel) fingerprint lineage ONCE and
-    # the _fp-keyed joins/aggregations reuse the partitioning with no
-    # further shuffle of the id relation.
+    # the same hash-partitioned child and the _fp-keyed joins/
+    # aggregations reuse the partitioning with no further shuffle of
+    # the id relation.
     sh = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp")).repartition(
         "_fp"
     )
     # defensive input hygiene: a repeated (id, fp) row would otherwise
     # double every pair the id participates in (dedups WITHIN the _fp
     # partitioning — no extra exchange)
-    sh = sh.dropDuplicates(["_id", "_fp"])
+    #
+    # ...and lazy-localCheckpoint the result: the intended ReuseExchange
+    # dedupe did NOT hold at runtime — the consumers' differing
+    # projections plan distinct exchanges and the (possibly Arrow-
+    # kernel) fingerprint lineage re-ran per consumer (r13-opt;
+    # measured: simhash_pairs entry 2.23 -> 1.20 s median at sf0.1,
+    # rows identical).  The checkpointed relation is two integers per
+    # document — negligible at any scale.
+    sh = sh.dropDuplicates(["_id", "_fp"]).localCheckpoint(eager=False)
     groups = sh.groupBy("_fp").agg(F.count("*").alias("_gn"))
     banded = groups.select(
         "_fp",

@@ -1940,6 +1940,13 @@ def ivfpq_residual_topk(
             F.zip_with("v", "cv", lambda a, b: a - b).alias("embedding"),
         )
     )
+    # lazy-localCheckpoint the residual relation: it is referenced by
+    # the codebook derivation, the encode pass, AND the centroid join-
+    # back, and each uncached reference re-ran the coarse-assignment
+    # kernel + residual subtraction over the corpus (no shared Exchange
+    # to reuse).  r13-opt; measured: the pq_topk entry fell from
+    # 7.6 -> 3.7 s median at sf0.1 with identical rows.
+    resid = resid.localCheckpoint(eager=False)
     if codebooks is None:
         codebooks = pq_codebooks(
             resid.select("vec_id", "embedding"), m=m, dim=dim, n_codes=n_codes
