@@ -1,11 +1,11 @@
 #!/usr/bin/env python3
-"""Capture .explain("formatted") for catalog entries into plans/r13/.
+"""Capture .explain("formatted") for catalog entries into plans/<round>/.
 
 Usage:
     python3 tools/opt_plans.py before [entry ...]   # default: headline set
     python3 tools/opt_plans.py after  [entry ...]
 
-Writes plans/r13/<entry>_<tag>.txt — the optimization-round evidence
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<entry>_<tag>.txt (default r14) — the optimization-round evidence
 files (the judge checks plan claims against these).  Uses the bench
 scale factor by default (SPARK_GRAFT_SF_DIR, /root/testdata/sf0.1).
 """
@@ -49,7 +49,7 @@ def main() -> None:
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8")),
     )
     queries = all_queries()
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
 
     for name in names:
